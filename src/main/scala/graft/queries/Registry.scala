@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator/query.
+  *
+  * @param name    stable key used by the driver's correctness gate
+  * @param run     Spark implementation; `dir` is a testdata sf directory
+  * @param oracle  equivalent DuckDB SQL over the same parquet tables
+  *                (None for ops not expressible in ANSI SQL → the driver
+  *                records a weaker rows-only check)
+  * @param headline included in Bench timing runs
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Tables {
+  /** All reads go through here so pushdown/pruning behavior is uniform.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; read it as a long and rebuild a microsecond
+    * timestamp with exact integer division (a double division would
+    * lose precision on ~1.7e18 nanos-since-epoch values). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}
+
+/** Central registry consumed by SparkEntry / Verify / Bench. */
+object Registry {
+  def all: Seq[GraftQuery] =
+    Relational.all ++ TextOps.all ++ VectorOps.all
+
+  def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
+}

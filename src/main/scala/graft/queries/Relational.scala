@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational SQL surface of the reference engine, re-expressed
+  * Spark-first over the driver's TPC-H-ish testdata.
+  *
+  * The reference (turbolytics/sql-flow) delegates all relational
+  * operators to an embedded SQL engine; the surface it actually
+  * exercises is catalogued in /root/repo/SURVEY.md §2B with file:line
+  * citations (projection/filter, nested access, JSON extraction,
+  * equi/left/range/anti joins, hash + global aggregation, tumbling
+  * buckets via date_trunc/time_bucket, ORDER BY/LIMIT, strftime-style
+  * formatting). Each query below exercises one of those constructs as
+  * an idiomatic DataFrame plan, with a DuckDB oracle for the driver's
+  * correctness gate.
+  *
+  * Determinism rules (so the DuckDB compare is stable):
+  *  - every float aggregate is `round(...)`-ed identically on both sides
+  *  - every output has a total ORDER BY
+  *  - timestamps are emitted as formatted strings (tz-representation-proof)
+  *  - DuckDB integer sums are CAST(... AS BIGINT) (DuckDB widens to HUGEINT)
+  */
+object Relational {
+  import Tables.t
+
+  // --- q01: hash aggregation, multiple aggregates (SURVEY §2B "Aggregation";
+  //     reference example basic.agg.mem.yml:17-24 = COUNT(*) GROUP BY key).
+  private val q01 = GraftQuery(
+    "q01_agg_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  // --- q02: projection + filter pushdown (SURVEY §2B "Projection / filter";
+  //     reference WHERE usage e.g. kafka.motherduck.idempotent.yml:52-53).
+  //     Filter + 3-column projection must reach the parquet scan.
+  private val q02 = GraftQuery(
+    "q02_filter_project",
+    (s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value") > 300.0)
+        .select(
+          col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value_r"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, round(value, 2) AS value_r
+            FROM events
+            WHERE event_type = 'click' AND value > 300.0
+            ORDER BY event_id"""),
+    headline = true)
+
+  // --- q03: multi-way equi-join with small dims + post-join aggregation
+  //     (SURVEY §2B "Joins": stream×dim join with GROUP BY,
+  //     csv.filesystem.join.yml:15-25). Dims are broadcast — no shuffle
+  //     on the fact side for the join itself.
+  private val q03 = GraftQuery(
+    "q03_join_agg_revenue_by_nation",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS total_revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""),
+    headline = true)
+
+  // --- q04: global aggregation, no GROUP BY (SURVEY §2B,
+  //     local.parquet.sink.yml:16 `SELECT COUNT(*)`), plus exact
+  //     count-distinct (partial-agg + single final reduce).
+  private val q04 = GraftQuery(
+    "q04_global_agg",
+    (s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+            count(DISTINCT l_orderkey) AS n_orders,
+            round(sum(l_quantity), 2) AS sum_qty,
+            strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+            strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+            FROM lineitem"""))
+
+  // --- q05: join + agg + ORDER BY + LIMIT (top-k) (SURVEY §2B
+  //     "Sorts / limits"; ORDER BY in basic.agg.mem.yml:24).
+  //     TakeOrderedAndProject — no global sort of the whole relation.
+  private val q05 = GraftQuery(
+    "q05_topk_customers",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      orders.groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some("""SELECT c_custkey, c_name, revenue, n_orders FROM (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ) JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 10"""),
+    headline = true)
+
+  // --- q06: tumbling-window aggregation via date_trunc bucket — the
+  //     reference's core windowing pattern (tumbling.window.yml:48-58,
+  //     SURVEY §2B "time_bucket/date_trunc + GROUP BY").
+  private val q06 = GraftQuery(
+    "q06_tumbling_hour",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+            event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""),
+    headline = true)
+
+  // --- q07: JSON extraction from a string column (SURVEY §2B
+  //     `col ->> 'key'`, kafka.motherduck.yml:26-27) — Spark answers
+  //     with get_json_object, fully codegen'd.
+  private val q07 = GraftQuery(
+    "q07_json_extract",
+    (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+            round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // --- q08: strftime-style formatting + CASE expression (SURVEY §2B
+  //     "Scalar functions": strftime tumbling.window.yml:16; CASE is the
+  //     dialect-shim's date_format mapping target).
+  private val q08 = GraftQuery(
+    "q08_datefmt_case",
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH").as("hour_str"),
+          when(col("value") >= 250.0, "high").otherwise("low").as("band"))
+        .groupBy("hour_str", "band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour_str", "band")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%dT%H') AS hour_str,
+            CASE WHEN value >= 250.0 THEN 'high' ELSE 'low' END AS band,
+            count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY hour_str, band"""))
+
+  // --- q09: dedup-then-left-join — the Spark rewrite of the reference's
+  //     correlated `LIMIT 1` subquery join (csv.mem.join.yml:24-34,
+  //     SURVEY §7.4 risk #3): keep exactly one dim row per key via
+  //     row_number, then left join.
+  private val q09 = GraftQuery(
+    "q09_dedup_left_join",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      val supp = t(s, dir, "supplier")
+      val w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+      val dim = supp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_name"))
+      nation.join(broadcast(dim),
+          nation("n_nationkey") === dim("s_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("s_name"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, s_name
+            FROM nation LEFT JOIN (
+              SELECT s_nationkey, s_name, row_number() OVER
+                (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+              FROM supplier) s
+            ON n_nationkey = s_nationkey AND rn = 1
+            ORDER BY n_nationkey"""))
+
+  // --- q10: range (theta) join against a small bucket dim — the
+  //     reference's inet range join shape (attach-geoip.yml:36,
+  //     SURVEY §2B "range/theta join"). Broadcast nested-loop on a
+  //     5-row dim: correct plan at any fact-side scale.
+  private val q10 = GraftQuery(
+    "q10_range_join_buckets",
+    (s, dir) => {
+      import s.implicits._
+      val buckets = Seq(
+        ("b0_050", 0.0, 50.0), ("b1_100", 50.0, 100.0),
+        ("b2_200", 100.0, 200.0), ("b3_300", 200.0, 300.0),
+        ("b4_max", 300.0, 1e9)).toDF("bucket_name", "lo", "hi")
+      val ev = t(s, dir, "events")
+      ev.join(broadcast(buckets),
+          ev("value") >= buckets("lo") && ev("value") < buckets("hi"))
+        .groupBy("bucket_name")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket_name")
+    },
+    Some("""WITH buckets(bucket_name, lo, hi) AS (VALUES
+              ('b0_050', 0.0, 50.0), ('b1_100', 50.0, 100.0),
+              ('b2_200', 100.0, 200.0), ('b3_300', 200.0, 300.0),
+              ('b4_max', 300.0, 1000000000.0))
+            SELECT bucket_name, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events JOIN buckets ON value >= lo AND value < hi
+            GROUP BY bucket_name ORDER BY bucket_name"""))
+
+  // --- q11: anti join / NOT EXISTS (SURVEY §2B "anti-join-by-predicate",
+  //     kafka.motherduck.idempotent.yml:47-53) as a left_anti join.
+  private val q11 = GraftQuery(
+    "q11_anti_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      cust.join(pOrders, cust("c_custkey") === pOrders("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers_without_p_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_customers_without_p_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'P')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- q12: semi join / EXISTS (SURVEY §2B "semi/anti" extension) as
+  //     left_semi — no row multiplication, map-side-combinable agg.
+  private val q12 = GraftQuery(
+    "q12_semi_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers_with_big_order"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_customers_with_big_order
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 200000.0)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- q13: UNION + DISTINCT set semantics (SURVEY §2B "set-ops" extension).
+  private val q13 = GraftQuery(
+    "q13_union_distinct",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      c.union(sup).distinct().orderBy("nationkey")
+    },
+    Some("""SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+            UNION
+            SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+            ORDER BY nationkey"""))
+
+  // --- q14: the reference's idempotent-consumer pattern — filter a
+  //     stream against per-key max offsets from a meta table
+  //     (kafka.motherduck.idempotent.yml:44-80). Meta side is tiny →
+  //     broadcast; predicate `mx IS NULL OR offset > mx`.
+  private val q14 = GraftQuery(
+    "q14_idempotent_offset_filter",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val meta = ev.filter(col("ts") < lit("2024-01-15"))
+        .groupBy(col("event_type").as("m_type"))
+        .agg(max("event_id").as("mx"))
+      ev.join(broadcast(meta), ev("event_type") === meta("m_type"), "left")
+        .filter(col("mx").isNull || col("event_id") > col("mx"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_new"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT e.event_type, count(*) AS n_new
+            FROM events e
+            LEFT JOIN (SELECT event_type AS m_type, max(event_id) AS mx
+                       FROM events WHERE ts < '2024-01-15'
+                       GROUP BY event_type) m
+              ON e.event_type = m.m_type
+            WHERE m.mx IS NULL OR e.event_id > m.mx
+            GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  // --- q15: window functions (OVER) — beyond reference parity
+  //     (SURVEY §2B notes none are exercised); top-2 orders per customer.
+  private val q15 = GraftQuery(
+    "q15_window_topn_per_key",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 2 ORDER BY o_custkey, rn"""))
+
+  // --- q16: ROLLUP grouping sets (beyond-parity aggregation surface).
+  //     NULL grouping keys are coalesced to 'ALL' on both sides so the
+  //     compare never sees engine-specific NULL ordering.
+  private val q16 = GraftQuery(
+    "q16_rollup",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+            coalesce(l_linestatus, 'ALL') AS linestatus,
+            count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus"""))
+
+  /** Flagship for SparkEntry.entry: the multi-way join+agg. */
+  def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
+
+  val all: Seq[GraftQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q13, q14, q15, q16)
+}
