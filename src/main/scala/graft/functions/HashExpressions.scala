@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths of the text/vector
+  * operators (SURVEY.md §4.2: "custom Expressions — optional, small";
+  * preference order per the build brief: native Expression with
+  * doGenCode > Scala UDF). All of these stay inside whole-stage
+  * codegen — no boxing, no per-row allocation.
+  */
+
+/** Polynomial rolling hash over a string's UTF-8 bytes (h = h*31 + b,
+  * wrapping i64). Used for content fingerprinting of documents — the
+  * reference has no fingerprinting op; this is part of the
+  * training-data-pipeline extension surface. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  // input contract: StringType (enforced by the Column wrappers below)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+        byte[] $bytes = $c.getBytes();
+        long $h = 0L;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          $h = $h * 31L + (long) $bytes[$i];
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 =
+    copy(child = c)
+}
+
+/** SimHash over an array of pre-hashed tokens (array<long> → long):
+  * bit b of the result is 1 iff the majority of token hashes have bit
+  * b set. Near-duplicate texts differ in few tokens → simhashes within
+  * small Hamming distance. Single pass over the array, 64 counters on
+  * the stack. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  // input contract: ArrayType(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counters = ctx.freshName("counters")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $counters = new int[64];
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          if (!$arr.isNullAt($i)) {
+            long $h = $arr.getLong($i);
+            for (int $b = 0; $b < 64; $b++) {
+              if ((($h >>> $b) & 1L) == 1L) $counters[$b]++; else $counters[$b]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($counters[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Dot product of two numeric arrays (float or double) → double,
+  * without materializing intermediate arrays (the built-in
+  * `aggregate(zip_with(...))` composition allocates a zipped array per
+  * row — this is the scale-path replacement for embedding similarity).
+  * Mismatched lengths use the common prefix; null elements count as 0. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input contract: two ArrayType(FloatType) columns
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = Math.min($x.numElements(), $y.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+            $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+          }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+}
+
+/** Column-API entry points for the native expressions. */
+object HashFunctions {
+  import Bridge.{column => asCol, expression => asExpr}
+  def rolling_hash64(c: Column): Column = asCol(RollingHash64(asExpr(c)))
+  def simhash64(hashedTokens: Column): Column = asCol(SimHash64(asExpr(hashedTokens)))
+  def vec_dot(a: Column, b: Column): Column = asCol(VecDot(asExpr(a), asExpr(b)))
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines,
+  * composed from codegen'd built-ins (`org.apache.spark.sql.functions`)
+  * so they stay inside whole-stage codegen and scale linearly with
+  * partitions. The reference engine has no text operators (it delegates
+  * everything to its embedded SQL engine); these extend the surface per
+  * the build brief.
+  */
+object TextFunctions {
+
+  /** Lowercased, whitespace-collapsed text. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Distinct word n-gram shingles; short texts (< n tokens) yield one
+    * whole-text shingle so they remain joinable. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** xxhash64 of each token (input to simhash / minhash). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  private val P = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (ANSI-safe)
+
+  /** MinHash signature: `k` affine permutations over one base xxhash64,
+    * each taking the min over the shingle set. One base hash pass +
+    * k cheap multiply-add-mod passes, all codegen'd — no UDF.
+    * At cluster scale the signature is computed map-side in a single
+    * projection; cost is O(k * |shingles|) per row with no shuffle. */
+  def minhashSignature(shingles: Column, k: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val base = transform(shingles, x => pmod(xxhash64(x), lit(P)))
+    val sigs = (0 until k).map { _ =>
+      val a = 1 + rnd.nextInt((P - 1).toInt).toLong
+      val b = rnd.nextInt(P.toInt).toLong
+      array_min(transform(base, h => pmod(lit(a) * h + lit(b), lit(P))))
+    }
+    array(sigs: _*)
+  }
+
+  // Tiny per-language stopword profiles for the heuristic language ID.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "for"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "une", "du", "pour", "sur", "au"))
+
+  /** Heuristic language ID: CJK character ratio decides `zh`;
+    * otherwise the language whose stopword profile hits the most
+    * tokens (ties broken alphabetically); `und` when nothing hits.
+    * Pure column composition — runs as a single codegen'd projection. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cjk = size(filter(
+      split(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""), ""),
+      ch => ch =!= ""))
+    val scores = profiles.map { case (lang, stops) =>
+      lang -> size(filter(toks, t => t.isInCollection(stops)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // ties: first (alphabetical) profile wins because `when` chains in order
+    val byProfile = scores.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, sc)) => when(acc.isNull && sc === best, lit(lang)).otherwise(acc)
+    }
+    when(cjk * 4 >= size(toks), lit("zh"))
+      .when(best > 0, byProfile)
+      .otherwise(lit("und"))
+  }
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality signal. */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "for")
+    round(size(filter(toks, t => t.isInCollection(stops)))
+      .cast("double") / size(toks), 4)
+  }
+
+  /** Fraction of distinct tokens (low = repetitive/boilerplate text). */
+  def distinctRatio(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+
+  /** Mean token length in characters. */
+  def avgTokenLen(toks: Column): Column =
+    round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(toks), 4)
+
+  /** BPE-ish subword count: alpha runs, digit runs, and individual
+    * non-alnum symbols — a cheap, deterministic token-count proxy. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+}

@@ -1,7 +1,152 @@
 package graft.queries
 
-/** Text-analysis / dedup operators over the `documents` table. Filled in
-  * by graft.operators.* — see Dedup.scala / TextFunctions.scala. */
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis / dedup operators over the `documents` table — the
+  * training-data-pipeline extension surface (not present in the
+  * reference, which has no text operators; see the build brief).
+  * DuckDB oracles replicate the exact token/shingle definitions; the
+  * probabilistic ops (minhash LSH, simhash) have no SQL oracle and are
+  * covered by ScalaTest recall checks instead. */
 object TextOps {
-  val all: Seq[GraftQuery] = Seq()
+  import Tables.t
+
+  // Shared token definition (normalize → split on single space) — the
+  // DuckDB oracles use regexp_split_to_array on the same normalization.
+  private val duckToks =
+    """regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
+
+  private val t01 = GraftQuery(
+    "t01_text_stats_by_lang",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("lang"), col("n_chars"), size(tokens(col("text"))).as("n_toks"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(avg("n_toks"), 2).as("avg_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(avg(len($duckToks)), 2) AS avg_tokens
+             FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val t02 = GraftQuery(
+    "t02_text_quality",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = tokens(col("text"))
+      d.select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          distinctRatio(toks).as("distinct_ratio"),
+          stopwordRatio(toks).as("stopword_ratio"),
+          avgTokenLen(toks).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents)
+             SELECT doc_id, len(toks) AS n_tokens,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS stopword_ratio,
+             round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS avg_token_len
+             FROM tk ORDER BY doc_id"""),
+    headline = true)
+
+  private val t03 = GraftQuery(
+    "t03_token_count_bpe",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  // Heuristic language ID — algorithmic op, no SQL oracle (rows-only
+  // check here; accuracy is asserted in LangIdSpec on crafted text).
+  private val t04 = GraftQuery(
+    "t04_langid",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  // Rolling-hash content fingerprint (native Catalyst expression).
+  private val t05 = GraftQuery(
+    "t05_fingerprint_rolling",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash64(normalizeText(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private val t06 = GraftQuery(
+    "t06_dedup_exact",
+    (s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+            min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY content_hash"""),
+    headline = true)
+
+  private val t07 = GraftQuery(
+    "t07_dedup_ngram_jaccard",
+    (s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(
+               CASE WHEN len(toks) >= 3
+                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       FOR i IN range(1, len(toks) - 1)]
+                 ELSE [array_to_string(toks, ' ')] END) AS sh
+               FROM tk)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.3
+             ORDER BY doc_a, doc_b"""),
+    headline = true)
+
+  // MinHash-LSH near-dup (probabilistic recall, exact verify) — no SQL
+  // oracle; DedupSpec asserts recall ≥ 0.9 against t07's exact pairs.
+  private val t08 = GraftQuery(
+    "t08_dedup_minhash_lsh",
+    (s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+    None,
+    headline = true)
+
+  // SimHash near-dup within Hamming ≤ 3 — no SQL oracle (native
+  // expression); DedupSpec checks planted near-dups are found.
+  private val t09 = GraftQuery(
+    "t09_dedup_simhash",
+    (s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

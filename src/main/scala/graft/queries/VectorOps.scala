@@ -1,6 +1,91 @@
 package graft.queries
 
-/** Vector similarity / ANN operators over the `embeddings` table. */
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Vector similarity / ANN operators over the `embeddings` table
+  * (array<float> column) — training-data-pipeline extension surface.
+  * Oracles use DuckDB's list_dot_product with the same accumulation
+  * shape (double math, index order, sqrt(a)·sqrt(b) denominator). */
 object VectorOps {
-  val all: Seq[GraftQuery] = Seq()
+  import Tables.t
+
+  private def duckCos(a: String, b: String, digits: Int) =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $digits)"
+
+  private val v01 = GraftQuery(
+    "v01_vector_norms",
+    (s, dir) => {
+      Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("nrm"), 4).as("norm"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+            round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+            FROM embeddings ORDER BY vec_id"""))
+
+  private val v02 = GraftQuery(
+    "v02_cosine_dup_pairs",
+    (s, dir) => {
+      Similarity.cosineDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckCos("a.v", "b.v", 4)} AS cosine
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${duckCos("a.v", "b.v", 4)} >= 0.4
+             ORDER BY id_a, id_b"""),
+    headline = true)
+
+  private val v03 = GraftQuery(
+    "v03_ann_topk_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS v_q FROM e WHERE vec_id < 10),
+             sc AS (SELECT query_id, e.vec_id AS nbr_id,
+                      ${duckCos("v_q", "e.v", 6)} AS c
+                    FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+             r AS (SELECT query_id, nbr_id, c, row_number() OVER
+                     (PARTITION BY query_id ORDER BY c DESC, nbr_id) AS rank
+                   FROM sc)
+             SELECT query_id, nbr_id, round(c, 4) AS cosine, rank
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+    headline = true)
+
+  // LSH-bucketed ANN — probabilistic recall, no SQL oracle; AnnSpec
+  // measures recall@5 against v03's exact results.
+  private val v04 = GraftQuery(
+    "v04_ann_topk_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // IVF coarse-quantizer ANN — the partition-pruning scale path; no SQL
+  // oracle (probabilistic recall), AnnSpec measures recall on clustered data.
+  private val v05 = GraftQuery(
+    "v05_ann_topk_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN recall on CLUSTERED vectors (the realistic embedding shape —
+  * the sf testdata embeddings are near-uniform, where no sublinear
+  * method can have high recall; real embedding corpora cluster). */
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 32
+  private def mkClustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = c.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK recall@5 ≥ 0.8 on clustered vectors") {
+    val emb = mkClustered.cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("lshTopK recall@5 ≥ 0.5 on clustered vectors") {
+    val emb = mkClustered.cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = dim, nbits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("bruteForceTopK is deterministic and self-excluding") {
+    val emb = mkClustered
+    val queries = emb.filter(col("vec_id") < 3)
+    val r1 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).collect()
+    val r2 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    assert(r1.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(r1.length == 15)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Corpus with planted exact dups (1≡2) and near-dups (3≈4, one word
+  // changed; 5≈6, one word inserted); 7..N random-ish distinct docs.
+  private def mkDocs = {
+    val base3 = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val base5 = "spark executes declarative plans with catalyst optimizing joins aggregates and scans across many partitions"
+    val fillers = (7 to 30).map(i =>
+      s"doc number $i talks about topic${i % 7} and mentions entity${i % 5} entity${i % 3} " +
+        s"with unique payload ${i * 37} ${i * 91} ${i * 13} filler${i} filler${i + 1} filler${i + 2}")
+    val docs = Seq(
+      1L -> "Exact   Duplicate\tTEXT with   odd whitespace",
+      2L -> "exact duplicate text with odd whitespace",
+      3L -> base3,
+      4L -> base3.replace("woods", "forest"),
+      5L -> base5,
+      6L -> base5.replace("catalyst optimizing", "catalyst quickly optimizing")) ++
+      fillers.zipWithIndex.map { case (t, i) => (7L + i) -> t }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("exactGroups collapses whitespace/case variants") {
+    val g = Dedup.exactGroups(mkDocs, "doc_id", "text")
+    val dupGroup = g.filter(col("n_copies") > 1).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("keep_id") == 1L)
+    assert(dupGroup(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccardPairs finds planted near-dups exactly") {
+    val pairs = Dedup.jaccardPairs(mkDocs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.contains((5L, 6L)))
+    // no spurious pairs among the fillers
+    assert(pairs.forall { case (a, b) => b <= 6L || (a, b) == ((a, b)) })
+    assert(pairs.count { case (a, _) => a >= 7L } == 0)
+  }
+
+  test("minhashLshPairs recovers the exact pairs (planted dups) with exact jaccard values") {
+    val exact = Dedup.jaccardPairs(mkDocs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(mkDocs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // verify step makes precision exact: lsh ⊆ exact; recall ≥ 2/3 on planted dups
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 2 / 3, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhashPairs finds exact and 1-token-edit near-dups") {
+    val pairs = Dedup.simhashPairs(mkDocs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+
+class HashExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling_hash64 matches reference implementation and handles null") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + b)
+    val df = Seq("hello world", "", "héllo ✓", null)
+      .toDF("s")
+      .select(rolling_hash64(col("s")).as("h"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).contains(ref("hello world")))
+    assert(got(1).contains(0L))
+    assert(got(2).contains(ref("héllo ✓")))
+    assert(got(3).isEmpty)
+  }
+
+  test("rolling_hash64: interpreted eval equals codegen result") {
+    val data = Seq("a", "abc", "the quick brown fox", "ü ü ü")
+    val viaDf = data.toDF("s")
+      .select(rolling_hash64(col("s"))).collect().map(_.getLong(0))
+    val viaEval = data.map(s =>
+      graft.functions.RollingHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null))
+    assert(viaDf.toSeq == viaEval.map(_.asInstanceOf[Long]))
+  }
+
+  test("simhash64: identical token sets → identical hash; near sets → small hamming") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a // identical
+    val c = a.replace("kappa", "lambda") // one token changed
+    val df = Seq(a, b, c).toDF("t")
+      .select(simhash64(tokenHashes(tokens(col("t")))).as("h"))
+    val Array(ha, hb, hc) = df.collect().map(_.getLong(0))
+    assert(ha == hb)
+    assert(java.lang.Long.bitCount(ha ^ hc) <= 16, "near-dup should be close in hamming")
+  }
+
+  test("vec_dot matches scala dot product on float arrays") {
+    val x = Array(1.0f, 2.0f, 3.0f)
+    val y = Array(0.5f, -1.0f, 2.0f)
+    val expected = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val got = Seq((x, y)).toDF("x", "y")
+      .select(vec_dot(col("x"), col("y")).as("d")).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+}
