@@ -1,0 +1,209 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import scala.jdk.CollectionConverters._
+
+/** YAML pipeline-config model, mirroring the reference's surface
+  * (sql-flow `sqlflow/config.py:13-192`: Conf(pipeline, tables, udfs,
+  * commands); pipeline = batch_size / flush_interval_seconds / source /
+  * handler / sink / on_error). Field names follow the reference YAML so
+  * its shipped configs parse unchanged.
+  */
+final case class KafkaSourceConf(
+    brokers: Seq[String], groupId: String, autoOffsetReset: String,
+    topics: Seq[String])
+final case class WebsocketSourceConf(uri: String)
+final case class WebhookSourceConf(
+    port: Int, signingSecret: Option[String], signatureHeader: String)
+/** Extension (not in reference): file/dir source for dev + tests. */
+final case class FileSourceConf(path: String, format: String)
+
+final case class SourceConf(
+    kind: String,
+    kafka: Option[KafkaSourceConf] = None,
+    websocket: Option[WebsocketSourceConf] = None,
+    webhook: Option[WebhookSourceConf] = None,
+    file: Option[FileSourceConf] = None)
+
+final case class HandlerConf(kind: String, sql: String, table: Option[String])
+
+final case class KafkaSinkConf(brokers: Seq[String], topic: String)
+final case class SqlSubstitution(varName: String, kind: String)
+final case class SqlCommandSinkConf(sql: String, substitutions: Seq[SqlSubstitution])
+final case class IcebergSinkConf(catalogName: String, tableName: String)
+final case class ClickhouseSinkConf(dsn: String, table: String)
+
+final case class SinkConf(
+    kind: String,
+    kafka: Option[KafkaSinkConf] = None,
+    sqlcommand: Option[SqlCommandSinkConf] = None,
+    iceberg: Option[IcebergSinkConf] = None,
+    clickhouse: Option[ClickhouseSinkConf] = None)
+
+final case class ErrorPolicyConf(policy: String, dlq: Option[SinkConf])
+
+final case class TumblingWindowConf(
+    collectClosedWindowsSql: String,
+    deleteClosedWindowsSql: String,
+    pollIntervalSeconds: Int)
+final case class TableManagerConf(
+    tumblingWindow: Option[TumblingWindowConf], sink: Option[SinkConf])
+final case class TableConf(name: String, sql: String, manager: Option[TableManagerConf])
+
+final case class UdfConf(functionName: String, importPath: String)
+final case class CommandConf(name: String, sql: String)
+
+final case class PipelineConf(
+    batchSize: Int,
+    flushIntervalSeconds: Option[Int],
+    source: SourceConf,
+    handler: HandlerConf,
+    sink: SinkConf,
+    onError: ErrorPolicyConf)
+
+final case class Conf(
+    pipeline: PipelineConf,
+    commands: Seq[CommandConf],
+    tables: Seq[TableConf],
+    udfs: Seq[UdfConf])
+
+object Config {
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** Render the reference's Jinja-style `{{ var|default('x') }}`
+    * placeholders (`config.py:194-211`): variables resolve from
+    * `overrides` first, then the process environment. */
+  def renderTemplate(raw: String, overrides: Map[String, String]): String = {
+    val pat = """\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\|\s*default\(\s*(?:'([^']*)'|"([^"]*)"|([^)\s]+))\s*\))?\s*\}\}""".r
+    pat.replaceAllIn(raw, m => {
+      val name = m.group(1)
+      val default = Option(m.group(2)).orElse(Option(m.group(3))).orElse(Option(m.group(4)))
+      val v = overrides.get(name).orElse(sys.env.get(name)).orElse(default)
+      java.util.regex.Matcher.quoteReplacement(
+        v.getOrElse(throw new IllegalArgumentException(
+          s"config template variable '$name' has no value and no default")))
+    })
+  }
+
+  def fromFile(path: String, overrides: Map[String, String] = Map()): Conf =
+    fromString(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      overrides)
+
+  def fromString(raw: String, overrides: Map[String, String] = Map()): Conf = {
+    val root = mapper.readTree(renderTemplate(raw, overrides))
+    Conf(
+      pipeline = parsePipeline(root.path("pipeline")),
+      commands = root.path("commands").elements().asScala.map { c =>
+        CommandConf(c.path("name").asText(""), c.path("sql").asText())
+      }.toSeq,
+      tables = root.path("tables").path("sql").elements().asScala.map(parseTable).toSeq,
+      udfs = root.path("udfs").elements().asScala.map { u =>
+        UdfConf(u.path("function_name").asText(), u.path("import_path").asText())
+      }.toSeq)
+  }
+
+  private def strSeq(n: JsonNode): Seq[String] =
+    if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+    else if (n.isMissingNode || n.isNull) Seq()
+    else Seq(n.asText())
+
+  private def parsePipeline(p: JsonNode): PipelineConf = {
+    if (p.isMissingNode) throw new IllegalArgumentException("config has no `pipeline` section")
+    PipelineConf(
+      batchSize = p.path("batch_size").asInt(1),
+      flushIntervalSeconds =
+        if (p.has("flush_interval_seconds")) Some(p.path("flush_interval_seconds").asInt())
+        else None,
+      source = parseSource(p.path("source")),
+      handler = {
+        val h = p.path("handler")
+        HandlerConf(
+          kind = h.path("type").asText(""),
+          sql = h.path("sql").asText(""),
+          table = if (h.has("table")) Some(h.path("table").asText()) else None)
+      },
+      sink = parseSink(p.path("sink")),
+      onError = {
+        val e = p.path("on_error")
+        ErrorPolicyConf(
+          policy = e.path("policy").asText("RAISE").toUpperCase,
+          dlq = if (e.has("dlq")) Some(parseSink(e.path("dlq"))) else None)
+      })
+  }
+
+  private def parseSource(s: JsonNode): SourceConf = {
+    val kind = s.path("type").asText("")
+    SourceConf(
+      kind = kind,
+      kafka = if (s.has("kafka")) {
+        val k = s.path("kafka")
+        Some(KafkaSourceConf(
+          brokers = strSeq(k.path("brokers")),
+          groupId = k.path("group_id").asText(""),
+          autoOffsetReset = k.path("auto_offset_reset").asText("earliest"),
+          topics = strSeq(k.path("topics"))))
+      } else None,
+      websocket = if (s.has("websocket"))
+        Some(WebsocketSourceConf(s.path("websocket").path("uri").asText())) else None,
+      webhook = if (s.has("webhook")) {
+        val w = s.path("webhook")
+        Some(WebhookSourceConf(
+          port = w.path("port").asInt(8080),
+          signingSecret =
+            if (w.has("signing_secret")) Some(w.path("signing_secret").asText()) else None,
+          signatureHeader = w.path("signature_header").asText("X-Hub-Signature-256")))
+      } else None,
+      file = if (s.has("file")) {
+        val f = s.path("file")
+        Some(FileSourceConf(f.path("path").asText(), f.path("format").asText("json")))
+      } else None)
+  }
+
+  def parseSink(s: JsonNode): SinkConf = {
+    SinkConf(
+      kind = s.path("type").asText("noop"),
+      kafka = if (s.has("kafka")) {
+        val k = s.path("kafka")
+        Some(KafkaSinkConf(strSeq(k.path("brokers")), k.path("topic").asText()))
+      } else None,
+      sqlcommand = if (s.has("sqlcommand")) {
+        val c = s.path("sqlcommand")
+        Some(SqlCommandSinkConf(
+          sql = c.path("sql").asText(),
+          substitutions = c.path("substitutions").elements().asScala.map { sub =>
+            SqlSubstitution(sub.path("var").asText(), sub.path("type").asText())
+          }.toSeq))
+      } else None,
+      iceberg = if (s.has("iceberg")) {
+        val i = s.path("iceberg")
+        Some(IcebergSinkConf(i.path("catalog_name").asText(), i.path("table_name").asText()))
+      } else None,
+      clickhouse = if (s.has("clickhouse")) {
+        val c = s.path("clickhouse")
+        Some(ClickhouseSinkConf(c.path("dsn").asText(), c.path("table").asText()))
+      } else None)
+  }
+
+  private def parseTable(t: JsonNode): TableConf = {
+    TableConf(
+      name = t.path("name").asText(),
+      sql = t.path("sql").asText(),
+      manager = if (t.has("manager")) {
+        val m = t.path("manager")
+        Some(TableManagerConf(
+          tumblingWindow = if (m.has("tumbling_window")) {
+            val w = m.path("tumbling_window")
+            Some(TumblingWindowConf(
+              collectClosedWindowsSql = w.path("collect_closed_windows_sql").asText(),
+              deleteClosedWindowsSql = w.path("delete_closed_windows_sql").asText(),
+              pollIntervalSeconds = w.path("poll_interval_seconds").asInt(10)))
+          } else None,
+          sink = if (m.has("sink")) Some(parseSink(m.path("sink"))) else None))
+      } else None)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (reference `sqlflow/sinks.py`): a sink receives result tables
+  * (`write`) and emits on `flush` — matching the reference's
+  * buffer-then-flush contract so delivery ordering (sink flush before
+  * source commit, `pipeline.py:281-291`) is preserved by the pipeline. */
+trait GraftSink {
+  def write(df: DataFrame): Unit
+  def flush(): Unit = ()
+  def close(): Unit = ()
+}
+
+/** Console sink (`sinks.py:47-68`): one JSON document per row, printed
+  * on flush, in the result's ORDER BY order. */
+final class ConsoleSink(out: String => Unit = println) extends GraftSink {
+  private val buf = scala.collection.mutable.ArrayBuffer[String]()
+  override def write(df: DataFrame): Unit =
+    buf ++= df.toJSON.collect()
+  override def flush(): Unit = { buf.foreach(out); buf.clear() }
+}
+
+/** Recording sink for tests (`sinks.py:170-187`). */
+final class MemorySink extends GraftSink {
+  val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+  var flushes = 0
+  override def write(df: DataFrame): Unit =
+    batches += df.toJSON.collect().toSeq
+  override def flush(): Unit = flushes += 1
+  def allRows: Seq[String] = batches.flatten.toSeq
+}
+
+final class NoopSink extends GraftSink {
+  override def write(df: DataFrame): Unit = ()
+}
+
+/** Kafka sink (`sinks.py:125-144`): one JSON message per result row.
+  * The plan is built eagerly (to_json over the row struct); the produce
+  * itself requires the spark-sql-kafka connector on the classpath,
+  * which this environment does not ship — construction succeeds so
+  * configs parse/validate; writing raises with a clear message. */
+final class KafkaSink(conf: KafkaSinkConf) extends GraftSink {
+  override def write(df: DataFrame): Unit = {
+    val payload = df.select(to_json(struct(col("*"))).as("value"))
+    payload.write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", conf.brokers.mkString(","))
+      .option("topic", conf.topic)
+      .save()
+  }
+}
+
+/** SQL-command sink (`sinks.py:92-122`): register the batch as
+  * `sqlflow_sink_batch`, apply `$var` substitutions (uuid4 = one fresh
+  * UUID per flush — NOT per row), run the command. The command surface
+  * used by shipped configs is `COPY ... TO '<path>' (FORMAT ...)` and
+  * arbitrary INSERT/SQL, both supported. */
+final class SqlCommandSink(
+    spark: org.apache.spark.sql.SparkSession,
+    conf: SqlCommandSinkConf) extends GraftSink {
+
+  private val pending = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  override def write(df: DataFrame): Unit = pending += df
+
+  override def flush(): Unit = {
+    pending.foreach { df =>
+      var sql = conf.sql
+      conf.substitutions.foreach { sub =>
+        val value = sub.kind match {
+          case "uuid4" => java.util.UUID.randomUUID().toString
+          case other => throw new IllegalArgumentException(
+            s"unsupported substitution type: $other")
+        }
+        sql = sql.replace(sub.varName, value)
+      }
+      df.createOrReplaceTempView("sqlflow_sink_batch")
+      runCommand(df, sql.trim.stripSuffix(";"))
+    }
+    pending.clear()
+  }
+
+  private val copyPat =
+    """(?is)^\s*COPY\s+(\w+)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*$""".r
+
+  private def runCommand(df: DataFrame, sql: String): Unit = sql match {
+    case copyPat(_, path, fmtOrNull) =>
+      val fmt = Option(fmtOrNull).map(_.toLowerCase).getOrElse("json")
+      writeSingleFile(df, path, fmt)
+    case other =>
+      spark.sql(SqlDialect.translate(other))
+  }
+
+  /** The reference's COPY writes ONE file at the exact path; Spark
+    * writes a directory of parts. Write to a scratch dir (single
+    * partition) and move the part file to the requested path. */
+  private def writeSingleFile(df: DataFrame, path: String, fmt: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toFile
+    val tmpOut = new java.io.File(tmp, "out")
+    val writer = df.coalesce(1).write.mode("overwrite")
+    fmt match {
+      case "parquet" => writer.parquet(tmpOut.getAbsolutePath)
+      case "json" => writer.json(tmpOut.getAbsolutePath)
+      case "csv" => writer.option("header", "true").csv(tmpOut.getAbsolutePath)
+      case other => throw new IllegalArgumentException(s"COPY format: $other")
+    }
+    val part = tmpOut.listFiles().find(f => f.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("no part file produced"))
+    val target = java.nio.file.Paths.get(path)
+    if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part.toPath, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+}
+
+/** Iceberg sink (`sinks.py:71-89`): append the batch to an Iceberg
+  * table. Requires iceberg-spark-runtime on the classpath (not shipped
+  * here); with it, the write is `df.writeTo(table).append()`. */
+final class IcebergSink(conf: IcebergSinkConf) extends GraftSink {
+  override def write(df: DataFrame): Unit =
+    df.writeTo(s"${conf.catalogName}.${conf.tableName}").append()
+}
+
+/** ClickHouse sink (`sinks.py:147-161`) via JDBC (driver not shipped
+  * here; config parses, write raises without it). */
+final class ClickhouseSink(conf: ClickhouseSinkConf) extends GraftSink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode("append")
+      .format("jdbc")
+      .option("url", conf.dsn)
+      .option("dbtable", conf.table)
+      .save()
+}
+
+/** DLQ record shape per `pipeline.py:228-237`. */
+object Sinks {
+  def build(spark: org.apache.spark.sql.SparkSession, conf: SinkConf): GraftSink =
+    conf.kind match {
+      case "console" => new ConsoleSink()
+      case "noop" | "" => new NoopSink()
+      case "memory" => new MemorySink()
+      case "kafka" => new KafkaSink(conf.kafka.getOrElse(
+        throw new IllegalArgumentException("kafka sink needs `kafka` block")))
+      case "sqlcommand" => new SqlCommandSink(spark, conf.sqlcommand.getOrElse(
+        throw new IllegalArgumentException("sqlcommand sink needs `sqlcommand` block")))
+      case "iceberg" => new IcebergSink(conf.iceberg.getOrElse(
+        throw new IllegalArgumentException("iceberg sink needs `iceberg` block")))
+      case "clickhouse" => new ClickhouseSink(conf.clickhouse.getOrElse(
+        throw new IllegalArgumentException("clickhouse sink needs `clickhouse` block")))
+      case other => throw new IllegalArgumentException(s"unknown sink type: $other")
+    }
+}

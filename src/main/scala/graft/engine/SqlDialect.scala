@@ -1,0 +1,291 @@
+package graft.engine
+
+/** DuckDB-dialect → Spark SQL translation shim (SURVEY.md §4.2).
+  *
+  * The reference's handler/command SQL is DuckDB SQL; the constructs it
+  * actually uses (catalogued in SURVEY.md §2B from every shipped config
+  * and test) are rewritten here at string level:
+  *
+  *  - `{'k': v, ...}` struct literal            → named_struct('k', v, ...)
+  *  - `col ->> 'k'` (chainable)                 → get_json_object(col, '$.k')
+  *  - `expr::TYPE`                              → CAST(expr AS TYPE) (type-mapped)
+  *  - `strftime(x, '%Y-...')`                   → date_format(x, 'yyyy-...')
+  *  - `time_bucket(INTERVAL 'n u', x)`          → epoch-floor bucketing
+  *  - `now()`                                   → current_timestamp()
+  *  - `to_timestamp(numericExpr)`               → timestamp_seconds(...)
+  *  - `x AT TIME ZONE 'utc'`                    → x (session TZ is UTC)
+  *  - correlated `LEFT JOIN (SELECT ... LIMIT 1)` → dedup-then-join rewrite
+  *  - trailing `;`                              → stripped
+  *
+  * Statement-level forms (`INSERT ... ON CONFLICT`, `DELETE FROM`,
+  * `CREATE TABLE`, inline `read_csv*`/`read_json_auto`) are parsed into
+  * specs consumed by the state-table / invoke layers.
+  */
+object SqlDialect {
+
+  def translate(sql: String): String = {
+    var s = sql.trim.stripSuffix(";")
+    s = rewriteStructLiterals(s)
+    s = rewriteJsonArrows(s)
+    s = rewriteCorrelatedLimit1Join(s)
+    s = rewriteStrftime(s)
+    s = rewriteTimeBucket(s)
+    s = rewriteDoubleColonCasts(s)
+    s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
+    s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
+    s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
+    s
+  }
+
+  private val typeMap = Map(
+    "timestamptz" -> "TIMESTAMP", "timestamp" -> "TIMESTAMP",
+    "string" -> "STRING", "text" -> "STRING", "varchar" -> "STRING",
+    "int" -> "INT", "integer" -> "INT", "bigint" -> "BIGINT",
+    "double" -> "DOUBLE", "float8" -> "DOUBLE", "boolean" -> "BOOLEAN",
+    "date" -> "DATE",
+    // no INET type in Spark; comparisons must go through ip_to_long (Udfs)
+    "inet" -> "STRING")
+
+  /** `expr::type` → CAST(expr AS T). Operand forms seen in the
+    * reference surface: identifier paths, `now()`-style calls, quoted
+    * literals, parenthesized expressions. */
+  private def rewriteDoubleColonCasts(s: String): String = {
+    val pat = """('[^']*'|[A-Za-z_][\w\.]*\s*\(\s*\)|[A-Za-z_][\w\.]*|\([^()]*\))::([A-Za-z_]\w*)""".r
+    var cur = s
+    var changed = true
+    while (changed) {
+      val next = pat.replaceAllIn(cur, m => {
+        val t = typeMap.getOrElse(m.group(2).toLowerCase, m.group(2).toUpperCase)
+        java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(1)} AS $t)")
+      })
+      changed = next != cur
+      cur = next
+    }
+    cur
+  }
+
+  /** `{'k': v, ...}` → named_struct('k', v, ...), nesting-aware. */
+  private def rewriteStructLiterals(s: String): String = {
+    val open = s.indexOf('{')
+    if (open < 0) return s
+    // find the matching close brace, skipping quoted strings
+    var depth = 0; var i = open; var inQuote = false; var close = -1
+    while (i < s.length && close < 0) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return s
+    val body = s.substring(open + 1, close)
+    // split top-level commas
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var level = 0; var q = false; var start = 0
+    for (j <- 0 until body.length) {
+      val c = body.charAt(j)
+      if (q) { if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true
+        case '{' | '(' | '[' => level += 1
+        case '}' | ')' | ']' => level -= 1
+        case ',' if level == 0 =>
+          parts += body.substring(start, j); start = j + 1
+        case _ =>
+      }
+    }
+    parts += body.substring(start)
+    val kvs = parts.map { p =>
+      val idx = {
+        // first ':' outside quotes
+        var k = -1; var qq = false; var j = 0
+        while (j < p.length && k < 0) {
+          val c = p.charAt(j)
+          if (qq) { if (c == '\'') qq = false }
+          else if (c == '\'') qq = true
+          else if (c == ':') k = j
+          j += 1
+        }
+        k
+      }
+      require(idx > 0, s"malformed struct literal entry: $p")
+      val key = p.substring(0, idx).trim
+      val value = rewriteStructLiterals(p.substring(idx + 1).trim) // nested
+      s"$key, $value"
+    }
+    val replaced = s"named_struct(${kvs.mkString(", ")})"
+    s.substring(0, open) + replaced + rewriteStructLiterals(s.substring(close + 1))
+  }
+
+  /** `base ->> 'k1' ->> 'k2'` → get_json_object(get_json_object(base,'$.k1'),'$.k2') */
+  private def rewriteJsonArrows(s: String): String = {
+    val pat = """([A-Za-z_][\w\.]*)((?:\s*->>\s*'[^']+')+)""".r
+    pat.replaceAllIn(s, m => {
+      val keys = """'([^']+)'""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      val expr = keys.foldLeft(m.group(1))((acc, k) => s"get_json_object($acc, '$$.$k')")
+      java.util.regex.Matcher.quoteReplacement(expr)
+    })
+  }
+
+  private val strftimeMap = Map(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS",
+    "%j" -> "DDD", "%y" -> "yy")
+
+  /** Map a strftime format to a java.time pattern: %X tokens map via
+    * the table; literal letters (e.g. the ISO 'T') are single-quoted. */
+  def mapStrftimeFormat(f: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = {
+      if (lit.nonEmpty) {
+        sb.append(lit.toString.replaceAll("([A-Za-z]+)", "'$1'"))
+        lit.clear()
+      }
+    }
+    var i = 0
+    while (i < f.length) {
+      if (f.charAt(i) == '%' && i + 1 < f.length &&
+          strftimeMap.contains(f.substring(i, i + 2))) {
+        flushLit()
+        sb.append(strftimeMap(f.substring(i, i + 2)))
+        i += 2
+      } else {
+        lit.append(f.charAt(i))
+        i += 1
+      }
+    }
+    flushLit()
+    sb.toString
+  }
+
+  /** strftime(expr, '%fmt') → date_format(expr, 'mapped') with
+    * balanced-paren parsing so expr may contain calls. */
+  private def rewriteStrftime(s: String): String = {
+    val idx = s.toLowerCase.indexOf("strftime(")
+    if (idx < 0) return s
+    val argsStart = idx + "strftime(".length
+    var depth = 1; var i = argsStart; var q = false
+    val commas = scala.collection.mutable.ArrayBuffer[Int]()
+    var end = -1
+    while (i < s.length && end < 0) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) end = i
+        case ',' if depth == 1 => commas += i
+        case _ =>
+      }
+      i += 1
+    }
+    require(end > 0 && commas.nonEmpty, s"cannot parse strftime in: $s")
+    val arg0 = s.substring(argsStart, commas.head).trim
+    val fmtRaw = s.substring(commas.head + 1, end).trim
+    require(fmtRaw.startsWith("'") && fmtRaw.endsWith("'"),
+      s"strftime format must be a string literal: $fmtRaw")
+    val fmt = mapStrftimeFormat(fmtRaw.substring(1, fmtRaw.length - 1))
+    // embedded quotes (quoted literal letters like the ISO 'T') must be
+    // doubled inside a SQL string literal
+    val fmtSql = fmt.replace("'", "''")
+    s.substring(0, idx) + s"date_format($arg0, '$fmtSql')" +
+      rewriteStrftime(s.substring(end + 1))
+  }
+
+  private val unitSeconds = Map(
+    "second" -> 1L, "seconds" -> 1L, "minute" -> 60L, "minutes" -> 60L,
+    "hour" -> 3600L, "hours" -> 3600L, "day" -> 86400L, "days" -> 86400L)
+
+  /** time_bucket(INTERVAL 'n unit', x) → tumbling bucket start via
+    * epoch floor-division (equivalent to Spark's window(x,'n unit').start
+    * but usable outside a streaming groupBy). */
+  private def rewriteTimeBucket(s: String): String = {
+    val pat = """(?i)time_bucket\s*\(\s*INTERVAL\s+'(\d+)'?\s*([A-Za-z]+)'?\s*,\s*([^)]+)\)""".r
+    val pat2 = """(?i)time_bucket\s*\(\s*INTERVAL\s+'(\d+)\s+([A-Za-z]+)'\s*,\s*([^)]+)\)""".r
+    def repl(n: String, unit: String, x: String): String = {
+      val secs = n.toLong * unitSeconds.getOrElse(unit.toLowerCase,
+        throw new IllegalArgumentException(s"unsupported time_bucket unit: $unit"))
+      s"timestamp_seconds((unix_timestamp($x) div $secs) * $secs)"
+    }
+    val once = pat2.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(repl(m.group(1), m.group(2), m.group(3).trim)))
+    pat.replaceAllIn(once, m =>
+      java.util.regex.Matcher.quoteReplacement(repl(m.group(1), m.group(2), m.group(3).trim)))
+  }
+
+  /** The reference's dedup-lookup idiom (`csv.mem.join.yml:24-34`):
+    *   LEFT JOIN (SELECT * FROM dim WHERE dim.k = outer.k LIMIT 1) AS a
+    *     ON a.k = outer.k
+    * Spark rejects correlated subqueries with LIMIT; the equivalent
+    * plan keeps exactly one dim row per key (first by input order) and
+    * left-joins it (SURVEY.md §7.4 risk #3). */
+  private def rewriteCorrelatedLimit1Join(s: String): String = {
+    val pat =
+      """(?is)LEFT\s+JOIN\s*\(\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\.(\w+)\s*=\s*([\w\.]+)\s*LIMIT\s+1\s*\)\s*AS\s+(\w+)""".r
+    pat.replaceAllIn(s, m => {
+      val (dim, keyCol, alias) = (m.group(1), m.group(3), m.group(5))
+      java.util.regex.Matcher.quoteReplacement(
+        s"""LEFT JOIN (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY $keyCol ORDER BY monotonically_increasing_id()) AS __rn FROM $dim) WHERE __rn = 1) AS $alias""")
+    })
+  }
+
+  // ---- statement-level parsing ------------------------------------
+
+  sealed trait SetClause { def col: String }
+  final case class Additive(col: String) extends SetClause
+  final case class Replace(col: String) extends SetClause
+
+  final case class UpsertSpec(
+      table: String, selectSql: String, conflictKeys: Seq[String],
+      sets: Seq[SetClause])
+
+  /** `INSERT INTO t [BY NAME] SELECT ... ON CONFLICT (k,...) DO UPDATE
+    * SET c = c + EXCLUDED.c` (tumbling.window.yml:48-58). */
+  def parseUpsert(sql: String): Option[UpsertSpec] = {
+    val pat =
+      """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(?:BY\s+NAME\s+)?(SELECT.+?)\s*ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
+    sql match {
+      case pat(table, select, keys, sets) =>
+        val setClauses = sets.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+          val add = """(?i)(\w+)\s*=\s*(\w+)\s*\+\s*EXCLUDED\.(\w+)""".r
+          val rep = """(?i)(\w+)\s*=\s*EXCLUDED\.(\w+)""".r
+          c match {
+            case add(col, c2, c3) if col == c2 && col == c3 => Additive(col)
+            case rep(col, c2) if col == c2 => Replace(col)
+            case other => throw new IllegalArgumentException(
+              s"unsupported ON CONFLICT SET clause: $other")
+          }
+        }
+        Some(UpsertSpec(table, select.trim,
+          keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty), setClauses))
+      case _ => None
+    }
+  }
+
+  final case class DeleteSpec(table: String, whereSql: String)
+
+  def parseDelete(sql: String): Option[DeleteSpec] = {
+    val pat = """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    sql match {
+      case pat(table, where) => Some(DeleteSpec(table, translate(where)))
+      case _ => None
+    }
+  }
+
+  /** Inline table functions (`read_csv_auto('p', ...)`, `read_csv(...)`,
+    * `read_json_auto(...)`) — SURVEY §2B "Scans". The invoke layer
+    * registers a temp view per call and substitutes its name. */
+  final case class TableFnRef(fullText: String, kind: String, path: String)
+
+  def findTableFunctions(sql: String): Seq[TableFnRef] = {
+    val pat = """(?i)(read_csv_auto|read_csv|read_json_auto)\s*\(\s*'([^']+)'[^)]*\)""".r
+    pat.findAllMatchIn(sql).map { m =>
+      TableFnRef(m.matched, m.group(1).toLowerCase, m.group(2))
+    }.toSeq
+  }
+}

@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's `cmd/sql-flow.py:24-126`:
+  *
+  *   invoke <config.yml> <fixture.jsonl> [--flush-window] [--invoke-sink]
+  *     — the dev golden-test runner (`lifecycle.invoke`): one fixture
+  *       batch through the pipeline, result rows printed as JSON lines.
+  *   validate <config.yml>
+  *     — parse + template-render + structural checks, exit non-zero on error.
+  *   run <config.yml> [--max-batches N]
+  *     — the streaming daemon (StreamingPipeline).
+  *
+  * Config template vars come from `SQLFLOW_*` (or any) environment
+  * variables, as in the reference.
+  */
+object SqlFlowCli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    args(0) match {
+      case "invoke" =>
+        val (flags, pos) = args.drop(1).partition(_.startsWith("--"))
+        require(pos.length == 2, "usage: invoke <config.yml> <fixture> [--flush-window] [--invoke-sink]")
+        val spark = session()
+        val out = Invoke.invoke(spark, pos(0), pos(1),
+          flushWindow = flags.contains("--flush-window"),
+          invokeSink = flags.contains("--invoke-sink"))
+        out.toJSON.collect().foreach(println)
+        spark.stop()
+      case "validate" =>
+        try {
+          val conf = Config.fromFile(args(1))
+          require(conf.pipeline.handler.sql.nonEmpty, "handler.sql is required")
+          println(s"OK: source=${conf.pipeline.source.kind} " +
+            s"handler=${conf.pipeline.handler.kind} sink=${conf.pipeline.sink.kind} " +
+            s"tables=${conf.tables.map(_.name).mkString(",")}")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"INVALID: ${e.getMessage}")
+            sys.exit(1)
+        }
+      case "run" =>
+        val maxBatches = args.sliding(2).collectFirst {
+          case Array("--max-batches", n) => n.toInt
+        }
+        val spark = session()
+        graft.streaming.StreamingPipeline.run(spark, args(1), maxBatches)
+        spark.stop()
+      case other =>
+        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    }
+  }
+
+  private def usage(): Unit =
+    System.err.println("usage: SqlFlowCli (invoke|validate|run) <config.yml> ...")
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("sqlflow-spark")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

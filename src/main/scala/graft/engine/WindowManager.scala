@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tumbling-window manager (`sqlflow/managers/window.py:20-90`):
+  * periodically collects closed windows from the state table with the
+  * user's `collect_closed_windows_sql`, flushes them to the manager's
+  * sink, then deletes them with `delete_closed_windows_sql`. Window
+  * "close" is processing-time (`bucket < now() - INTERVAL ...`) exactly
+  * as in the reference; late rows for an already-emitted bucket create
+  * a fresh state row and are re-emitted at the next poll (no dropping —
+  * SURVEY §2B "Late data").
+  *
+  * In streaming mode a daemon thread polls every `pollIntervalSeconds`;
+  * `flush()` is the synchronous form used by `dev invoke` golden tests
+  * and shutdown (`lifecycle.py:94-98`). */
+final class TumblingWindowManager(
+    spark: SparkSession,
+    table: StateTable,
+    conf: TumblingWindowConf,
+    sink: GraftSink) {
+
+  private val deleteSpec = SqlDialect.parseDelete(conf.deleteClosedWindowsSql)
+    .getOrElse(throw new IllegalArgumentException(
+      s"cannot parse delete_closed_windows_sql: ${conf.deleteClosedWindowsSql}"))
+  require(deleteSpec.table == table.name,
+    s"delete targets ${deleteSpec.table}, manager owns ${table.name}")
+
+  @volatile private var running = false
+  private var thread: Thread = _
+
+  /** Collect-closed → sink → delete-closed. Returns the flushed rows. */
+  def flush(): DataFrame = {
+    table.registerView()
+    val closed = spark.sql(SqlDialect.translate(conf.collectClosedWindowsSql))
+    // materialize before the delete mutates the view underneath
+    val rows = closed.localCheckpoint(true)
+    if (!rows.isEmpty) {
+      sink.write(rows)
+      sink.flush()
+    }
+    table.deleteWhere(deleteSpec.whereSql)
+    rows
+  }
+
+  def start(): Unit = {
+    running = true
+    thread = new Thread(() => {
+      while (running) {
+        try flush()
+        catch { case e: Throwable =>
+          System.err.println(s"[window-manager] poll failed: ${e.getMessage}")
+        }
+        Thread.sleep(conf.pollIntervalSeconds * 1000L)
+      }
+    }, s"tumbling-window-${table.name}")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (thread != null) thread.interrupt()
+  }
+}

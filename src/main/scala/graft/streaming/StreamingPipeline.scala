@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine._
+
+/** The streaming daemon — the Spark port of the reference's consume
+  * loop (`sqlflow/pipeline.py:157-291`, SURVEY §3.1):
+  *
+  *   source → micro-batch → decode JSON → handler SQL over `batch`
+  *   → sink write + flush → (checkpoint ≈ source.commit)
+  *
+  * foreachBatch preserves the reference's ordering contract: the sink
+  * flush happens inside the batch, before the offset commit, giving
+  * at-least-once delivery; window managers poll on their own timer
+  * exactly like `managers/window.py:68-90`, with a final drain on stop
+  * (`lifecycle.py:94-98`).
+  *
+  * Count-based batching (`batch_size`) maps to the closest Spark
+  * notion per source: `maxOffsetsPerTrigger` (kafka) /
+  * `maxFilesPerTrigger` (file); the time-based liveness flush
+  * (`flush_interval_seconds`) maps to Trigger.ProcessingTime. */
+object StreamingPipeline {
+
+  final case class Running(
+      query: StreamingQuery,
+      session: Invoke.Session,
+      onStop: () => Unit,
+      batches: AtomicLong) {
+    def awaitBatches(n: Long, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (batches.get() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    def stop(): Unit = {
+      query.stop()
+      session.managers.foreach(_.stop())
+      // final window drain (reference lifecycle.py:94-98)
+      session.managers.foreach(_.flush())
+      onStop()
+    }
+  }
+
+  def run(spark: SparkSession, configPath: String, maxBatches: Option[Int]): Unit = {
+    val running = start(spark, Config.fromFile(configPath))
+    maxBatches match {
+      case Some(n) =>
+        running.awaitBatches(n, timeoutMs = 24L * 3600 * 1000)
+        running.stop()
+      case None =>
+        running.query.awaitTermination()
+    }
+  }
+
+  def start(
+      spark: SparkSession,
+      conf: Conf,
+      sinkOverride: Option[GraftSink] = None,
+      managerSinkOverride: Option[GraftSink] = None,
+      checkpointDir: Option[String] = None): Running = {
+
+    val session = Invoke.buildSession(spark, conf, sinkOverride, managerSinkOverride)
+    val source = Sources.build(spark, conf.pipeline.source)
+    val batches = new AtomicLong(0)
+    val policy = conf.pipeline.onError
+
+    val writer = source.df.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
+      .trigger(conf.pipeline.flushIntervalSeconds match {
+        case Some(s) => Trigger.ProcessingTime(s"$s seconds")
+        case None => Trigger.ProcessingTime("1 second")
+      })
+      .foreachBatch { (raw: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBatch(spark, session, policy, raw)
+        batches.incrementAndGet()
+        ()
+      }
+
+    Running(writer.start(), session, source.onStop, batches)
+  }
+
+  /** One micro-batch: decode (error-policied), run handler, sink. */
+  private[streaming] def processBatch(
+      spark: SparkSession,
+      session: Invoke.Session,
+      policy: ErrorPolicyConf,
+      raw: Dataset[org.apache.spark.sql.Row]): Unit = {
+    if (raw.isEmpty) return
+    val metaCols = raw.schema.fieldNames.filter(_.startsWith("kafka_")).toSeq
+    // decode: per-batch JSON inference over the value strings, keeping
+    // kafka metadata columns alongside (handlers.py:104-112)
+    val values = raw.cache()
+    try {
+      val parsed = spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(values.select(col("value").cast("string").as("value"))
+          .as(org.apache.spark.sql.Encoders.STRING))
+      val batch = withPolicy(spark, parsed.cache(), policy, session.dlq)
+      val result = try {
+        session.handler.invoke(spark, batch)
+      } catch {
+        case e: Throwable => return handleInvokeError(spark, session, policy, e)
+      }
+      session.sink.write(result)
+      session.sink.flush()
+      session.handler.reset()
+    } finally values.unpersist()
+  }
+
+  private def withPolicy(spark: SparkSession, parsed: DataFrame,
+      policy: ErrorPolicyConf, dlq: Option[GraftSink]): DataFrame = {
+    if (!parsed.schema.fieldNames.contains("_corrupt_record")) return parsed
+    policy.policy match {
+      case "RAISE" =>
+        throw new IllegalArgumentException("malformed JSON message in batch")
+      case "IGNORE" =>
+        parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      case "DLQ" =>
+        dlq.foreach { d =>
+          d.write(parsed.filter(col("_corrupt_record").isNotNull).select(
+            lit("malformed JSON").as("error"),
+            col("_corrupt_record").as("message"),
+            lit("handler.write").as("phase"),
+            date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")))
+          d.flush()
+        }
+        parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      case other => throw new IllegalArgumentException(s"unknown error policy: $other")
+    }
+  }
+
+  private def handleInvokeError(spark: SparkSession, session: Invoke.Session,
+      policy: ErrorPolicyConf, e: Throwable): Unit = policy.policy match {
+    case "RAISE" => throw e
+    case "IGNORE" => ()
+    case "DLQ" =>
+      import spark.implicits._
+      session.dlq.foreach { d =>
+        d.write(Seq((e.toString, "", "handler.invoke",
+          java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(java.time.Instant.now())))
+          .toDF("error", "message", "phase", "timestamp"))
+        d.flush()
+      }
+  }
+}

@@ -1,0 +1,368 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkTestBase
+
+/** Golden end-to-end config tests — the Scala analogue of the
+  * reference's `tests/test_configs.py:75-300`: each YAML pipeline is
+  * executed through the batch `invoke` harness against a small JSONL
+  * fixture and asserted against the reference's expected row lists. */
+class GoldenConfigSpec extends SparkTestBase {
+
+  private lazy val dir: Path = Files.createTempDirectory("graft_golden")
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.createDirectories(p.getParent match { case null => dir; case par => par })
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private lazy val basicAggFixture = write("basic.agg.jsonl",
+    """{"event":"search","properties":{"city":"New York"},"user":{"id":"123412ds"}}
+      |{"event":"search","properties":{"city":"Baltimore"},"user":{"id":"123412ds1"}}
+      |""".stripMargin)
+
+  private lazy val windowFixture = write("window.jsonl",
+    """{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"New York"},"user":{"id":"123412ds"}}
+      |{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"New York"},"user":{"id":"123412ds1"}}
+      |{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"Baltimore"},"user":{"id":"123412ds1"}}
+      |{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"Baltimore"},"user":{"id":"123412ds1"}}
+      |""".stripMargin)
+
+  private lazy val locationsCsv = write("locations.csv",
+    """city|state_short|state_full|county|city_alias
+      |New York|NY|New York|NEW YORK|New York
+      |New York|NY|New York|NEW YORK|NYC
+      |Baltimore|MD|Maryland|BALTIMORE|Baltimore
+      |Columbus|OH|Ohio|FRANKLIN|Columbus
+      |""".stripMargin)
+
+  test("basic agg mem: GROUP BY over nested field (reference test_basic_agg_mem)") {
+    val cfg = write("basic.agg.mem.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT properties.city as city, count(*) as city_count
+        |      FROM batch GROUP BY city ORDER BY city DESC
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, basicAggFixture).toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"city":"New York","city_count":1}""",
+      """{"city":"Baltimore","city_count":1}"""))
+  }
+
+  test("structured batch: validate + insert + query table (reference test_structured_mem)") {
+    val cfg = write("structured.mem.yml",
+      """commands:
+        |  - name: create source buffer table
+        |    sql: |
+        |      CREATE TABLE source (
+        |            event STRING,
+        |            properties STRUCT(city TEXT),
+        |            user STRUCT(id TEXT)
+        |      );
+        |pipeline:
+        |  batch_size: 1
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: "handlers.StructuredBatch"
+        |    table: source
+        |    sql: |
+        |      SELECT properties.city as city, 1 as city_count FROM source
+        |  sink: {type: console}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, basicAggFixture).toJSON.collect().toSet
+    assert(got == Set(
+      """{"city":"New York","city_count":1}""",
+      """{"city":"Baltimore","city_count":1}"""))
+  }
+
+  test("structured batch rejects columns missing from the table schema") {
+    val cfg = write("structured.bad.yml",
+      """commands:
+        |  - name: t
+        |    sql: "CREATE TABLE narrow (event STRING);"
+        |pipeline:
+        |  batch_size: 1
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler: {type: "handlers.StructuredBatch", table: narrow, sql: "SELECT * FROM narrow"}
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Invoke.invoke(spark, cfg, basicAggFixture)
+    }
+    assert(e.getMessage.contains("not in table"))
+  }
+
+  test("csv mem join via correlated LIMIT 1 subquery rewrite (reference test_csv_mem_join)") {
+    val cfg = write("csv.mem.join.yml",
+      s"""commands:
+         |  - name: register locations CSV view
+         |    sql: |
+         |      CREATE VIEW locations AS
+         |        SELECT * FROM read_csv_auto('$locationsCsv', header=True);
+         |pipeline:
+         |  batch_size: 1000
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT
+         |        properties.city,
+         |        state_full
+         |      FROM batch
+         |      LEFT JOIN (
+         |        SELECT *
+         |          FROM locations
+         |          WHERE locations.city = properties.city
+         |        LIMIT 1
+         |      ) AS single_location ON single_location.city = properties.city
+         |      ORDER BY properties.city ASC;
+         |  sink: {type: noop}
+         |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, windowFixture).toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"city":"Baltimore","state_full":"Maryland"}""",
+      """{"city":"Baltimore","state_full":"Maryland"}""",
+      """{"city":"New York","state_full":"New York"}""",
+      """{"city":"New York","state_full":"New York"}"""))
+  }
+
+  test("csv filesystem join: inline read_csv + group by (reference test_csv_filesystem_join)") {
+    val cfg = write("csv.fs.join.yml",
+      s"""pipeline:
+         |  batch_size: 1000
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT state_full, count(*) as city_count
+         |      FROM batch
+         |      JOIN read_csv('$locationsCsv', auto_detect=True, header=True) as locations ON
+         |      ( locations.city = properties.city )
+         |      GROUP BY state_full ORDER BY state_full DESC
+         |  sink: {type: noop}
+         |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, windowFixture).toJSON.collect().toSeq
+    // New York appears twice in the CSV (alias row) → 2 events × 2 rows
+    assert(got == Seq(
+      """{"state_full":"New York","city_count":4}""",
+      """{"state_full":"Maryland","city_count":2}"""))
+  }
+
+  test("enrich: SELECT * + struct literal + literal column (reference test_enrich)") {
+    val fixture = write("enrich.jsonl",
+      """{"event":"search","properties":{"city":"New York"},"user":{"id":"123412ds"}}
+        |""".stripMargin)
+    val cfg = write("enrich.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT
+        |        *,
+        |        {'something': properties.city} as nested_city,
+        |        'extra' as extra
+        |      FROM batch
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"event":"search","properties":{"city":"New York"},"user":{"id":"123412ds"},"nested_city":{"something":"New York"},"extra":"extra"}"""))
+  }
+
+  test("tumbling window: upsert handler + manager flush (reference test_tumbling_window)") {
+    val sink = new MemorySink
+    val cfg = write("tumbling.window.yml",
+      """tables:
+        |  sql:
+        |    - name: agg_cities_count
+        |      sql: |
+        |        CREATE TABLE agg_cities_count (
+        |          bucket TIMESTAMPTZ,
+        |          city VARCHAR,
+        |          count INT
+        |        );
+        |        CREATE UNIQUE INDEX daily_cities_count_idx ON agg_cities_count (bucket, city);
+        |      manager:
+        |        tumbling_window:
+        |          collect_closed_windows_sql: |
+        |            SELECT
+        |              strftime(date_trunc('hour', bucket), '%Y-%m-%dT%H:%M:%S') AS bucket,
+        |              city,
+        |              count
+        |            FROM agg_cities_count
+        |            WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+        |            ORDER BY city
+        |          delete_closed_windows_sql: |
+        |            DELETE FROM agg_cities_count
+        |            WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+        |        sink: {type: noop}
+        |pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      INSERT INTO agg_cities_count
+        |      BY NAME
+        |      SELECT
+        |        date_trunc('hour', CAST(timestamp as TIMESTAMP)) as bucket,
+        |        properties.city as city,
+        |        count(*) as count
+        |      FROM batch
+        |      GROUP BY bucket, city
+        |      ON CONFLICT (bucket, city)
+        |      DO UPDATE SET count = count + EXCLUDED.count
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val flushed = Invoke.invoke(spark, cfg, windowFixture,
+      flushWindow = true, managerSinkOverride = Some(sink))
+      .toJSON.collect().toSeq
+    assert(flushed == Seq(
+      """{"bucket":"2015-12-12T19:00:00","city":"Baltimore","count":2}""",
+      """{"bucket":"2015-12-12T19:00:00","city":"New York","count":2}"""))
+    assert(sink.allRows == flushed)
+  }
+
+  test("tumbling window accumulates across batches (ON CONFLICT additive)") {
+    val cfgText =
+      """tables:
+        |  sql:
+        |    - name: acc
+        |      sql: |
+        |        CREATE TABLE acc (bucket TIMESTAMPTZ, city VARCHAR, count INT);
+        |        CREATE UNIQUE INDEX acc_idx ON acc (bucket, city);
+        |      manager:
+        |        tumbling_window:
+        |          collect_closed_windows_sql: |
+        |            SELECT strftime(date_trunc('hour', bucket), '%Y-%m-%dT%H:%M:%S') AS bucket, city, count
+        |            FROM acc WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND) ORDER BY city
+        |          delete_closed_windows_sql: |
+        |            DELETE FROM acc WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+        |        sink: {type: noop}
+        |pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      INSERT INTO acc BY NAME
+        |      SELECT date_trunc('hour', CAST(timestamp as TIMESTAMP)) as bucket,
+        |             properties.city as city, count(*) as count
+        |      FROM batch GROUP BY bucket, city
+        |      ON CONFLICT (bucket, city) DO UPDATE SET count = count + EXCLUDED.count
+        |  sink: {type: noop}
+        |""".stripMargin
+    val conf = Config.fromString(cfgText)
+    val session = Invoke.buildSession(spark, conf)
+    val batch = spark.read.json(windowFixture)
+    session.handler.invoke(spark, batch) // batch 1
+    session.handler.invoke(spark, batch) // batch 2: same keys → counts double
+    val state = session.tables("acc").df.orderBy("city").toJSON.collect().toSeq
+    assert(state.exists(_.contains(""""city":"Baltimore","count":4""")), state.toString)
+    assert(state.exists(_.contains(""""city":"New York","count":4""")), state.toString)
+  }
+
+  test("sqlcommand sink: COPY to parquet writes one file per flush (reference test_local_parquet_sink)") {
+    val outDir = Files.createTempDirectory("graft_parquet_sink")
+    val cfg = write("local.parquet.sink.yml",
+      s"""pipeline:
+         |  batch_size: 5000
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT COUNT(*) as num_records FROM batch
+         |  sink:
+         |    type: sqlcommand
+         |    sqlcommand:
+         |      substitutions:
+         |        - var: $$sqlflow_uuid
+         |          type: uuid4
+         |      sql: |
+         |        COPY sqlflow_sink_batch
+         |          TO '$outDir/$$sqlflow_uuid.parquet'
+         |        (FORMAT 'parquet');
+         |""".stripMargin)
+    val res = Invoke.invoke(spark, cfg, windowFixture, invokeSink = true)
+      .toJSON.collect().toSeq
+    assert(res == Seq("""{"num_records":4}"""))
+    val files = outDir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val back = spark.read.parquet(files(0).getAbsolutePath).toJSON.collect().toSeq
+    assert(back == Seq("""{"num_records":4}"""))
+  }
+
+  test("udf: parse_domain registered from import path (reference test_udf)") {
+    val fixture = write("udf.jsonl",
+      """{"url": "https://google.com"}
+        |{"url": "https://cloudflare.com"}
+        |{"url": "https://duckdb.org/docs/api/python/function.html"}
+        |""".stripMargin)
+    val cfg = write("udf.yml",
+      """udfs:
+        |  - function_name: parse_domain
+        |    import_path: sqlflow.udf.url.parse_domain
+        |pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT parse_domain(url) as domain FROM batch
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSet
+    assert(got == Set(
+      """{"domain":"google.com"}""",
+      """{"domain":"cloudflare.com"}""",
+      """{"domain":"duckdb.org"}"""))
+  }
+
+  test("error policy: RAISE fails on malformed JSON; IGNORE drops; DLQ routes") {
+    val fixture = write("bad.jsonl",
+      """{"event":"ok","properties":{"city":"A"}}
+        |{not json at all
+        |{"event":"ok2","properties":{"city":"B"}}
+        |""".stripMargin)
+    def cfg(policy: String) = write(s"err.$policy.yml",
+      s"""pipeline:
+         |  batch_size: 10
+         |  on_error:
+         |    policy: $policy
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT count(*) as n FROM batch
+         |  sink: {type: noop}
+         |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      Invoke.invoke(spark, cfg("RAISE"), fixture)
+    }
+    val ignored = Invoke.invoke(spark, cfg("IGNORE"), fixture).toJSON.collect().toSeq
+    assert(ignored == Seq("""{"n":2}"""))
+
+    val conf = Config.fromString(Files.readString(java.nio.file.Paths.get(cfg("DLQ")))
+      .replace("policy: DLQ", "policy: DLQ\n    dlq: {type: memory}"))
+    val got = Invoke.invokeConf(spark, conf, fixture)
+    assert(got.toJSON.collect().toSeq == Seq("""{"n":2}"""))
+  }
+
+  test("config template rendering: overrides beat env beat defaults") {
+    val raw = "a: {{ MISSING_VAR|default('fallback') }}\nb: {{ OV|default(7) }}"
+    assert(Config.renderTemplate(raw, Map("OV" -> "9")) == "a: fallback\nb: 9")
+    intercept[IllegalArgumentException] {
+      Config.renderTemplate("x: {{ NO_DEFAULT_HERE }}", Map())
+    }
+  }
+}

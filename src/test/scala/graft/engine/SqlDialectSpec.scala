@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlDialectSpec extends AnyFunSuite {
+  import SqlDialect._
+
+  test("struct literal → named_struct, including nesting") {
+    assert(translate("SELECT {'a': x, 'b': 1} FROM t") ==
+      "SELECT named_struct('a', x, 'b', 1) FROM t")
+    assert(translate("SELECT {'o': {'i': y}} FROM t") ==
+      "SELECT named_struct('o', named_struct('i', y)) FROM t")
+  }
+
+  test("->> chains → get_json_object") {
+    assert(translate("SELECT payload ->> 'k' FROM t") ==
+      "SELECT get_json_object(payload, '$.k') FROM t")
+    assert(translate("SELECT issue ->> 'user' ->> 'login' FROM t") ==
+      "SELECT get_json_object(get_json_object(issue, '$.user'), '$.login') FROM t")
+  }
+
+  test(":: casts with type mapping") {
+    assert(translate("SELECT ts::timestamptz FROM t") ==
+      "SELECT CAST(ts AS TIMESTAMP) FROM t")
+    assert(translate("SELECT now()::timestamptz FROM t") ==
+      "SELECT CAST(current_timestamp() AS TIMESTAMP) FROM t")
+    assert(translate("SELECT x::STRING, y::inet FROM t") ==
+      "SELECT CAST(x AS STRING), CAST(y AS STRING) FROM t")
+  }
+
+  test("strftime → date_format with format mapping (literal T quoted)") {
+    assert(translate("SELECT strftime(date_trunc('hour', b), '%Y-%m-%dT%H:%M:%S') FROM t") ==
+      "SELECT date_format(date_trunc('hour', b), 'yyyy-MM-dd''T''HH:mm:ss') FROM t")
+  }
+
+  test("time_bucket → epoch floor bucketing") {
+    assert(translate("SELECT time_bucket(INTERVAL '1 minute', ts) FROM t") ==
+      "SELECT timestamp_seconds((unix_timestamp(ts) div 60) * 60) FROM t")
+  }
+
+  test("now() / to_timestamp / AT TIME ZONE rewrites") {
+    assert(translate("SELECT now() - INTERVAL '60' SECOND") ==
+      "SELECT current_timestamp() - INTERVAL '60' SECOND")
+    assert(translate("SELECT to_timestamp(time_us / 1000000)") ==
+      "SELECT timestamp_seconds(time_us / 1000000)")
+    assert(translate("SELECT x AT TIME ZONE 'utc' FROM t") == "SELECT x FROM t")
+  }
+
+  test("parseUpsert extracts table, keys, additive sets") {
+    val spec = parseUpsert(
+      """INSERT INTO agg BY NAME
+        |SELECT b, c, count(*) as count FROM batch GROUP BY b, c
+        |ON CONFLICT (b, c) DO UPDATE SET count = count + EXCLUDED.count""".stripMargin).get
+    assert(spec.table == "agg")
+    assert(spec.conflictKeys == Seq("b", "c"))
+    assert(spec.sets == Seq(Additive("count")))
+    assert(spec.selectSql.startsWith("SELECT"))
+    assert(parseUpsert("SELECT 1").isEmpty)
+  }
+
+  test("parseDelete extracts table and translated condition") {
+    val d = parseDelete(
+      "DELETE FROM agg WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)").get
+    assert(d.table == "agg")
+    assert(d.whereSql ==
+      "bucket < (CAST(current_timestamp() AS TIMESTAMP) - INTERVAL '60' SECOND)")
+  }
+
+  test("findTableFunctions locates read_csv variants") {
+    val fns = findTableFunctions(
+      "SELECT * FROM read_csv('/tmp/a.csv', auto_detect=True, header=True) JOIN read_json_auto('/tmp/b.json')")
+    assert(fns.map(f => (f.kind, f.path)) ==
+      Seq(("read_csv", "/tmp/a.csv"), ("read_json_auto", "/tmp/b.json")))
+  }
+
+  test("correlated LIMIT 1 left join is rewritten to dedup-then-join") {
+    val sql =
+      """SELECT a FROM batch LEFT JOIN (
+        | SELECT * FROM locations WHERE locations.city = properties.city LIMIT 1
+        |) AS single_location ON single_location.city = properties.city""".stripMargin
+    val out = translate(sql)
+    assert(out.contains("row_number() OVER (PARTITION BY city"))
+    assert(!out.toUpperCase.contains("LIMIT 1"))
+  }
+}

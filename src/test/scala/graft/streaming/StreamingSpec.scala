@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.engine._
+
+class StreamingSpec extends SparkTestBase {
+
+  private def confFromString(yaml: String): Conf = Config.fromString(yaml)
+
+  test("file-source pipeline: JSONL files stream through handler to sink") {
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      s"""pipeline:
+         |  batch_size: 1000
+         |  source:
+         |    type: file
+         |    file: {path: '$inDir', format: json}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT properties.city as city, count(*) as city_count
+         |      FROM batch GROUP BY city ORDER BY city DESC
+         |  sink: {type: memory}
+         |""".stripMargin)
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("b1.jsonl"),
+        """{"event":"search","properties":{"city":"New York"}}
+          |{"event":"search","properties":{"city":"Baltimore"}}
+          |""".stripMargin)
+      running.processAllAvailable()
+      assert(sink.allRows.toSet == Set(
+        """{"city":"New York","city_count":1}""",
+        """{"city":"Baltimore","city_count":1}"""))
+      // second file → second, independent micro-batch
+      Files.writeString(inDir.resolve("b2.jsonl"),
+        """{"event":"search","properties":{"city":"Baltimore"}}
+          |""".stripMargin)
+      running.processAllAvailable()
+      assert(sink.allRows.count(_.contains("Baltimore")) == 2)
+    } finally running.stop()
+  }
+
+  test("webhook source: POST /events flows through the pipeline; HMAC matrix") {
+    val sink = new MemorySink
+    val secret = "s3cr3t"
+    val conf = confFromString(
+      s"""pipeline:
+         |  batch_size: 10
+         |  source:
+         |    type: webhook
+         |    webhook: {port: 0, signing_secret: $secret}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT upper(name) as shout FROM batch
+         |  sink: {type: memory}
+         |""".stripMargin)
+    // build the server directly to grab the bound port
+    val session = Invoke.buildSession(spark, conf, Some(sink))
+    val server = new WebhookServer(spark, conf.pipeline.source.webhook.get)
+    server.start()
+    val q = server.stream.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_wh_ckpt").toString)
+      .foreachBatch { (raw: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingPipeline.processBatch(spark, session, conf.pipeline.onError, raw)
+        ()
+      }.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val url = s"http://localhost:${server.port}/events"
+      val body = """{"name": "ada"}"""
+      def post(sig: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        sig.foreach(s => b.header("X-Hub-Signature-256", s))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(post(None) == 400) // missing signature
+      assert(post(Some("sha256=deadbeef")) == 403) // invalid signature
+      val good = server.expectedSignature(secret, body.getBytes("UTF-8"))
+      assert(post(Some(good)) == 200)
+      q.processAllAvailable()
+      assert(sink.allRows == Seq("""{"shout":"ADA"}"""))
+    } finally {
+      q.stop()
+      server.stop()
+    }
+  }
+
+  test("streaming tumbling window: upsert accumulates across micro-batches, manager drains") {
+    val inDir = Files.createTempDirectory("graft_stream_win")
+    val managerSink = new MemorySink
+    val conf = confFromString(
+      s"""tables:
+         |  sql:
+         |    - name: win_counts
+         |      sql: |
+         |        CREATE TABLE win_counts (bucket TIMESTAMPTZ, city VARCHAR, count INT);
+         |        CREATE UNIQUE INDEX wc_idx ON win_counts (bucket, city);
+         |      manager:
+         |        tumbling_window:
+         |          poll_interval_seconds: 3600
+         |          collect_closed_windows_sql: |
+         |            SELECT strftime(date_trunc('hour', bucket), '%Y-%m-%dT%H:%M:%S') AS bucket, city, count
+         |            FROM win_counts
+         |            WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND) ORDER BY city
+         |          delete_closed_windows_sql: |
+         |            DELETE FROM win_counts WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+         |        sink: {type: noop}
+         |pipeline:
+         |  batch_size: 1000
+         |  source:
+         |    type: file
+         |    file: {path: '$inDir', format: json}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      INSERT INTO win_counts BY NAME
+         |      SELECT date_trunc('hour', CAST(timestamp as TIMESTAMP)) as bucket,
+         |             properties.city as city, count(*) as count
+         |      FROM batch GROUP BY bucket, city
+         |      ON CONFLICT (bucket, city) DO UPDATE SET count = count + EXCLUDED.count
+         |  sink: {type: noop}
+         |""".stripMargin)
+    val running = StreamingPipeline.start(spark, conf,
+      managerSinkOverride = Some(managerSink))
+    try {
+      val row =
+        """{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"Austin"}}"""
+      Files.writeString(inDir.resolve("b1.jsonl"), row + "\n")
+      running.processAllAvailable()
+      Files.writeString(inDir.resolve("b2.jsonl"), row + "\n" + row + "\n")
+      running.processAllAvailable()
+      // state: one open (2015) window row with count 3, closed (> 60s old)
+      val flushed = running.session.managers.head.flush()
+        .toJSON.collect().toSeq
+      assert(flushed == Seq(
+        """{"bucket":"2015-12-12T19:00:00","city":"Austin","count":3}"""))
+      // drained: second flush is empty
+      assert(running.session.managers.head.flush().isEmpty)
+    } finally running.stop()
+  }
+}
