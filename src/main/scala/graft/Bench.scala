@@ -1,24 +1,155 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "pipeline":{...},"sf":"<dir>"}
+  *
+  * Two parts:
+  *  1. headline analytical queries from the registry, timed after a
+  *     warmup run (JVM/codegen warm), fully materialized via the noop
+  *     data source (no driver collect cost in the measurement);
+  *  2. streaming-pipeline throughput benches mirroring the reference's
+  *     published table (BASELINE.md: simple agg / enrichment / CSV join
+  *     / tumbling window over ~240-byte JSON click events), reported in
+  *     msgs/sec. Batch size 10k sits inside the reference's 1k-100k
+  *     benchmark range (BASELINE.md note).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queryTimes = benchQueries(spark, sfDir)
+    val pipeline = benchPipelines(spark)
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val ps = pipeline.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$ps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def benchQueries(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val headline = Registry.all.filter(_.headline)
+    // warmup: run the first headline query untimed to absorb session
+    // init + codegen compilation
+    headline.headOption.foreach(q => materialize(q.run(spark, sfDir)))
+    headline.map { q =>
+      q.name -> time(materialize(q.run(spark, sfDir)))
+    }
+  }
+
+  // --- streaming-pipeline throughput (reference benchmark workload:
+  //     1M ~240-byte JSON click events, 5 cities;
+  //     sqlflow/fixtures/__init__.py:13-30) -------------------------
+
+  private val cities =
+    Seq("New York", "Baltimore", "San Francisco", "Austin", "Seattle")
+
+  private def clickEventJson(i: Long): String = {
+    val city = cities((i % cities.length).toInt)
+    s"""{"ip":"10.${i % 256}.${(i / 256) % 256}.${i % 100}","event":"search_event_$i",""" +
+      s""""properties":{"city":"$city","country":"USA"},""" +
+      s""""timestamp":"2015-12-12T19:11:0${i % 10}.249Z","type":"track","userId":"u${i % 1000}"}"""
+  }
+
+  private def benchPipelines(spark: SparkSession): Seq[(String, Double)] = {
+    import spark.implicits._
+    val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "10000").toInt
+    val nBatches = (nMsgs / batchSize).toInt
+
+    // one micro-batch of raw JSON lines, reused for every invocation —
+    // the per-batch work (JSON decode with inference + SQL + sink
+    // collect) is identical to a fresh batch each time
+    val batchLines = (0L until batchSize.toLong).map(clickEventJson).toArray
+
+    def runPipe(name: String, handlerSql: String): (String, Double) = {
+      val handler = new graft.engine.InferredBatchHandler(handlerSql, Map())
+      val sink = new graft.engine.NoopSink
+      // warmup batch
+      runBatch(spark, handler, sink, batchLines)
+      val sec = time {
+        var b = 0
+        while (b < nBatches) {
+          runBatch(spark, handler, sink, batchLines)
+          b += 1
+        }
+      }
+      name -> (nBatches.toLong * batchSize / sec)
+    }
+
+    def runTumbling(): (String, Double) = {
+      val table = graft.engine.StateTable.fromDdl(spark,
+        """CREATE TABLE bench_win (bucket TIMESTAMP, city VARCHAR, count INT);
+          |CREATE UNIQUE INDEX bwi ON bench_win (bucket, city);""".stripMargin)
+      val handler = new graft.engine.InferredBatchHandler(
+        """INSERT INTO bench_win BY NAME
+          |SELECT date_trunc('hour', CAST(timestamp AS TIMESTAMP)) as bucket,
+          |       properties.city as city, count(*) as count
+          |FROM batch GROUP BY bucket, city
+          |ON CONFLICT (bucket, city) DO UPDATE SET count = count + EXCLUDED.count""".stripMargin,
+        Map("bench_win" -> table))
+      val sink = new graft.engine.NoopSink
+      runBatch(spark, handler, sink, batchLines)
+      val sec = time {
+        var b = 0
+        while (b < nBatches) { runBatch(spark, handler, sink, batchLines); b += 1 }
+      }
+      "tumbling_window_msgs_per_sec" -> (nBatches.toLong * batchSize / sec)
+    }
+
+    val locations = cities.zipWithIndex.map { case (c, i) =>
+      (c, s"ST$i", s"State $i")
+    }.toDF("city", "state_short", "state_full")
+    locations.createOrReplaceTempView("locations")
+
+    Seq(
+      runPipe("agg_mem_msgs_per_sec",
+        """SELECT properties.city as city, count(*) as city_count
+          |FROM batch GROUP BY city ORDER BY city DESC""".stripMargin),
+      runPipe("enrich_msgs_per_sec",
+        """SELECT *, {'something': properties.city} as nested_city,
+          |'extra' as extra FROM batch""".stripMargin),
+      runPipe("csv_mem_join_msgs_per_sec",
+        """SELECT state_full, count(*) as city_count
+          |FROM batch JOIN locations ON locations.city = properties.city
+          |GROUP BY state_full ORDER BY state_full DESC""".stripMargin),
+      runTumbling(),
+      "bench_msgs" -> nMsgs.toDouble,
+      "bench_batch_size" -> batchSize.toDouble)
+  }
+
+  private def runBatch(spark: SparkSession, handler: graft.engine.Handler,
+      sink: graft.engine.GraftSink, lines: Array[String]): Unit = {
+    import spark.implicits._
+    val batch = spark.read.json(spark.createDataset(lines.toIndexedSeq))
+    val result = handler.invoke(spark, batch)
+    sink.write(result)
+    sink.flush()
+    handler.reset()
   }
 }

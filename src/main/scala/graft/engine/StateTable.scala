@@ -71,8 +71,21 @@ final class StateTable(
   def truncate(): Unit =
     mutate(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
+  // Checkpoint every few mutations instead of each one: a full
+  // localCheckpoint per micro-batch dominates upsert cost at high
+  // batch rates; a short lazy lineage (≤4 unions/groupBys over the
+  // small state) re-computes cheaply in between and is collapsed at
+  // the next checkpoint.
+  private var mutationsSinceCheckpoint = 0
+
   private def mutate(next: DataFrame): Unit = {
-    state = next.localCheckpoint(true)
+    mutationsSinceCheckpoint += 1
+    if (mutationsSinceCheckpoint >= 4) {
+      state = next.localCheckpoint(true)
+      mutationsSinceCheckpoint = 0
+    } else {
+      state = next
+    }
     registerView()
   }
 }

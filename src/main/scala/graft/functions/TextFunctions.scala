@@ -34,23 +34,13 @@ object TextFunctions {
   /** xxhash64 of each token (input to simhash / minhash). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
-  private val P = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62 (ANSI-safe)
-
   /** MinHash signature: `k` affine permutations over one base xxhash64,
-    * each taking the min over the shingle set. One base hash pass +
-    * k cheap multiply-add-mod passes, all codegen'd — no UDF.
-    * At cluster scale the signature is computed map-side in a single
-    * projection; cost is O(k * |shingles|) per row with no shuffle. */
-  def minhashSignature(shingles: Column, k: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val base = transform(shingles, x => pmod(xxhash64(x), lit(P)))
-    val sigs = (0 until k).map { _ =>
-      val a = 1 + rnd.nextInt((P - 1).toInt).toLong
-      val b = rnd.nextInt(P.toInt).toLong
-      array_min(transform(base, h => pmod(lit(a) * h + lit(b), lit(P))))
-    }
-    array(sigs: _*)
-  }
+    * all k minima tracked in a single pass over the shingle set (native
+    * [[graft.functions.MinHashSig]] expression — a pure-builtins
+    * composition re-evaluates the shingle pipeline per permutation).
+    * Computed map-side; cost O(k·|shingles|) per row, no shuffle. */
+  def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
+    graft.functions.HashFunctions.minhash_sig(shingles, k, seed)
 
   // Tiny per-language stopword profiles for the heuristic language ID.
   private val profiles: Seq[(String, Seq[String])] = Seq(

@@ -93,10 +93,9 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = docs.select(
-      col(idCol).as("doc_id"),
-      wordShingles(col(textCol), n).as("sh"),
-      minhashSignature(wordShingles(col(textCol), n), numHashes, seed).as("sig"))
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
     val bandHashes = array((0 until bands).map { bIdx =>
       xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
     }: _*)
