@@ -16,7 +16,7 @@ import graft.queries.Registry
   *  2. streaming-pipeline throughput benches mirroring the reference's
   *     published table (BASELINE.md: simple agg / enrichment / CSV join
   *     / tumbling window over ~240-byte JSON click events), reported in
-  *     msgs/sec. Batch size 10k sits inside the reference's 1k-100k
+  *     msgs/sec. Batch size 50k sits inside the reference's 1k-100k
   *     benchmark range (BASELINE.md note).
   */
 object Bench {
@@ -79,7 +79,7 @@ object Bench {
   private def benchPipelines(spark: SparkSession): Seq[(String, Double)] = {
     import spark.implicits._
     val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
-    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "10000").toInt
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
     val nBatches = (nMsgs / batchSize).toInt
 
     // one micro-batch of raw JSON lines, reused for every invocation —
@@ -148,6 +148,11 @@ object Bench {
     import spark.implicits._
     val batch = spark.read.json(spark.createDataset(lines.toIndexedSeq))
     val result = handler.invoke(spark, batch)
+    // Force execution of the handler SQL every batch — a lazy result
+    // handed to a discarding sink would make the numbers measure JSON
+    // inference only. (Upsert handlers return an already-materialized
+    // LocalRelation, so this is free for the tumbling bench.)
+    materialize(result)
     sink.write(result)
     sink.flush()
     handler.reset()

@@ -34,7 +34,6 @@ final class InferredBatchHandler(sql: String, tables: Map[String, StateTable])
           s"upsert target table ${spec.table} is not declared in `tables`"))
         val delta = spark.sql(SqlDialect.translate(spec.selectSql))
         table.upsert(delta, spec.sets)
-        delta
       case None =>
         spark.sql(SqlDialect.translate(sql))
     }

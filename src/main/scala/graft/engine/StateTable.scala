@@ -1,5 +1,7 @@
 package graft.engine
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,27 +9,62 @@ import org.apache.spark.sql.types._
 /** A managed (state) table — the Spark analogue of the reference's
   * DuckDB tables created via `tables.sql` DDL and mutated by
   * `INSERT ... ON CONFLICT` upserts (`sqlflow/config.py:114-129`,
-  * `managers/window.py`). State lives as a DataFrame checkpointed per
-  * mutation (localCheckpoint cuts lineage so thousands of micro-batch
-  * upserts don't grow the plan). On a cluster the same contract maps to
-  * a Delta/Iceberg table with MERGE; the in-memory form keeps the
-  * engine dependency-free and the state keyed small (one row per open
-  * (bucket, key) window — the ADR's "state grows with #open windows,
-  * not #messages" invariant holds: upsert re-aggregates by key). */
+  * `managers/window.py`).
+  *
+  * Two storage modes:
+  *
+  *  - '''Local (fast path).''' While the table holds ≤ `localLimit`
+  *    rows it lives on the driver as a keyed hash map and is exposed to
+  *    SQL as a `LocalRelation` view: scans cost no Spark job, joins
+  *    against it broadcast naturally, and a micro-batch upsert is a
+  *    driver-side map merge of the (already GROUP-BY'd, therefore tiny)
+  *    delta. This matches the reference's asymptotics — the ADR's
+  *    "state grows with #open windows, not #messages" invariant means
+  *    window state is keyed small by construction.
+  *
+  *  - '''Distributed (scale path).''' Past `localLimit` the table
+  *    switches permanently to a DataFrame whose lineage is cut by
+  *    periodic `localCheckpoint`; upserts become union + re-aggregate
+  *    by the unique key. This is the path for state that outgrows one
+  *    node (e.g. a dedup registry keyed by content hash at 100 TB);
+  *    on a real cluster the same contract maps to Delta/Iceberg MERGE.
+  */
 final class StateTable(
     spark: SparkSession,
     val name: String,
     val schema: StructType,
-    val uniqueKeys: Seq[String]) {
+    val uniqueKeys: Seq[String],
+    localLimit: Int = 500000) {
 
-  @volatile private var state: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private val keyIdx: Array[Int] = uniqueKeys.map(schema.fieldIndex).toArray
+  private val fieldIdx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  // Local mode: keyed map when a unique index exists, insertion-ordered.
+  // (Tables without a unique index just append.)
+  private val local = mutable.LinkedHashMap[Seq[Any], Row]()
+  private val localUnkeyed = mutable.ArrayBuffer[Row]()
+
+  // Distributed mode: non-null once spilled; one-way switch.
+  @volatile private var dist: DataFrame = _
 
   registerView()
 
-  def df: DataFrame = state
+  def df: DataFrame =
+    if (dist != null) dist
+    else {
+      val l = new java.util.ArrayList[Row](localSize)
+      localRowsIter.foreach(l.add)
+      spark.createDataFrame(l, schema)
+    }
 
-  def registerView(): Unit = state.createOrReplaceTempView(name)
+  def registerView(): Unit = df.createOrReplaceTempView(name)
+
+  private def localRowsIter: Iterator[Row] =
+    if (uniqueKeys.nonEmpty) local.valuesIterator else localUnkeyed.iterator
+
+  private def localSize: Int =
+    if (uniqueKeys.nonEmpty) local.size else localUnkeyed.size
 
   private def conform(rows: DataFrame): DataFrame = {
     val cols = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
@@ -35,19 +72,116 @@ final class StateTable(
   }
 
   /** Plain INSERT (StructuredBatch buffer semantics). */
-  def insert(rows: DataFrame): Unit = mutate(state.unionByName(conform(rows)))
+  def insert(rows: DataFrame): Unit = {
+    val incoming = conform(rows)
+    if (dist != null) { mutateDist(dist.unionByName(incoming)); return }
+    incoming.collect().foreach { r =>
+      if (uniqueKeys.nonEmpty) local.put(keyOf(r), r)
+      else localUnkeyed += r
+    }
+    afterLocalMutation()
+  }
 
   /** `INSERT ... ON CONFLICT (keys) DO UPDATE SET ...` semantics:
     * additive columns accumulate, replace columns take the incoming
-    * value, untouched non-key columns keep the existing value. */
-  def upsert(rows: DataFrame, sets: Seq[SqlDialect.SetClause]): Unit = {
+    * value, untouched non-key columns keep the existing value.
+    *
+    * Returns the delta, already materialized in local mode (a
+    * LocalRelation over the rows collected for the merge — callers that
+    * also sink the handler result don't recompute the aggregation). */
+  def upsert(rows: DataFrame, sets: Seq[SqlDialect.SetClause]): DataFrame = {
     require(uniqueKeys.nonEmpty,
       s"table $name has no unique index; ON CONFLICT requires one")
     val incoming = conform(rows)
+    if (dist != null) { upsertDist(incoming, sets); return incoming }
+    val additive = sets.collect { case SqlDialect.Additive(c) => fieldIdx(c) }.toSet
+    val replace = sets.collect { case SqlDialect.Replace(c) => fieldIdx(c) }.toSet
+    val collected = incoming.collect()
+    collected.foreach { r =>
+      val k = keyOf(r)
+      local.get(k) match {
+        case None => local.put(k, r)
+        case Some(old) =>
+          val merged = new Array[Any](schema.length)
+          var i = 0
+          while (i < schema.length) {
+            merged(i) =
+              if (additive.contains(i)) addValues(old.get(i), r.get(i), schema(i).dataType)
+              else if (replace.contains(i)) r.get(i)
+              else old.get(i)
+            i += 1
+          }
+          keyIdx.foreach(j => merged(j) = r.get(j))
+          local.put(k, Row.fromSeq(merged.toIndexedSeq))
+      }
+    }
+    afterLocalMutation()
+    val l = new java.util.ArrayList[Row](collected.length)
+    collected.foreach(l.add)
+    spark.createDataFrame(l, StructType(schema.fields))
+  }
+
+  /** DELETE FROM name WHERE cond — keeps rows NOT matching cond.
+    * Local mode evaluates the predicate through a LocalTableScan
+    * (driver-only, no shuffle); runs per manager poll, not per batch. */
+  def deleteWhere(condSparkSql: String): Unit = {
+    if (dist != null) { mutateDist(dist.filter(not(expr(condSparkSql)))); return }
+    val kept = df.filter(not(expr(condSparkSql))).collect()
+    if (uniqueKeys.nonEmpty) {
+      local.clear()
+      kept.foreach(r => local.put(keyOf(r), r))
+    } else {
+      localUnkeyed.clear()
+      localUnkeyed ++= kept
+    }
+    afterLocalMutation()
+  }
+
+  def truncate(): Unit = {
+    if (dist != null) {
+      mutateDist(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+    } else {
+      local.clear(); localUnkeyed.clear()
+      afterLocalMutation()
+    }
+  }
+
+  private def keyOf(r: Row): Seq[Any] = keyIdx.toIndexedSeq.map(r.get)
+
+  private def addValues(a: Any, b: Any, dt: DataType): Any =
+    if (a == null) b
+    else if (b == null) a
+    else dt match {
+      case IntegerType => a.asInstanceOf[Int] + b.asInstanceOf[Int]
+      case LongType => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+      case DoubleType => a.asInstanceOf[Double] + b.asInstanceOf[Double]
+      case FloatType => a.asInstanceOf[Float] + b.asInstanceOf[Float]
+      case ShortType => (a.asInstanceOf[Short] + b.asInstanceOf[Short]).toShort
+      case _: DecimalType =>
+        a.asInstanceOf[java.math.BigDecimal].add(b.asInstanceOf[java.math.BigDecimal])
+      case other =>
+        throw new IllegalArgumentException(s"cannot accumulate type $other")
+    }
+
+  private def afterLocalMutation(): Unit = {
+    if (localSize > localLimit) spillToDistributed()
+    registerView()
+  }
+
+  /** One-way switch local → distributed once state outgrows the driver. */
+  private def spillToDistributed(): Unit = {
+    dist = df.repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
+    local.clear(); localUnkeyed.clear()
+  }
+
+  // ---- distributed-mode mutation (scale path) ----------------------
+
+  private def upsertDist(incoming: DataFrame, sets: Seq[SqlDialect.SetClause]): Unit = {
     val additive = sets.collect { case SqlDialect.Additive(c) => c }.toSet
     val replace = sets.collect { case SqlDialect.Replace(c) => c }.toSet
     // tag so "replace" semantics can prefer the newest value
-    val old = state.withColumn("__gen", lit(0))
+    val old = dist.withColumn("__gen", lit(0))
     val neu = incoming.withColumn("__gen", lit(1))
     val aggs = schema.fields.filterNot(f => uniqueKeys.contains(f.name)).map { f =>
       if (additive.contains(f.name))
@@ -61,30 +195,23 @@ final class StateTable(
       .groupBy(uniqueKeys.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
-    mutate(merged)
+    mutateDist(merged)
   }
-
-  /** DELETE FROM name WHERE cond — keeps rows NOT matching cond. */
-  def deleteWhere(condSparkSql: String): Unit =
-    mutate(state.filter(not(expr(condSparkSql))))
-
-  def truncate(): Unit =
-    mutate(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
   // Checkpoint every few mutations instead of each one: a full
   // localCheckpoint per micro-batch dominates upsert cost at high
   // batch rates; a short lazy lineage (≤4 unions/groupBys over the
-  // small state) re-computes cheaply in between and is collapsed at
-  // the next checkpoint.
+  // state) re-computes cheaply in between and is collapsed at the
+  // next checkpoint.
   private var mutationsSinceCheckpoint = 0
 
-  private def mutate(next: DataFrame): Unit = {
+  private def mutateDist(next: DataFrame): Unit = {
     mutationsSinceCheckpoint += 1
     if (mutationsSinceCheckpoint >= 4) {
-      state = next.localCheckpoint(true)
+      dist = next.localCheckpoint(true)
       mutationsSinceCheckpoint = 0
     } else {
-      state = next
+      dist = next
     }
     registerView()
   }
