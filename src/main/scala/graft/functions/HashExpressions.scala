@@ -202,6 +202,55 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a normalized text in ONE pass
+  * (string → array<string>): lowercase, collapse whitespace, split on
+  * spaces, emit n-grams joined by a single space, distinct by first
+  * occurrence; texts with < n tokens yield one whole-text shingle so
+  * they stay joinable.
+  *
+  * Replaces the `transform(sequence(...), i => slice(tokens, i, n))`
+  * composition, whose lambda re-evaluated the full
+  * lower→regexp_replace→split pipeline once PER OUTPUT SHINGLE —
+  * O(L²) regex work per document (measured 3.5s → ~0.2s for the sf0.1
+  * documents table). Semantics match the DuckDB oracle expression
+  * `regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')`
+  * + n-gram concat + list_distinct. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toLowerCase.toString
+    // split on whitespace runs == collapse-then-split-on-space
+    val toks = text.trim.split("\\s+", -1)
+    val out = new java.util.LinkedHashSet[UTF8String]
+    if (toks.length < n) {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 /** Column-API entry points for the native expressions. */
 object HashFunctions {
   import Bridge.{column => asCol, expression => asExpr}
@@ -210,4 +259,6 @@ object HashFunctions {
   def vec_dot(a: Column, b: Column): Column = asCol(VecDot(asExpr(a), asExpr(b)))
   def minhash_sig(shingles: Column, k: Int, seed: Long): Column =
     asCol(MinHashSig(asExpr(shingles), k, seed))
+  def word_shingles(text: Column, n: Int): Column =
+    asCol(WordShingles(asExpr(text), n))
 }

@@ -20,16 +20,11 @@ object TextFunctions {
   def tokens(c: Column): Column = split(normalizeText(c), " ")
 
   /** Distinct word n-gram shingles; short texts (< n tokens) yield one
-    * whole-text shingle so they remain joinable. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+    * whole-text shingle so they remain joinable. Native single-pass
+    * expression ([[graft.functions.WordShingles]]) — the pure-builtins
+    * composition re-evaluates the tokenize pipeline per shingle. */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.HashFunctions.word_shingles(c, n)
 
   /** xxhash64 of each token (input to simhash / minhash). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))

@@ -19,7 +19,7 @@ object Dedup {
     * content hash (not the full text — the shuffle carries ~16 bytes +
     * id per row). Keeps the smallest id as the canonical doc. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    graft.queries.Tables.spread(docs)
       .select(col(idCol), md5(normalizeText(col(textCol))).as("content_hash"))
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -46,7 +46,7 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleFreq: Long = 100L): DataFrame = {
-    val sh = docs
+    val sh = graft.queries.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val capped = sh
@@ -58,8 +58,13 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
     val b = capped.select(
       col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
+    // size-ratio prefilter (exact): jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so pairs whose size ratio is below the threshold are pruned before
+    // the pair aggregation (double-rounding of `threshold` errs on keep).
     a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(
@@ -93,7 +98,7 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = docs
+    val withSig = graft.queries.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
     val bandHashes = array((0 until bands).map { bIdx =>
@@ -131,7 +136,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for maxHamming <= 3")
-    val withSim = docs.select(
+    val withSim = graft.queries.Tables.spread(docs).select(
       col(idCol).as("doc_id"),
       simhash64(tokenHashes(tokens(col(textCol)))).as("simhash"))
     val bandCols = array((0 until 4).map { i =>

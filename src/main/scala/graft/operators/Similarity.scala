@@ -29,7 +29,7 @@ object Similarity {
   def cosineDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = withNorm(emb, idCol, vecCol)
+    val e = withNorm(graft.queries.Tables.spread(emb), idCol, vecCol)
     val a = e.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.crossJoin(b)
@@ -47,7 +47,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol)
+    val c = withNorm(graft.queries.Tables.spread(corpus), idCol, vecCol)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"), col("nrm").as("n_c"))
     val q = withNorm(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"), col("nrm").as("n_q"))
@@ -103,7 +103,7 @@ object Similarity {
       withSig.select(col(idCol).as(as), col(vecCol), explode(bandCols).as("b"))
         .select(col(as), col(vecCol), col("b.band"), col("b.v"))
     }
-    val cb = sigBands(corpus, "nbr_id")
+    val cb = sigBands(graft.queries.Tables.spread(corpus), "nbr_id")
       .withColumnRenamed(vecCol, "v_c")
     val qb = sigBands(queries, "query_id")
       .withColumnRenamed(vecCol, "v_q")
@@ -155,7 +155,7 @@ object Similarity {
     }.toSeq: _*)
 
     // corpus side: assign to the single nearest cell
-    val withCell = corpus
+    val withCell = graft.queries.Tables.spread(corpus)
       .withColumn("sims", cellSims(col(vecCol)))
       .withColumn("cell",
         expr("array_position(sims, array_max(sims))").cast("int") - 1)

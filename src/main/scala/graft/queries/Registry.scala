@@ -18,6 +18,20 @@ final case class GraftQuery(
     headline: Boolean = false)
 
 object Tables {
+  /** Ensure at least `defaultParallelism` partitions before
+    * compute-heavy per-row stages (shingling, hashing, dot products).
+    *
+    * The driver's testdata is single-row-group parquet, so a scan is
+    * irreducibly ONE task — without this, a per-doc pipeline runs on 1
+    * of 32 cores. At production scale inputs arrive with ≥ parallelism
+    * splits and this is a no-op (the guard avoids a pointless shuffle).
+    * Column pruning and filter pushdown pass through Repartition, so
+    * the scan stays pruned. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** All reads go through here so pushdown/pruning behavior is uniform.
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to

@@ -15,6 +15,11 @@ import graft.operators.Dedup
 object TextOps {
   import Tables.t
 
+  // documents is a compute-heavy per-row table: spread the scan so the
+  // shingle/hash pipelines use all cores (no-op at production scale).
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.spread(t(s, dir, "documents"))
+
   // Shared token definition (normalize → split on single space) — the
   // DuckDB oracles use regexp_split_to_array on the same normalization.
   private val duckToks =
@@ -23,7 +28,7 @@ object TextOps {
   private val t01 = GraftQuery(
     "t01_text_stats_by_lang",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
       d.select(col("lang"), col("n_chars"), size(tokens(col("text"))).as("n_toks"))
         .groupBy("lang")
         .agg(
@@ -42,7 +47,7 @@ object TextOps {
   private val t02 = GraftQuery(
     "t02_text_quality",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
       val toks = tokens(col("text"))
       d.select(
           col("doc_id"),
@@ -63,7 +68,7 @@ object TextOps {
   private val t03 = GraftQuery(
     "t03_token_count_bpe",
     (s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
@@ -76,7 +81,7 @@ object TextOps {
   private val t04 = GraftQuery(
     "t04_langid",
     (s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
@@ -86,7 +91,7 @@ object TextOps {
   private val t05 = GraftQuery(
     "t05_fingerprint_rolling",
     (s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), rolling_hash64(normalizeText(col("text"))).as("fp"))
         .orderBy("doc_id")
     },
