@@ -54,10 +54,10 @@ object Bench {
 
   private def benchQueries(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val headline = Registry.all.filter(_.headline)
-    // warmup: run the first headline query untimed to absorb session
-    // init + codegen compilation
-    headline.headOption.foreach(q => materialize(q.run(spark, sfDir)))
     headline.map { q =>
+      // warmup run per query: absorb codegen (Janino) compilation and
+      // JIT so the measurement is steady-state execution
+      materialize(q.run(spark, sfDir))
       q.name -> time(materialize(q.run(spark, sfDir)))
     }
   }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, attach the payload of
+  * the latest right row with the same key and `rightTs <= leftTs`.
+  *
+  * Spark has no native ASOF JOIN; the naive range-join formulation
+  * (`l.key = r.key AND r.ts <= l.ts` + keep max) explodes to a
+  * per-key cross product before pruning. This operator instead uses
+  * the union + ordered-window pattern: tag both sides, union on a
+  * common shape, sort each key partition by (ts, side) with right
+  * rows first, and carry the last non-null right payload forward.
+  *
+  * Scale shape: ONE shuffle keyed by `keyCols` plus a per-partition
+  * sort — cost O((|L|+|R|) log) regardless of match fan-out, the same
+  * asymptotics a native as-of merge join would have. Skewed keys are
+  * handled by AQE the same as any keyed shuffle.
+  *
+  * Contract: right rows must be unique per (key, rightTs) — otherwise
+  * "the" matched row is ambiguous; pre-aggregate the right side
+  * (callers in graft.queries do). Left rows with no earlier right row
+  * get a null payload (left-outer semantics, matching SQL
+  * `ASOF LEFT JOIN`).
+  */
+object AsofJoin {
+
+  /** @param payload the right-side columns to attach (everything else
+    *                on the right is dropped); names must not collide
+    *                with left column names. */
+  def asofLeft(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      payload: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one equi-key")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"right payload ${payload.intersect(leftCols)} collides with left columns")
+
+    val rPayloadType = org.apache.spark.sql.types.StructType(
+      right.select(payload.map(col): _*).schema.fields)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rPayloadType).as("__r")): _*)
+    val lType = lTagged.schema("__l").dataType
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(payload.map(col): _*).as("__r")): _*)
+
+    // right rows sort before left rows at equal ts, so a right row at
+    // exactly leftTs is visible to that left row (>= semantics)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+          payload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

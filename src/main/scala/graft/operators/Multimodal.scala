@@ -95,14 +95,15 @@ object Multimodal {
   }
 
   /** Frame-sampling pass (video): one row per sampled frame, frame
-    * count derived from content size (stub: 1 frame / 4 KiB). The
-    * explode happens partition-locally; downstream ops see a larger
-    * but still co-partitioned dataset. */
-  def sampleFrames(media: DataFrame, everyNth: Int = 10): DataFrame = {
-    require(everyNth > 0)
+    * count derived from content size (stub: 1 frame / `frameBytes`).
+    * The explode happens partition-locally; downstream ops see a
+    * larger but still co-partitioned dataset. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10,
+      frameBytes: Int = 4096): DataFrame = {
+    require(everyNth > 0 && frameBytes > 0)
     media
       .withColumn("n_frames",
-        greatest(lit(1), (length(col("content")) / 4096).cast("int")))
+        greatest(lit(1), (length(col("content")) / frameBytes).cast("int")))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("n_frames"))

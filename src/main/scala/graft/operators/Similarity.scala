@@ -40,6 +40,44 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** All pairs with cosine ≥ threshold via random-hyperplane LSH
+    * banding — the 100-TB replacement for [[cosineDupPairs]]'s O(n²)
+    * enumeration. Same output contract (id_a < id_b, rounded cosine);
+    * candidate generation is a self-join keyed by (band, signature
+    * band value) — O(corpus) shuffle, uniform keys — then the exact
+    * cosine verify makes precision 1.0, so only recall (pairs whose
+    * signatures collide in no band) is probabilistic. Recall rises
+    * with `bands` and falls with band width `nbits/bands`. */
+  def lshCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      nbits: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nbits % bands == 0)
+    val rows = nbits / bands
+    val mask = (1L << rows) - 1
+    val e = withNorm(graft.queries.Tables.spread(emb), idCol, vecCol)
+      .withColumn("sig", hyperplaneSig(col(vecCol), dim, nbits, seed))
+    val bandCols = array((0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("sig"), i * rows).bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+    val buckets = e.select(
+      col(idCol), col(vecCol), col("nrm"), explode(bandCols).as("b"))
+      .select(col(idCol), col(vecCol), col("nrm"), col("b.band"), col("b.v"))
+    val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("nrm").as("n_a"), col("band"), col("v"))
+    val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("nrm").as("n_b"), col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine",
+        round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Brute-force top-k cosine neighbors for a (small, broadcast) query
     * set: one linear scan of the corpus per partition — the exact
     * baseline every ANN variant is measured against. Ranking is by

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal-column plumbing over a media table synthesized from
+  * `documents` (this environment ships no media files or codecs; the
+  * decode kernels are deterministic stubs — see
+  * [[graft.operators.Multimodal]]). What the oracles verify is the
+  * Spark-side contract: binary column handling, the mapPartitions
+  * decode pass, metadata schema, and the frame-sampling explode. */
+object MultimodalOps {
+  import Tables.t
+
+  private def media(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Multimodal.synthesize(
+      Tables.spread(t(s, dir, "documents")), "doc_id", "text")
+
+  private val duckKind =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  // Decode pass → per-kind byte totals. The width/height stub outputs
+  // are not in the projection, so the oracle checks the real contract:
+  // the binary column's length survives the mapPartitions decode.
+  private val m01 = GraftQuery(
+    "m01_media_kind_stats",
+    (s, dir) => {
+      Multimodal.decodeMeta(media(s, dir))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("sum_bytes"))
+        .orderBy("kind")
+    },
+    Some(s"""SELECT $duckKind AS kind, count(*) AS n_media,
+             CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+             FROM documents GROUP BY 1 ORDER BY kind"""))
+
+  // Full decode output including the stubbed width/height/channels —
+  // not SQL-expressible → rows-only check; MultimodalSpec pins the
+  // kernel's determinism.
+  private val m02 = GraftQuery(
+    "m02_media_decode_meta",
+    (s, dir) => {
+      Multimodal.decodeMeta(media(s, dir))
+        .select("media_id", "kind", "width", "height", "channels", "n_bytes")
+        .orderBy("media_id")
+    },
+    None)
+
+  // Frame sampling: content → n_frames (1 per 256 bytes) → every 2nd
+  // frame exploded partition-locally. The oracle recomputes the
+  // sampled-frame count arithmetic per document.
+  private val m03 = GraftQuery(
+    "m03_frame_sample",
+    (s, dir) => {
+      Multimodal.sampleFrames(media(s, dir), everyNth = 2, frameBytes = 256)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          countDistinct("media_id").as("n_media"))
+        .orderBy("kind")
+    },
+    Some(s"""WITH m AS (SELECT $duckKind AS kind,
+               greatest(1, strlen(text) // 256) AS n_frames
+               FROM documents)
+             SELECT kind, CAST(sum((n_frames - 1) // 2 + 1) AS BIGINT) AS n_frames_sampled,
+               count(*) AS n_media
+             FROM m GROUP BY kind ORDER BY kind"""))
+
+  // Feature extraction feeding vector search: media bytes → stub
+  // embedding → exact top-k against the first 5 media embeddings.
+  // Deterministic but not SQL-expressible → rows-only.
+  private val m04 = GraftQuery(
+    "m04_media_feature_topk",
+    (s, dir) => {
+      val feats = graft.operators.Multimodal.extractFeatures(media(s, dir), dim = 16)
+      graft.operators.Similarity.bruteForceTopK(
+          feats, feats.filter(col("media_id") < 5), "media_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04)
+}

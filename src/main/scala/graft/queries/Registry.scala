@@ -54,7 +54,7 @@ object Tables {
 /** Central registry consumed by SparkEntry / Verify / Bench. */
 object Registry {
   def all: Seq[GraftQuery] =
-    Relational.all ++ TextOps.all ++ VectorOps.all
+    Relational.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -376,10 +376,46 @@ object Relational {
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus"""))
 
+  // --- q17: as-of join (SURVEY §2B "as-of joins — not exercised" →
+  //     beyond-parity operator; see graft.operators.AsofJoin for the
+  //     union+window design). Each non-purchase event is matched to the
+  //     user's latest purchase at-or-before its timestamp; oracle uses
+  //     DuckDB's native ASOF LEFT JOIN.
+  private val q17 = GraftQuery(
+    "q17_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max("value").as("p_value"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      graft.operators.AsofJoin.asofLeft(
+          left, purchases,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+          payload = Seq("p_ts", "p_value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("p_value"), 2).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts AS p_ts, max(value) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+                 l AS (SELECT event_id, user_id, ts, event_type
+                       FROM events WHERE event_type <> 'purchase')
+            SELECT l.event_id, l.user_id, l.event_type,
+                   strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   round(p.p_value, 2) AS purchase_value
+            FROM l ASOF LEFT JOIN p
+              ON l.user_id = p.user_id AND l.ts >= p.p_ts
+            ORDER BY event_id"""),
+    headline = true)
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16)
+    q09, q10, q11, q12, q13, q14, q15, q16, q17)
 }

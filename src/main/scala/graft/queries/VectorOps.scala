@@ -87,5 +87,17 @@ object VectorOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05)
+  // All-pairs near-dup via hyperplane LSH — the scale path replacing
+  // v02's O(n²) enumeration; probabilistic recall → no SQL oracle,
+  // AnnSpec measures recall against v02's exact pairs.
+  private val v06 = GraftQuery(
+    "v06_cosine_dup_lsh",
+    (s, dir) => {
+      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06)
 }

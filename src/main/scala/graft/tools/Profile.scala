@@ -59,6 +59,12 @@ object Profile {
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
     time("t07 full (size filter)") { pairs.count() }
 
+    // t02 text-quality stats (tokens + HOFs)
+    val t02 = graft.queries.Registry.byName("t02_text_quality")
+    time("t02 text_quality full") {
+      t02.run(spark, dir).write.mode("overwrite").format("noop").save(); 0L
+    }
+
     // t08 stages
     val withSig = docs.select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 64, 42L))

@@ -45,6 +45,20 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("lshCosinePairs finds most exact cosine-dup pairs, precision 1.0") {
+    val emb = mkClustered.cache()
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.9,
+        dim = dim, nbits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact verify step ⇒ every reported pair is a true pair
+    assert((lsh -- exact).isEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
+  }
+
   test("bruteForceTopK is deterministic and self-excluding") {
     val emb = mkClustered
     val queries = emb.filter(col("vec_id") < 3)

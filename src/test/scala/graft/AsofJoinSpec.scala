@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Crafted-case semantics of the union+window as-of join. */
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofLeft matches the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // before any right row
+      (2L, 100L, ts("2024-01-01 12:00:00")), // exactly at a right ts
+      (3L, 100L, ts("2024-01-01 13:30:00")), // between right rows
+      (4L, 200L, ts("2024-01-01 09:00:00")), // other key
+      (5L, 300L, ts("2024-01-01 09:00:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 12:00:00"), 1.0),
+      (100L, ts("2024-01-01 13:00:00"), 2.0),
+      (100L, ts("2024-01-01 14:00:00"), 3.0),
+      (200L, ts("2024-01-01 08:00:00"), 9.0)
+    ).toDF("user_id", "p_ts", "p_value")
+
+    val out = AsofJoin.asofLeft(left, right,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+        payload = Seq("p_ts", "p_value"))
+      .orderBy("event_id")
+      .select("event_id", "p_value")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+
+    assert(out(1L) == null)   // no purchase yet
+    assert(out(2L) == 1.0)    // ts == right ts → matched (>= semantics)
+    assert(out(3L) == 2.0)    // latest at-or-before 13:30
+    assert(out(4L) == 9.0)
+    assert(out(5L) == null)   // key absent on the right
+  }
+
+  test("asofLeft preserves all left rows and columns") {
+    val left = Seq((1L, 7L, ts("2024-01-01 00:00:00"), "x"))
+      .toDF("id", "k", "ts", "tag")
+    val right = Seq((7L, ts("2023-12-31 00:00:00"), 5.0))
+      .toDF("k", "rts", "v")
+    val out = AsofJoin.asofLeft(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "tag", "v"))
+    assert(out.count() == 1)
+    assert(out.head().getDouble(4) == 5.0)
+  }
+}
