@@ -1,0 +1,125 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicLong, DoubleAdder}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Pipeline metrics + observability endpoint, mirroring the
+  * reference's OTel counters and Prometheus exporter
+  * (`sqlflow/pipeline.py:17-59`, `cmd/sql-flow.py:53-58`) and its
+  * `/debug?sql=` live-query endpoint (`sqlflow/http.py:5-23`).
+  *
+  * Counters are fed two ways: the engine records message/error/sink
+  * counts directly from `foreachBatch` (the reference increments at
+  * the same points), and a [[StreamingQueryListener]] folds in
+  * Spark's own per-batch progress (rows/sec, batch duration) for
+  * queries this process runs. The HTTP server exposes:
+  *
+  *   GET /metrics      Prometheus text format
+  *   GET /debug?sql=…  run SQL on the live session, JSON-line rows
+  *                     (Spark sessions are thread-safe — no lock,
+  *                     unlike the reference's shared-conn mutex)
+  */
+final class GraftMetrics {
+  val messageCount = new AtomicLong
+  val errorCount = new AtomicLong
+  val sinkFlushCount = new AtomicLong
+  val sinkFlushRows = new AtomicLong
+  val batchCount = new AtomicLong
+  val batchSeconds = new DoubleAdder
+
+  def recordBatch(nMsgs: Long, seconds: Double): Unit = {
+    messageCount.addAndGet(nMsgs)
+    batchCount.incrementAndGet()
+    batchSeconds.add(seconds)
+  }
+  def recordError(): Unit = errorCount.incrementAndGet()
+  def recordFlush(rows: Long): Unit = {
+    sinkFlushCount.incrementAndGet()
+    sinkFlushRows.addAndGet(rows)
+  }
+
+  /** Prometheus text exposition. */
+  def render: String = {
+    def m(name: String, help: String, v: Any) =
+      s"# HELP $name $help\n# TYPE $name counter\n$name $v\n"
+    m("sqlflow_message_count", "messages consumed", messageCount.get) +
+      m("sqlflow_error_count", "messages/batches errored", errorCount.get) +
+      m("sqlflow_sink_flush_count", "sink flushes", sinkFlushCount.get) +
+      m("sqlflow_sink_flush_rows", "rows flushed to sinks", sinkFlushRows.get) +
+      m("sqlflow_batch_count", "micro-batches processed", batchCount.get) +
+      m("sqlflow_batch_seconds_total", "total batch processing seconds",
+        batchSeconds.sum)
+  }
+
+  /** Fold Spark's streaming progress into the counters. */
+  def listener: StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+      recordBatch(e.progress.numInputRows,
+        e.progress.batchDuration.toDouble / 1000.0)
+  }
+}
+
+/** HTTP server for /metrics + /debug (reference: Flask debug thread +
+  * Prometheus exporter thread). Port 0 = ephemeral (tests). */
+final class MetricsServer(spark: SparkSession, metrics: GraftMetrics, port: Int) {
+  private var server: HttpServer = _
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      respond(ex, 200, metrics.render, "text/plain; version=0.0.4"))
+    server.createContext("/debug", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val sql = q.split("&").collectFirst {
+        case kv if kv.startsWith("sql=") =>
+          java.net.URLDecoder.decode(kv.drop(4), "UTF-8")
+      }
+      sql match {
+        case None => respond(ex, 400, """{"error":"missing sql param"}""")
+        case Some(s) =>
+          try respond(ex, 200,
+            spark.sql(s).toJSON.collect().mkString("", "\n", "\n"))
+          catch {
+            case e: Exception =>
+              respond(ex, 400,
+                s"""{"error":${ujsonEscape(e.getMessage)}}""")
+          }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def ujsonEscape(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

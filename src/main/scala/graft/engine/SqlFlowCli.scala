@@ -44,8 +44,11 @@ object SqlFlowCli {
         val maxBatches = args.sliding(2).collectFirst {
           case Array("--max-batches", n) => n.toInt
         }
+        val metricsPort = args.sliding(2).collectFirst {
+          case Array("--metrics-port", p) => p.toInt
+        }
         val spark = session()
-        graft.streaming.StreamingPipeline.run(spark, args(1), maxBatches)
+        graft.streaming.StreamingPipeline.run(spark, args(1), maxBatches, metricsPort)
         spark.stop()
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)

@@ -46,8 +46,16 @@ object StreamingPipeline {
     }
   }
 
-  def run(spark: SparkSession, configPath: String, maxBatches: Option[Int]): Unit = {
-    val running = start(spark, Config.fromFile(configPath))
+  def run(spark: SparkSession, configPath: String, maxBatches: Option[Int],
+      metricsPort: Option[Int] = None): Unit = {
+    val metrics = new GraftMetrics
+    val server = metricsPort.map { port =>
+      val srv = new MetricsServer(spark, metrics, port)
+      srv.start()
+      srv
+    }
+    spark.streams.addListener(metrics.listener)
+    val running = start(spark, Config.fromFile(configPath), metrics = metrics)
     maxBatches match {
       case Some(n) =>
         running.awaitBatches(n, timeoutMs = 24L * 3600 * 1000)
@@ -55,6 +63,7 @@ object StreamingPipeline {
       case None =>
         running.query.awaitTermination()
     }
+    server.foreach(_.stop())
   }
 
   def start(
@@ -62,7 +71,8 @@ object StreamingPipeline {
       conf: Conf,
       sinkOverride: Option[GraftSink] = None,
       managerSinkOverride: Option[GraftSink] = None,
-      checkpointDir: Option[String] = None): Running = {
+      checkpointDir: Option[String] = None,
+      metrics: GraftMetrics = new GraftMetrics): Running = {
 
     val session = Invoke.buildSession(spark, conf, sinkOverride, managerSinkOverride)
     val source = Sources.build(spark, conf.pipeline.source)
@@ -77,7 +87,7 @@ object StreamingPipeline {
         case None => Trigger.ProcessingTime("1 second")
       })
       .foreachBatch { (raw: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processBatch(spark, session, policy, raw)
+        processBatch(spark, session, policy, raw, metrics)
         batches.incrementAndGet()
         ()
       }
@@ -90,7 +100,8 @@ object StreamingPipeline {
       spark: SparkSession,
       session: Invoke.Session,
       policy: ErrorPolicyConf,
-      raw: Dataset[org.apache.spark.sql.Row]): Unit = {
+      raw: Dataset[org.apache.spark.sql.Row],
+      metrics: GraftMetrics = new GraftMetrics): Unit = {
     if (raw.isEmpty) return
     val metaCols = raw.schema.fieldNames.filter(_.startsWith("kafka_")).toSeq
     // decode: per-batch JSON inference over the value strings, keeping
@@ -106,10 +117,13 @@ object StreamingPipeline {
       val result = try {
         session.handler.invoke(spark, batch)
       } catch {
-        case e: Throwable => return handleInvokeError(spark, session, policy, e)
+        case e: Throwable =>
+          metrics.recordError()
+          return handleInvokeError(spark, session, policy, e)
       }
       session.sink.write(result)
       session.sink.flush()
+      metrics.recordFlush(0L)
       session.handler.reset()
     } finally values.unpersist()
   }
