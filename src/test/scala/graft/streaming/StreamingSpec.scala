@@ -94,6 +94,64 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("websocket source: text frames flow into the stream") {
+    // minimal RFC-6455 server: one client, handshake + N unmasked text
+    // frames (enough to drive the JDK WebSocket client the source uses)
+    val server = new java.net.ServerSocket(0)
+    val frames = Seq("""{"x":1}""", """{"x":2}""")
+    val serverThread = new Thread(() => {
+      val sock = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      var key: String = null
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) {
+        if (line.toLowerCase.startsWith("sec-websocket-key:"))
+          key = line.split(":", 2)(1).trim
+        line = in.readLine()
+      }
+      val accept = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-1").digest(
+          (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("UTF-8")))
+      val out = sock.getOutputStream
+      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes("UTF-8"))
+      frames.foreach { f =>
+        val payload = f.getBytes("UTF-8")
+        out.write(0x81); out.write(payload.length) // FIN+text, len < 126
+        out.write(payload)
+      }
+      out.flush()
+      Thread.sleep(2000) // keep open until the client has consumed
+      sock.close()
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val sink = new MemorySink
+    val conf = confFromString(
+      s"""pipeline:
+         |  batch_size: 10
+         |  source:
+         |    type: websocket
+         |    websocket: {uri: 'ws://localhost:${server.getLocalPort}/feed'}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: SELECT x FROM batch ORDER BY x
+         |  sink: {type: memory}
+         |""".stripMargin)
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (sink.allRows.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        running.processAllAvailable()
+      }
+      assert(sink.allRows.toSet == Set("""{"x":1}""", """{"x":2}"""))
+    } finally { running.stop(); server.close() }
+  }
+
   test("streaming tumbling window: upsert accumulates across micro-batches, manager drains") {
     val inDir = Files.createTempDirectory("graft_stream_win")
     val managerSink = new MemorySink
