@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Spark-NATIVE tumbling-window path (SURVEY §2B "Windows" /
+  * §7.4 risk #1): `withWatermark` + `groupBy(window(...))` streaming
+  * aggregation in append mode.
+  *
+  * This is the primary design for windowed aggregation in this
+  * engine; the literal port of the reference's state-table +
+  * poll-thread mechanism (`engine/StateTable` +
+  * `engine/TumblingWindowManager`) is kept for byte-faithful config
+  * compatibility. Semantics relative to the reference
+  * (`managers/window.py:68-90`):
+  *
+  *  - window close is EVENT-time (watermark) instead of the
+  *    reference's processing-time `now() - INTERVAL` check — a
+  *    deliberate, documented upgrade: results become replay-stable
+  *    and independent of consumer lag;
+  *  - append mode emits each (window, keys) group exactly once when
+  *    the watermark passes window end — the reference's
+  *    collect-closed → flush → delete-closed cycle has the same
+  *    observable contract for on-time data;
+  *  - late rows within the watermark delay still accumulate into
+  *    their window (the reference would re-emit a fresh row; see
+  *    SURVEY §2B "Late data" — use update mode + sink dedup when
+  *    that re-emission behavior is required).
+  *
+  * Scale: state is keyed by (window, keys) — grows with open windows
+  * × key cardinality, not message count (the same asymptotics the
+  * reference gets from its unique index), and the shuffle is the
+  * intrinsic group-by exchange; partial aggregation happens map-side.
+  */
+object NativeWindow {
+
+  /** @param aggs aggregate columns (aliased); default `count(*)` as
+    *             `count` — the additive aggregations the reference's
+    *             ADR declares in scope. */
+  def tumbling(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowDuration: String,
+      watermarkDelay: String,
+      aggs: Seq[Column] = Seq(count(lit(1)).as("count"))): DataFrame = {
+    val grouped = events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    grouped.select(
+      col("window.start").as("bucket") +:
+        (keyCols.map(col) ++
+          grouped.columns.filterNot(c => c == "window" || keyCols.contains(c))
+            .map(col)): _*)
+  }
+}
