@@ -76,8 +76,10 @@ object TextOps {
             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id"""))
 
-  // Heuristic language ID — algorithmic op, no SQL oracle (rows-only
-  // check here; accuracy is asserted in LangIdSpec on crafted text).
+  // Heuristic language ID; the oracle replicates the exact decision
+  // procedure (CJK char ratio, per-profile stopword hits, alphabetical
+  // tiebreak) in DuckDB SQL. Accuracy on crafted text is asserted in
+  // TextFunctionsSpec.
   private val t04 = GraftQuery(
     "t04_langid",
     (s, dir) => {
@@ -85,7 +87,23 @@ object TextOps {
         .select(col("doc_id"), langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks,
+               length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+               FROM documents),
+             sc AS (SELECT doc_id, toks, cjk,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+               len(list_filter(toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk)
+             SELECT doc_id, CASE
+               WHEN cjk * 4 >= len(toks) THEN 'zh'
+               WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS lang_pred
+             FROM sc ORDER BY doc_id"""))
 
   // Rolling-hash content fingerprint (native Catalyst expression).
   private val t05 = GraftQuery(
