@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan-shape regressions: the scale properties of the
+  * headline operators are design commitments, not accidents of the
+  * current optimizer mood. Each assertion here encodes a "would this
+  * survive 100×?" decision documented in the operator's Scaladoc. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 dim joins broadcast (no sort-merge shuffle of the fact side)") {
+    val p = plan("q03_join_agg_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(value,300.0") || p.contains("GreaterThan(value, 300.0")))
+  }
+
+  test("q17 as-of join is join-free (union + window, one keyed shuffle)") {
+    val p = plan("q17_asof_join")
+    assert(!p.contains("Join"), s"as-of rewrite must not produce a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("t07/t08 dedup plans have no cartesian/nested-loop joins") {
+    Seq("t07_dedup_ngram_jaccard", "t08_dedup_minhash_lsh").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("q05 top-k is TakeOrderedAndProject (no global sort)") {
+    val p = plan("q05_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("v05 IVF probes join hash-partitioned by cell, queries broadcast") {
+    val p = plan("v05_ann_topk_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
