@@ -94,6 +94,29 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize pass (image): clamp decoded dimensions to a bounding box
+    * preserving aspect ratio, and re-emit content scaled down
+    * proportionally (STUB: real codecs re-encode pixels; the stub
+    * truncates bytes by the area ratio so downstream size accounting
+    * is exercised). Pure map stage — partition-local, no shuffle. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val decoded = decodeMeta(media)
+    val scale = least(
+      lit(1.0),
+      lit(maxW) / col("width").cast("double"),
+      lit(maxH) / col("height").cast("double"))
+    decoded
+      .withColumn("out_width", greatest(lit(1), floor(col("width") * scale).cast("int")))
+      .withColumn("out_height", greatest(lit(1), floor(col("height") * scale).cast("int")))
+      .withColumn("out_content",
+        // ??? real image re-encode goes here; byte-truncation stub below
+        expr("substring(content, 1, greatest(1, cast(n_bytes * " +
+          "(out_width * out_height) / (width * height) as int)))"))
+      .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
+        col("out_content"), length(col("out_content")).as("out_bytes"))
+  }
+
   /** Frame-sampling pass (video): one row per sampled frame, frame
     * count derived from content size (stub: 1 frame / `frameBytes`).
     * The explode happens partition-locally; downstream ops see a

@@ -79,5 +79,16 @@ object MultimodalOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04)
+  // Resize pass: stub dims are not SQL-expressible → rows-only;
+  // MultimodalSpec asserts bounding-box + aspect-ratio invariants.
+  private val m05 = GraftQuery(
+    "m05_media_resize",
+    (s, dir) => {
+      Multimodal.resize(media(s, dir), maxW = 128, maxH = 128)
+        .select("media_id", "kind", "out_width", "out_height", "out_bytes")
+        .orderBy("media_id")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05)
 }

@@ -171,5 +171,65 @@ object TextOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // Composite curation pipeline — the end-to-end training-data shape:
+  // exact-dedup (keep the min doc_id per content hash), quality gate
+  // (token count + stopword ratio + distinct ratio), language filter,
+  // per-source yield stats. One oracle covers the composition of
+  // dedup + quality + langid semantics.
+  private val t10 = GraftQuery(
+    "t10_curation_pipeline",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val keep = Dedup.exactGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val toks = tokens(col("text"))
+      d.join(keep, "doc_id")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(toks).as("n_tokens"),
+          stopwordRatio(toks).as("swr"),
+          distinctRatio(toks).as("dr"),
+          langId(col("text")).as("lang_pred"))
+        .filter(col("n_tokens") >= 10 && col("dr") >= 0.5 &&
+          col("lang_pred") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("swr"), 4).as("avg_stopword_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH keep AS (
+               SELECT min(doc_id) AS doc_id
+               FROM documents
+               GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+             tk AS (
+               SELECT d.doc_id, d.source, $duckToks AS toks, d.text
+               FROM documents d JOIN keep USING (doc_id)),
+             scored AS (
+               SELECT doc_id, source, len(toks) AS n_tokens,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS swr,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS dr,
+                 length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+                 len(list_filter(toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk),
+             lang AS (
+               SELECT *, CASE
+                 WHEN cjk * 4 >= n_tokens THEN 'zh'
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+               FROM scored)
+             SELECT source, count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               round(avg(swr), 4) AS avg_stopword_ratio
+             FROM lang
+             WHERE n_tokens >= 10 AND dr >= 0.5 AND lang_pred = 'en'
+             GROUP BY source ORDER BY source"""),
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

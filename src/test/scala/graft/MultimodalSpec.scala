@@ -39,6 +39,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(topk.count() == 6)
   }
 
+  test("resize clamps to bounding box preserving aspect ratio") {
+    val out = Multimodal.resize(media, maxW = 128, maxH = 128).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(w >= 1 && w <= 128 && h >= 1 && h <= 128, s"out of box: ${w}x$h")
+      assert(r.getAs[Int]("out_bytes") >= 1)
+    }
+    // an already-small image must be untouched (scale clamped to 1.0)
+    val decoded = Multimodal.decodeMeta(media)
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val big = Multimodal.resize(media, maxW = 4096, maxH = 4096).collect()
+    big.foreach { r =>
+      val (w0, h0) = decoded(r.getAs[Long]("media_id"))
+      assert(r.getAs[Int]("out_width") == w0 && r.getAs[Int]("out_height") == h0)
+    }
+  }
+
   test("sampleFrames explodes per-frame rows partition-locally") {
     val frames = Multimodal.sampleFrames(media, everyNth = 1)
     assert(frames.count() >= media.count())

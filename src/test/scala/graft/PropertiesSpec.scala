@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.HashFunctions._
+import graft.operators.AsofJoin
+
+/** Property-based tests (SURVEY §5 "then ScalaCheck property tests"):
+  * native expressions against straightforward Scala reference
+  * implementations, and the as-of join against a per-row oracle.
+  * Trial counts are kept small — each trial runs a Spark job. */
+object PropertiesSpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestBase.session
+  import scala.jdk.CollectionConverters._
+
+  // --- WordShingles ≡ reference implementation ----------------------
+
+  private def refShingles(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase.trim.split("\\s+", -1).toSeq
+    if (toks.length < n) Seq(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  private val genText: Gen[String] = for {
+    words <- Gen.listOfN(
+      12, Gen.oneOf("the", "cat", "sat", "on", "a", "mat", "Dog", "RUNS", "42"))
+    seps <- Gen.listOfN(12, Gen.oneOf(" ", "  ", "\t", " \n "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  property("wordShingles matches the reference implementation") =
+    Prop.forAll(genText, Gen.choose(1, 4)) { (text, n) =>
+      import spark.implicits._
+      val got = Seq(text).toDF("t")
+        .select(word_shingles(col("t"), n).as("sh"))
+        .head().getSeq[String](0)
+      got == refShingles(text, n)
+    }
+
+  // --- MinHashSig: shape + permutation invariance -------------------
+
+  private val genShingleSet: Gen[List[String]] =
+    Gen.choose(1, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.alphaNumStr.suchThat(_.nonEmpty)))
+
+  property("minhash signature has length k, is order-invariant and deterministic") =
+    Prop.forAll(genShingleSet) { shingles =>
+      import spark.implicits._
+      def sig(xs: Seq[String]): Seq[Long] =
+        Seq(xs).toDF("sh")
+          .select(minhash_sig(col("sh"), 16, 42L).as("sig"))
+          .head().getSeq[Long](0)
+      val a = sig(shingles)
+      val b = sig(scala.util.Random.shuffle(shingles))
+      a.length == 16 && a == b
+    }
+
+  // --- VecDot ≡ plain double accumulation, symmetric ----------------
+
+  private val genVec: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-5.0f, 5.0f))
+
+  property("vec_dot matches sequential accumulation and is symmetric") =
+    Prop.forAll(genVec, genVec) { (x, y) =>
+      import spark.implicits._
+      def dot(a: Seq[Float], b: Seq[Float]): Double =
+        Seq((a, b)).toDF("a", "b")
+          .select(vec_dot(col("a"), col("b")).as("d"))
+          .head().getDouble(0)
+      val expected = x.zip(y).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + a.toDouble * b.toDouble
+      }
+      math.abs(dot(x, y) - expected) < 1e-9 &&
+        math.abs(dot(x, y) - dot(y, x)) < 1e-12
+    }
+
+  // --- AsofJoin ≡ per-row oracle ------------------------------------
+
+  private val genEvents: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] =
+    for {
+      nL <- Gen.choose(1, 25)
+      nR <- Gen.choose(0, 25)
+      lefts <- Gen.listOfN(nL, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+      rights <- Gen.listOfN(nR, Gen.zip(
+        Gen.choose(0L, 3L), Gen.choose(0L, 50L), Gen.choose(0.0, 9.0)))
+    } yield (lefts, rights)
+
+  property("asofLeft matches the latest-at-or-before oracle") =
+    Prop.forAll(genEvents) { case (lefts, rights) =>
+      import spark.implicits._
+      // contract: right side unique per (key, ts) — dedupe by max value
+      val rightDedup = rights.groupBy(r => (r._1, r._2)).map {
+        case ((k, t), rs) => (k, t, rs.map(_._3).max)
+      }.toSeq
+      val leftDf = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("row_id", "k", "ts")
+      val rightDf = rightDedup.toDF("k", "rts", "v")
+      val got = AsofJoin.asofLeft(leftDf, rightDf, Seq("k"), "ts", "rts",
+          Seq("rts", "v"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None else Some((r.getLong(3), r.getDouble(4)))))
+        .toMap
+      lefts.zipWithIndex.forall { case ((k, t), i) =>
+        val expected = rightDedup.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(r => (r._2, r._3))
+        got(i.toLong) == expected
+      }
+    }
+}
