@@ -251,6 +251,101 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Shared single-pass text statistics used by [[TextStats]] and
+  * [[LangId]]: ONE tokenization (lowercase → split on whitespace runs,
+  * identical to [[WordShingles]]/the DuckDB oracles) producing all the
+  * counts the quality/language operators need. The pure-builtins
+  * compositions re-evaluate the lower→regex→split pipeline once per
+  * metric (4-6× per row). */
+private[functions] object TextStatsKernel {
+  val stopDe: Set[String] = Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf")
+  val stopEn: Set[String] = Set("the", "a", "of", "and", "in", "to", "is", "that", "it", "for")
+  val stopEs: Set[String] = Set("el", "los", "las", "y", "es", "en", "una", "por", "con", "para")
+  val stopFr: Set[String] = Set("le", "les", "et", "est", "dans", "une", "du", "pour", "sur", "au")
+
+  /** (nTokens, nDistinct, sumLen, sDe, sEn, sEs, sFr, cjk) */
+  def compute(v: UTF8String): Array[Long] = {
+    val original = v.toString
+    val toks = v.toLowerCase.toString.trim.split("\\s+", -1)
+    val distinct = new java.util.HashSet[String]
+    var sumLen = 0L
+    var sDe = 0L; var sEn = 0L; var sEs = 0L; var sFr = 0L
+    toks.foreach { t =>
+      distinct.add(t)
+      sumLen += t.length
+      if (stopDe.contains(t)) sDe += 1
+      if (stopEn.contains(t)) sEn += 1
+      if (stopEs.contains(t)) sEs += 1
+      if (stopFr.contains(t)) sFr += 1
+    }
+    var cjk = 0L
+    var i = 0
+    while (i < original.length) {
+      val c = original.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      i += 1
+    }
+    Array(toks.length.toLong, distinct.size.toLong, sumLen, sDe, sEn, sEs, sFr, cjk)
+  }
+}
+
+/** All text-quality counts in one pass (string → struct<…:bigint>).
+  * Ratios and rounding stay OUTSIDE in the query plan so the DuckDB
+  * oracle semantics are composed from exact integers. */
+case class TextStats(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = TextStatsKernel.compute(v.asInstanceOf[UTF8String])
+    org.apache.spark.sql.catalyst.InternalRow(
+      a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("s_de", LongType, nullable = false),
+    StructField("s_en", LongType, nullable = false),
+    StructField("s_es", LongType, nullable = false),
+    StructField("s_fr", LongType, nullable = false),
+    StructField("cjk", LongType, nullable = false)))
+}
+
+/** Heuristic language ID in one pass (same decision procedure as the
+  * Column composition in TextFunctions.langId and the t04 DuckDB
+  * oracle: CJK char ratio → 'zh'; best stopword-profile hit count with
+  * alphabetical tiebreak; 'und' when no profile hits). */
+case class LangId(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = TextStatsKernel.compute(v.asInstanceOf[UTF8String])
+    val (n, sDe, sEn, sEs, sFr, cjk) = (a(0), a(3), a(4), a(5), a(6), a(7))
+    val best = math.max(math.max(sDe, sEn), math.max(sEs, sFr))
+    val lang =
+      if (cjk * 4 >= n) "zh"
+      else if (best == 0) "und"
+      else if (sDe == best) "de"
+      else if (sEn == best) "en"
+      else if (sEs == best) "es"
+      else "fr"
+    UTF8String.fromString(lang)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangId =
+    copy(child = c)
+}
+
 /** Column-API entry points for the native expressions. */
 object HashFunctions {
   import Bridge.{column => asCol, expression => asExpr}
@@ -261,4 +356,6 @@ object HashFunctions {
     asCol(MinHashSig(asExpr(shingles), k, seed))
   def word_shingles(text: Column, n: Int): Column =
     asCol(WordShingles(asExpr(text), n))
+  def text_stats(text: Column): Column = asCol(TextStats(asExpr(text)))
+  def lang_id(text: Column): Column = asCol(LangId(asExpr(text)))
 }

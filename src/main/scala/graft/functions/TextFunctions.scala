@@ -37,34 +37,20 @@ object TextFunctions {
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
     graft.functions.HashFunctions.minhash_sig(shingles, k, seed)
 
-  // Tiny per-language stopword profiles for the heuristic language ID.
-  private val profiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
-    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "for"),
-    "es" -> Seq("el", "los", "las", "y", "es", "en", "una", "por", "con", "para"),
-    "fr" -> Seq("le", "les", "et", "est", "dans", "une", "du", "pour", "sur", "au"))
-
   /** Heuristic language ID: CJK character ratio decides `zh`;
     * otherwise the language whose stopword profile hits the most
     * tokens (ties broken alphabetically); `und` when nothing hits.
-    * Pure column composition — runs as a single codegen'd projection. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val cjk = size(filter(
-      split(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""), ""),
-      ch => ch =!= ""))
-    val scores = profiles.map { case (lang, stops) =>
-      lang -> size(filter(toks, t => t.isInCollection(stops)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // ties: first (alphabetical) profile wins because `when` chains in order
-    val byProfile = scores.foldLeft(lit(null).cast("string")) {
-      case (acc, (lang, sc)) => when(acc.isNull && sc === best, lit(lang)).otherwise(acc)
-    }
-    when(cjk * 4 >= size(toks), lit("zh"))
-      .when(best > 0, byProfile)
-      .otherwise(lit("und"))
-  }
+    * Native single-pass expression ([[graft.functions.LangId]]) — the
+    * Column composition re-tokenized the text once per profile. */
+  def langId(text: Column): Column =
+    graft.functions.HashFunctions.lang_id(text)
+
+  /** All quality counts in one tokenization pass (struct of bigints:
+    * n_tokens, n_distinct, sum_token_len, s_de/s_en/s_es/s_fr
+    * stopword-profile hits, cjk chars). Ratios are composed outside so
+    * rounding matches the DuckDB oracles exactly. */
+  def textStats(text: Column): Column =
+    graft.functions.HashFunctions.text_stats(text)
 
   /** Fraction of tokens that are (English) stopwords — a standard
     * quality signal. */

@@ -48,13 +48,16 @@ object TextOps {
     "t02_text_quality",
     (s, dir) => {
       val d = docs(s, dir)
-      val toks = tokens(col("text"))
-      d.select(
+      d.withColumn("st", textStats(col("text")))
+        .select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          distinctRatio(toks).as("distinct_ratio"),
-          stopwordRatio(toks).as("stopword_ratio"),
-          avgTokenLen(toks).as("avg_token_len"))
+          col("st.n_tokens").cast("int").as("n_tokens"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("distinct_ratio"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("stopword_ratio"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("avg_token_len"))
         .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents)
@@ -182,12 +185,12 @@ object TextOps {
       val d = docs(s, dir)
       val keep = Dedup.exactGroups(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val toks = tokens(col("text"))
       d.join(keep, "doc_id")
-        .select(col("doc_id"), col("source"), col("text"),
-          size(toks).as("n_tokens"),
-          stopwordRatio(toks).as("swr"),
-          distinctRatio(toks).as("dr"),
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          col("st.n_tokens").as("n_tokens"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4).as("swr"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4).as("dr"),
           langId(col("text")).as("lang_pred"))
         .filter(col("n_tokens") >= 10 && col("dr") >= 0.5 &&
           col("lang_pred") === "en")
