@@ -412,10 +412,51 @@ object Relational {
             ORDER BY event_id"""),
     headline = true)
 
+  // --- q18: INTERSECT / EXCEPT set ops (SURVEY §2B "set-ops" extension).
+  //     Both are keyed shuffles with early distinct — no row blow-up.
+  private val q18 = GraftQuery(
+    "q18_intersect_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      val both = c.intersect(sup).withColumn("which", lit("both"))
+      val onlyCust = c.except(sup).withColumn("which", lit("customer_only"))
+      both.union(onlyCust).orderBy("which", "nationkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT nationkey, 'both' AS which FROM (
+                SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+                INTERSECT
+                SELECT CAST(s_nationkey AS INTEGER) FROM supplier)
+              UNION ALL
+              SELECT nationkey, 'customer_only' AS which FROM (
+                SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+                EXCEPT
+                SELECT CAST(s_nationkey AS INTEGER) FROM supplier))
+            ORDER BY which, nationkey"""))
+
+  // --- q19: HLL approximate count-distinct (SURVEY §2B "HLL/approx —
+  //     not exercised → native if extended"). Engines' sketches differ,
+  //     so no value-exact oracle — rows-only check here; the spec
+  //     asserts ≤ 5% relative error against the exact count.
+  private val q19 = GraftQuery(
+    "q19_approx_count_distinct",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
