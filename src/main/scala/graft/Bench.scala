@@ -127,6 +127,34 @@ object Bench {
     }.toDF("city", "state_short", "state_full")
     locations.createOrReplaceTempView("locations")
 
+    // disk-join variant (reference csv.filesystem.join.yml): the CSV is
+    // re-read from disk on every invocation
+    val csvPath = java.nio.file.Files.createTempFile("graft_bench_loc", ".csv")
+    java.nio.file.Files.writeString(csvPath,
+      "city|state_short|state_full\n" + cities.zipWithIndex.map {
+        case (c, i) => s"$c|ST$i|State $i"
+      }.mkString("\n"))
+
+    def runDiskJoin(): (String, Double) = {
+      val handler = new graft.engine.InferredBatchHandler(
+        """SELECT state_full, count(*) as city_count
+          |FROM batch JOIN locations_disk ON locations_disk.city = properties.city
+          |GROUP BY state_full ORDER BY state_full DESC""".stripMargin,
+        Map())
+      val sink = new graft.engine.NoopSink
+      def oneBatch(): Unit = {
+        spark.read.option("header", "true").option("sep", "|")
+          .csv(csvPath.toString).createOrReplaceTempView("locations_disk")
+        runBatch(spark, handler, sink, batchLines)
+      }
+      oneBatch()
+      val sec = time {
+        var b = 0
+        while (b < nBatches) { oneBatch(); b += 1 }
+      }
+      "csv_disk_join_msgs_per_sec" -> (nBatches.toLong * batchSize / sec)
+    }
+
     Seq(
       runPipe("agg_mem_msgs_per_sec",
         """SELECT properties.city as city, count(*) as city_count
@@ -138,6 +166,7 @@ object Bench {
         """SELECT state_full, count(*) as city_count
           |FROM batch JOIN locations ON locations.city = properties.city
           |GROUP BY state_full ORDER BY state_full DESC""".stripMargin),
+      runDiskJoin(),
       runTumbling(),
       "bench_msgs" -> nMsgs.toDouble,
       "bench_batch_size" -> batchSize.toDouble)
