@@ -453,10 +453,73 @@ object Relational {
     },
     None)
 
+  // --- q20: sliding (hopping) window aggregation — beyond the
+  //     reference's tumbling-only ADR scope; Spark-native
+  //     window(ts, size, slide). Each event lands in size/slide buckets;
+  //     the oracle enumerates both candidate window starts per event.
+  private val q20 = GraftQuery(
+    "q20_sliding_window",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    },
+    Some("""WITH cand AS (
+              SELECT event_type, value, ts,
+                unnest([
+                  to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800),
+                  to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800)
+                ]) AS wstart
+              FROM events)
+            SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM cand
+            WHERE ts >= wstart AND ts < wstart + INTERVAL 1 HOUR
+            GROUP BY 1, 2 ORDER BY wstart, event_type"""))
+
+  // --- q21: session windows (30-min gap) per user — Spark-native
+  //     session_window; the oracle is the classic gaps-and-islands
+  //     rewrite (new session when the gap from the previous event
+  //     exceeds the threshold). Outputs event-time extents, which both
+  //     formulations agree on exactly.
+  private val q21 = GraftQuery(
+    "q21_session_window",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"))
+        .orderBy("user_id", "first_ts")
+    },
+    Some("""WITH o AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+              count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, first_ts"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }
