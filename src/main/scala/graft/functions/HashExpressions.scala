@@ -346,6 +346,59 @@ case class LangId(child: Expression)
     copy(child = c)
 }
 
+/** Random-hyperplane LSH band values for cosine similarity in ONE
+  * pass (array<float> → array<long>, one value per band): bit j of
+  * band i is sign(v · r_{i·rows+j}) for seeded Gaussian hyperplanes,
+  * packed into a `rowsPerBand`-bit value.
+  *
+  * Wide bands are the point: with b-bit bands a random pair collides
+  * with probability ~2^-b per band, so candidate volume is
+  * bands·n²/2^b — the literal-array composition this replaces was
+  * limited to tiny nbits (every plane inlined into the plan) and its
+  * 2-bit bands made the bucket self-join effectively O(n²) (OOM at
+  * 20k vectors, measured). Planes are regenerated from the seed per
+  * executor — nothing big is serialized. */
+case class HyperplaneBands(
+    child: Expression, dim: Int, bands: Int, rowsPerBand: Int, seed: Long)
+    extends UnaryExpression with codegen.CodegenFallback {
+  require(rowsPerBand >= 1 && rowsPerBand <= 62 && bands >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var value = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = planes(b * rowsPerBand + j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) acc += arr.getFloat(i).toDouble * p(i)
+          i += 1
+        }
+        if (acc > 0.0) value |= (1L << j)
+        j += 1
+      }
+      out(b) = value
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+    copy(child = c)
+}
+
 /** Column-API entry points for the native expressions. */
 object HashFunctions {
   import Bridge.{column => asCol, expression => asExpr}
@@ -358,4 +411,7 @@ object HashFunctions {
     asCol(WordShingles(asExpr(text), n))
   def text_stats(text: Column): Column = asCol(TextStats(asExpr(text)))
   def lang_id(text: Column): Column = asCol(LangId(asExpr(text)))
+  def hyperplane_bands(vec: Column, dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long): Column =
+    asCol(HyperplaneBands(asExpr(vec), dim, bands, rowsPerBand, seed))
 }

@@ -43,35 +43,42 @@ object Similarity {
   /** All pairs with cosine ≥ threshold via random-hyperplane LSH
     * banding — the 100-TB replacement for [[cosineDupPairs]]'s O(n²)
     * enumeration. Same output contract (id_a < id_b, rounded cosine);
-    * candidate generation is a self-join keyed by (band, signature
-    * band value) — O(corpus) shuffle, uniform keys — then the exact
-    * cosine verify makes precision 1.0, so only recall (pairs whose
-    * signatures collide in no band) is probabilistic. Recall rises
-    * with `bands` and falls with band width `nbits/bands`. */
+    * exact cosine verify makes precision 1.0, so only recall (pairs
+    * colliding in no band) is probabilistic.
+    *
+    * Scale anatomy (each choice is a fix for a measured failure):
+    *  - band values come from the native [[graft.functions.HyperplaneBands]]
+    *    expression with WIDE bands (`rowsPerBand` bits, default 12) —
+    *    a random pair collides per band with prob ~2^-rows, so
+    *    candidate volume is bands·n²/2^rows (n²/256 at defaults); the
+    *    old 2-bit bands made the self-join effectively O(n²) and OOM'd
+    *    at 20k vectors;
+    *  - the bucket self-join carries ONLY (id, band, value); embeddings
+    *    re-join per candidate pair at the verify step, so a hot bucket
+    *    costs narrow rows, not pairs-of-vectors.
+    *
+    * Recall at defaults (16 bands × 12 bits): ~0.94 at cosine 0.9,
+    * fading fast below ~0.8 — hyperplane banding prunes only
+    * high-similarity thresholds; for low thresholds use
+    * [[cosineDupPairs]] (exact) or IVF-blocked pairing. */
   def lshCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
-      nbits: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    require(nbits % bands == 0)
-    val rows = nbits / bands
-    val mask = (1L << rows) - 1
+      bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
     val e = withNorm(graft.queries.Tables.spread(emb), idCol, vecCol)
-      .withColumn("sig", hyperplaneSig(col(vecCol), dim, nbits, seed))
-    val bandCols = array((0 until bands).map { i =>
-      struct(lit(i).as("band"),
-        shiftright(col("sig"), i * rows).bitwiseAND(lit(mask)).as("v"))
-    }: _*)
-    val buckets = e.select(
-      col(idCol), col(vecCol), col("nrm"), explode(bandCols).as("b"))
-      .select(col(idCol), col(vecCol), col("nrm"), col("b.band"), col("b.v"))
-    val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      col("nrm").as("n_a"), col("band"), col("v"))
-    val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      col("nrm").as("n_b"), col("band"), col("v"))
-    a.join(b, Seq("band", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
-      .dropDuplicates("id_a", "id_b")
+    val buckets = e.select(col(idCol),
+        posexplode(graft.functions.HashFunctions.hyperplane_bands(
+          col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "v"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sides = e.select(col(idCol), col(vecCol), col("nrm"))
+    cand
+      .join(sides.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        col("nrm").as("n_b")), "id_b")
       .withColumn("cosine",
         round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cosine") >= threshold)
@@ -102,53 +109,37 @@ object Similarity {
         col("rank"))
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · r_i) for `nbits`
-    * fixed seeded hyperplanes. Hamming distance on signatures
-    * approximates angular distance. Hyperplanes are literal arrays
-    * (seeded, deterministic) — broadcast as constants into codegen. */
-  def hyperplaneSig(vecCol: org.apache.spark.sql.Column, dim: Int, nbits: Int,
-      seed: Long): org.apache.spark.sql.Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val bits: Seq[org.apache.spark.sql.Column] = planes.toSeq.zipWithIndex.map {
-      case (p, i) =>
-        val plane = array(p.map(x => lit(x)).toSeq: _*)
-        when(vec_dot(vecCol, plane) > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at
     * least one signature band with the query, exact cosine + top-k
     * within candidates.
     *
-    * The scale path vs [[bruteForceTopK]]: bucket join is keyed by
-    * (band, value) — O(corpus) shuffle, no cross product; recall is
-    * tunable via nbits/bands. */
+    * The scale path vs [[bruteForceTopK]]: the bucket join is keyed by
+    * (band, value) with the small query side broadcast — O(corpus)
+    * work, no cross product. Band values come from the native
+    * [[graft.functions.HyperplaneBands]] expression (wide bands — see
+    * [[lshCosinePairs]] for why); recall is tuned by bands ×
+    * rowsPerBand. Buckets carry ids only; vectors join back per
+    * candidate. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int, nbits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nbits % bands == 0)
-    val rows = nbits / bands
-    val mask = (1L << rows) - 1
-    def sigBands(df: DataFrame, as: String): DataFrame = {
-      val withSig = df.withColumn("sig", hyperplaneSig(col(vecCol), dim, nbits, seed))
-      val bandCols = array((0 until bands).map { i =>
-        struct(lit(i).as("band"),
-          shiftright(col("sig"), i * rows).bitwiseAND(lit(mask)).as("v"))
-      }: _*)
-      withSig.select(col(idCol).as(as), col(vecCol), explode(bandCols).as("b"))
-        .select(col(as), col(vecCol), col("b.band"), col("b.v"))
-    }
-    val cb = sigBands(graft.queries.Tables.spread(corpus), "nbr_id")
-      .withColumnRenamed(vecCol, "v_c")
+      dim: Int, bands: Int = 8, rowsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    def sigBands(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        posexplode(graft.functions.HashFunctions.hyperplane_bands(
+          col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
+    val corpusSpread = graft.queries.Tables.spread(corpus)
+    val cb = sigBands(corpusSpread, "nbr_id")
     val qb = sigBands(queries, "query_id")
-      .withColumnRenamed(vecCol, "v_q")
-    val cand = cb.join(qb, Seq("band", "v"))
+    val cand = cb.join(broadcast(qb), Seq("band", "v"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "v_q", "nbr_id", "v_c")
+      .select("query_id", "nbr_id")
       .distinct()
+      .join(corpusSpread.select(col(idCol).as("nbr_id"), col(vecCol).as("v_c")),
+        "nbr_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("v_q"))), "query_id")
     val scored = cand.withColumn("cosine", round(
       vec_dot(col("v_q"), col("v_c")) /
         (sqrt(vec_dot(col("v_q"), col("v_q"))) *

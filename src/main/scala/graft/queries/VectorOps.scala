@@ -88,13 +88,14 @@ object VectorOps {
     None)
 
   // All-pairs near-dup via hyperplane LSH — the scale path replacing
-  // v02's O(n²) enumeration; probabilistic recall → no SQL oracle,
-  // AnnSpec measures recall against v02's exact pairs.
+  // v02's O(n²) enumeration for HIGH thresholds (banding cannot prune
+  // low-similarity pairs; see Similarity.lshCosinePairs). Probabilistic
+  // recall → no SQL oracle; AnnSpec measures recall vs exact pairs.
   private val v06 = GraftQuery(
     "v06_cosine_dup_lsh",
     (s, dir) => {
       Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, dim = 64)
+          threshold = 0.85, dim = 64)
         .orderBy("id_a", "id_b")
     },
     None)

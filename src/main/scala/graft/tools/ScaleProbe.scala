@@ -40,6 +40,20 @@ object ScaleProbe {
     time("t08 minhash lsh") {
       Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.3).count()
     }
+
+    // optional second arg: embeddings parquet → exact vs LSH cosine pairs
+    args.drop(1).headOption.foreach { embPath =>
+      val emb = Tables.spread(spark.read.parquet(embPath)).cache()
+      println(s"vecs=${emb.count()}")
+      time("v02 exact cosine pairs") {
+        graft.operators.Similarity
+          .cosineDupPairs(emb, "vec_id", "embedding", 0.9).count()
+      }
+      time("v06 lsh cosine pairs") {
+        graft.operators.Similarity
+          .lshCosinePairs(emb, "vec_id", "embedding", 0.9, dim = 64).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -39,7 +39,7 @@ class AnnSpec extends SparkTestBase {
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
-      dim = dim, nbits = 16, bands = 4)
+      dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall >= 0.5, s"recall=$recall")
@@ -50,7 +50,7 @@ class AnnSpec extends SparkTestBase {
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.9,
-        dim = dim, nbits = 16, bands = 8)
+        dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     // exact verify step ⇒ every reported pair is a true pair
