@@ -41,6 +41,35 @@ object ScaleProbe {
       Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.3).count()
     }
 
+    // optional third arg: events parquet → as-of join + window family
+    args.drop(2).headOption.foreach { evPath =>
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(evPath)
+      val ev0 = (if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
+      val ev = Tables.spread(ev0).cache()
+      println(s"events=${ev.count()}")
+      time("asof join (union+window)") {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max("value").as("p_value"))
+        val left = ev.filter(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts", "event_type")
+        graft.operators.AsofJoin.asofLeft(left, purchases,
+          Seq("user_id"), "ts", "p_ts", Seq("p_ts", "p_value")).count()
+      }
+      time("sliding window agg") {
+        ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)), sum("value")).count()
+      }
+      time("session window agg") {
+        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1))).count()
+      }
+    }
+
     // optional second arg: embeddings parquet → exact vs LSH cosine pairs
     args.drop(1).headOption.foreach { embPath =>
       val emb = Tables.spread(spark.read.parquet(embPath)).cache()
