@@ -40,6 +40,9 @@ object ScaleProbe {
     time("t08 minhash lsh") {
       Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.3).count()
     }
+    time("t09 simhash") {
+      Dedup.simhashPairs(docs, "doc_id", "text").count()
+    }
 
     // optional third arg: events parquet → as-of join + window family
     args.drop(2).headOption.foreach { evPath =>
