@@ -39,7 +39,13 @@ object Sources {
     case "file" =>
       val f = conf.file.getOrElse(
         throw new IllegalArgumentException("file source needs `file` block"))
-      Built(spark.readStream.text(f.path).withColumnRenamed("value", "value"))
+      // count-based batching analogue for files: one file per trigger
+      // (the closest unit to the reference's batch_size messages —
+      // StreamingPipeline scaladoc "maxFilesPerTrigger (file)")
+      Built(spark.readStream
+        .option("maxFilesPerTrigger", 1)
+        .text(f.path)
+        .withColumnRenamed("value", "value"))
 
     case "webhook" =>
       val w = conf.webhook.getOrElse(
