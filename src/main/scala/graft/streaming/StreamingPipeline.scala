@@ -107,13 +107,15 @@ object StreamingPipeline {
     // decode: per-batch JSON inference over the value strings, keeping
     // kafka metadata columns alongside (handlers.py:104-112)
     val values = raw.cache()
+    var parsed: DataFrame = null
     try {
-      val parsed = spark.read
+      parsed = spark.read
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(values.select(col("value").cast("string").as("value"))
           .as(org.apache.spark.sql.Encoders.STRING))
-      val batch = withPolicy(spark, parsed.cache(), policy, session.dlq)
+        .cache()
+      val batch = withPolicy(spark, parsed, policy, session.dlq)
       val result = try {
         session.handler.invoke(spark, batch)
       } catch {
@@ -125,7 +127,12 @@ object StreamingPipeline {
       session.sink.flush()
       metrics.recordFlush(0L)
       session.handler.reset()
-    } finally values.unpersist()
+    } finally {
+      // unpersist BOTH per-batch caches — a long-running daemon must not
+      // accumulate cached micro-batches
+      if (parsed != null) parsed.unpersist()
+      values.unpersist()
+    }
   }
 
   private def withPolicy(spark: SparkSession, parsed: DataFrame,
