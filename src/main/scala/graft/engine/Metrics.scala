@@ -78,7 +78,9 @@ final class MetricsServer(spark: SparkSession, metrics: GraftMetrics, port: Int)
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    // loopback only: /debug executes arbitrary SQL — a dev/ops tool
+    // (like the reference's Flask debug thread), not a network service
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/metrics", (ex: HttpExchange) =>
       respond(ex, 200, metrics.render, "text/plain; version=0.0.4"))
     server.createContext("/debug", (ex: HttpExchange) => {

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * buffer-then-flush contract so delivery ordering (sink flush before
   * source commit, `pipeline.py:281-291`) is preserved by the pipeline. */
 trait GraftSink {
-  def write(df: DataFrame): Unit
+  /** Returns the number of rows written when the sink materializes the
+    * batch itself (console/memory collect), else -1 (unknown — e.g.
+    * noop, or connector writes that don't report counts). */
+  def write(df: DataFrame): Long
   def flush(): Unit = ()
   def close(): Unit = ()
 }
@@ -17,8 +20,11 @@ trait GraftSink {
   * on flush, in the result's ORDER BY order. */
 final class ConsoleSink(out: String => Unit = println) extends GraftSink {
   private val buf = scala.collection.mutable.ArrayBuffer[String]()
-  override def write(df: DataFrame): Unit =
-    buf ++= df.toJSON.collect()
+  override def write(df: DataFrame): Long = {
+    val rows = df.toJSON.collect()
+    buf ++= rows
+    rows.length.toLong
+  }
   override def flush(): Unit = { buf.foreach(out); buf.clear() }
 }
 
@@ -26,14 +32,17 @@ final class ConsoleSink(out: String => Unit = println) extends GraftSink {
 final class MemorySink extends GraftSink {
   val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
   var flushes = 0
-  override def write(df: DataFrame): Unit =
-    batches += df.toJSON.collect().toSeq
+  override def write(df: DataFrame): Long = {
+    val rows = df.toJSON.collect().toSeq
+    batches += rows
+    rows.length.toLong
+  }
   override def flush(): Unit = flushes += 1
   def allRows: Seq[String] = batches.flatten.toSeq
 }
 
 final class NoopSink extends GraftSink {
-  override def write(df: DataFrame): Unit = ()
+  override def write(df: DataFrame): Long = -1L
 }
 
 /** Kafka sink (`sinks.py:125-144`): one JSON message per result row.
@@ -42,13 +51,14 @@ final class NoopSink extends GraftSink {
   * which this environment does not ship — construction succeeds so
   * configs parse/validate; writing raises with a clear message. */
 final class KafkaSink(conf: KafkaSinkConf) extends GraftSink {
-  override def write(df: DataFrame): Unit = {
+  override def write(df: DataFrame): Long = {
     val payload = df.select(to_json(struct(col("*"))).as("value"))
     payload.write
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.brokers.mkString(","))
       .option("topic", conf.topic)
       .save()
+    -1L
   }
 }
 
@@ -63,7 +73,7 @@ final class SqlCommandSink(
 
   private val pending = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-  override def write(df: DataFrame): Unit = pending += df
+  override def write(df: DataFrame): Long = { pending += df; -1L }
 
   override def flush(): Unit = {
     pending.foreach { df =>
@@ -120,19 +130,23 @@ final class SqlCommandSink(
   * table. Requires iceberg-spark-runtime on the classpath (not shipped
   * here); with it, the write is `df.writeTo(table).append()`. */
 final class IcebergSink(conf: IcebergSinkConf) extends GraftSink {
-  override def write(df: DataFrame): Unit =
+  override def write(df: DataFrame): Long = {
     df.writeTo(s"${conf.catalogName}.${conf.tableName}").append()
+    -1L
+  }
 }
 
 /** ClickHouse sink (`sinks.py:147-161`) via JDBC (driver not shipped
   * here; config parses, write raises without it). */
 final class ClickhouseSink(conf: ClickhouseSinkConf) extends GraftSink {
-  override def write(df: DataFrame): Unit =
+  override def write(df: DataFrame): Long = {
     df.write.mode("append")
       .format("jdbc")
       .option("url", conf.dsn)
       .option("dbtable", conf.table)
       .save()
+    -1L
+  }
 }
 
 /** DLQ record shape per `pipeline.py:228-237`. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.graftx.Types.AbstractDataType
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * wrapping i64). Used for content fingerprinting of documents — the
   * reference has no fingerprinting op; this is part of the
   * training-data-pipeline extension surface. */
-case class RollingHash64(child: Expression) extends UnaryExpression {
-  // input contract: StringType (enforced by the Column wrappers below)
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
 
@@ -56,8 +58,9 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   * b set. Near-duplicate texts differ in few tokens → simhashes within
   * small Hamming distance. Single pass over the array, 64 counters on
   * the stack. */
-case class SimHash64(child: Expression) extends UnaryExpression {
-  // input contract: ArrayType(LongType)
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -118,8 +121,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * row — this is the scale-path replacement for embedding similarity).
   * Mismatched lengths use the common prefix; null elements count as 0. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // input contract: two ArrayType(FloatType) columns
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -166,7 +170,9 @@ case class VecDot(left: Expression, right: Expression)
   * work; this expression is the hot-path replacement (measured 46s →
   * sub-second on the sf0.01 documents table). */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "minhash_sig"
 
@@ -216,7 +222,9 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * `regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')`
   * + n-gram concat + list_distinct. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -293,7 +301,9 @@ private[functions] object TextStatsKernel {
   * Ratios and rounding stay OUTSIDE in the query plan so the DuckDB
   * oracle semantics are composed from exact integers. */
 case class TextStats(child: Expression)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = TextStats.schema
   override def prettyName: String = "text_stats"
 
@@ -324,7 +334,9 @@ object TextStats {
   * oracle: CJK char ratio → 'zh'; best stopword-profile hit count with
   * alphabetical tiebreak; 'und' when no profile hits). */
 case class LangId(child: Expression)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
@@ -360,7 +372,9 @@ case class LangId(child: Expression)
   * executor — nothing big is serialized. */
 case class HyperplaneBands(
     child: Expression, dim: Int, bands: Int, rowsPerBand: Int, seed: Long)
-    extends UnaryExpression with codegen.CodegenFallback {
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   require(rowsPerBand >= 1 && rowsPerBand <= 62 && bands >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"

@@ -62,12 +62,16 @@ object Dedup {
     val b = capped.select(
       col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
     // size-ratio prefilter (exact): jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so pairs whose size ratio is below the threshold are pruned before
-    // the pair aggregation (double-rounding of `threshold` errs on keep).
+    // so pairs whose size ratio cannot reach the threshold are pruned
+    // before the pair aggregation. The final filter compares
+    // round(j, 4) >= threshold, which admits true j down to
+    // threshold - 0.00005 — the prefilter bound uses the same margin so
+    // it never drops a pair the rounded comparison would keep.
+    val bound = threshold - 0.00005
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
+        col("sz_a") >= col("sz_b") * bound &&
+        col("sz_b") >= col("sz_a") * bound)
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(

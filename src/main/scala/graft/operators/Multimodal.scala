@@ -111,8 +111,10 @@ object Multimodal {
       .withColumn("out_height", greatest(lit(1), floor(col("height") * scale).cast("int")))
       .withColumn("out_content",
         // ??? real image re-encode goes here; byte-truncation stub below
+        // (try_divide: empty/null content decodes to 0×0, and ANSI mode —
+        // Spark 4's default — would abort the job on 0/0)
         expr("substring(content, 1, greatest(1, cast(n_bytes * " +
-          "(out_width * out_height) / (width * height) as int)))"))
+          "coalesce(try_divide(out_width * out_height, width * height), 0) as int)))"))
       .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
         col("out_content"), length(col("out_content")).as("out_bytes"))
   }

@@ -136,14 +136,17 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select("query_id", "nbr_id")
       .distinct()
-      .join(corpusSpread.select(col(idCol).as("nbr_id"), col(vecCol).as("v_c")),
-        "nbr_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("v_q"))), "query_id")
+      .join(withNorm(corpusSpread, idCol, vecCol)
+        .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"),
+          col("nrm").as("n_c")), "nbr_id")
+      .join(broadcast(withNorm(queries, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
+          col("nrm").as("n_q"))), "query_id")
+    // zero-norm vectors get null cosine via withNorm (NaN would sort
+    // ABOVE every real value in desc order and steal top-k slots)
     val scored = cand.withColumn("cosine", round(
-      vec_dot(col("v_q"), col("v_c")) /
-        (sqrt(vec_dot(col("v_q"), col("v_q"))) *
-          sqrt(vec_dot(col("v_c"), col("v_c")))), 6))
+      vec_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -198,12 +201,16 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
         explode(col("probe_cells")).as("cell"))
 
+    // zero-norm guard as in lshTopK: null cosine, filtered (not NaN)
     val scored = withCell.join(broadcast(qProbes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("n_q", when(vec_dot(col("v_q"), col("v_q")) > 0.0,
+        sqrt(vec_dot(col("v_q"), col("v_q")))))
+      .withColumn("n_c", when(vec_dot(col("v_c"), col("v_c")) > 0.0,
+        sqrt(vec_dot(col("v_c"), col("v_c")))))
       .withColumn("cosine", round(
-        vec_dot(col("v_q"), col("v_c")) /
-          (sqrt(vec_dot(col("v_q"), col("v_q"))) *
-            sqrt(vec_dot(col("v_c"), col("v_c")))), 6))
+        vec_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -26,7 +26,14 @@ object Tables {
     * of 32 cores. At production scale inputs arrive with ≥ parallelism
     * splits and this is a no-op (the guard avoids a pointless shuffle).
     * Column pruning and filter pushdown pass through Repartition, so
-    * the scan stays pruned. */
+    * the scan stays pruned.
+    *
+    * Cost note: the `.rdd` probe plans the upstream query once (tens of
+    * ms on the simple scans these operators take). The alternative — an
+    * unconditional repartition — would shuffle the full input at
+    * production scale, which is exactly what the guard exists to
+    * prevent; the probe is the cheaper side of that trade everywhere
+    * this is used. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -11,17 +11,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregation can't express (a session's extent depends on the data,
   * not a fixed grid).
   *
-  * State per key is three numbers (start, end, count) — constant per
-  * open session regardless of event volume, so state size scales with
-  * concurrent active keys. Sessions close two ways: a later event for
-  * the same key beyond the gap (emitted immediately, same batch), or
-  * event-time timeout once the watermark passes `end + gap` (emitted
-  * by the timeout callback). Both paths produce each session exactly
-  * once in append mode.
+  * State per key is the list of OPEN sessions, each three numbers
+  * (start, end, count) — bounded by concurrent open sessions per key,
+  * not event volume. Incoming events merge bidirectionally: an event
+  * within `gap` of a session extends it in either direction, and an
+  * event bridging two sessions merges them — so out-of-order arrivals
+  * within the watermark produce the same sessions as ordered input.
+  * A session is emitted exactly once, when the event-time watermark
+  * passes `end + gap` (via timeout or any later invocation for the
+  * key): only then can no in-flight event extend it. Events later
+  * than the watermark (beyond `watermarkDelay`) may start a fresh
+  * session rather than extend an emitted one — the standard
+  * watermark contract.
   *
   * The shuffle is the intrinsic groupByKey exchange; within a batch
   * events are sorted per key in-memory (bounded by per-key batch
-  * volume, not total session length). */
+  * volume). */
 object Sessionize {
 
   final case class SessionEvent(key: String, ts: Timestamp)
@@ -31,6 +36,20 @@ object Sessionize {
       session_start: Timestamp,
       session_end: Timestamp,
       n_events: Long)
+
+  /** Merge an event into the open-session list: absorbs every session
+    * within `gap` of `t` (bridging adjacent sessions), keeps the list
+    * sorted by start. */
+  private[streaming] def insert(
+      sessions: List[OpenSession], t: Long, gapMs: Long): List[OpenSession] = {
+    val (mergeable, rest) = sessions.partition(s =>
+      t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+    val merged = mergeable.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+      OpenSession(math.min(acc.startMs, s.startMs),
+        math.max(acc.endMs, s.endMs), acc.n + s.n)
+    }
+    (merged :: rest).sortBy(_.startMs)
+  }
 
   /** @param df streaming DataFrame
     * @param watermarkDelay lateness bound; also gates session close */
@@ -48,39 +67,26 @@ object Sessionize {
       .withWatermark("ts", watermarkDelay)
       .as[SessionEvent]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, events: Iterator[SessionEvent],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap: the open session is final
-            val s = state.get
-            state.remove()
-            Iterator.single(toSession(key, s))
-          } else {
-            val sorted = events.map(_.ts.getTime).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
-              open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += toSession(key, s)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.result().iterator
+         state: GroupState[List[OpenSession]]) =>
+          val watermark = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            events.map(_.ts.getTime).toArray.sorted
+              .foreach(t => sessions = insert(sessions, t, gapMs))
           }
+          val (closed, open) = sessions.partition(_.endMs + gapMs <= watermark)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+          }
+          closed.sortBy(_.startMs)
+            .map(s => Session(key, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n))
+            .iterator
       }
   }
-
-  private def toSession(key: String, s: OpenSession): Session =
-    Session(key, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
 }

@@ -54,16 +54,23 @@ object StreamingPipeline {
       srv.start()
       srv
     }
-    spark.streams.addListener(metrics.listener)
-    val running = start(spark, Config.fromFile(configPath), metrics = metrics)
-    maxBatches match {
-      case Some(n) =>
-        running.awaitBatches(n, timeoutMs = 24L * 3600 * 1000)
-        running.stop()
-      case None =>
-        running.query.awaitTermination()
+    val listener = metrics.listener
+    spark.streams.addListener(listener)
+    try {
+      val running = start(spark, Config.fromFile(configPath), metrics = metrics)
+      maxBatches match {
+        case Some(n) =>
+          running.awaitBatches(n, timeoutMs = 24L * 3600 * 1000)
+          running.stop()
+        case None =>
+          running.query.awaitTermination()
+      }
+    } finally {
+      // always release the (non-daemon) HTTP dispatcher thread and the
+      // listener, or a failed query leaves the crashed daemon hanging
+      server.foreach(_.stop())
+      spark.streams.removeListener(listener)
     }
-    server.foreach(_.stop())
   }
 
   def start(
@@ -123,9 +130,9 @@ object StreamingPipeline {
           metrics.recordError()
           return handleInvokeError(spark, session, policy, e)
       }
-      session.sink.write(result)
+      val written = session.sink.write(result)
       session.sink.flush()
-      metrics.recordFlush(0L)
+      metrics.recordFlush(math.max(0L, written))
       session.handler.reset()
     } finally {
       // unpersist BOTH per-batch caches — a long-running daemon must not

@@ -12,3 +12,10 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` is private[sql] in Spark 4; expressions outside
+  * the sql package need this alias to override
+  * `ExpectsInputTypes.inputTypes`. */
+object Types {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

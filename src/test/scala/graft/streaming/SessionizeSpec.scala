@@ -8,13 +8,27 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkTestBase
 
 /** Gap-based sessionization semantics: in-batch splits, cross-batch
-  * accumulation, and event-time-timeout close. */
+  * accumulation, out-of-order merging, and watermark-gated close. */
 class SessionizeSpec extends SparkTestBase {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("sessions split on gap, close on watermark, count events") {
+  test("insert merges bidirectionally and bridges adjacent sessions") {
+    import Sessionize.{insert, OpenSession}
+    val gap = 30L * 60000
+    // extend backward: event before the session start
+    assert(insert(List(OpenSession(100000, 100000, 1)), 40000, gap)
+      == List(OpenSession(40000, 100000, 2)))
+    // separate earlier session when beyond the gap
+    val two = insert(List(OpenSession(10000000, 10000000, 1)), 1000, gap)
+    assert(two.map(_.n) == List(1, 1) && two.head.startMs == 1000)
+    // bridging event merges two open sessions
+    val bridged = insert(two, 5000000, gap * 100)
+    assert(bridged == List(OpenSession(1000, 10000000, 3)))
+  }
+
+  test("sessions split on gap, merge out-of-order, close on watermark") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
     val out = Sessionize.sessions(spark, mem.toDF().toDF("ts", "user"),
@@ -26,38 +40,38 @@ class SessionizeSpec extends SparkTestBase {
       .outputMode(OutputMode.Append())
       .start()
     try {
-      // batch 1: u1 has two clusters separated by > 30m (in-batch split
-      // → first emitted immediately); u2 has one event
+      // batch 1: u1 has two clusters > 30m apart (in-batch split held
+      // in state); u2 has one event. processAllAvailable includes the
+      // no-data micro-batch that advances the watermark to 11:25, which
+      // closes u1's first session (end+gap=10:40) and u2's (10:35) —
+      // emission happens as soon as the watermark permits.
       mem.addData(
         (ts("2024-01-01 10:00:00"), "u1"),
         (ts("2024-01-01 10:10:00"), "u1"),
         (ts("2024-01-01 11:30:00"), "u1"),
         (ts("2024-01-01 10:05:00"), "u2"))
       query.processAllAvailable()
-      // u1's first cluster splits in-batch; u2's lone session times out
-      // right away (watermark 11:25 > 10:05 + gap)
-      val afterB1 = spark.table("sessions").as[Sessionize.Session].collect()
-      assert(afterB1.map(s => (s.key, s.n_events)).toSet ==
-        Set(("u1", 2L), ("u2", 1L)))
-      val u1First = afterB1.find(_.key == "u1").get
-      assert(u1First.session_start == ts("2024-01-01 10:00:00"))
-      assert(u1First.session_end == ts("2024-01-01 10:10:00"))
 
-      // batch 2: event extends u1's open session; far-future event
-      // advances the watermark past every end+gap → timeouts fire
-      mem.addData((ts("2024-01-01 11:40:00"), "u1"))
+      // batch 2: extends u1's open 11:30 session
+      mem.addData(
+        (ts("2024-01-01 11:40:00"), "u1"))
       query.processAllAvailable()
+      val afterB2 = spark.table("sessions").as[Sessionize.Session].collect()
+        .map(s => (s.key, s.session_start, s.session_end, s.n_events)).toSet
+      assert(afterB2 == Set(
+        ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        ("u2", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)))
+
+      // push the watermark far ahead → u1's second session times out
       mem.addData((ts("2024-01-01 23:00:00"), "u3"))
       query.processAllAvailable()
-      // one more batch so timeouts (evaluated against the new watermark) run
       mem.addData((ts("2024-01-01 23:30:00"), "u3"))
       query.processAllAvailable()
 
       val all = spark.table("sessions").as[Sessionize.Session].collect()
         .map(s => (s.key, s.session_start, s.session_end, s.n_events)).toSet
-      assert(all.contains(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
       assert(all.contains(("u1", ts("2024-01-01 11:30:00"), ts("2024-01-01 11:40:00"), 2L)))
-      assert(all.contains(("u2", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)))
+      assert(all.size == 3)
     } finally query.stop()
   }
 }
