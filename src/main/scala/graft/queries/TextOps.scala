@@ -129,6 +129,22 @@ object TextOps {
             FROM documents GROUP BY 1 ORDER BY content_hash"""),
     headline = true)
 
+  private def jaccardOracle(threshold: Double) =
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  FOR i IN range(1, len(toks) - 1)]
+            ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM tk)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $threshold
+        ORDER BY doc_a, doc_b"""
+
   private val t07 = GraftQuery(
     "t07_dedup_ngram_jaccard",
     (s, dir) => {
@@ -136,21 +152,23 @@ object TextOps {
           n = 3, threshold = 0.3)
         .orderBy("doc_a", "doc_b")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
-             sh AS (SELECT doc_id, list_distinct(
-               CASE WHEN len(toks) >= 3
-                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                       FOR i IN range(1, len(toks) - 1)]
-                 ELSE [array_to_string(toks, ' ')] END) AS sh
-               FROM tk)
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.3
-             ORDER BY doc_a, doc_b"""),
+    Some(jaccardOracle(0.3)),
     headline = true)
+
+  // Same contract and oracle FAMILY as t07, computed via prefix
+  // filtering (PPJoin-style) at its sweet spot: a HIGH threshold,
+  // where the indexed prefix shrinks to ~(1-t) of each shingle set.
+  // Exactness is independently verified against the same DuckDB
+  // reference; DedupSpec additionally checks pair-identity with the
+  // full inverted index at t=0.3.
+  private val t11 = GraftQuery(
+    "t11_dedup_jaccard_prefix",
+    (s, dir) => {
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(jaccardOracle(0.8)))
 
   // MinHash-LSH near-dup (probabilistic recall, exact verify) — no SQL
   // oracle; DedupSpec asserts recall ≥ 0.9 against t07's exact pairs.
@@ -234,5 +252,5 @@ object TextOps {
              GROUP BY source ORDER BY source"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

@@ -43,6 +43,12 @@ object ScaleProbe {
     time("t09 simhash") {
       Dedup.simhashPairs(docs, "doc_id", "text").count()
     }
+    time("t11 prefix-filter (t=0.8)") {
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.8).count()
+    }
+    time("t07 full index (t=0.8)") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()
+    }
 
     // optional third arg: events parquet → as-of join + window family
     args.drop(2).headOption.foreach { evPath =>

@@ -33,6 +33,15 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroup(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("jaccardPairsPrefix produces exactly the same pairs as jaccardPairs") {
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = run(Dedup.jaccardPairs(mkDocs, "doc_id", "text", 3, 0.3))
+    val pre = run(Dedup.jaccardPairsPrefix(mkDocs, "doc_id", "text", 3, 0.3))
+    assert(full.nonEmpty)
+    assert(pre == full)
+  }
+
   test("jaccardPairs finds planted near-dups exactly") {
     val pairs = Dedup.jaccardPairs(mkDocs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
