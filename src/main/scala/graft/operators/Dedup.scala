@@ -193,6 +193,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Remove boilerplate lines: drop every line whose document
+    * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav
+    * text, cookie banners). This is the pre-pass SCALE.md's measured
+    * decision matrix calls for — shared boilerplate inflates pairwise
+    * Jaccard and collapses MinHash LSH (996s vs 30s at 50k docs).
+    *
+    * Shape: explode lines (partition-local) → line-hash doc-frequency
+    * (one keyed shuffle, count carried as 16-byte hash not text) →
+    * broadcast-or-shuffle anti-join against the hot set → re-assemble
+    * in original line order. Exactly-one output row per input doc;
+    * docs whose every line is boilerplate keep empty text. */
+  def stripBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double = 0.05): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0)
+    val spread = graft.queries.Tables.spread(docs)
+    val nDocs = spread.count()
+    val maxDf = math.max(1L, (nDocs * maxDocFrac).toLong)
+    val lines = spread
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    // doc frequency per distinct line (a line repeated within one doc
+    // counts once)
+    val hot = lines.select(col(idCol), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("lh")
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    // left join keeps docs whose every line was boilerplate
+    spread.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius.
     *
     * Each doc gets a 64-bit simhash of its token hashes (native

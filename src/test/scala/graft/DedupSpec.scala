@@ -33,6 +33,22 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroup(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("stripBoilerplateLines removes ubiquitous lines, keeps rare ones in order") {
+    val docs = (1 to 40).map { i =>
+      (i.toLong,
+        s"unique opening line for document $i\n" +
+          "all rights reserved terms of service\n" +   // in every doc → stripped
+          s"body content ${i * 7} with detail ${i * 13}" +
+          (if (i <= 2) "\nrare shared footer" else "")) // df=2 ≤ 5% of 40 → kept
+    }.toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocFrac = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 40)
+    assert(out(5L) == "unique opening line for document 5\nbody content 35 with detail 65")
+    assert(out(1L).endsWith("\nrare shared footer"))
+    assert(out.values.forall(!_.contains("all rights reserved")))
+  }
+
   test("jaccardPairsPrefix produces exactly the same pairs as jaccardPairs") {
     def run(f: => org.apache.spark.sql.DataFrame) =
       f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
