@@ -17,7 +17,11 @@ object Invoke {
       managers: Seq[TumblingWindowManager],
       handler: Handler,
       sink: GraftSink,
-      dlq: Option[GraftSink])
+      dlq: Option[GraftSink],
+      /** Serializes handler-batch state mutation against manager polls —
+        * the port of the reference's shared `threading.Lock` between
+        * `lifecycle.invoke` and `Tumbling.poll`. */
+      lock: AnyRef = new Object)
 
   /** commands + tables DDL + udfs (reference `lifecycle.start` steps,
     * `pipeline.py:296-313`). */
@@ -25,6 +29,7 @@ object Invoke {
       sinkOverride: Option[GraftSink] = None,
       managerSinkOverride: Option[GraftSink] = None): Session = {
     val tables = scala.collection.mutable.Map[String, StateTable]()
+    val lock = new Object
 
     conf.commands.foreach(c => runCommand(spark, c.sql, tables))
 
@@ -40,7 +45,7 @@ object Invoke {
           val sink = managerSinkOverride.getOrElse(
             Sinks.build(spark, m.sink.getOrElse(SinkConf("noop"))))
           new TumblingWindowManager(spark,
-            tables(t.name), w, sink)
+            tables(t.name), w, sink, lock)
         }
       }
     }
@@ -51,7 +56,7 @@ object Invoke {
     val handler = Handlers.build(handlerConf, tables.toMap)
     val sink = sinkOverride.getOrElse(Sinks.build(spark, conf.pipeline.sink))
     val dlq = conf.pipeline.onError.dlq.map(Sinks.build(spark, _))
-    Session(conf, tables.toMap, managers, handler, sink, dlq)
+    Session(conf, tables.toMap, managers, handler, sink, dlq, lock)
   }
 
   /** Run one setup command (`pipeline.py:296-299`). The closed set used
@@ -121,28 +126,35 @@ object Invoke {
       .json(fixturePath)
     if (!raw0.schema.fieldNames.contains("_corrupt_record")) return raw0
     // Spark disallows filtering on only the corrupt-record column of a
-    // lazy json scan; materialize first.
+    // lazy json scan; materialize first. The cache is batch-scoped:
+    // released in the finally (repeated invoke() must not accumulate
+    // cache-manager entries), so the kept rows are checkpointed before
+    // the unpersist.
     val raw = raw0.cache()
-    val bad = raw.filter(col("_corrupt_record").isNotNull)
-    policy.policy match {
-      case "RAISE" =>
-        val sample = bad.select("_corrupt_record").head(1)
-        throw new IllegalArgumentException(
-          s"malformed JSON message: ${sample.headOption.map(_.getString(0)).getOrElse("")}")
-      case "IGNORE" =>
-        raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-      case "DLQ" =>
-        dlq.foreach { d =>
-          d.write(bad.select(
-            lit("malformed JSON").as("error"),
-            col("_corrupt_record").as("message"),
-            lit("handler.write").as("phase"),
-            date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")))
-          d.flush()
-        }
-        raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-      case other => throw new IllegalArgumentException(s"unknown error policy: $other")
-    }
+    try {
+      val bad = raw.filter(col("_corrupt_record").isNotNull)
+      policy.policy match {
+        case "RAISE" =>
+          val sample = bad.select("_corrupt_record").head(1)
+          throw new IllegalArgumentException(
+            s"malformed JSON message: ${sample.headOption.map(_.getString(0)).getOrElse("")}")
+        case "IGNORE" =>
+          raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+            .localCheckpoint(true)
+        case "DLQ" =>
+          dlq.foreach { d =>
+            d.write(bad.select(
+              lit("malformed JSON").as("error"),
+              col("_corrupt_record").as("message"),
+              lit("handler.write").as("phase"),
+              date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")))
+            d.flush()
+          }
+          raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+            .localCheckpoint(true)
+        case other => throw new IllegalArgumentException(s"unknown error policy: $other")
+      }
+    } finally raw.unpersist()
   }
 
   /** The golden-test entry point (mirrors `lifecycle.invoke` args:
@@ -173,8 +185,10 @@ object Invoke {
     val session = buildSession(spark, conf, sinkOverride, managerSinkOverride)
     val batch = readBatch(spark, fixturePath, conf.pipeline.onError, session.dlq)
     val result = try {
-      session.handler.invoke(spark,
-        registeredBatch(spark, batch, conf.pipeline.handler, session))
+      session.lock.synchronized {
+        session.handler.invoke(spark,
+          registeredBatch(spark, batch, conf.pipeline.handler, session))
+      }
     } catch {
       case e: Throwable if conf.pipeline.onError.policy == "IGNORE" =>
         spark.emptyDataFrame

@@ -64,9 +64,21 @@ object SqlDialect {
     cur
   }
 
-  /** `{'k': v, ...}` → named_struct('k', v, ...), nesting-aware. */
+  /** `{'k': v, ...}` → named_struct('k', v, ...), nesting-aware. A `{`
+    * inside a quoted string (e.g. a JSON literal `'{"k":1}'`) is NOT a
+    * struct literal and must survive untouched. */
   private def rewriteStructLiterals(s: String): String = {
-    val open = s.indexOf('{')
+    val open = {
+      var j = 0; var q = false; var found = -1
+      while (j < s.length && found < 0) {
+        val c = s.charAt(j)
+        if (q) { if (c == '\'') q = false }
+        else if (c == '\'') q = true
+        else if (c == '{') found = j
+        j += 1
+      }
+      found
+    }
     if (open < 0) return s
     // find the matching close brace, skipping quoted strings
     var depth = 0; var i = open; var inQuote = false; var close = -1

@@ -93,7 +93,15 @@ final class StateTable(
     require(uniqueKeys.nonEmpty,
       s"table $name has no unique index; ON CONFLICT requires one")
     val incoming = conform(rows)
-    if (dist != null) { upsertDist(incoming, sets); return incoming }
+    if (dist != null) {
+      // materialize the delta ONCE and upsert from the materialized
+      // plan, so the returned frame is the same stable rows that were
+      // merged (the local path's contract) — not a re-computable plan
+      // that could diverge if a caller sinks it after the merge
+      val snap = incoming.localCheckpoint(true)
+      upsertDist(snap, sets)
+      return snap
+    }
     val additive = sets.collect { case SqlDialect.Additive(c) => fieldIdx(c) }.toSet
     val replace = sets.collect { case SqlDialect.Replace(c) => fieldIdx(c) }.toSet
     val collected = incoming.collect()

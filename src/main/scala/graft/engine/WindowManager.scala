@@ -18,7 +18,11 @@ final class TumblingWindowManager(
     spark: SparkSession,
     table: StateTable,
     conf: TumblingWindowConf,
-    sink: GraftSink) {
+    sink: GraftSink,
+    /** Shared with the micro-batch thread's handler invoke (the
+      * reference's `threading.Lock` between `lifecycle.invoke` and
+      * `Tumbling.poll`): a poll must not interleave with an upsert. */
+    lock: AnyRef = new Object) {
 
   private val deleteSpec = SqlDialect.parseDelete(conf.deleteClosedWindowsSql)
     .getOrElse(throw new IllegalArgumentException(
@@ -29,18 +33,39 @@ final class TumblingWindowManager(
   @volatile private var running = false
   private var thread: Thread = _
 
-  /** Collect-closed → sink → delete-closed. Returns the flushed rows. */
-  def flush(): DataFrame = {
+  /** Collect-closed → sink → delete-closed. Returns the flushed rows.
+    *
+    * Runs under the batch-shared lock, and `now()` is frozen to one
+    * instant for BOTH the collect and the delete: re-evaluating a
+    * time-dependent predicate after the collect would silently delete
+    * (never sink) any bucket that crosses the close threshold between
+    * the two statements. */
+  def flush(): DataFrame = lock.synchronized {
     table.registerView()
-    val closed = spark.sql(SqlDialect.translate(conf.collectClosedWindowsSql))
+    val frozen = freezeNow
+    val closed = spark.sql(frozen(SqlDialect.translate(conf.collectClosedWindowsSql)))
     // materialize before the delete mutates the view underneath
     val rows = closed.localCheckpoint(true)
     if (!rows.isEmpty) {
       sink.write(rows)
       sink.flush()
     }
-    table.deleteWhere(deleteSpec.whereSql)
+    table.deleteWhere(frozen(deleteSpec.whereSql))
     rows
+  }
+
+  /** Replace now()/current_timestamp() with one captured UTC instant so
+    * the collect and delete predicates agree exactly. (Session TZ is
+    * UTC, so the literal is interpreted in UTC.) */
+  private def freezeNow: String => String = {
+    val lit = "TIMESTAMP '" + java.time.LocalDateTime
+      .ofInstant(java.time.Instant.now(), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")) + "'"
+    val rep = java.util.regex.Matcher.quoteReplacement(lit)
+    sql => sql
+      .replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", rep)
+      .replaceAll("(?i)\\bcurrent_timestamp\\s*(\\(\\s*\\))?", rep)
   }
 
   def start(): Unit = {

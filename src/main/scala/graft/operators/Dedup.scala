@@ -211,8 +211,10 @@ object Dedup {
       maxDocFrac: Double = 0.05): DataFrame = {
     require(maxDocFrac > 0.0 && maxDocFrac <= 1.0)
     val spread = graft.queries.Tables.spread(docs)
-    val nDocs = spread.count()
-    val maxDf = math.max(1L, (nDocs * maxDocFrac).toLong)
+    // corpus size stays inside the plan (zero-column scalar agg,
+    // broadcast into the threshold) — an eager driver-side count()
+    // here would be a second full pass over the corpus at 100 TB
+    val nDocsDf = spread.agg(count(lit(1)).as("__n_docs"))
     val lines = spread
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("lh", xxhash64(col("line")))
@@ -220,7 +222,9 @@ object Dedup {
     // counts once)
     val hot = lines.select(col(idCol), col("lh")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+      .crossJoin(broadcast(nDocsDf))
+      .filter(col("df") > greatest(lit(1L),
+        (col("__n_docs") * maxDocFrac).cast("long")))
       .select("lh")
     val kept = lines.join(hot, Seq("lh"), "left_anti")
       .groupBy(idCol)

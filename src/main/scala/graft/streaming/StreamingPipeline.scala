@@ -99,6 +99,10 @@ object StreamingPipeline {
         ()
       }
 
+    // spawn the manager poll threads (reference lifecycle.start →
+    // handle_managed_tables): closed windows must drain on their own
+    // timer for an unbounded run, not only at shutdown
+    session.managers.foreach(_.start())
     Running(writer.start(), session, source.onStop, batches)
   }
 
@@ -111,27 +115,46 @@ object StreamingPipeline {
       metrics: GraftMetrics = new GraftMetrics): Unit = {
     if (raw.isEmpty) return
     val metaCols = raw.schema.fieldNames.filter(_.startsWith("kafka_")).toSeq
-    // decode: per-batch JSON inference over the value strings, keeping
-    // kafka metadata columns alongside (handlers.py:104-112)
-    val values = raw.cache()
+    // decode: per-batch JSON schema inference over the value strings,
+    // then a per-row from_json against that schema so the kafka_*
+    // metadata columns stay attached to every decoded row — the
+    // reference injects them so handler SQL can reference them
+    // (handlers.py InferredMemBatch.write).
+    // NB: inside foreachBatch `raw` is bound to a CLONED SparkSession;
+    // the handler registers `batch` as a temp view, which must land in
+    // the outer session's catalog — bridge via the session-agnostic RDD.
+    val values = spark.createDataFrame(raw.toDF().rdd, raw.schema).cache()
     var parsed: DataFrame = null
     try {
-      parsed = spark.read
+      val inferred = spark.read
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(values.select(col("value").cast("string").as("value"))
           .as(org.apache.spark.sql.Encoders.STRING))
+        .schema
+      parsed = values
+        .withColumn("__graft_payload", from_json(
+          col("value").cast("string"), inferred,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .select(col("__graft_payload.*") +: metaCols.map(col): _*)
         .cache()
       val batch = withPolicy(spark, parsed, policy, session.dlq)
-      val result = try {
-        session.handler.invoke(spark, batch)
+      val written = try {
+        // lock: a manager poll must not collect/delete between the
+        // handler's upsert and the sink flush (shared with
+        // TumblingWindowManager.flush)
+        session.lock.synchronized {
+          val result = session.handler.invoke(spark, batch)
+          val w = session.sink.write(result)
+          session.sink.flush()
+          w
+        }
       } catch {
         case e: Throwable =>
           metrics.recordError()
           return handleInvokeError(spark, session, policy, e)
       }
-      val written = session.sink.write(result)
-      session.sink.flush()
       metrics.recordFlush(math.max(0L, written))
       session.handler.reset()
     } finally {

@@ -12,6 +12,14 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT named_struct('o', named_struct('i', y)) FROM t")
   }
 
+  test("braces inside quoted strings are not struct literals") {
+    assert(translate("""SELECT '{"k":1}' AS j FROM t""") ==
+      """SELECT '{"k":1}' AS j FROM t""")
+    // a real struct literal after a quoted JSON string still rewrites
+    assert(translate("""SELECT '{"k":1}' AS j, {'a': 1} AS s FROM t""") ==
+      """SELECT '{"k":1}' AS j, named_struct('a', 1) AS s FROM t""")
+  }
+
   test("->> chains → get_json_object") {
     assert(translate("SELECT payload ->> 'k' FROM t") ==
       "SELECT get_json_object(payload, '$.k') FROM t")

@@ -152,6 +152,88 @@ class StreamingSpec extends SparkTestBase {
     } finally { running.stop(); server.close() }
   }
 
+  test("window manager poll thread drains closed windows without manual flush") {
+    val inDir = Files.createTempDirectory("graft_stream_poll")
+    val managerSink = new MemorySink
+    val conf = confFromString(
+      s"""tables:
+         |  sql:
+         |    - name: poll_counts
+         |      sql: |
+         |        CREATE TABLE poll_counts (bucket TIMESTAMPTZ, city VARCHAR, count INT);
+         |        CREATE UNIQUE INDEX pc_idx ON poll_counts (bucket, city);
+         |      manager:
+         |        tumbling_window:
+         |          poll_interval_seconds: 1
+         |          collect_closed_windows_sql: |
+         |            SELECT strftime(date_trunc('hour', bucket), '%Y-%m-%dT%H:%M:%S') AS bucket, city, count
+         |            FROM poll_counts
+         |            WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+         |          delete_closed_windows_sql: |
+         |            DELETE FROM poll_counts WHERE bucket < (now()::timestamptz - INTERVAL '60' SECOND)
+         |        sink: {type: noop}
+         |pipeline:
+         |  batch_size: 1000
+         |  source:
+         |    type: file
+         |    file: {path: '$inDir', format: json}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      INSERT INTO poll_counts BY NAME
+         |      SELECT date_trunc('hour', CAST(timestamp as TIMESTAMP)) as bucket,
+         |             properties.city as city, count(*) as count
+         |      FROM batch GROUP BY bucket, city
+         |      ON CONFLICT (bucket, city) DO UPDATE SET count = count + EXCLUDED.count
+         |  sink: {type: noop}
+         |""".stripMargin)
+    val running = StreamingPipeline.start(spark, conf,
+      managerSinkOverride = Some(managerSink))
+    try {
+      Files.writeString(inDir.resolve("b1.jsonl"),
+        """{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"Austin"}}""" + "\n")
+      running.processAllAvailable()
+      // the 2015 bucket is long closed — the poll thread alone must
+      // collect → sink → delete it (ADVICE r1: managers were built but
+      // never started)
+      val deadline = System.currentTimeMillis() + 15000
+      while (managerSink.allRows.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(managerSink.allRows == Seq(
+        """{"bucket":"2015-12-12T19:00:00","city":"Austin","count":1}"""))
+      // and the state row is gone (manual flush now finds nothing)
+      assert(running.session.managers.head.flush().isEmpty)
+    } finally running.stop()
+  }
+
+  test("kafka_* metadata columns stay attached to decoded rows for handler SQL") {
+    import spark.implicits._
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 10
+        |  source:
+        |    type: file
+        |    file: {path: '/nonexistent', format: json}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT event, kafka_offset, kafka_partition, kafka_topic
+        |      FROM batch ORDER BY kafka_offset
+        |  sink: {type: memory}
+        |""".stripMargin)
+    val session = Invoke.buildSession(spark, conf, Some(sink))
+    // a kafka-shaped raw micro-batch: value bytes + kafka_* metadata
+    val raw = Seq(
+      ("""{"event":"search"}""", 7L, 0, "clicks"),
+      ("""{"event":"click"}""", 8L, 1, "clicks"))
+      .toDF("value", "kafka_offset", "kafka_partition", "kafka_topic")
+    StreamingPipeline.processBatch(spark, session, conf.pipeline.onError, raw)
+    assert(sink.allRows == Seq(
+      """{"event":"search","kafka_offset":7,"kafka_partition":0,"kafka_topic":"clicks"}""",
+      """{"event":"click","kafka_offset":8,"kafka_partition":1,"kafka_topic":"clicks"}"""))
+  }
+
   test("streaming tumbling window: upsert accumulates across micro-batches, manager drains") {
     val inDir = Files.createTempDirectory("graft_stream_win")
     val managerSink = new MemorySink
