@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, "lang_id(text)")
       LangId(args.head)
     }
+    register("duck_extract", "duck_extract(col, 'key')") { args =>
+      require(args.length == 2, "duck_extract(col, 'key')")
+      DuckArrowExtract(args.head, args(1))
+    }
     register("hyperplane_bands",
         "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)") { args =>
       require(args.length == 5, "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)")

@@ -17,26 +17,52 @@ trait Handler {
   * InferredDiskBatch exists only to bound memory — Spark spills, so one
   * handler covers both (SURVEY §1.3).
   *
-  * If the SQL is an `INSERT ... ON CONFLICT` upsert, the SELECT runs
-  * over `batch` and the result merges into the managed state table —
-  * the reference's cross-batch accumulation pattern
-  * (tumbling.window.yml:48-58). */
+  * Handler SQL may be a script of `;`-separated statements (the
+  * reference hands the whole blob to DuckDB —
+  * kafka.motherduck.idempotent.yml wraps temp-table + two inserts in a
+  * transaction). Supported statement forms:
+  *
+  *  - `BEGIN TRANSACTION` / `COMMIT` / `ROLLBACK` — no-ops (each
+  *    micro-batch is already the atomicity unit here)
+  *  - `CREATE OR REPLACE TEMPORARY TABLE x AS SELECT …` — materialized
+  *    once (localCheckpoint) and registered, matching DuckDB's eager
+  *    temp table, so later statements don't recompute it
+  *  - `INSERT … ON CONFLICT` → state-table upsert (unqualified) or
+  *    attached-catalog-table merge (qualified)
+  *  - anything else → Spark SQL (incl. `INSERT INTO db.t SELECT …`)
+  *
+  * The result is the last SELECT-producing statement's frame. */
 final class InferredBatchHandler(sql: String, tables: Map[String, StateTable])
     extends Handler {
 
-  private val upsert = SqlDialect.parseUpsert(sql)
+  private val tempTablePat =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+(\w+)\s+AS\s+(.+)$""".r
 
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
     batch.createOrReplaceTempView("batch")
-    upsert match {
-      case Some(spec) =>
-        val table = tables.getOrElse(spec.table, throw new IllegalArgumentException(
-          s"upsert target table ${spec.table} is not declared in `tables`"))
-        val delta = spark.sql(SqlDialect.translate(spec.selectSql))
-        table.upsert(delta, spec.sets)
-      case None =>
-        spark.sql(SqlDialect.translate(sql))
+    var result: DataFrame = null
+    StateTable.splitStatements(sql).foreach { stmt =>
+      val up = stmt.trim.toUpperCase
+      if (up.startsWith("BEGIN") || up.startsWith("COMMIT") ||
+          up.startsWith("ROLLBACK")) ()
+      else SqlDialect.parseUpsert(stmt) match {
+        case Some(spec) if spec.table.contains('.') =>
+          result = Attachments.upsertCatalog(spark, spec)
+        case Some(spec) =>
+          val table = tables.getOrElse(spec.table, throw new IllegalArgumentException(
+            s"upsert target table ${spec.table} is not declared in `tables`"))
+          val delta = spark.sql(SqlDialect.translate(spec.selectSql))
+          result = table.upsert(delta, spec.sets)
+        case None => stmt match {
+          case tempTablePat(name, select) =>
+            spark.sql(SqlDialect.translate(select)).localCheckpoint(true)
+              .createOrReplaceTempView(name)
+          case _ =>
+            result = spark.sql(SqlDialect.translate(stmt))
+        }
+      }
     }
+    if (result == null) spark.emptyDataFrame else result
   }
 }
 
@@ -44,33 +70,44 @@ final class InferredBatchHandler(sql: String, tables: Map[String, StateTable])
   * pre-created by DDL; each batch is validated against its schema
   * (unknown columns / uncastable types raise — the reference's
   * ArrowInvalid taxonomy, tests/handlers/test_structured_batch.py:27-55),
-  * inserted, and the user SQL runs against the TABLE, not `batch`. */
+  * inserted, and the user SQL runs against the TABLE, not `batch`.
+  *
+  * A qualified `table: db.t` (kafka.structured.disk.yml) targets an
+  * ATTACHed catalog table instead of an in-session state table; rows
+  * persist in the attached store across batches, exactly like the
+  * reference's on-disk DuckDB file. */
 final class StructuredBatchHandler(
     sql: String, tableName: String, tables: Map[String, StateTable])
     extends Handler {
 
-  private val table = tables.getOrElse(tableName,
-    throw new IllegalArgumentException(
+  private val qualified = tableName.contains('.')
+  private val table: StateTable =
+    if (qualified) null
+    else tables.getOrElse(tableName, throw new IllegalArgumentException(
       s"structured handler table $tableName is not declared (commands/tables DDL)"))
 
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
-    val declared = table.schema.fieldNames.toSet
+    val schema = if (qualified) spark.table(tableName).schema else table.schema
+    val declared = schema.fieldNames.toSet
     val extra = batch.schema.fieldNames.filterNot(declared.contains)
     if (extra.nonEmpty)
       throw new IllegalArgumentException(
         s"batch columns ${extra.mkString(",")} not in table $tableName schema " +
-          s"(${table.schema.fieldNames.mkString(",")})")
+          s"(${schema.fieldNames.mkString(",")})")
     // missing columns become nulls; present ones must cast (ANSI: bad casts raise)
-    val aligned = table.schema.fields.foldLeft(batch) { (df, f) =>
-      if (batch.schema.fieldNames.contains(f.name)) df
-      else df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
-    }
-    table.insert(aligned)
+    val aligned = batch.select(schema.fields.map { f =>
+      import org.apache.spark.sql.functions._
+      (if (batch.schema.fieldNames.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    if (qualified) aligned.write.insertInto(tableName)
+    else table.insert(aligned)
     spark.sql(SqlDialect.translate(sql))
   }
 
-  /** The buffer table drains after each flush. */
-  override def reset(): Unit = table.truncate()
+  /** The in-session buffer drains after each flush; an attached table
+    * is durable storage and persists (reference disk semantics). */
+  override def reset(): Unit = if (!qualified) table.truncate()
 }
 
 object Handlers {

@@ -31,6 +31,7 @@ object Invoke {
     val tables = scala.collection.mutable.Map[String, StateTable]()
     val lock = new Object
 
+    Udfs.ensureEngineFunctions(spark)
     conf.commands.foreach(c => runCommand(spark, c.sql, tables))
 
     conf.tables.foreach { t =>
@@ -60,21 +61,29 @@ object Invoke {
   }
 
   /** Run one setup command (`pipeline.py:296-299`). The closed set used
-    * by shipped configs: CREATE VIEW over read_csv / read_json_auto →
-    * Spark reader + temp view; CREATE TABLE → state table; ATTACH /
-    * INSTALL / LOAD / SET → environment concerns with no Spark
-    * equivalent, logged and skipped (SURVEY section 7.4 item 6). */
+    * by shipped configs: ATTACH → external database as a Spark catalog
+    * namespace (Attachments); USE → current-database switch; CREATE
+    * VIEW over read_csv / read_json_auto → Spark reader + temp view;
+    * CREATE TABLE → state table (unqualified) or attached catalog
+    * table (qualified); INSTALL / LOAD / SET → DuckDB-process
+    * concerns with no Spark equivalent, logged and skipped. */
   private[engine] def runCommand(spark: SparkSession, sql: String,
       tables: scala.collection.mutable.Map[String, StateTable]): Unit = {
     StateTable.splitStatements(sql).foreach { stmt =>
       val up = stmt.trim.toUpperCase
-      if (up.startsWith("ATTACH") || up.startsWith("INSTALL") ||
+      if (up.startsWith("ATTACH")) {
+        val spec = Attachments.parseAttach(stmt).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse ATTACH: $stmt"))
+        Attachments.attach(spark, spec)
+      } else if (up.startsWith("INSTALL") ||
           up.startsWith("LOAD") || up.startsWith("SET")) {
         System.err.println(s"[commands] skipping environment command: " +
           stmt.linesIterator.next())
       } else if (up.startsWith("CREATE TABLE")) {
-        val st = StateTable.fromDdl(spark, stmt)
-        tables(st.name) = st
+        if (!Attachments.createQualifiedTable(spark, stmt)) {
+          val st = StateTable.fromDdl(spark, stmt)
+          tables(st.name) = st
+        }
       } else {
         // session-scoped engine: CREATE VIEW means a temp view (a
         // persistent view can't reference the temp views the inline

@@ -7,7 +7,7 @@ package graft.engine
   * and test) are rewritten here at string level:
   *
   *  - `{'k': v, ...}` struct literal            → named_struct('k', v, ...)
-  *  - `col ->> 'k'` (chainable)                 → get_json_object(col, '$.k')
+  *  - `col ->> 'k'` (chainable)                 → duck_extract(col, 'k')
   *  - `expr::TYPE`                              → CAST(expr AS TYPE) (type-mapped)
   *  - `strftime(x, '%Y-...')`                   → date_format(x, 'yyyy-...')
   *  - `time_bucket(INTERVAL 'n u', x)`          → epoch-floor bucketing
@@ -26,6 +26,8 @@ object SqlDialect {
   def translate(sql: String): String = {
     var s = sql.trim.stripSuffix(";")
     s = rewriteStructLiterals(s)
+    s = rewriteDoubleQuotedIdents(s)
+    s = rewriteTrailingCommas(s)
     s = rewriteJsonArrows(s)
     s = rewriteCorrelatedLimit1Join(s)
     s = rewriteStrftime(s)
@@ -35,6 +37,52 @@ object SqlDialect {
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
     s
+  }
+
+  /** DuckDB/Postgres double-quoted identifiers (`em."offset"`) →
+    * backticked Spark identifiers. Spark's default parser reads
+    * double-quoted tokens as STRING LITERALS, silently breaking the
+    * reference SQL. Only single-word quoted tokens outside
+    * single-quoted strings are rewritten (a real string literal like
+    * '{"k":1}' is untouched). */
+  private def rewriteDoubleQuotedIdents(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        sb.append(c); if (c == '\'') inQuote = false; i += 1
+      } else if (c == '\'') {
+        sb.append(c); inQuote = true; i += 1
+      } else if (c == '"') {
+        val end = s.indexOf('"', i + 1)
+        val body = if (end > i) s.substring(i + 1, end) else ""
+        if (end > i && body.matches("[A-Za-z_]\\w*")) {
+          sb.append('`').append(body).append('`'); i = end + 1
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** DuckDB tolerates a trailing comma in the SELECT list
+    * (`kafka.motherduck.idempotent.yml` handler); Spark does not. */
+  private def rewriteTrailingCommas(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { sb.append(c); if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inQuote = true; i += 1 }
+      else if (c == ',') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (s.regionMatches(true, j, "FROM", 0, 4) &&
+            (j + 4 >= s.length || !s.charAt(j + 4).isLetterOrDigit)) i += 1
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private val typeMap = Map(
@@ -125,7 +173,11 @@ object SqlDialect {
         k
       }
       require(idx > 0, s"malformed struct literal entry: $p")
-      val key = p.substring(0, idx).trim
+      // keys may be single-quoted, double-quoted (kafka.postgres.join.yml
+      // uses {"user_id": …}), or bare; normalize to a single-quoted name
+      val key = "'" + p.substring(0, idx).trim
+        .stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"") + "'"
       val value = rewriteStructLiterals(p.substring(idx + 1).trim) // nested
       s"$key, $value"
     }
@@ -133,12 +185,15 @@ object SqlDialect {
     s.substring(0, open) + replaced + rewriteStructLiterals(s.substring(close + 1))
   }
 
-  /** `base ->> 'k1' ->> 'k2'` → get_json_object(get_json_object(base,'$.k1'),'$.k2') */
+  /** `base ->> 'k1' ->> 'k2'` → duck_extract(duck_extract(base,'k1'),'k2')
+    * — a type-dispatched extraction (struct field OR get_json_object)
+    * because the same reference SQL runs over decoded objects and raw
+    * JSON strings alike (functions.DuckArrowExtract). */
   private def rewriteJsonArrows(s: String): String = {
     val pat = """([A-Za-z_][\w\.]*)((?:\s*->>\s*'[^']+')+)""".r
     pat.replaceAllIn(s, m => {
       val keys = """'([^']+)'""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
-      val expr = keys.foldLeft(m.group(1))((acc, k) => s"get_json_object($acc, '$$.$k')")
+      val expr = keys.foldLeft(m.group(1))((acc, k) => s"duck_extract($acc, '$k')")
       java.util.regex.Matcher.quoteReplacement(expr)
     })
   }
@@ -251,32 +306,67 @@ object SqlDialect {
   sealed trait SetClause { def col: String }
   final case class Additive(col: String) extends SetClause
   final case class Replace(col: String) extends SetClause
+  /** `col = <expr>` with no EXCLUDED reference (e.g. `updated_at =
+    * now()` in kafka.motherduck.idempotent.yml) — the expression is
+    * evaluated on the merged row. */
+  final case class Assign(col: String, exprSql: String) extends SetClause
 
   final case class UpsertSpec(
       table: String, selectSql: String, conflictKeys: Seq[String],
-      sets: Seq[SetClause])
+      sets: Seq[SetClause], insertColumns: Seq[String] = Seq())
 
-  /** `INSERT INTO t [BY NAME] SELECT ... ON CONFLICT (k,...) DO UPDATE
-    * SET c = c + EXCLUDED.c` (tumbling.window.yml:48-58). */
+  private def unquoteIdent(s: String): String =
+    s.trim.stripPrefix("\"").stripSuffix("\"")
+
+  /** `INSERT INTO [db.]t [BY NAME] [(cols)] SELECT ... ON CONFLICT
+    * (k,...) DO UPDATE SET c = c + EXCLUDED.c, …`
+    * (tumbling.window.yml:48-58, kafka.motherduck.idempotent.yml). */
   def parseUpsert(sql: String): Option[UpsertSpec] = {
     val pat =
-      """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(?:BY\s+NAME\s+)?(SELECT.+?)\s*ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
+      """(?is)^\s*INSERT\s+INTO\s+([\w\.]+)\s+(?:BY\s+NAME\s+)?(?:\(([^)]*)\)\s*)?(SELECT.+?)\s*ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
     sql match {
-      case pat(table, select, keys, sets) =>
-        val setClauses = sets.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
-          val add = """(?i)(\w+)\s*=\s*(\w+)\s*\+\s*EXCLUDED\.(\w+)""".r
-          val rep = """(?i)(\w+)\s*=\s*EXCLUDED\.(\w+)""".r
+      case pat(table, insertCols, select, keys, sets) =>
+        val setClauses = splitTopLevelCommas(sets).map(_.trim).filter(_.nonEmpty).map { c =>
+          val add = """(?i)("?[\w]+"?)\s*=\s*("?[\w]+"?)\s*\+\s*EXCLUDED\.("?[\w]+"?)""".r
+          val rep = """(?i)("?[\w]+"?)\s*=\s*EXCLUDED\.("?[\w]+"?)""".r
+          val asg = """(?is)("?[\w]+"?)\s*=\s*(.+)""".r
           c match {
-            case add(col, c2, c3) if col == c2 && col == c3 => Additive(col)
-            case rep(col, c2) if col == c2 => Replace(col)
+            case add(col, c2, c3)
+                if unquoteIdent(col) == unquoteIdent(c2) &&
+                  unquoteIdent(col) == unquoteIdent(c3) =>
+              Additive(unquoteIdent(col))
+            case rep(col, c2) if unquoteIdent(col) == unquoteIdent(c2) =>
+              Replace(unquoteIdent(col))
+            case asg(col, e) => Assign(unquoteIdent(col), e.trim)
             case other => throw new IllegalArgumentException(
               s"unsupported ON CONFLICT SET clause: $other")
           }
         }
         Some(UpsertSpec(table, select.trim,
-          keys.split(",").toSeq.map(_.trim).filter(_.nonEmpty), setClauses))
+          keys.split(",").toSeq.map(k => unquoteIdent(k)).filter(_.nonEmpty),
+          setClauses,
+          Option(insertCols).map(_.split(",").toSeq.map(unquoteIdent)
+            .filter(_.nonEmpty)).getOrElse(Seq())))
       case _ => None
     }
+  }
+
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var q = false; var start = 0
+    for (i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
   }
 
   final case class DeleteSpec(table: String, whereSql: String)

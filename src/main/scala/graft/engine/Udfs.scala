@@ -13,6 +13,21 @@ trait UdfModule {
 
 object Udfs {
 
+  /** Engine-internal SQL functions the dialect shim rewrites to.
+    * Registered imperatively so any session that runs handler SQL has
+    * them, extensions-configured or not (idempotent). */
+  def ensureEngineFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("duck_extract"),
+      new ExpressionInfo("graft", "duck_extract", "duck_extract(col, 'key')"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "duck_extract(col, 'key')")
+        graft.functions.DuckArrowExtract(args.head, args(1))
+      })
+  }
+
   def register(spark: SparkSession, conf: UdfConf): Unit =
     builtins.get(conf.importPath) match {
       case Some(fn) => fn(spark, conf.functionName)

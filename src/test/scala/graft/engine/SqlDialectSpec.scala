@@ -20,11 +20,11 @@ class SqlDialectSpec extends AnyFunSuite {
       """SELECT '{"k":1}' AS j, named_struct('a', 1) AS s FROM t""")
   }
 
-  test("->> chains → get_json_object") {
+  test("->> chains → duck_extract (type-dispatched string/struct extraction)") {
     assert(translate("SELECT payload ->> 'k' FROM t") ==
-      "SELECT get_json_object(payload, '$.k') FROM t")
+      "SELECT duck_extract(payload, 'k') FROM t")
     assert(translate("SELECT issue ->> 'user' ->> 'login' FROM t") ==
-      "SELECT get_json_object(get_json_object(issue, '$.user'), '$.login') FROM t")
+      "SELECT duck_extract(duck_extract(issue, 'user'), 'login') FROM t")
   }
 
   test(":: casts with type mapping") {
