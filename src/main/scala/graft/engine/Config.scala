@@ -12,9 +12,23 @@ import scala.jdk.CollectionConverters._
   * handler / sink / on_error). Field names follow the reference YAML so
   * its shipped configs parse unchanged.
   */
+/** librdkafka-style TLS settings (`kafka.sasl-tls.yml:10-15`,
+  * reference config.py KafkaSSLConfig). */
+final case class KafkaSslConf(
+    caLocation: Option[String],
+    certificateLocation: Option[String],
+    keyLocation: Option[String],
+    keyPassword: Option[String],
+    endpointIdentificationAlgorithm: Option[String])
+final case class KafkaSaslConf(
+    mechanism: String, username: String, password: String)
+
 final case class KafkaSourceConf(
     brokers: Seq[String], groupId: String, autoOffsetReset: String,
-    topics: Seq[String])
+    topics: Seq[String],
+    securityProtocol: Option[String] = None,
+    ssl: Option[KafkaSslConf] = None,
+    sasl: Option[KafkaSaslConf] = None)
 final case class WebsocketSourceConf(uri: String)
 final case class WebhookSourceConf(
     port: Int, signingSecret: Option[String], signatureHeader: String)
@@ -30,7 +44,11 @@ final case class SourceConf(
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String])
 
-final case class KafkaSinkConf(brokers: Seq[String], topic: String)
+final case class KafkaSinkConf(
+    brokers: Seq[String], topic: String,
+    securityProtocol: Option[String] = None,
+    ssl: Option[KafkaSslConf] = None,
+    sasl: Option[KafkaSaslConf] = None)
 final case class SqlSubstitution(varName: String, kind: String)
 final case class SqlCommandSinkConf(sql: String, substitutions: Seq[SqlSubstitution])
 final case class IcebergSinkConf(catalogName: String, tableName: String)
@@ -94,8 +112,12 @@ object Config {
         java.nio.charset.StandardCharsets.UTF_8),
       overrides)
 
+  /** Rendered YAML tree, for structural validation (ConfigSchema). */
+  def parseTree(raw: String, overrides: Map[String, String] = Map()): JsonNode =
+    mapper.readTree(renderTemplate(raw, overrides))
+
   def fromString(raw: String, overrides: Map[String, String] = Map()): Conf = {
-    val root = mapper.readTree(renderTemplate(raw, overrides))
+    val root = parseTree(raw, overrides)
     Conf(
       pipeline = parsePipeline(root.path("pipeline")),
       commands = root.path("commands").elements().asScala.map { c =>
@@ -106,6 +128,30 @@ object Config {
         UdfConf(u.path("function_name").asText(), u.path("import_path").asText())
       }.toSeq)
   }
+
+  private def optText(n: JsonNode, field: String): Option[String] =
+    if (n.has(field) && !n.path(field).isNull) Some(n.path(field).asText()) else None
+
+  private def parseSsl(k: JsonNode): Option[KafkaSslConf] =
+    if (k.has("ssl")) {
+      val s = k.path("ssl")
+      Some(KafkaSslConf(
+        caLocation = optText(s, "ca_location"),
+        certificateLocation = optText(s, "certificate_location"),
+        keyLocation = optText(s, "key_location"),
+        keyPassword = optText(s, "key_password"),
+        endpointIdentificationAlgorithm =
+          optText(s, "endpoint_identification_algorithm")))
+    } else None
+
+  private def parseSasl(k: JsonNode): Option[KafkaSaslConf] =
+    if (k.has("sasl")) {
+      val s = k.path("sasl")
+      Some(KafkaSaslConf(
+        mechanism = s.path("mechanism").asText(""),
+        username = s.path("username").asText(""),
+        password = s.path("password").asText("")))
+    } else None
 
   private def strSeq(n: JsonNode): Seq[String] =
     if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
@@ -146,7 +192,10 @@ object Config {
           brokers = strSeq(k.path("brokers")),
           groupId = k.path("group_id").asText(""),
           autoOffsetReset = k.path("auto_offset_reset").asText("earliest"),
-          topics = strSeq(k.path("topics"))))
+          topics = strSeq(k.path("topics")),
+          securityProtocol = optText(k, "security_protocol"),
+          ssl = parseSsl(k),
+          sasl = parseSasl(k)))
       } else None,
       websocket = if (s.has("websocket"))
         Some(WebsocketSourceConf(s.path("websocket").path("uri").asText())) else None,
@@ -169,7 +218,9 @@ object Config {
       kind = s.path("type").asText("noop"),
       kafka = if (s.has("kafka")) {
         val k = s.path("kafka")
-        Some(KafkaSinkConf(strSeq(k.path("brokers")), k.path("topic").asText()))
+        Some(KafkaSinkConf(strSeq(k.path("brokers")), k.path("topic").asText(),
+          securityProtocol = optText(k, "security_protocol"),
+          ssl = parseSsl(k), sasl = parseSasl(k)))
       } else None,
       sqlcommand = if (s.has("sqlcommand")) {
         val c = s.path("sqlcommand")

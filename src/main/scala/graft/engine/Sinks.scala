@@ -57,6 +57,7 @@ final class KafkaSink(conf: KafkaSinkConf) extends GraftSink {
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.brokers.mkString(","))
       .option("topic", conf.topic)
+      .options(KafkaOptions.securityOptions(conf.securityProtocol, conf.ssl, conf.sasl))
       .save()
     -1L
   }

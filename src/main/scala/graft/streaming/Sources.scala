@@ -29,6 +29,9 @@ object Sources {
         .option("subscribe", k.topics.mkString(","))
         .option("startingOffsets",
           if (k.autoOffsetReset == "earliest") "earliest" else "latest")
+        .options(
+          (if (k.groupId.nonEmpty) Map("kafka.group.id" -> k.groupId) else Map.empty[String, String]) ++
+          KafkaOptions.securityOptions(k.securityProtocol, k.ssl, k.sasl))
         .load()
         .selectExpr(
           "CAST(value AS STRING) AS value",
