@@ -1,0 +1,220 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import scala.jdk.CollectionConverters._
+
+/** Structural config validation — the port of the reference's 675-line
+  * JSON Schema (`sqlflow/static/schemas/config.json`, enforced by
+  * `tests/test_configs.py:29-71`). Validation runs over the rendered
+  * YAML tree and reports ALL violations, not just the first:
+  *
+  *  - required keys (root `pipeline`; `pipeline.batch_size/source/
+  *    handler/sink`; per-block requireds like `kafka.brokers`)
+  *  - closed key sets where the schema closes them (root and
+  *    `pipeline` have `additionalProperties: false`) and, stricter
+  *    than the reference, unknown-key detection in every typed block —
+  *    a typo'd `topcs:` should never pass silently
+  *  - enums (source/sink types, error policies, SASL mechanisms,
+  *    auto_offset_reset, substitution types)
+  *  - scalar types (integers, strings, arrays of strings)
+  *
+  * Engine extensions beyond the reference's enums are additive:
+  * `file`/`webhook` sources and the `memory` sink exist here and are
+  * accepted; everything the reference rejects is rejected. */
+object ConfigSchema {
+
+  def validate(root: JsonNode): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    def err(path: String, msg: String): Unit = errs += s"$path: $msg"
+
+    def fields(n: JsonNode): Seq[String] = n.fieldNames().asScala.toSeq
+
+    def checkKeys(n: JsonNode, path: String, allowed: Set[String]): Unit =
+      fields(n).filterNot(allowed.contains).foreach(k =>
+        err(s"$path.$k", s"unknown key (allowed: ${allowed.toSeq.sorted.mkString(", ")})"))
+
+    def requireKeys(n: JsonNode, path: String, required: Seq[String]): Unit =
+      required.filterNot(n.has).foreach(k => err(path, s"missing required key `$k`"))
+
+    def str(n: JsonNode, path: String, key: String): Unit =
+      if (n.has(key) && !n.path(key).isTextual) err(s"$path.$key", "must be a string")
+
+    def int(n: JsonNode, path: String, key: String): Unit =
+      if (n.has(key) && !n.path(key).canConvertToInt) err(s"$path.$key", "must be an integer")
+
+    def strArray(n: JsonNode, path: String, key: String): Unit =
+      if (n.has(key)) {
+        val v = n.path(key)
+        if (!v.isArray) err(s"$path.$key", "must be an array of strings")
+        else v.elements().asScala.zipWithIndex.foreach { case (e, i) =>
+          if (!e.isValueNode) err(s"$path.$key[$i]", "must be a string")
+        }
+      }
+
+    def enumOf(n: JsonNode, path: String, key: String, values: Set[String]): Unit =
+      if (n.has(key) && !values.contains(n.path(key).asText()))
+        err(s"$path.$key",
+          s"must be one of ${values.toSeq.sorted.mkString(", ")} (got '${n.path(key).asText()}')")
+
+    def sink(s: JsonNode, sp: String): Unit = {
+      requireKeys(s, sp, Seq("type"))
+      checkKeys(s, sp, Set("type", "format", "kafka", "sqlcommand", "iceberg",
+        "clickhouse", "console", "memory", "noop"))
+      enumOf(s, sp, "type", Set("kafka", "noop", "iceberg", "console",
+        "sqlcommand", "clickhouse", "memory"))
+      if (s.has("format"))
+        enumOf(s.path("format"), s"$sp.format", "type", Set("parquet"))
+      if (s.has("kafka")) {
+        val k = s.path("kafka"); val kp = s"$sp.kafka"
+        requireKeys(k, kp, Seq("brokers", "topic"))
+        checkKeys(k, kp, Set("brokers", "topic", "security_protocol", "ssl", "sasl"))
+        strArray(k, kp, "brokers")
+      }
+      if (s.has("sqlcommand")) {
+        val c = s.path("sqlcommand"); val cp = s"$sp.sqlcommand"
+        requireKeys(c, cp, Seq("sql"))
+        checkKeys(c, cp, Set("sql", "substitutions"))
+        if (c.has("substitutions"))
+          c.path("substitutions").elements().asScala.zipWithIndex.foreach {
+            case (sub, i) =>
+              val subp = s"$cp.substitutions[$i]"
+              requireKeys(sub, subp, Seq("var", "type"))
+              checkKeys(sub, subp, Set("var", "type"))
+              enumOf(sub, subp, "type", Set("uuid4"))
+          }
+      }
+      if (s.has("iceberg")) {
+        requireKeys(s.path("iceberg"), s"$sp.iceberg", Seq("catalog_name", "table_name"))
+        checkKeys(s.path("iceberg"), s"$sp.iceberg", Set("catalog_name", "table_name"))
+      }
+      if (s.has("clickhouse")) {
+        requireKeys(s.path("clickhouse"), s"$sp.clickhouse", Seq("dsn", "table"))
+        checkKeys(s.path("clickhouse"), s"$sp.clickhouse", Set("dsn", "table"))
+      }
+    }
+
+    // ---- root (additionalProperties: false) --------------------------
+    checkKeys(root, "$", Set("pipeline", "commands", "tables", "udfs"))
+    requireKeys(root, "$", Seq("pipeline"))
+
+    if (root.has("commands")) root.path("commands").elements().asScala.zipWithIndex.foreach {
+      case (c, i) =>
+        val p = s"$$.commands[$i]"
+        requireKeys(c, p, Seq("name", "sql"))
+        checkKeys(c, p, Set("name", "sql"))
+        str(c, p, "name"); str(c, p, "sql")
+    }
+
+    if (root.has("udfs")) root.path("udfs").elements().asScala.zipWithIndex.foreach {
+      case (u, i) =>
+        val p = s"$$.udfs[$i]"
+        requireKeys(u, p, Seq("function_name", "import_path"))
+        checkKeys(u, p, Set("function_name", "import_path"))
+        str(u, p, "function_name"); str(u, p, "import_path")
+    }
+
+    if (root.has("tables")) {
+      checkKeys(root.path("tables"), "$.tables", Set("sql"))
+      root.path("tables").path("sql").elements().asScala.zipWithIndex.foreach {
+        case (t, i) =>
+          val p = s"$$.tables.sql[$i]"
+          requireKeys(t, p, Seq("name", "sql", "manager"))
+          checkKeys(t, p, Set("name", "sql", "manager"))
+          if (t.has("manager")) {
+            val m = t.path("manager"); val mp = s"$p.manager"
+            requireKeys(m, mp, Seq("tumbling_window", "sink"))
+            checkKeys(m, mp, Set("tumbling_window", "sink"))
+            if (m.has("tumbling_window")) {
+              val w = m.path("tumbling_window"); val wp = s"$mp.tumbling_window"
+              requireKeys(w, wp,
+                Seq("collect_closed_windows_sql", "delete_closed_windows_sql"))
+              checkKeys(w, wp, Set("collect_closed_windows_sql",
+                "delete_closed_windows_sql", "poll_interval_seconds"))
+              int(w, wp, "poll_interval_seconds")
+            }
+            if (m.has("sink")) sink(m.path("sink"), s"$mp.sink")
+          }
+      }
+    }
+
+    // ---- pipeline (additionalProperties: false) ----------------------
+    val pl = root.path("pipeline")
+    if (!pl.isMissingNode) {
+      checkKeys(pl, "$.pipeline", Set("name", "description", "batch_size",
+        "flush_interval_seconds", "source", "handler", "sink", "on_error"))
+      requireKeys(pl, "$.pipeline", Seq("batch_size", "source", "handler", "sink"))
+      int(pl, "$.pipeline", "batch_size")
+      int(pl, "$.pipeline", "flush_interval_seconds")
+      str(pl, "$.pipeline", "name"); str(pl, "$.pipeline", "description")
+
+      if (pl.has("source")) {
+        val s = pl.path("source"); val sp = "$.pipeline.source"
+        requireKeys(s, sp, Seq("type"))
+        checkKeys(s, sp, Set("type", "kafka", "websocket", "webhook", "file"))
+        enumOf(s, sp, "type", Set("kafka", "websocket", "webhook", "file"))
+        if (s.has("kafka")) {
+          val k = s.path("kafka"); val kp = s"$sp.kafka"
+          requireKeys(k, kp, Seq("brokers", "group_id", "auto_offset_reset", "topics"))
+          checkKeys(k, kp, Set("brokers", "group_id", "auto_offset_reset",
+            "topics", "security_protocol", "ssl", "sasl"))
+          strArray(k, kp, "brokers"); strArray(k, kp, "topics")
+          enumOf(k, kp, "auto_offset_reset", Set("earliest", "latest"))
+          enumOf(k, kp, "security_protocol",
+            Set("SASL_SSL", "SSL", "SASL_PLAINTEXT", "PLAINTEXT"))
+          if (k.has("ssl"))
+            checkKeys(k.path("ssl"), s"$kp.ssl", Set("ca_location", "key_location",
+              "certificate_location", "key_password",
+              "endpoint_identification_algorithm"))
+          if (k.has("sasl")) {
+            val sa = k.path("sasl"); val sap = s"$kp.sasl"
+            requireKeys(sa, sap, Seq("mechanism", "username", "password"))
+            checkKeys(sa, sap, Set("mechanism", "username", "password"))
+            enumOf(sa, sap, "mechanism",
+              Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "GSSAPI"))
+          }
+        }
+        if (s.has("websocket")) {
+          requireKeys(s.path("websocket"), s"$sp.websocket", Seq("uri"))
+          checkKeys(s.path("websocket"), s"$sp.websocket", Set("uri"))
+        }
+        if (s.has("webhook"))
+          checkKeys(s.path("webhook"), s"$sp.webhook",
+            Set("port", "signing_secret", "signature_header"))
+        if (s.has("file")) {
+          requireKeys(s.path("file"), s"$sp.file", Seq("path"))
+          checkKeys(s.path("file"), s"$sp.file", Set("path", "format"))
+        }
+      }
+
+      if (pl.has("handler")) {
+        val h = pl.path("handler"); val hp = "$.pipeline.handler"
+        requireKeys(h, hp, Seq("type", "sql"))
+        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table"))
+        enumOf(h, hp, "type", Set("handlers.InferredDiskBatch",
+          "handlers.InferredMemBatch", "handlers.StructuredBatch"))
+      }
+
+      if (pl.has("sink")) sink(pl.path("sink"), "$.pipeline.sink")
+
+      if (pl.has("on_error")) {
+        val e = pl.path("on_error"); val ep = "$.pipeline.on_error"
+        requireKeys(e, ep, Seq("policy"))
+        checkKeys(e, ep, Set("policy", "dlq"))
+        enumOf(e, ep, "policy", Set("RAISE", "IGNORE", "DLQ"))
+        if (e.has("dlq")) sink(e.path("dlq"), s"$ep.dlq")
+      }
+    }
+
+    errs.toSeq
+  }
+
+  /** Render + parse + validate; throws with every violation listed. */
+  def validateString(raw: String, overrides: Map[String, String] = Map()): Unit = {
+    val tree = Config.parseTree(raw, overrides)
+    val errs = validate(tree)
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"config failed validation:\n  ${errs.mkString("\n  ")}")
+  }
+}

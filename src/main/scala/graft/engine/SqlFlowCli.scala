@@ -30,7 +30,11 @@ object SqlFlowCli {
         spark.stop()
       case "validate" =>
         try {
-          val conf = Config.fromFile(args(1))
+          val raw = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))),
+            java.nio.charset.StandardCharsets.UTF_8)
+          ConfigSchema.validateString(raw)
+          val conf = Config.fromString(raw)
           require(conf.pipeline.handler.sql.nonEmpty, "handler.sql is required")
           println(s"OK: source=${conf.pipeline.source.kind} " +
             s"handler=${conf.pipeline.handler.kind} sink=${conf.pipeline.sink.kind} " +

@@ -1,0 +1,113 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The config-validation gate — ports the reference's
+  * `tests/test_configs.py:29-71` (every shipped example must validate
+  * against `sqlflow/static/schemas/config.json`) plus negative cases:
+  * typo'd keys, bad enums, and missing requireds must all be caught. */
+class ConfigSchemaSpec extends AnyFunSuite {
+
+  private val examplesDir = Paths.get("/root/reference/dev/config/examples")
+
+  // the reference's own validated-example list (test_configs.py:40-62)
+  private val examples = Seq(
+    "attach-geoip.yml", "basic.agg.mem.yml", "basic.agg.yml",
+    "csv.filesystem.join.yml", "csv.mem.join.yml", "enrich.yml",
+    "kafka.clickhouse.yml", "kafka.dlq.yml", "kafka.mem.iceberg.yml",
+    "kafka.postgres.join.yml", "kafka.postgres.sink.yml",
+    "kafka.sasl-tls.yml", "kafka.structured.disk.yml",
+    "kafka.structured.mem.yml", "local.parquet.sink.yml",
+    "s3.parquet.sink.yml", "tumbling.window.yml", "udf.yml",
+    "bluesky/bluesky.kafka.raw.yml", "bluesky/bluesky.kafka.transformed.yml",
+    "bluesky/bluesky.kafka.windowed.yml", "bluesky/bluesky.raw.stdout.yml")
+
+  // vars with no default in the reference configs (supplied by its dev
+  // environment); any value renders for validation purposes
+  private val renderVars = Map(
+    "SQLFLOW_ROOT_DIR" -> "/tmp/sqlflow",
+    "STATIC_ROOT" -> "/tmp/sqlflow/static",
+    "SQLFLOW_SINK_BASEPATH" -> "/tmp/sqlflow/sink",
+    "SQLFLOW_GITHUB_WEBHOOK_SECRET" -> "s")
+
+  test("every reference example config validates (test_example_config_against_schema)") {
+    assume(Files.isDirectory(examplesDir), "reference examples not present")
+    examples.foreach { name =>
+      val raw = Files.readString(examplesDir.resolve(name))
+      val errs = ConfigSchema.validate(Config.parseTree(raw, renderVars))
+      assert(errs.isEmpty, s"$name: ${errs.mkString("; ")}")
+    }
+  }
+
+  private def errsOf(yaml: String): Seq[String] =
+    ConfigSchema.validate(Config.parseTree(yaml))
+
+  private val minimal =
+    """pipeline:
+      |  batch_size: 1
+      |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, auto_offset_reset: earliest, topics: [t]}}
+      |  handler: {type: 'handlers.InferredMemBatch', sql: SELECT 1}
+      |  sink: {type: noop}
+      |""".stripMargin
+
+  test("minimal valid config passes") {
+    assert(errsOf(minimal).isEmpty)
+  }
+
+  test("missing required keys are reported") {
+    assert(errsOf("pipeline:\n  source: {type: kafka}\n  sink: {type: noop}\n")
+      .exists(_.contains("missing required key `batch_size`")))
+    assert(errsOf("commands:\n  - name: x\n")
+      .exists(_.contains("missing required key `sql`")))
+    assert(errsOf(minimal.replace("brokers: [b:9092], ", ""))
+      .exists(e => e.contains("kafka") && e.contains("`brokers`")))
+    assert(errsOf("tables: {sql: []}\n")
+      .exists(_.contains("missing required key `pipeline`")))
+  }
+
+  test("unknown keys are rejected (typo detection)") {
+    assert(errsOf(minimal.replace("topics: [t]", "topcs: [t]"))
+      .exists(_.contains("topcs")))
+    assert(errsOf(minimal + "pipelin2:\n  x: 1\n")
+      .exists(_.contains("pipelin2")))
+    assert(errsOf(minimal.replace("batch_size: 1", "batch_size: 1\n  bach_size: 2"))
+      .exists(_.contains("bach_size")))
+  }
+
+  test("enum violations are reported") {
+    assert(errsOf(minimal.replace("type: noop", "type: elasticsearch"))
+      .exists(_.contains("elasticsearch")))
+    assert(errsOf(minimal.replace("auto_offset_reset: earliest",
+      "auto_offset_reset: middle")).exists(_.contains("middle")))
+    assert(errsOf(minimal + "  on_error: {policy: RETRY}\n")
+      .exists(_.contains("RETRY")))
+    assert(errsOf(minimal.replace("type: 'handlers.InferredMemBatch'",
+      "type: 'handlers.Bogus'")).exists(_.contains("handlers.Bogus")))
+  }
+
+  test("type violations are reported") {
+    assert(errsOf(minimal.replace("batch_size: 1", "batch_size: lots"))
+      .exists(_.contains("must be an integer")))
+    assert(errsOf(minimal.replace("brokers: [b:9092]", "brokers: b9092"))
+      .exists(_.contains("must be an array")))
+  }
+
+  test("sasl block requires mechanism/username/password with valid mechanism") {
+    val withSasl = minimal.replace("topics: [t]",
+      "topics: [t], sasl: {mechanism: NTLM, username: u, password: p}")
+    assert(errsOf(withSasl).exists(_.contains("NTLM")))
+    val missing = minimal.replace("topics: [t]", "topics: [t], sasl: {mechanism: PLAIN}")
+    assert(errsOf(missing).exists(_.contains("`username`")))
+  }
+
+  test("validateString throws with all violations listed") {
+    val e = intercept[IllegalArgumentException] {
+      ConfigSchema.validateString(
+        minimal.replace("batch_size: 1", "bach_size: x"))
+    }
+    assert(e.getMessage.contains("bach_size"))
+    assert(e.getMessage.contains("missing required key `batch_size`"))
+  }
+}
