@@ -252,5 +252,39 @@ object TextOps {
              GROUP BY source ORDER BY source"""),
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  // Boilerplate-line stripping (Dedup.stripBoilerplateLines): drop
+  // every line whose document frequency exceeds 5% of the corpus. The
+  // gate row carries (length, md5) of the cleaned text — compact but
+  // fully content-sensitive — and the oracle recomputes the same
+  // procedure over line TEXT (the operator hashes lines; identical
+  // semantics absent 64-bit hash collisions).
+  private val t12 = GraftQuery(
+    "t12_boilerplate_strip",
+    (s, dir) => {
+      Dedup.stripBoilerplateLines(docs(s, dir), "doc_id", "text", maxDocFrac = 0.05)
+        .select(col("doc_id"),
+          length(col("clean_text")).as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (SELECT count(*) AS nd FROM documents),
+            lines AS (SELECT doc_id,
+                unnest(string_split(text, chr(10))) AS line,
+                unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no
+              FROM documents),
+            hot AS (SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line) d, n
+              WHERE d.df > greatest(1, CAST(floor(n.nd * 0.05) AS BIGINT))),
+            kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+            agg AS (SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+              length(coalesce(a.clean_text, '')) AS clean_len,
+              md5(coalesce(a.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
+    t10, t11, t12)
 }

@@ -89,16 +89,38 @@ object VectorOps {
 
   // All-pairs near-dup via hyperplane LSH — the scale path replacing
   // v02's O(n²) enumeration for HIGH thresholds (banding cannot prune
-  // low-similarity pairs; see Similarity.lshCosinePairs). Probabilistic
-  // recall → no SQL oracle; AnnSpec measures recall vs exact pairs.
+  // low-similarity pairs; see Similarity.lshCosinePairs).
+  //
+  // The fixture embeddings are near-uniform, so no natural pair reaches
+  // cosine 0.85 (the round-1 gate row was vacuous: 0 rows). The query
+  // therefore PLANTS exact duplicates: a scaled copy (×1.001) of every
+  // vector under vec_id+1000000. Scaling preserves direction exactly →
+  // every hyperplane band matches deterministically → LSH recall on the
+  // planted pairs is 1.0, and all other pairs stay far below the
+  // threshold — which makes the output exact and ORACLE-CHECKABLE
+  // (DuckDB computes the same all-pairs answer over base ∪ planted):
+  // the oracle asserts both "found all planted dups" (recall) and
+  // "nothing else survived the verify step" (precision).
   private val v06 = GraftQuery(
     "v06_cosine_dup_lsh",
     (s, dir) => {
-      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.lshCosinePairs(base.unionByName(planted), "vec_id", "embedding",
           threshold = 0.85, dim = 64)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             planted AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM base),
+             e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckCos("a.v", "b.v", 4)} AS cosine
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
+             ORDER BY id_a, id_b"""))
 
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06)
 }
