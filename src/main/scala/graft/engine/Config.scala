@@ -201,11 +201,19 @@ object Config {
         Some(WebsocketSourceConf(s.path("websocket").path("uri").asText())) else None,
       webhook = if (s.has("webhook")) {
         val w = s.path("webhook")
+        // two shapes: flat (signing_secret/signature_header) and the
+        // github.motherduck.yml form (signature_type: hmac + nested
+        // hmac: {header, sig_key, secret})
+        val hmac = w.path("hmac")
         Some(WebhookSourceConf(
           port = w.path("port").asInt(8080),
           signingSecret =
-            if (w.has("signing_secret")) Some(w.path("signing_secret").asText()) else None,
-          signatureHeader = w.path("signature_header").asText("X-Hub-Signature-256")))
+            if (w.has("signing_secret")) Some(w.path("signing_secret").asText())
+            else if (hmac.has("secret")) Some(hmac.path("secret").asText())
+            else None,
+          signatureHeader =
+            if (w.has("signature_header")) w.path("signature_header").asText()
+            else hmac.path("header").asText("X-Hub-Signature-256")))
       } else None,
       file = if (s.has("file")) {
         val f = s.path("file")

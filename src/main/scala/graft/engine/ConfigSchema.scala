@@ -178,9 +178,15 @@ object ConfigSchema {
           requireKeys(s.path("websocket"), s"$sp.websocket", Seq("uri"))
           checkKeys(s.path("websocket"), s"$sp.websocket", Set("uri"))
         }
-        if (s.has("webhook"))
-          checkKeys(s.path("webhook"), s"$sp.webhook",
-            Set("port", "signing_secret", "signature_header"))
+        if (s.has("webhook")) {
+          val w = s.path("webhook")
+          checkKeys(w, s"$sp.webhook",
+            Set("port", "signing_secret", "signature_header",
+              "signature_type", "hmac"))
+          if (w.has("hmac"))
+            checkKeys(w.path("hmac"), s"$sp.webhook.hmac",
+              Set("header", "sig_key", "secret"))
+        }
         if (s.has("file")) {
           requireKeys(s.path("file"), s"$sp.file", Seq("path"))
           checkKeys(s.path("file"), s"$sp.file", Set("path", "format"))

@@ -128,11 +128,20 @@ final class SqlCommandSink(
 }
 
 /** Iceberg sink (`sinks.py:71-89`): append the batch to an Iceberg
-  * table. Requires iceberg-spark-runtime on the classpath (not shipped
-  * here); with it, the write is `df.writeTo(table).append()`. */
+  * table via the DataSourceV2 `writeTo(...).append()` path — exactly
+  * what an Iceberg catalog (iceberg-spark-runtime on the classpath)
+  * serves. When the named catalog resolves to a V1 table (e.g. the
+  * session catalog in tests, which runtime-verifies the append
+  * semantics end-to-end), fall back to the V1 append. */
 final class IcebergSink(conf: IcebergSinkConf) extends GraftSink {
   override def write(df: DataFrame): Long = {
-    df.writeTo(s"${conf.catalogName}.${conf.tableName}").append()
+    val target = s"${conf.catalogName}.${conf.tableName}"
+    try df.writeTo(target).append()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("v1 table") =>
+        df.write.mode("append").insertInto(target)
+    }
     -1L
   }
 }

@@ -107,7 +107,7 @@ object StreamingPipeline {
   }
 
   /** One micro-batch: decode (error-policied), run handler, sink. */
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       spark: SparkSession,
       session: Invoke.Session,
       policy: ErrorPolicyConf,

@@ -14,12 +14,15 @@ class ExamplesSpec extends SparkTestBase {
   private val examplesDir = Paths.get("examples")
   private val fixture = "examples/fixtures/click_events.jsonl"
 
-  test("all example configs parse and validate") {
+  test("all example configs parse, schema-validate, and model-validate") {
     val ymls = Files.list(examplesDir).iterator().asScala
       .filter(_.toString.endsWith(".yml")).toSeq
-    assert(ymls.size >= 6)
+    assert(ymls.size >= 12)
     ymls.foreach { p =>
-      val conf = Config.fromFile(p.toString)
+      val raw = Files.readString(p)
+      val errs = ConfigSchema.validate(Config.parseTree(raw))
+      assert(errs.isEmpty, s"$p: ${errs.mkString("; ")}")
+      val conf = Config.fromString(raw)
       assert(conf.pipeline.handler.sql.nonEmpty, s"$p: empty handler sql")
       assert(conf.pipeline.source.kind.nonEmpty, s"$p: missing source type")
     }

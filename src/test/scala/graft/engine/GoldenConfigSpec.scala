@@ -358,6 +358,164 @@ class GoldenConfigSpec extends SparkTestBase {
     assert(got.toJSON.collect().toSeq == Seq("""{"n":2}"""))
   }
 
+  test("kafka.dlq shape: handler errors and malformed rows route to the DLQ (reference kafka.dlq.yml)") {
+    val fixture = write("dlq.jsonl",
+      """{"event":"ok","properties":{"city":"A"}}
+        |{not json at all
+        |""".stripMargin)
+    // the reference config selects a column the events do not carry
+    // ("broken") and routes failures to a kafka DLQ topic; memory
+    // stands in for the topic here. Both DLQ phases must fire: the
+    // malformed row at decode, the handler error at invoke.
+    import spark.implicits._
+    val conf = Config.fromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  on_error:
+        |    policy: DLQ
+        |    dlq: {type: memory}
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT broken FROM batch
+        |  sink: {type: console}
+        |""".stripMargin)
+    val session = Invoke.buildSession(spark, conf)
+    val raw = Files.readAllLines(java.nio.file.Paths.get(fixture))
+      .toArray(Array.empty[String]).toSeq.toDF("value")
+    graft.streaming.StreamingPipeline.processBatch(
+      spark, session, conf.pipeline.onError, raw)
+    val dlqRows = session.dlq.get.asInstanceOf[MemorySink].allRows
+    assert(dlqRows.exists(r =>
+      r.contains(""""error":"malformed JSON"""") && r.contains("not json")))
+    assert(dlqRows.exists(r => r.contains(""""phase":"handler.invoke"""")))
+  }
+
+  test("iceberg sink: writeTo(...).append() verified against the session catalog (reference kafka.mem.iceberg.yml)") {
+    spark.sql("DROP TABLE IF EXISTS default.city_events_golden")
+    spark.sql("CREATE TABLE default.city_events_golden (timestamp TIMESTAMP, city STRING) USING parquet")
+    try {
+      val cfg = write("iceberg.yml",
+        """pipeline:
+          |  batch_size: 5000
+          |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+          |  handler:
+          |    type: 'handlers.InferredMemBatch'
+          |    sql: |
+          |      SELECT CAST(timestamp as TIMESTAMP) as timestamp, properties.city as city
+          |      FROM batch ORDER BY timestamp, city DESC
+          |  sink:
+          |    type: iceberg
+          |    iceberg:
+          |      catalog_name: spark_catalog
+          |      table_name: default.city_events_golden
+          |""".stripMargin)
+      Invoke.invoke(spark, cfg, windowFixture, invokeSink = true)
+      val back = spark.table("default.city_events_golden")
+      assert(back.count() == 4)
+      assert(back.selectExpr("city").distinct().collect().map(_.getString(0)).toSet ==
+        Set("New York", "Baltimore"))
+    } finally spark.sql("DROP TABLE IF EXISTS default.city_events_golden")
+  }
+
+  test("s3 parquet sink shape: SET commands skip, COPY targets the basepath (reference s3.parquet.sink.yml)") {
+    val outDir = Files.createTempDirectory("graft_s3_sink")
+    val fixture = write("s3.jsonl",
+      """{"timestamp":"2020-01-01 00:00:00","user_id":1,"action":"click","browser":"ff"}
+        |""".stripMargin)
+    val cfg = write("s3.parquet.sink.yml",
+      s"""commands:
+         |  - name: Install Extensions
+         |    sql: |
+         |      INSTALL httpfs;
+         |      LOAD httpfs;
+         |  - name: Configure s3
+         |    sql: |
+         |      SET s3_region='us-east-1';
+         |      SET s3_url_style='path';
+         |      SET s3_endpoint='localhost:9000';
+         |      SET s3_use_ssl=false;
+         |pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT CAST(timestamp as TIMESTAMP) as timestamp, user_id, action, browser
+         |      FROM batch
+         |  sink:
+         |    type: sqlcommand
+         |    sqlcommand:
+         |      substitutions:
+         |        - var: $$sqlflow_uuid
+         |          type: uuid4
+         |      sql: |
+         |        COPY sqlflow_sink_batch
+         |          TO '{{ SQLFLOW_SINK_BASEPATH }}/$$sqlflow_uuid.parquet'
+         |        (FORMAT 'parquet');
+         |""".stripMargin)
+    Invoke.invoke(spark, cfg, fixture, invokeSink = true,
+      vars = Map("SQLFLOW_SINK_BASEPATH" -> outDir.toString))
+    val files = outDir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    assert(spark.read.parquet(files(0).getAbsolutePath).count() == 1)
+  }
+
+  test("github webhook → attached table (reference github.motherduck.yml)") {
+    spark.sql("DROP DATABASE IF EXISTS gh_db CASCADE")
+    val fixture = write("github.jsonl",
+      """{"action":"opened","issue":{"id":11,"title":"t1","number":7,"user":{"login":"ada"}},"repository":{"name":"r1","id":99}}
+        |""".stripMargin)
+    val cfg = write("github.motherduck.yml",
+      """commands:
+        |  - name: attach to motherduck
+        |    sql: |
+        |      ATTACH 'md:gh_db'
+        |  - name: create issues table
+        |    sql: |
+        |      CREATE TABLE IF NOT EXISTS gh_db.issues (
+        |        action VARCHAR, issue_id VARCHAR, issue_title VARCHAR,
+        |        issue_number VARCHAR, issue_user_login VARCHAR,
+        |        repo_name VARCHAR, repo_id VARCHAR
+        |      )
+        |pipeline:
+        |  batch_size: 1
+        |  source:
+        |    type: webhook
+        |    webhook:
+        |      signature_type: 'hmac'
+        |      hmac:
+        |        header: 'X-Hub-Signature-256'
+        |        sig_key: 'sha256'
+        |        secret: 's3cret'
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      INSERT INTO gh_db.issues
+        |      SELECT
+        |        action,
+        |        issue ->> 'id' AS issue_id,
+        |        issue ->> 'title' AS issue_title,
+        |        issue ->> 'number' AS issue_number,
+        |        issue ->> 'user' ->> 'login' AS issue_user_login,
+        |        repository ->> 'name' AS repo_name,
+        |        repository ->> 'id' AS repo_id
+        |      FROM batch;
+        |  sink: {type: noop}
+        |""".stripMargin)
+    try {
+      val conf = Config.fromFile(cfg)
+      // the nested hmac block parses into the webhook model
+      assert(conf.pipeline.source.webhook.get.signingSecret.contains("s3cret"))
+      assert(conf.pipeline.source.webhook.get.signatureHeader == "X-Hub-Signature-256")
+      Invoke.invoke(spark, cfg, fixture)
+      val rows = spark.table("gh_db.issues").toJSON.collect().toSeq
+      assert(rows == Seq(
+        """{"action":"opened","issue_id":"11","issue_title":"t1","issue_number":"7","issue_user_login":"ada","repo_name":"r1","repo_id":"99"}"""))
+    } finally spark.sql("DROP DATABASE IF EXISTS gh_db CASCADE")
+  }
+
   test("config template rendering: overrides beat env beat defaults") {
     val raw = "a: {{ MISSING_VAR|default('fallback') }}\nb: {{ OV|default(7) }}"
     assert(Config.renderTemplate(raw, Map("OV" -> "9")) == "a: fallback\nb: 9")
