@@ -29,6 +29,16 @@ object TextFunctions {
   /** xxhash64 of each token (input to simhash / minhash). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
+  /** NON-distinct word n-grams in order (corpus frequency profiling —
+    * unlike [[wordShingles]], repeats are kept so counts are true
+    * occurrence counts). Texts shorter than n tokens yield none. */
+  def ngramList(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
   /** MinHash signature: `k` affine permutations over one base xxhash64,
     * all k minima tracked in a single pass over the shingle set (native
     * [[graft.functions.MinHashSig]] expression — a pure-builtins

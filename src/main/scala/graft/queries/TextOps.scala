@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Redact}
 
 /** Text-analysis / dedup operators over the `documents` table — the
   * training-data-pipeline extension surface (not present in the
@@ -285,6 +285,83 @@ object TextOps {
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  // PII redaction (operators.Redact): map-only regexp chain. The
+  // fixture corpus carries no PII, so the query PLANTS a deterministic
+  // email/phone/IP suffix on every 7th doc — both engines compute the
+  // same planted input, then redact; the oracle checks the redacted
+  // text (md5) and the per-class counts byte-for-byte.
+  private val plantSql =
+    """CASE WHEN doc_id % 7 = 0 THEN text ||
+      | ' contact user' || doc_id || '@example.com at +12025550123 from 10.0.0.' || (doc_id % 256)
+      | ELSE text END""".stripMargin.replace("\n", "")
+
+  private val t13 = GraftQuery(
+    "t13_pii_redaction",
+    (s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        expr("CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', doc_id, " +
+          "'@example.com at +12025550123 from 10.0.0.', doc_id % 256) ELSE text END")
+          .as("text"))
+      graft.operators.Redact.redactPii(planted, "doc_id", "text")
+        .select(col("doc_id"), md5(col("redacted").cast("binary")).as("redacted_md5"),
+          col("n_redactions"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (SELECT doc_id, $plantSql AS text FROM documents),
+             red AS (SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '${Redact.EmailPat}', '<EMAIL>', 'g'),
+                 '${Redact.PhonePat}', '<PHONE>', 'g'),
+                 '${Redact.Ipv4Pat}', '<IP>', 'g') AS redacted,
+               len(regexp_extract_all(text, '${Redact.EmailPat}'))
+               + len(regexp_extract_all(regexp_replace(text, '${Redact.EmailPat}', '<EMAIL>', 'g'),
+                   '${Redact.PhonePat}'))
+               + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                     '${Redact.EmailPat}', '<EMAIL>', 'g'), '${Redact.PhonePat}', '<PHONE>', 'g'),
+                   '${Redact.Ipv4Pat}')) AS n_redactions
+             FROM planted)
+             SELECT doc_id, md5(redacted) AS redacted_md5, n_redactions
+             FROM red ORDER BY doc_id"""))
+
+  // Corpus-level top-k frequent 3-grams — the profiling pass that
+  // feeds boilerplate/contamination review. Shape: map-side shingle
+  // explode → ONE keyed shuffle (partial counts combine map-side) →
+  // top-k via TakeOrdered. Ties broken by ngram text for determinism.
+  private val t14 = GraftQuery(
+    "t14_top_ngrams",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(explode(ngramList(tokens(col("text")), 3)).as("ngram"))
+      grams.groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             grams AS (SELECT unnest(
+                 CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [] END) AS ngram
+               FROM tk)
+             SELECT ngram, count(*) AS n FROM grams
+             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""))
+
+  // Token-length histogram (fixed-width buckets of 10 tokens) — corpus
+  // length profiling; single keyed shuffle over ~#buckets keys.
+  private val t15 = GraftQuery(
+    "t15_length_histogram",
+    (s, dir) => {
+      docs(s, dir)
+        .select((size(tokens(col("text"))).cast("long") / 10).cast("long").as("bucket"),
+          col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("bucket")
+    },
+    Some(s"""SELECT CAST(len($duckToks) // 10 AS BIGINT) AS bucket,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             FROM documents GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12)
+    t10, t11, t12, t13, t14, t15)
 }
