@@ -38,7 +38,14 @@ import org.apache.spark.sql.functions._
 object Attachments {
 
   final case class AttachSpec(
-      uri: String, alias: String, dbType: Option[String], readOnly: Boolean)
+      uri: String, alias: String, dbType: Option[String], readOnly: Boolean,
+      /** Engine extension for 100-TB external tables: `PARTITION_COLUMN
+        * c, NUM_PARTITIONS n` in the ATTACH option list turns every
+        * registered JDBC table that carries column `c` into a
+        * range-partitioned parallel scan (bounds probed once at attach
+        * time) instead of Spark's default single-connection read. */
+      partitionColumn: Option[String] = None,
+      numPartitions: Option[Int] = None)
 
   private val attachPat =
     """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+(\w+))?\s*(?:\(([^)]*)\))?\s*$""".r
@@ -51,7 +58,11 @@ object Attachments {
         uri = uri,
         alias = Option(alias).getOrElse(defaultAlias(uri)),
         dbType = ty,
-        readOnly = o.contains("READ_ONLY")))
+        readOnly = o.contains("READ_ONLY"),
+        partitionColumn = """PARTITION_COLUMN\s+(\w+)""".r
+          .findFirstMatchIn(o).map(_.group(1).toLowerCase),
+        numPartitions = """NUM_PARTITIONS\s+(\d+)""".r
+          .findFirstMatchIn(o).map(_.group(1).toInt)))
     case _ => None
   }
 
@@ -119,13 +130,43 @@ object Attachments {
         val credOpts = creds.map { case (u, p) =>
           s", user '${u.replace("'", "''")}', password '${p.replace("'", "''")}'"
         }.getOrElse("")
+        // range-partitioned parallel scan when the partition column
+        // exists on this table: probe [min, max] once at attach time
+        val partOpts = spec.partitionColumn.flatMap { pc =>
+          if (!tableHasColumn(conn, sch, t, pc)) None
+          else {
+            val st = conn.createStatement()
+            try {
+              val r = st.executeQuery(s"SELECT MIN($pc), MAX($pc) FROM $dbtable")
+              if (r.next() && r.getObject(1) != null) {
+                val (lo, hi) = (r.getLong(1), r.getLong(2))
+                val n = spec.numPartitions.getOrElse(
+                  spark.sessionState.conf.numShufflePartitions)
+                Some(s", partitionColumn '$pc', lowerBound '$lo', " +
+                  s"upperBound '$hi', numPartitions '$n'")
+              } else None
+            } finally st.close()
+          }
+        }.getOrElse("")
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS ${spec.alias}.`${t.toLowerCase}`
              |USING jdbc
-             |OPTIONS (url '${url.replace("'", "''")}', dbtable '$dbtable'$credOpts)
+             |OPTIONS (url '${url.replace("'", "''")}', dbtable '$dbtable'$credOpts$partOpts)
              |""".stripMargin)
       }
     } finally conn.close()
+  }
+
+  private def tableHasColumn(conn: java.sql.Connection, schema: String,
+      table: String, col: String): Boolean = {
+    val rs = conn.getMetaData.getColumns(null,
+      if (schema.isEmpty) null else schema, table, "%")
+    try {
+      var found = false
+      while (rs.next() && !found)
+        found = rs.getString("COLUMN_NAME").equalsIgnoreCase(col)
+      found
+    } finally rs.close()
   }
 
   // ---- directory-backed (the engine's native "database file") -------

@@ -72,4 +72,62 @@ object AsofJoin {
         leftCols.map(c => col(s"__l.$c").as(c)) ++
           payload.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** Salted as-of join for HOT keys — the straggler fix SCALE.md flags
+    * for [[asofLeft]]: with few distinct keys (or one dominant key),
+    * the single window partition per key serializes onto one task.
+    *
+    * Left rows scatter into `numSalts` buckets (hashed on the left
+    * timestamp for an even spread); right rows REPLICATE into every
+    * bucket, so each (key, salt) partition still sees the full right
+    * history and the forward-fill result is row-for-row identical to
+    * the unsalted operator (AsofJoinSpec asserts equivalence).
+    *
+    * Cost model: right side inflates ×numSalts — the right trade when
+    * |R| ≪ |L| (dimension-history vs event firehose, the canonical
+    * as-of shape). Parallelism per key: 1 → numSalts. */
+  def asofLeftSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      payload: Seq[String],
+      numSalts: Int = 16): DataFrame = {
+    require(numSalts >= 1, "numSalts must be positive")
+    require(keyCols.nonEmpty, "as-of join requires at least one equi-key")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"right payload ${payload.intersect(leftCols)} collides with left columns")
+
+    val rPayloadType = org.apache.spark.sql.types.StructType(
+      right.select(payload.map(col): _*).schema.fields)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        pmod(hash(col(leftTsCol)), lit(numSalts)).as("__salt"),
+        col(leftTsCol).as("__ts"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rPayloadType).as("__r")): _*)
+    val lType = lTagged.schema("__l").dataType
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        explode(sequence(lit(0), lit(numSalts - 1))).as("__salt"),
+        col(rightTsCol).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(payload.map(col): _*).as("__r")): _*)
+
+    val w = Window
+      .partitionBy((keyCols :+ "__salt").map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+          payload.map(c => col(s"__match.$c").as(c)): _*)
+  }
 }

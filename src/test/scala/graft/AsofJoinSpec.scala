@@ -42,6 +42,35 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(5L) == null)   // key absent on the right
   }
 
+  test("asofLeftSalted is row-for-row identical to asofLeft on a hot key") {
+    // one dominant key (the straggler shape) + a minor key + a no-match key
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 500).map { i =>
+      val key = if (i % 10 == 0) 2L else 1L // 90% of rows on key 1
+      (i.toLong, key, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = (0 until 24).flatMap { h =>
+      Seq((1L, ts(f"2024-01-01 $h%02d:30:00"), h.toDouble),
+        (2L, ts(f"2024-01-01 $h%02d:15:00"), h + 100.0))
+    }.toDF("user_id", "p_ts", "p_value")
+
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("event_id").selectExpr("event_id", "p_ts", "p_value")
+        .collect().map(_.toString).toSeq
+
+    val exact = run(AsofJoin.asofLeft(left, right,
+      Seq("user_id"), "ts", "p_ts", Seq("p_ts", "p_value")))
+    val salted = run(AsofJoin.asofLeftSalted(left, right,
+      Seq("user_id"), "ts", "p_ts", Seq("p_ts", "p_value"), numSalts = 8))
+    assert(salted == exact)
+    // and the hot key genuinely fans out: its left rows land in many
+    // distinct (key, salt) window partitions (AQE may re-coalesce the
+    // tiny test shuffle, so assert the salt assignment itself)
+    val salts = left.filter(col("user_id") === 1L)
+      .select(pmod(hash(col("ts")), lit(8))).distinct().count()
+    assert(salts > 4)
+  }
+
   test("asofLeft preserves all left rows and columns") {
     val left = Seq((1L, 7L, ts("2024-01-01 00:00:00"), "x"))
       .toDF("id", "k", "ts", "tag")

@@ -137,6 +137,37 @@ class AttachmentsSpec extends SparkTestBase {
       """{"TS":"2020-01-01T00:00:01.000Z","USER_ID":2,"ACTION":"view"}"""))
   }
 
+  test("JDBC attach: PARTITION_COLUMN yields a range-partitioned parallel scan + filter pushdown") {
+    val c = DriverManager.getConnection("jdbc:derby:memory:bigdb;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE events (id BIGINT, kind VARCHAR(16))")
+      (0 until 100).grouped(20).foreach { g =>
+        st.execute("INSERT INTO events VALUES " +
+          g.map(i => s"($i, 'k${i % 3}')").mkString(","))
+      }
+      st.close()
+    } finally c.close()
+
+    Invoke.runCommand(spark,
+      "ATTACH 'jdbc:derby:memory:bigdb' AS bigdb (TYPE POSTGRES, PARTITION_COLUMN id, NUM_PARTITIONS 4);",
+      scala.collection.mutable.Map[String, StateTable]())
+    val t = spark.table("bigdb.events")
+    // parallel scan: one Spark partition per JDBC range slice
+    assert(t.rdd.getNumPartitions == 4)
+    assert(t.count() == 100)
+    // predicate pushdown reaches the JDBC scan (PushedFilters in the
+    // formatted plan) — the filter must not run Spark-side over a full
+    // table pull at 100 TB
+    val filtered = t.filter(org.apache.spark.sql.functions.col("id") < 10)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ID,10)"),
+      plan.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(filtered.count() == 10)
+    spark.sql("DROP DATABASE IF EXISTS bigdb CASCADE")
+  }
+
   test("directory attach + StructuredBatch qualified table (reference kafka.structured.disk.yml)") {
     import org.apache.spark.sql.types._
     val dbDir = Files.createTempDirectory("graft_attach_db")
