@@ -146,17 +146,25 @@ final class IcebergSink(conf: IcebergSinkConf) extends GraftSink {
   }
 }
 
-/** ClickHouse sink (`sinks.py:147-161`) via JDBC (driver not shipped
-  * here; config parses, write raises without it). */
+/** ClickHouse sink (`sinks.py:147-161`) via JDBC. The reference DSN
+  * form `clickhouse://host:8123/db` maps to the ClickHouse JDBC
+  * driver's `jdbc:clickhouse://host:8123/db` (driver jar not shipped
+  * here; config parses and the URL mapping is unit-tested, the write
+  * needs the driver on the cluster classpath). */
 final class ClickhouseSink(conf: ClickhouseSinkConf) extends GraftSink {
   override def write(df: DataFrame): Long = {
     df.write.mode("append")
       .format("jdbc")
-      .option("url", conf.dsn)
+      .option("url", ClickhouseSink.jdbcUrl(conf.dsn))
       .option("dbtable", conf.table)
       .save()
     -1L
   }
+}
+
+object ClickhouseSink {
+  def jdbcUrl(dsn: String): String =
+    if (dsn.startsWith("jdbc:")) dsn else s"jdbc:$dsn"
 }
 
 /** DLQ record shape per `pipeline.py:228-237`. */

@@ -126,19 +126,29 @@ object StreamingPipeline {
     val values = spark.createDataFrame(raw.toDF().rdd, raw.schema).cache()
     var parsed: DataFrame = null
     try {
-      val inferred = spark.read
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(values.select(col("value").cast("string").as("value"))
-          .as(org.apache.spark.sql.Encoders.STRING))
-        .schema
-      parsed = values
-        .withColumn("__graft_payload", from_json(
-          col("value").cast("string"), inferred,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")))
-        .select(col("__graft_payload.*") +: metaCols.map(col): _*)
-        .cache()
+      val strings = values.select(col("value").cast("string").as("value"))
+        .as(org.apache.spark.sql.Encoders.STRING)
+      parsed = (if (metaCols.isEmpty) {
+        // no metadata to carry → single-parse fast path
+        spark.read
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(strings)
+      } else {
+        // infer once, then re-parse per-row so kafka_* stays attached
+        // (two passes over the batch — the price of metadata columns)
+        val inferred = spark.read
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(strings)
+          .schema
+        values
+          .withColumn("__graft_payload", from_json(
+            col("value").cast("string"), inferred,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")))
+          .select(col("__graft_payload.*") +: metaCols.map(col): _*)
+      }).cache()
       val batch = withPolicy(spark, parsed, policy, session.dlq)
       val written = try {
         // lock: a manager poll must not collect/delete between the

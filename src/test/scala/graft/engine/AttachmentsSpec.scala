@@ -46,6 +46,12 @@ class AttachmentsSpec extends SparkTestBase {
     assert(toJdbcUrl("jdbc:derby:memory:x") == (("jdbc:derby:memory:x", None)))
   }
 
+  test("clickhouse DSN maps to the JDBC driver URL form") {
+    assert(ClickhouseSink.jdbcUrl("clickhouse://localhost:8123/test") ==
+      "jdbc:clickhouse://localhost:8123/test")
+    assert(ClickhouseSink.jdbcUrl("jdbc:clickhouse://h/db") == "jdbc:clickhouse://h/db")
+  }
+
   test("stripConstraints drops PRIMARY KEY / DEFAULT / quoted names") {
     assert(Attachments.stripConstraints(
       """partition INTEGER, "offset" BIGINT, updated_at TIMESTAMP DEFAULT now(), PRIMARY KEY (topic, partition)""") ==
