@@ -49,4 +49,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t13 PII redaction is map-only (zero shuffles beyond the final sort)") {
+    val p = plan("t13_pii_redaction")
+    // allowed exchanges: the ORDER BY rangepartitioning and the
+    // test-env Tables.spread round-robin; redaction itself must not
+    // introduce a keyed shuffle or a join
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), s"redaction must not shuffle by key:\n$p")
+  }
+
+  test("t14 top-ngrams aggregates with map-side combine and TakeOrdered") {
+    val p = plan("t14_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial_count before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t12 boilerplate strip computes corpus size in-plan (no collected literal)") {
+    val p = plan("t12_boilerplate_strip")
+    // the threshold compares against the broadcast scalar agg, so the
+    // plan must contain a broadcast of the count — not a folded literal
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
