@@ -362,6 +362,69 @@ object TextOps {
              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              FROM documents GROUP BY bucket ORDER BY bucket"""))
 
+  // ---- reproducible selection (t16–t18) ---------------------------
+  // Training-data pipelines need REPRODUCIBLE sampling/splitting: the
+  // same doc must land in the same subset on every run, cluster, and
+  // engine. Keying on an md5-hex prefix of the id gives that without
+  // any engine-specific hash function (DuckDB and Spark md5 agree
+  // byte-for-byte), and comparison on the hex string avoids numeric
+  // hex-parsing dialect differences. All three are map-only or
+  // single-window shapes.
+
+  private val sampleKey = "substr(md5(CAST(doc_id AS STRING)), 1, 4)"
+  private val duckSampleKey = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  // ~20% deterministic sample ('3333'/'10000' of the 16-bit space).
+  private val t16 = GraftQuery(
+    "t16_deterministic_sample",
+    (s, dir) => {
+      docs(s, dir)
+        .filter(expr(s"$sampleKey < '3333'"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, source FROM documents
+             WHERE $duckSampleKey < '3333' ORDER BY doc_id"""))
+
+  // train/valid/test assignment (~4%/4%/92%) — same key, banded.
+  private val t17 = GraftQuery(
+    "t17_split_assign",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"""CASE WHEN $sampleKey < '0a3d' THEN 'test'
+                   WHEN $sampleKey < '147a' THEN 'valid'
+                   ELSE 'train' END""").as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+    Some(s"""SELECT CASE WHEN $duckSampleKey < '0a3d' THEN 'test'
+             WHEN $duckSampleKey < '147a' THEN 'valid'
+             ELSE 'train' END AS split, count(*) AS n_docs
+             FROM documents GROUP BY split ORDER BY split"""))
+
+  // per-source cap: keep a deterministic 30 docs per source (ordered
+  // by sample key then id). ONE window shuffle keyed by source; a hot
+  // source is the q15 top-n shape (salt if a single group outgrows a
+  // task at 100 TB).
+  private val t18 = GraftQuery(
+    "t18_source_cap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(expr(sampleKey).asc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 30)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, source FROM (
+               SELECT doc_id, source, row_number() OVER (
+                 PARTITION BY source ORDER BY $duckSampleKey, doc_id) AS rk
+               FROM documents)
+             WHERE rk <= 30 ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18)
 }

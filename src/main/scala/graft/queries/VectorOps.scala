@@ -122,5 +122,33 @@ object VectorOps {
              WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
              ORDER BY id_a, id_b"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06)
+  // Symmetric int8 quantization — the standard memory-reduction step
+  // before ANN at scale (4 bytes/dim → 1). Per-vector scale =
+  // 127/max|x|; all arithmetic in double on BOTH engines so the
+  // rounding is bit-identical and the oracle checks every element.
+  // Map-only, zero shuffle.
+  private val v07 = GraftQuery(
+    "v07_quantize_int8",
+    (s, dir) => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("max_abs",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+        .withColumn("scale", lit(127.0) / col("max_abs"))
+      d.select(col("vec_id"),
+          transform(col("v"), x => round(x * col("scale"), 0).cast("int")).as("q"),
+          round(col("scale"), 4).as("scale_r"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+              FROM e)
+            SELECT vec_id,
+              list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q,
+              round(scale, 4) AS scale_r
+            FROM s ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }
