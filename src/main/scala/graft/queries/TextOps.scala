@@ -108,7 +108,11 @@ object TextOps {
                ELSE 'fr' END AS lang_pred
              FROM sc ORDER BY doc_id"""))
 
-  // Rolling-hash content fingerprint (native Catalyst expression).
+  // Rolling-hash content fingerprint (native Catalyst expression,
+  // h = h*31 + byte wrapping i64). The oracle replicates the exact
+  // recurrence in DuckDB via HUGEINT arithmetic mod 2^64 (per-char
+  // ord == UTF-8 byte: the corpus is pure ASCII, asserted by the
+  // normalization both sides share).
   private val t05 = GraftQuery(
     "t05_fingerprint_rolling",
     (s, dir) => {
@@ -116,7 +120,20 @@ object TextOps {
         .select(col("doc_id"), rolling_hash64(normalizeText(col("text"))).as("fp"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents)
+            SELECT doc_id, CAST(
+              CASE WHEN m < 9223372036854775808 THEN m
+                   ELSE m - 18446744073709551616 END AS BIGINT) AS fp
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(CAST(0 AS HUGEINT),
+                  list_transform(range(1, length(t) + 1),
+                    i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+                (h, b) -> (h * 31 + b) % 18446744073709551616) AS m
+              FROM d)
+            ORDER BY doc_id"""))
 
   private val t06 = GraftQuery(
     "t06_dedup_exact",

@@ -55,4 +55,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(5) == 8)
     assert(row.getInt(6) == 4)
   }
+
+  test("duck_extract dispatches on struct vs JSON-string input") {
+    val row = spark.sql(
+      """SELECT
+        |  duck_extract(named_struct('city', 'Austin', 'n', 7), 'city') AS s1,
+        |  duck_extract(named_struct('city', 'Austin', 'n', 7), 'n') AS s2,
+        |  duck_extract('{"city":"Austin","n":7}', 'city') AS j1,
+        |  duck_extract(named_struct('a', named_struct('b', 'x')), 'a') AS nested
+        |""".stripMargin).head()
+    assert(row.getString(0) == "Austin")
+    assert(row.getString(1) == "7") // ->> returns text: primitives cast
+    assert(row.getString(2) == "Austin")
+    assert(row.getStruct(3).getString(0) == "x") // structs stay chainable
+  }
 }
