@@ -92,6 +92,11 @@ final class StateTable(
   def upsert(rows: DataFrame, sets: Seq[SqlDialect.SetClause]): DataFrame = {
     require(uniqueKeys.nonEmpty,
       s"table $name has no unique index; ON CONFLICT requires one")
+    val assigns = sets.collect { case a: SqlDialect.Assign => a.col }
+    require(assigns.isEmpty,
+      s"state table $name supports additive/replace SET clauses only; " +
+        s"arbitrary assignments (${assigns.mkString(", ")} = <expr>) need an " +
+        "attached catalog table (Attachments.upsertCatalog)")
     val incoming = conform(rows)
     if (dist != null) {
       // materialize the delta ONCE and upsert from the materialized

@@ -39,4 +39,33 @@ object CuratedOutput {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bucketed parquet table — the co-located-join layout: two tables
+    * bucketed by the same key into the same bucket count join WITHOUT
+    * a shuffle on either side (Catalyst recognizes the bucketing as a
+    * satisfied `HashPartitioning` and elides both Exchanges —
+    * CuratedOutputSpec pins this). At 100 TB this converts every
+    * recurring fact-fact join on the bucket key from the dominant
+    * shuffle into a local zip of pre-sorted buckets; pay the layout
+    * cost once at write time, win on every read.
+    *
+    * Catalog-table based (`saveAsTable` with an explicit path):
+    * bucketing metadata lives in the catalog, which is what makes the
+    * read-side optimization possible. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numBuckets >= 1)
+    df.write
+      .mode(mode)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -41,4 +41,41 @@ class CuratedOutputSpec extends SparkTestBase {
     val enExpected = docs.filter(docs("lang") === "en").count()
     assert(en == enExpected)
   }
+
+  test("writeBucketed: same-key bucketed tables join with no shuffle on either side") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val base = Files.createTempDirectory("graft_bucketed")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try {
+      CuratedOutput.writeBucketed(orders, "b_orders",
+        base.resolve("orders").toString, "o_orderkey", 8)
+      CuratedOutput.writeBucketed(lineitem, "b_lineitem",
+        base.resolve("lineitem").toString, "l_orderkey", 8)
+
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      // disable broadcast so the join would OTHERWISE shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"),
+          s"bucketed co-located join must not shuffle:\n$plan")
+        // and it computes the right thing
+        val expected = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey")).count()
+        assert(joined.count() == expected)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
