@@ -77,7 +77,7 @@ object Attachments {
 
   def attach(spark: SparkSession, spec: AttachSpec): Unit = {
     val uri = spec.uri
-    if (spec.dbType.exists(t => t == "POSTGRES" | t == "MYSQL") ||
+    if (spec.dbType.exists(t => t == "POSTGRES" || t == "MYSQL") ||
         uri.startsWith("jdbc:") || uri.matches("^(postgres(ql)?|mysql)://.*"))
       attachJdbc(spark, spec)
     else if (uri.startsWith("md:") || uri.startsWith("ducklake:") ||
