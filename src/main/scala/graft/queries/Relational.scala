@@ -516,10 +516,91 @@ object Relational {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, first_ts"""))
 
+  // --- q22: NOT EXISTS + scalar-subquery threshold (TPC-H Q22 shape):
+  //     above-average-balance customers with no URGENT order. The
+  //     scalar (global avg) broadcasts; NOT EXISTS is a left-anti join
+  //     on the customer key — no correlated re-execution. (Nearly every
+  //     customer has SOME order in the fixture, so the anti-join is on
+  //     the filtered urgent subset to keep the gate row informative at
+  //     every SF: 5 / 75 / 937 customers at sf0.001/0.01/0.1.)
+  private val q22 = GraftQuery(
+    "q22_exists_antijoin",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      val rich = cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+      rich.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_cust,
+              round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  // --- q23: correlated per-group average threshold (TPC-H Q17 shape).
+  //     The per-part average is a separate agg joined back — one keyed
+  //     shuffle each, never a correlated re-scan per row.
+  private val q23 = GraftQuery(
+    "q23_pergroup_avg_filter",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy("l_partkey")
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(partAvg, "l_partkey")
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+            FROM lineitem l
+            WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                                WHERE l_partkey = l.l_partkey)"""))
+
+  // --- q24: CTE chain through spark.sql (TPC-H Q15 shape): revenue
+  //     per supplier → max → equality join back. Exercises the SQL-text
+  //     path end-to-end (WITH, subquery reuse, HAVING-free max filter).
+  private val q24 = GraftQuery(
+    "q24_cte_top_supplier",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM g_lineitem GROUP BY l_suppkey),
+        top AS (SELECT max(total_revenue) AS max_revenue FROM revenue)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM g_supplier JOIN revenue ON s_suppkey = supplier_no
+        JOIN top ON total_revenue = max_revenue
+        ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_revenue
+              FROM lineitem GROUP BY l_suppkey),
+            top AS (SELECT max(total_revenue) AS max_revenue FROM revenue)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            JOIN top ON total_revenue = max_revenue
+            ORDER BY s_suppkey"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
+    q22, q23, q24)
 }
