@@ -91,7 +91,12 @@ object StreamingPipeline {
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
       .trigger(conf.pipeline.flushIntervalSeconds match {
         case Some(s) => Trigger.ProcessingTime(s"$s seconds")
-        case None => Trigger.ProcessingTime("1 second")
+        // no liveness interval configured → fire as soon as data is
+        // available (interval 0), like the reference's consume loop.
+        // A fixed 1s default would CAP throughput at batch_size msgs/s
+        // (measured: the e2e daemon sat pinned at ~49k msgs/s with
+        // 50k-msg batches — the trigger floor, not the work).
+        case None => Trigger.ProcessingTime(0L)
       })
       .foreachBatch { (raw: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processBatch(spark, session, policy, raw, metrics)
@@ -113,7 +118,6 @@ object StreamingPipeline {
       policy: ErrorPolicyConf,
       raw: Dataset[org.apache.spark.sql.Row],
       metrics: GraftMetrics = new GraftMetrics): Unit = {
-    if (raw.isEmpty) return
     val metaCols = raw.schema.fieldNames.filter(_.startsWith("kafka_")).toSeq
     // decode: per-batch JSON schema inference over the value strings,
     // then a per-row from_json against that schema so the kafka_*
@@ -122,10 +126,21 @@ object StreamingPipeline {
     // (handlers.py InferredMemBatch.write).
     // NB: inside foreachBatch `raw` is bound to a CLONED SparkSession;
     // the handler registers `batch` as a temp view, which must land in
-    // the outer session's catalog — bridge via the session-agnostic RDD.
-    val values = spark.createDataFrame(raw.toDF().rdd, raw.schema).cache()
+    // the outer session's catalog. In the fast path `spark.read.json`
+    // rebinds the result to the outer session by construction; only the
+    // metadata path (from_json derivation stays clone-bound) needs the
+    // RDD bridge. Per-batch cost here is dominated by the NUMBER of
+    // sequential actions, not data volume (measured with
+    // tools/DecodeProbe: ~50-200 ms per mini-job at 50k msgs) — so the
+    // batch is counted once through the cache instead of a separate
+    // isEmpty probe, and no speculative repartition is added (a 12 MB
+    // shuffle costs more than single-partition parsing saves).
+    val values =
+      (if (metaCols.isEmpty) raw.toDF()
+       else spark.createDataFrame(raw.toDF().rdd, raw.schema)).cache()
     var parsed: DataFrame = null
     try {
+      if (values.count() == 0L) return
       val strings = values.select(col("value").cast("string").as("value"))
         .as(org.apache.spark.sql.Encoders.STRING)
       parsed = (if (metaCols.isEmpty) {
