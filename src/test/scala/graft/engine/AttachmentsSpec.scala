@@ -350,6 +350,36 @@ class AttachmentsSpec extends SparkTestBase {
     spark.sql("DROP DATABASE IF EXISTS idem_db CASCADE")
   }
 
+  test("upsertCatalog merge semantics: additive nulls, replace, assign, new keys") {
+    spark.sql("DROP DATABASE IF EXISTS merge_db CASCADE")
+    spark.sql("CREATE DATABASE merge_db")
+    spark.sql("""CREATE TABLE merge_db.acc (
+      k STRING, add_c BIGINT, rep_c STRING, asg_c STRING, untouched STRING)
+      USING parquet""")
+    try {
+      spark.sql("""INSERT INTO merge_db.acc VALUES
+        ('a', 10, 'old', 'x', 'keepA'),
+        ('b', NULL, 'old', 'x', 'keepB'),
+        ('c', 5, 'old', 'x', 'keepC')""")
+      // upsert touching a (additive), b (additive onto NULL), d (new);
+      // c untouched by the delta and must pass through unchanged
+      val spec = SqlDialect.parseUpsert(
+        """INSERT INTO merge_db.acc (k, add_c, rep_c)
+          |SELECT * FROM VALUES ('a', 7, 'new'), ('b', 3, 'new'), ('d', 1, 'new') AS t(k, a, r)
+          |ON CONFLICT (k) DO UPDATE SET
+          |  add_c = add_c + EXCLUDED.add_c,
+          |  rep_c = EXCLUDED.rep_c,
+          |  asg_c = upper('merged')""".stripMargin).get
+      Attachments.upsertCatalog(spark, spec)
+      val got = spark.table("merge_db.acc").orderBy("k").toJSON.collect().toSeq
+      assert(got == Seq(
+        """{"k":"a","add_c":17,"rep_c":"new","asg_c":"MERGED","untouched":"keepA"}""",
+        """{"k":"b","add_c":3,"rep_c":"new","asg_c":"MERGED","untouched":"keepB"}""",
+        """{"k":"c","add_c":5,"rep_c":"old","asg_c":"x","untouched":"keepC"}""",
+        """{"k":"d","add_c":1,"rep_c":"new"}"""))
+    } finally spark.sql("DROP DATABASE IF EXISTS merge_db CASCADE")
+  }
+
   test("directory attach + USE + unqualified table (reference attach-geoip.yml)") {
     import spark.implicits._
     val dbDir = Files.createTempDirectory("graft_attach_geoip")

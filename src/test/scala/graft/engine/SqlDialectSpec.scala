@@ -54,6 +54,42 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(translate("SELECT x AT TIME ZONE 'utc' FROM t") == "SELECT x FROM t")
   }
 
+  test("double-quoted identifiers → backticks; string literals untouched") {
+    assert(translate("""SELECT em."offset" FROM t em""") ==
+      "SELECT em.`offset` FROM t em")
+    assert(translate("""INSERT INTO m (partition, "offset", topic) SELECT 1, 2, 3""") ==
+      "INSERT INTO m (partition, `offset`, topic) SELECT 1, 2, 3")
+    // double quotes inside a single-quoted literal are data, not idents
+    assert(translate("""SELECT '{"k":"v"}' AS j FROM t""") ==
+      """SELECT '{"k":"v"}' AS j FROM t""")
+    // multi-word double-quoted content is left alone (not an identifier)
+    assert(translate("""SELECT "not an ident" FROM t""") ==
+      """SELECT "not an ident" FROM t""")
+  }
+
+  test("trailing comma before FROM is tolerated (DuckDB-ism)") {
+    assert(translate("SELECT a, b, FROM t") == "SELECT a, b FROM t")
+    assert(translate("SELECT a,\n      FROM t") == "SELECT a\n      FROM t")
+    // a comma before a column merely PREFIXED "from..." must survive
+    assert(translate("SELECT a, fromage FROM t") == "SELECT a, fromage FROM t")
+    // inside a string literal it is data
+    assert(translate("SELECT 'x, FROM y' AS s FROM t") ==
+      "SELECT 'x, FROM y' AS s FROM t")
+  }
+
+  test("parseUpsert: qualified tables, column lists, quoted idents, assigns") {
+    val spec = parseUpsert(
+      """INSERT INTO my_db.meta (partition, "offset", topic)
+        |SELECT p, o, t FROM b
+        |ON CONFLICT (topic, partition) DO UPDATE SET
+        |  "offset" = EXCLUDED."offset",
+        |  updated_at = now()""".stripMargin).get
+    assert(spec.table == "my_db.meta")
+    assert(spec.insertColumns == Seq("partition", "offset", "topic"))
+    assert(spec.conflictKeys == Seq("topic", "partition"))
+    assert(spec.sets == Seq(Replace("offset"), Assign("updated_at", "now()")))
+  }
+
   test("parseUpsert extracts table, keys, additive sets") {
     val spec = parseUpsert(
       """INSERT INTO agg BY NAME

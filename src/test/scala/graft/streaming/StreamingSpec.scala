@@ -234,6 +234,79 @@ class StreamingSpec extends SparkTestBase {
       """{"event":"click","kafka_offset":8,"kafka_partition":1,"kafka_topic":"clicks"}"""))
   }
 
+  test("concurrent manager polls never lose rows (flush race fix)") {
+    // The r1 advisor flagged: a poll re-evaluating `now()` after its
+    // collect could delete a bucket that crossed the close threshold
+    // mid-flush — silent data loss. With the shared lock + frozen
+    // timestamp, every upserted count must end up EITHER sinked or
+    // still in the table. Hammer upserts while a 1-ms-ish poll loop
+    // runs, with buckets engineered to close DURING the run.
+    import org.apache.spark.sql.functions._
+    val managerSink = new MemorySink
+    val conf = confFromString(
+      """tables:
+        |  sql:
+        |    - name: race_counts
+        |      sql: |
+        |        CREATE TABLE race_counts (bucket TIMESTAMPTZ, city VARCHAR, count INT);
+        |        CREATE UNIQUE INDEX rc_idx ON race_counts (bucket, city);
+        |      manager:
+        |        tumbling_window:
+        |          poll_interval_seconds: 3600
+        |          collect_closed_windows_sql: |
+        |            SELECT strftime(bucket, '%Y-%m-%dT%H:%M:%S') AS bucket, city, count
+        |            FROM race_counts
+        |            WHERE bucket < (now()::timestamptz - INTERVAL '2' SECOND)
+        |          delete_closed_windows_sql: |
+        |            DELETE FROM race_counts WHERE bucket < (now()::timestamptz - INTERVAL '2' SECOND)
+        |        sink: {type: noop}
+        |pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      INSERT INTO race_counts BY NAME
+        |      SELECT CAST(ts as TIMESTAMP) as bucket, city, count(*) as count
+        |      FROM batch GROUP BY bucket, city
+        |      ON CONFLICT (bucket, city) DO UPDATE SET count = count + EXCLUDED.count
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val session = Invoke.buildSession(spark, conf,
+      managerSinkOverride = Some(managerSink))
+    val manager = session.managers.head
+
+    // poll concurrently (throttled — each flush is several Spark jobs)
+    @volatile var polling = true
+    val poller = new Thread(() => while (polling) {
+      manager.flush(); Thread.sleep(150)
+    })
+    poller.start()
+    val total = 15
+    try {
+      import spark.implicits._
+      (1 to total).foreach { i =>
+        // buckets stamped "now": they close (cross the 2s threshold)
+        // while later upserts and polls are still running
+        val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        val batch = Seq((ts, s"city$i")).toDF("ts", "city")
+        session.lock.synchronized {
+          session.handler.invoke(spark, batch)
+        }
+        Thread.sleep(100)
+      }
+      // let everything close, then drain
+      Thread.sleep(2500)
+      manager.flush()
+    } finally { polling = false; poller.join() }
+
+    val sinked = managerSink.allRows.size
+    val remaining = session.tables("race_counts").df.count()
+    assert(sinked + remaining == total,
+      s"lost rows: sinked=$sinked remaining=$remaining (expected $total total)")
+  }
+
   test("streaming tumbling window: upsert accumulates across micro-batches, manager drains") {
     val inDir = Files.createTempDirectory("graft_stream_win")
     val managerSink = new MemorySink
