@@ -237,6 +237,33 @@ object Dedup {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with any benchmark
+    * document. The training-data hygiene pass: eval-set text leaking
+    * into a training corpus inflates benchmark scores, so flagged docs
+    * are quarantined before training.
+    *
+    * Shape: both sides explode to (shingle-hash, id) — the CROSS-table
+    * inverted index, same asymptotics as [[jaccardPairs]] but the join
+    * volume is Σ_s f_corpus(s)·f_bench(s), bounded by the (small)
+    * benchmark side. One keyed shuffle on 8-byte shingle hashes; the
+    * per-pair distinct-overlap count is a second keyed shuffle on
+    * (corpus_id, bench_id) candidate pairs only. */
+  def contaminationPairs(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, minShared: Int = 3): DataFrame = {
+    // wordShingles is distinct-per-doc already → (id, hash) is unique
+    def index(df: DataFrame, as: String) = graft.queries.Tables.spread(df)
+      .select(col(idCol).as(as),
+        explode(wordShingles(col(textCol), n)).as("sh"))
+      .withColumn("sh", xxhash64(col("sh")))
+    index(corpus, "corpus_id").join(index(bench, "bench_id"), "sh")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs within a Hamming radius.
     *
     * Each doc gets a 64-bit simhash of its token hashes (native

@@ -442,6 +442,32 @@ object TextOps {
                FROM documents)
              WHERE rk <= 30 ORDER BY doc_id"""))
 
+  // Benchmark decontamination (Dedup.contaminationPairs): corpus docs
+  // sharing ≥2 distinct 5-gram shingles with the held-out "benchmark"
+  // cohort (every 50th doc stands in for an eval set). Non-vacuous at
+  // every SF (3/1/10 flagged pairs at sf0.001/0.01/0.1).
+  private val t19 = GraftQuery(
+    "t19_contamination",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.contaminationPairs(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, minShared = 2)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+                       FOR i IN range(1, len(toks) - 3)]
+                 ELSE [array_to_string(toks, ' ')] END) AS sh FROM tk),
+             c AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 != 0),
+             b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0)
+             SELECT corpus_id, bench_id, count(*) AS n_shared
+             FROM c JOIN b USING (s)
+             GROUP BY corpus_id, bench_id HAVING count(*) >= 2
+             ORDER BY corpus_id, bench_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15, t16, t17, t18)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }
