@@ -193,9 +193,11 @@ object Attachments {
     if (uri.startsWith("file://")) uri.substring("file://".length) else uri
 
   /** `CREATE TABLE [IF NOT EXISTS] alias.t (cols…)` against an attached
-    * database: a real catalog table (parquet), with DuckDB-isms the
-    * reference DDL uses stripped — `PRIMARY KEY (…)` table constraints,
-    * `DEFAULT expr` column clauses, double-quoted column names. */
+    * database: a real catalog table (parquet). DuckDB-isms translate
+    * rather than drop where Spark has the concept: `DEFAULT expr`
+    * column clauses carry over into Spark column DEFAULTs (so partial
+    * inserts fill them like the reference does); `PRIMARY KEY (…)`
+    * table constraints and double-quoted column names are stripped. */
   def createQualifiedTable(spark: SparkSession, stmt: String): Boolean = {
     val pat =
       """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
@@ -204,15 +206,30 @@ object Attachments {
         if (!spark.catalog.databaseExists(db))
           throw new IllegalArgumentException(
             s"CREATE TABLE $db.$table: database $db is not attached")
+        val defaults = columnDefaults(colsRaw)
         val cols = stripConstraints(colsRaw)
         val schema = StateTable.parseColumns(cols)
-        val ddlCols = schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val ddlCols = schema.fields.map { f =>
+          val d = defaults.get(f.name.toLowerCase)
+            .map(e => s" DEFAULT ${SqlDialect.translate(e)}").getOrElse("")
+          s"`${f.name}` ${f.dataType.sql}$d"
+        }.mkString(", ")
         val ifClause = if (ifNot != null) "IF NOT EXISTS " else ""
         spark.sql(s"CREATE TABLE $ifClause$db.`$table` ($ddlCols) USING parquet")
         true
       case _ => false
     }
+  }
+
+  /** Per-column `DEFAULT <expr>` clauses from a DuckDB column list
+    * (lowercased column name → raw default expression). */
+  private[engine] def columnDefaults(cols: String): Map[String, String] = {
+    val pat = """(?is)^\s*"?(\w+)"?\s+.*?\s+DEFAULT\s+(.+?)\s*$""".r
+    splitTopLevel(cols)
+      .filterNot(_.trim.toUpperCase.startsWith("PRIMARY KEY"))
+      .filterNot(_.trim.toUpperCase.startsWith("UNIQUE"))
+      .collect { case pat(name, expr) => name.toLowerCase -> expr.trim }
+      .toMap
   }
 
   /** `INSERT INTO db.t [(cols)] SELECT … ON CONFLICT (keys) DO UPDATE
@@ -237,12 +254,28 @@ object Attachments {
       delta = delta.toDF(spec.insertColumns: _*)
     }
     val aligned = delta.select(tSchema.fields.map { f =>
-      (if (delta.columns.contains(f.name)) col(f.name) else lit(null))
+      (if (delta.columns.contains(f.name)) col(f.name)
+       // missing column → the table's declared DEFAULT (Spark keeps it
+       // in the field metadata), like the reference's insert; NULL only
+       // when no default exists
+       else if (f.metadata.contains("CURRENT_DEFAULT"))
+         expr(f.metadata.getString("CURRENT_DEFAULT"))
+       else lit(null))
         .cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*).localCheckpoint(true)
 
     val keys = spec.conflictKeys
     require(keys.nonEmpty, s"ON CONFLICT on ${spec.table} requires key columns")
+    // DuckDB raises "cannot update the same row twice" when the delta
+    // carries a conflict key more than once; silently fanning the
+    // full-outer join out would corrupt the one-row-per-key contract
+    val dup = aligned.groupBy(keys.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ON CONFLICT delta for ${spec.table} contains duplicate key " +
+          s"${dup.head.toSeq.init.mkString("(", ", ", ")")}; aggregate the " +
+          "SELECT by the conflict keys first")
     val additive = spec.sets.collect { case SqlDialect.Additive(c) => c }.toSet
     val replace = spec.sets.collect { case SqlDialect.Replace(c) => c }.toSet
     val assigns = spec.sets.collect { case SqlDialect.Assign(c, e) => c -> e }.toMap
@@ -288,12 +321,17 @@ object Attachments {
 
   private def splitTopLevel(s: String): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
-    var depth = 0; var start = 0
-    for (i <- 0 until s.length) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ =>
+    var depth = 0; var q = false; var start = 0
+    for (i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else c match {
+        case '\'' => q = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
     }
     out += s.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)

@@ -57,6 +57,24 @@ object ConfigSchema {
         err(s"$path.$key",
           s"must be one of ${values.toSeq.sorted.mkString(", ")} (got '${n.path(key).asText()}')")
 
+    // shared by source- and sink-side kafka blocks: a typo'd security
+    // key must fail validation, not silently connect without TLS
+    def kafkaSecurity(k: JsonNode, kp: String): Unit = {
+      enumOf(k, kp, "security_protocol",
+        Set("SASL_SSL", "SSL", "SASL_PLAINTEXT", "PLAINTEXT"))
+      if (k.has("ssl"))
+        checkKeys(k.path("ssl"), s"$kp.ssl", Set("ca_location", "key_location",
+          "certificate_location", "key_password",
+          "endpoint_identification_algorithm"))
+      if (k.has("sasl")) {
+        val sa = k.path("sasl"); val sap = s"$kp.sasl"
+        requireKeys(sa, sap, Seq("mechanism", "username", "password"))
+        checkKeys(sa, sap, Set("mechanism", "username", "password"))
+        enumOf(sa, sap, "mechanism",
+          Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "GSSAPI"))
+      }
+    }
+
     def sink(s: JsonNode, sp: String): Unit = {
       requireKeys(s, sp, Seq("type"))
       checkKeys(s, sp, Set("type", "format", "kafka", "sqlcommand", "iceberg",
@@ -70,6 +88,7 @@ object ConfigSchema {
         requireKeys(k, kp, Seq("brokers", "topic"))
         checkKeys(k, kp, Set("brokers", "topic", "security_protocol", "ssl", "sasl"))
         strArray(k, kp, "brokers")
+        kafkaSecurity(k, kp)
       }
       if (s.has("sqlcommand")) {
         val c = s.path("sqlcommand"); val cp = s"$sp.sqlcommand"
@@ -160,19 +179,7 @@ object ConfigSchema {
             "topics", "security_protocol", "ssl", "sasl"))
           strArray(k, kp, "brokers"); strArray(k, kp, "topics")
           enumOf(k, kp, "auto_offset_reset", Set("earliest", "latest"))
-          enumOf(k, kp, "security_protocol",
-            Set("SASL_SSL", "SSL", "SASL_PLAINTEXT", "PLAINTEXT"))
-          if (k.has("ssl"))
-            checkKeys(k.path("ssl"), s"$kp.ssl", Set("ca_location", "key_location",
-              "certificate_location", "key_password",
-              "endpoint_identification_algorithm"))
-          if (k.has("sasl")) {
-            val sa = k.path("sasl"); val sap = s"$kp.sasl"
-            requireKeys(sa, sap, Seq("mechanism", "username", "password"))
-            checkKeys(sa, sap, Set("mechanism", "username", "password"))
-            enumOf(sa, sap, "mechanism",
-              Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "GSSAPI"))
-          }
+          kafkaSecurity(k, kp)
         }
         if (s.has("websocket")) {
           requireKeys(s.path("websocket"), s"$sp.websocket", Seq("uri"))

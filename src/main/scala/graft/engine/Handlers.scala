@@ -89,7 +89,12 @@ final class StructuredBatchHandler(
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
     val schema = if (qualified) spark.table(tableName).schema else table.schema
     val declared = schema.fieldNames.toSet
-    val extra = batch.schema.fieldNames.filterNot(declared.contains)
+    // kafka_* metadata is ENGINE-attached (processBatch), not user
+    // payload: drop it unless the table declares it — only true payload
+    // columns outside the schema are a validation error
+    val extra = batch.schema.fieldNames
+      .filterNot(declared.contains)
+      .filterNot(_.startsWith("kafka_"))
     if (extra.nonEmpty)
       throw new IllegalArgumentException(
         s"batch columns ${extra.mkString(",")} not in table $tableName schema " +

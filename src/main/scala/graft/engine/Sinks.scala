@@ -51,13 +51,18 @@ final class NoopSink extends GraftSink {
   * which this environment does not ship — construction succeeds so
   * configs parse/validate; writing raises with a clear message. */
 final class KafkaSink(conf: KafkaSinkConf) extends GraftSink {
+  // computed once — securityOptions reads PEM files; per-batch would
+  // put two file reads on the hot path every trigger
+  private val security =
+    KafkaOptions.securityOptions(conf.securityProtocol, conf.ssl, conf.sasl)
+
   override def write(df: DataFrame): Long = {
     val payload = df.select(to_json(struct(col("*"))).as("value"))
     payload.write
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.brokers.mkString(","))
       .option("topic", conf.topic)
-      .options(KafkaOptions.securityOptions(conf.securityProtocol, conf.ssl, conf.sasl))
+      .options(security)
       .save()
     -1L
   }

@@ -77,8 +77,12 @@ object SqlDialect {
       else if (c == ',') {
         var j = i + 1
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        // the char after FROM must not continue an identifier —
+        // `from_unixtime(...)` / `from_json(...)` are function calls,
+        // not the FROM keyword ('_' counts as an identifier char)
+        def identChar(c: Char) = c.isLetterOrDigit || c == '_'
         if (s.regionMatches(true, j, "FROM", 0, 4) &&
-            (j + 4 >= s.length || !s.charAt(j + 4).isLetterOrDigit)) i += 1
+            (j + 4 >= s.length || !identChar(s.charAt(j + 4)))) i += 1
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }

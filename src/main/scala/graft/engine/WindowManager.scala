@@ -56,16 +56,35 @@ final class TumblingWindowManager(
 
   /** Replace now()/current_timestamp() with one captured UTC instant so
     * the collect and delete predicates agree exactly. (Session TZ is
-    * UTC, so the literal is interpreted in UTC.) */
+    * UTC, so the literal is interpreted in UTC.) Quote-aware: the
+    * substitution never fires inside string literals, and the
+    * current_timestamp form requires a word boundary so columns like
+    * `current_timestamp_utc` survive. */
   private def freezeNow: String => String = {
     val lit = "TIMESTAMP '" + java.time.LocalDateTime
       .ofInstant(java.time.Instant.now(), java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")) + "'"
     val rep = java.util.regex.Matcher.quoteReplacement(lit)
-    sql => sql
+    def subst(segment: String): String = segment
       .replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", rep)
-      .replaceAll("(?i)\\bcurrent_timestamp\\s*(\\(\\s*\\))?", rep)
+      .replaceAll("(?i)\\bcurrent_timestamp\\b\\s*(\\(\\s*\\))?", rep)
+    sql => {
+      // split on single-quoted literals, substitute only outside them
+      val out = new StringBuilder
+      var i = 0; var start = 0; var inQuote = false
+      while (i < sql.length) {
+        if (sql.charAt(i) == '\'') {
+          if (inQuote) { out.append(sql.substring(start, i + 1)); start = i + 1 }
+          else { out.append(subst(sql.substring(start, i))); start = i }
+          inQuote = !inQuote
+        }
+        i += 1
+      }
+      out.append(
+        if (inQuote) sql.substring(start) else subst(sql.substring(start)))
+      out.toString
+    }
   }
 
   def start(): Unit = {

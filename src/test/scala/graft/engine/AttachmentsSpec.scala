@@ -347,7 +347,35 @@ class AttachmentsSpec extends SparkTestBase {
     assert(spark.table("idem_db.events").count() == 3)
     assert(spark.table("idem_db.events_metadata")
       .selectExpr("`offset`").as[Long].collect().toSeq == Seq(2L))
+    // DEFAULT now() carried into the Spark DDL: the first-seen metadata
+    // row was filled by the column default, not NULL
+    assert(spark.table("idem_db.events_metadata")
+      .filter("updated_at IS NULL").count() == 0)
     spark.sql("DROP DATABASE IF EXISTS idem_db CASCADE")
+  }
+
+  test("upsertCatalog rejects a delta with duplicate conflict keys (DuckDB parity)") {
+    spark.sql("DROP DATABASE IF EXISTS dup_db CASCADE")
+    spark.sql("CREATE DATABASE dup_db")
+    spark.sql("CREATE TABLE dup_db.t (k STRING, v BIGINT) USING parquet")
+    try {
+      val spec = SqlDialect.parseUpsert(
+        """INSERT INTO dup_db.t
+          |SELECT * FROM VALUES ('a', 1), ('a', 2) AS t(k, v)
+          |ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v""".stripMargin).get
+      val e = intercept[IllegalArgumentException] {
+        Attachments.upsertCatalog(spark, spec)
+      }
+      assert(e.getMessage.contains("duplicate key"))
+    } finally spark.sql("DROP DATABASE IF EXISTS dup_db CASCADE")
+  }
+
+  test("quoted commas inside DEFAULT literals survive DDL parsing") {
+    assert(Attachments.stripConstraints(
+      """name VARCHAR DEFAULT 'a,b', x INT""") == "name VARCHAR, x INT")
+    assert(Attachments.columnDefaults(
+      """name VARCHAR DEFAULT 'a,b', ts TIMESTAMP DEFAULT now(), x INT""") ==
+      Map("name" -> "'a,b'", "ts" -> "now()"))
   }
 
   test("upsertCatalog merge semantics: additive nulls, replace, assign, new keys") {

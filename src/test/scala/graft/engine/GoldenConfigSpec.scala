@@ -83,6 +83,28 @@ class GoldenConfigSpec extends SparkTestBase {
       """{"city":"Baltimore","city_count":1}"""))
   }
 
+  test("structured batch tolerates engine-attached kafka_* metadata columns") {
+    import spark.implicits._
+    val conf = Config.fromString(
+      """commands:
+        |  - name: t
+        |    sql: "CREATE TABLE buf (event STRING);"
+        |pipeline:
+        |  batch_size: 1
+        |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: t, topics: [in]}}
+        |  handler: {type: "handlers.StructuredBatch", table: buf, sql: "SELECT event FROM buf ORDER BY event"}
+        |  sink: {type: memory}
+        |""".stripMargin)
+    val sink = new MemorySink
+    val session = Invoke.buildSession(spark, conf, Some(sink))
+    // a kafka-source batch: payload + engine-attached metadata columns
+    val raw = Seq(("""{"event":"a"}""", 1L, 0, "clicks"))
+      .toDF("value", "kafka_offset", "kafka_partition", "kafka_topic")
+    graft.streaming.StreamingPipeline.processBatch(
+      spark, session, conf.pipeline.onError, raw)
+    assert(sink.allRows == Seq("""{"event":"a"}"""))
+  }
+
   test("structured batch rejects columns missing from the table schema") {
     val cfg = write("structured.bad.yml",
       """commands:

@@ -72,6 +72,9 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(translate("SELECT a,\n      FROM t") == "SELECT a\n      FROM t")
     // a comma before a column merely PREFIXED "from..." must survive
     assert(translate("SELECT a, fromage FROM t") == "SELECT a, fromage FROM t")
+    // from_* FUNCTIONS are not the FROM keyword ('_' continues the ident)
+    assert(translate("SELECT a, from_unixtime(ts) AS t FROM b") ==
+      "SELECT a, from_unixtime(ts) AS t FROM b")
     // inside a string literal it is data
     assert(translate("SELECT 'x, FROM y' AS s FROM t") ==
       "SELECT 'x, FROM y' AS s FROM t")
