@@ -264,6 +264,128 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Distributed connected components over a candidate-duplicate pair
+    * graph — the step that turns pair-finding ([[jaccardPairs]],
+    * [[minhashLshPairs]], [[simhashPairs]]) into an actual dedup:
+    * mutually-similar docs collapse into clusters, each labeled with
+    * the component's minimum doc id.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — the
+    * canonical bounded-shuffle CC. Each half-round is one groupBy
+    * (per-node neighborhood minimum) plus one join co-partitioned on
+    * the same key; edges only ever re-point toward smaller labels, and
+    * convergence is O(log² n) rounds worst case — 2–3 rounds for the
+    * star-like clusters dedup pair-generation produces. No
+    * collect_set / adjacency lists: a 10M-degree hub node contributes
+    * one aggregate row, never a materialized neighbor array, so skew
+    * cannot OOM an executor. Lineage is truncated every round
+    * (localCheckpoint) so the iterative plan stays constant-size
+    * instead of growing with rounds; the convergence probe rides on
+    * the same materialization (a count + hash-sum over the kept rows),
+    * not a second scan of the corpus.
+    *
+    * Output: (doc_id, component_id) for every node incident to ≥ 1
+    * pair, component_id = min doc id in the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 30): DataFrame = {
+    // canonical orientation u > v; self-loops and duplicates dropped
+    val init = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+
+    // Per node u over the SYMMETRIC neighborhood: m = min(Γ(u) ∪ {u});
+    // re-point every strictly larger neighbor at m. Output stays
+    // oriented (v > u ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Per node u over its SMALLER neighbors (the oriented edge list):
+    // m = min(Γ⁻(u)); re-point u and every smaller neighbor at m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(m, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionAll(m.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, ANSI-overflow-free edge-set checksum
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = init.localCheckpoint(true)
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+    }
+
+    // Fixpoint edges form stars (node → component min). Roots carry no
+    // outgoing edge; label them with themselves from the original node
+    // set. min() guards the (already converged) many-edge case.
+    val nodes = init
+      .select(col("u").as("doc_id")).unionAll(init.select(col("v").as("doc_id")))
+      .distinct()
+    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("v"), col("doc_id"))).as("component_id"))
+  }
+
+  /** Canonical-document selection: given docs and their duplicate
+    * components, keep the best doc per component (max `quality`, ties
+    * to the smallest id) and report every other member as dropped,
+    * with the id that superseded it. Composing
+    * `docs.join(dropped, Seq(idCol), "left_anti")` yields the deduped
+    * corpus; the dropped list itself is the auditable artifact (what
+    * was removed and why).
+    *
+    * Shape: components (one CC pass over the pairs), one small join to
+    * attach quality, one groupBy(component) argmax — all keyed
+    * shuffles on ids, never on text. */
+  def dropNonCanonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val q = docs.select(col(idCol).cast("long").as("doc_id"), quality.as("q"))
+    val withQ = comp.join(q, "doc_id")
+    val keep = withQ.groupBy("component_id")
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"))
+    withQ.join(keep, "component_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("component_id"), col("keep_id"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius.
     *
     * Each doc gets a 64-bit simhash of its token hashes (native

@@ -468,6 +468,67 @@ object TextOps {
              GROUP BY corpus_id, bench_id HAVING count(*) >= 2
              ORDER BY corpus_id, bench_id"""))
 
+  // ---- dedup clustering (t20–t21) ---------------------------------
+  // Pair-finding alone is not a dedup: near-duplicate similarity is
+  // not transitive, so overlapping pairs must collapse into connected
+  // components before anything is dropped. The oracle computes the
+  // same components via a recursive label-propagation CTE (min label
+  // reachable per node = component id), over exactly the t07 pair
+  // predicate.
+
+  private val ccCte =
+    s"""tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  FOR i IN range(1, len(toks) - 1)]
+            ELSE [array_to_string(toks, ' ')] END) AS sh FROM tk),
+        pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.3),
+        edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        cc AS (
+          SELECT u AS node, u AS label FROM edges
+          UNION
+          SELECT e.v AS node, c.label FROM cc c JOIN edges e ON c.node = e.u
+        )"""
+
+  private val t20 = GraftQuery(
+    "t20_dedup_components",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCte
+             SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(label) AS BIGINT) AS component_id
+             FROM cc GROUP BY node ORDER BY doc_id"""))
+
+  // Canonical selection: per component keep the doc with the most
+  // tokens (ties → smallest id); emit the dropped members with the id
+  // that superseded them — the auditable "what was removed" artifact.
+  private val t21 = GraftQuery(
+    "t21_dedup_keep_canonical",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+      Dedup.dropNonCanonical(d, pairs, "doc_id", size(tokens(col("text"))))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCte,
+             comp AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node),
+             q AS (SELECT doc_id, len($duckToks) AS q FROM documents),
+             sel AS (SELECT c.node, c.component_id,
+               first_value(c.node) OVER (PARTITION BY c.component_id
+                 ORDER BY q.q DESC, c.node ASC) AS keep_id
+               FROM comp c JOIN q ON c.node = q.doc_id)
+             SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(component_id AS BIGINT) AS component_id,
+               CAST(keep_id AS BIGINT) AS keep_id
+             FROM sel WHERE node <> keep_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -84,4 +84,52 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"got $pairs")
   }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents labels disjoint clusters with their minimum id") {
+    val cc = ccOf(Seq((5L, 3L), (3L, 9L), (20L, 21L), (40L, 41L), (41L, 42L), (42L, 40L)))
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 40L -> 40L, 41L -> 40L, 42L -> 40L))
+  }
+
+  test("connectedComponents converges on a long path graph (worst-case diameter)") {
+    // a 200-node path: naive propagation needs 200 rounds; the
+    // alternating algorithm must finish within the log² bound
+    val path = (1L until 200L).map(i => (i, i + 1))
+    val cc = ccOf(path)
+    assert(cc.size == 200 && cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents handles duplicates, reversed edges, self-loops, empty input") {
+    val cc = ccOf(Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  test("dropNonCanonical keeps the highest-quality doc per component, ties to min id") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c"), (3L, "a b c d e"), // comp {1,2,3}: 1 and 3 tie on 5 tokens → keep 1
+      (7L, "x y"), (8L, "x y z")).toDF("doc_id", "text")   // comp {7,8}: keep 8 (3 tokens)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val dropped = Dedup.dropNonCanonical(docs, pairs, "doc_id",
+        size(graft.functions.TextFunctions.tokens(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dropped == Set((2L, 1L, 1L), (3L, 1L, 1L), (7L, 7L, 8L)))
+  }
+
+  test("end-to-end dedup: jaccard pairs -> components -> anti-join leaves one doc per cluster") {
+    val docs = mkDocs
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+    val dropped = Dedup.dropNonCanonical(docs, pairs, "doc_id",
+      size(graft.functions.TextFunctions.tokens(col("text"))))
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+    // planted clusters {1,2},{3,4},{5,6} each lose exactly one member
+    assert(kept.count() == docs.count() - 3)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(Set(1L, 2L), Set(3L, 4L), Set(5L, 6L))
+      .forall(c => (c & keptIds).size == 1))
+  }
 }
