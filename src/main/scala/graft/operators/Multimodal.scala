@@ -10,13 +10,20 @@ import org.apache.spark.sql.types._
   * partition-local batch transforms (`mapPartitions` — the Scala
   * analogue of PySpark's mapInPandas batches).
   *
-  * The decode kernels themselves are STUBS (this environment has no
-  * image/audio codecs): they produce deterministic pseudo-metadata and
-  * pseudo-features derived from the bytes, so the Spark-side contract —
-  * schema, nullability, partitioning, batch shape, feature dimensions —
-  * is real and tested, and a codec can be dropped into `decodeKernel`/
+  * Images are decoded for REAL via `javax.imageio` (JDK built-in:
+  * PNG/JPEG/GIF/BMP). Metadata decode is header-only — the pixel raster
+  * is never materialized, so at 100 TB the decode-meta pass is IO-bound,
+  * not CPU-bound. Audio/video bytes (no codec in the JDK) fall back to a
+  * deterministic stub kernel, so the Spark-side contract — schema,
+  * nullability, partitioning, batch shape, feature dimensions — is
+  * uniform and a real codec can be dropped into `decodeKernel`/
   * `featureKernel` without touching the plan. */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache would put one temp file per
+  // executor task on local disk — pure overhead for in-memory byte[]
+  // sources, and a file-descriptor hazard at 32+ concurrent tasks.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -24,19 +31,58 @@ object Multimodal {
     StructField("content", BinaryType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
-  /** STUB decode kernel — replace with a real codec (e.g. TwelveMonkeys
-    * / javacv) in production. Deterministic in the content bytes. */
-  private def decodeKernel(content: Array[Byte]): (Int, Int, Int) = {
-    // ??? real codec goes here; deterministic fake below
-    if (content == null || content.isEmpty) (0, 0, 0)
-    else {
-      var h = 1125899906842597L
-      content.foreach(b => h = h * 31 + b)
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 16, 1024).toInt
-      (w, ht, 3)
+  /** True iff the bytes start with a magic number `javax.imageio` can
+    * decode (PNG / JPEG / GIF / BMP). Cheap pre-filter so non-image
+    * media (audio/video, plain text) skips ImageIO reader discovery. */
+  private[graft] def looksLikeImage(content: Array[Byte]): Boolean =
+    content != null && content.length >= 3 && {
+      val b0 = content(0) & 0xFF; val b1 = content(1) & 0xFF; val b2 = content(2) & 0xFF
+      (b0 == 0x89 && b1 == 0x50 && b2 == 0x4E) || // PNG
+      (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) || // JPEG
+      (b0 == 'G' && b1 == 'I' && b2 == 'F') ||    // GIF
+      (b0 == 'B' && b1 == 'M')                    // BMP
     }
+
+  /** Header-only image metadata read: (width, height, channels) without
+    * decoding the pixel raster. None if the bytes are not a decodable
+    * image. */
+  private[graft] def imageHeader(content: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!looksLikeImage(content)) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val bands =
+            try reader.getImageTypes(0).next().getNumBands
+            catch { case _: Exception => 3 }
+          Some((w, h, bands))
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
   }
+
+  /** Decode kernel: real `javax.imageio` header read for image bytes;
+    * deterministic stub (hash-derived dims) for media the JDK has no
+    * codec for (audio/video) so the pipeline contract stays uniform. */
+  private def decodeKernel(content: Array[Byte]): (Int, Int, Int) =
+    imageHeader(content).getOrElse {
+      if (content == null || content.isEmpty) (0, 0, 0)
+      else {
+        var h = 1125899906842597L
+        content.foreach(b => h = h * 31 + b)
+        val w = 64 + math.floorMod(h, 1024).toInt
+        val ht = 64 + math.floorMod(h >> 16, 1024).toInt
+        (w, ht, 3)
+      }
+    }
 
   /** STUB feature kernel → fixed-dim embedding (deterministic fake). */
   private def featureKernel(content: Array[Byte], dim: Int): Array[Float] = {
@@ -69,7 +115,9 @@ object Multimodal {
     media.select(mediaSchema.fieldNames.map(col).toIndexedSeq: _*)
       .mapPartitions { rows =>
         rows.map { r =>
-          val content = r.getAs[Array[Byte]]("content")
+          // positional access: upstream mapPartitions stages emit
+          // schema-less GenericRows; `content` is mediaSchema field 2
+          val content = r.getAs[Array[Byte]](2)
           val (w, h, c) = decodeKernel(content)
           Row.fromSeq(r.toSeq ++ Seq(w, h, c,
             if (content == null) 0L else content.length.toLong))
@@ -94,29 +142,78 @@ object Multimodal {
       }(enc)
   }
 
-  /** Resize pass (image): clamp decoded dimensions to a bounding box
-    * preserving aspect ratio, and re-emit content scaled down
-    * proportionally (STUB: real codecs re-encode pixels; the stub
-    * truncates bytes by the area ratio so downstream size accounting
-    * is exercised). Pure map stage — partition-local, no shuffle. */
+  /** Bounding-box fit preserving aspect ratio: output dims for (w, h)
+    * clamped into (maxW, maxH), never upscaled, floor semantics. The
+    * same arithmetic is SQL-expressible, which is what lets the resize
+    * oracle recompute expected dims independently. */
+  private[graft] def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0,
+      math.min(maxW / math.max(w, 1).toDouble, maxH / math.max(h, 1).toDouble))
+    (math.max(1, math.floor(w * scale).toInt), math.max(1, math.floor(h * scale).toInt))
+  }
+
+  /** Resize kernel: for decodable images, a REAL pixel-raster rescale
+    * (`Graphics2D` bilinear draw) re-encoded as PNG; for non-image
+    * media, the deterministic byte-truncation stub (truncate by area
+    * ratio so downstream size accounting is exercised). */
+  private def resizeKernel(content: Array[Byte], maxW: Int, maxH: Int)
+      : (Int, Int, Array[Byte]) = {
+    imageHeader(content) match {
+      case Some((w, h, _)) =>
+        val (ow, oh) = fitBox(w, h, maxW, maxH)
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          val dst = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, ow, oh, null)
+          } finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", baos)
+          (ow, oh, baos.toByteArray)
+        } catch { case _: Exception => (ow, oh, content) }
+      case None =>
+        if (content == null || content.isEmpty) (1, 1, content)
+        else {
+          val (w, h, _) = decodeKernel(content)
+          val (ow, oh) = fitBox(w, h, maxW, maxH)
+          val ratio = (ow.toLong * oh).toDouble / (w.toLong * h).toDouble
+          val keep = math.max(1, (content.length * ratio).toInt)
+          (ow, oh, content.take(keep))
+        }
+    }
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("out_content", BinaryType),
+    StructField("out_bytes", IntegerType)))
+
+  /** Resize pass (image): clamp to a bounding box preserving aspect
+    * ratio. Real pixel rescale + PNG re-encode for decodable images
+    * (javax.imageio); deterministic byte-truncation stub for media the
+    * JDK has no codec for. Pure map stage — partition-local, no
+    * shuffle; at 100 TB parallelism is the input partitioning. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0)
-    val decoded = decodeMeta(media)
-    val scale = least(
-      lit(1.0),
-      lit(maxW) / col("width").cast("double"),
-      lit(maxH) / col("height").cast("double"))
-    decoded
-      .withColumn("out_width", greatest(lit(1), floor(col("width") * scale).cast("int")))
-      .withColumn("out_height", greatest(lit(1), floor(col("height") * scale).cast("int")))
-      .withColumn("out_content",
-        // ??? real image re-encode goes here; byte-truncation stub below
-        // (try_divide: empty/null content decodes to 0×0, and ANSI mode —
-        // Spark 4's default — would abort the job on 0/0)
-        expr("substring(content, 1, greatest(1, cast(n_bytes * " +
-          "coalesce(try_divide(out_width * out_height, width * height), 0) as int)))"))
-      .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
-        col("out_content"), length(col("out_content")).as("out_bytes"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedSchema)
+    media.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val content = r.getAs[Array[Byte]](2)
+          val (ow, oh, out) = resizeKernel(content, maxW, maxH)
+          Row(r.getLong(0), r.getString(1), ow, oh, out,
+            if (out == null) null else out.length)
+        }
+      }(enc)
   }
 
   /** Frame-sampling pass (video): one row per sampled frame, frame
@@ -132,6 +229,52 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("n_frames"))
+  }
+
+  /** Render a real PNG with the given dimensions, pixels seeded from
+    * `seed` (deterministic: same seed+dims → identical bytes). */
+  private[graft] def renderPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var p = seed * 0x9E3779B97F4A7C15L + (y.toLong << 20) + x
+        p ^= p >>> 29; p *= 0xBF58476D1CE4E5B9L; p ^= p >>> 32
+        img.setRGB(x, y, (p & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize a media table of REAL PNG images from any table with a
+    * numeric id column. Dimensions derive arithmetically from the id
+    * (`width = 16 + id % 64`, `height = 16 + (id * 7) % 48`), which is
+    * what makes the decode path independently verifiable: a SQL oracle
+    * can recompute the expected dimensions from the id alone, so a
+    * rows+hash match proves the codec read the actual image headers. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + math.floorMod(id, 64).toInt
+          val h = 16 + math.floorMod(id * 7, 48).toInt
+          Row(id, "image", renderPng(w, h, id), "synthetic-png")
+        }
+      }(enc)
   }
 
   /** Synthesize a media table from any table with an id + string column

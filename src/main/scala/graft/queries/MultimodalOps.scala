@@ -90,5 +90,52 @@ object MultimodalOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05)
+  // REAL codec end-to-end: synthesize actual PNGs whose dimensions are
+  // an arithmetic function of the id, decode them with javax.imageio
+  // (header-only read), and let DuckDB recompute the expected dims from
+  // the id alone. A rows+schema+hash match proves the codec read real
+  // image headers — no stub in this path.
+  private val m06 = GraftQuery(
+    "m06_image_decode_real",
+    (s, dir) => {
+      Multimodal.decodeMeta(
+          Multimodal.synthesizeImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CAST(16 + doc_id % 64 AS INT) AS width,
+              CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+              CAST(3 AS INT) AS channels
+            FROM documents ORDER BY media_id"""))
+
+  // REAL pixel rescale (Graphics2D bilinear + PNG re-encode); the
+  // oracle recomputes the aspect-preserving bounding-box arithmetic in
+  // SQL. Identical IEEE-754 double ops on both sides → exact match.
+  private val m07 = GraftQuery(
+    "m07_image_resize_real",
+    (s, dir) => {
+      Multimodal.resize(
+          Multimodal.synthesizeImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"),
+          maxW = 32, maxH = 32)
+        .select(col("media_id"), col("out_width"), col("out_height"))
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id AS media_id,
+                CAST(16 + doc_id % 64 AS INT) AS w,
+                CAST(16 + (doc_id * 7) % 48 AS INT) AS h
+              FROM documents),
+            scaled AS (
+              SELECT media_id, w, h,
+                least(1.0, least(32.0 / w, 32.0 / h)) AS scale
+              FROM dims)
+            SELECT media_id,
+              CAST(greatest(1, floor(w * scale)) AS INT) AS out_width,
+              CAST(greatest(1, floor(h * scale)) AS INT) AS out_height
+            FROM scaled ORDER BY media_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }
