@@ -218,4 +218,47 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"),
         col("rank"))
   }
+
+  /** Per-group embedding centroid + each vector's cosine to its own
+    * group's centroid — the standard embedding-space outlier / label-
+    * noise score (vectors far from their class centroid are candidate
+    * mislabels or off-distribution samples to prune before training).
+    *
+    * Scale shape: `posexplode → groupBy(group, dim).avg` rides on
+    * map-side partial aggregation — the shuffle carries only
+    * #groups × dim partials per input partition, never N × dim element
+    * rows. Centroid re-assembly (#groups rows) is a driver-scale
+    * aggregate broadcast back to the corpus, so the per-vector scoring
+    * stage is map-only with no second shuffle.
+    *
+    * Precision: the centroid is true doubles (an average), so the dot
+    * product uses double `zip_with`/`aggregate` (sequential index
+    * order, like DuckDB's list_dot_product) rather than [[vec_dot]],
+    * whose float input coercion would down-cast the centroid. */
+  def centroidDistance(
+      emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+    val centroids = emb
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(groupCol, "pos")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(groupCol)
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+    emb
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .join(broadcast(centroids), Seq(groupCol))
+      .withColumn("n_v", when(dot(col("v"), col("v")) > 0.0,
+        sqrt(dot(col("v"), col("v")))))
+      .withColumn("n_c", when(dot(col("centroid"), col("centroid")) > 0.0,
+        sqrt(dot(col("centroid"), col("centroid")))))
+      .select(col(idCol), col(groupCol),
+        round(dot(col("v"), col("centroid")) / (col("n_v") * col("n_c")), 4)
+          .as("cos_centroid"))
+  }
 }

@@ -529,6 +529,75 @@ object TextOps {
                CAST(keep_id AS BIGINT) AS keep_id
              FROM sel WHERE node <> keep_id ORDER BY doc_id"""))
 
+  // Sequence packing (contiguous fill): bin = exclusive-prefix-sum of
+  // token counts div capacity, in doc_id order. The oracle IS the
+  // naive global-window formulation — the operator must reproduce it
+  // exactly while executing as a distributed two-phase prefix sum
+  // (operators/Pack.scala; no single-partition window at 100 TB).
+  private val t22 = GraftQuery(
+    "t22_pack_sequences",
+    (s, dir) => {
+      val weighted = docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Pack.packBins(weighted, "doc_id", "n_tokens", capacity = 2048L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+               CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+               FROM w)
+             SELECT doc_id, n_tokens,
+               CAST(prefix // 2048 AS BIGINT) AS bin
+             FROM c ORDER BY doc_id"""))
+
+  // Gopher-style repetition signals: duplicate-token / duplicate-2gram
+  // / duplicate-3gram fractions per document. Map-only over array
+  // builtins (split + array_distinct) — ZERO shuffle beyond the final
+  // sort: at 100 TB this is a pure scan-side stage, unlike the
+  // explode+groupBy formulation which would shuffle every n-gram.
+  private val t23 = GraftQuery(
+    "t23_repetition_signals",
+    (s, dir) => {
+      val tk = tokens(col("text"))
+      val g2 = ngramList(tk, 2)
+      val g3 = ngramList(tk, 3)
+      def dupFrac(arr: org.apache.spark.sql.Column) =
+        when(size(arr) > 0,
+          round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 4))
+          .otherwise(lit(0.0))
+      docs(s, dir).select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          dupFrac(tk).as("dup_token_frac"),
+          dupFrac(g2).as("dup_2gram_frac"),
+          dupFrac(g3).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             g AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                 THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                 ELSE [] END AS g2,
+               CASE WHEN len(toks) >= 3
+                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       FOR i IN range(1, len(toks) - 1)]
+                 ELSE [] END AS g3
+               FROM tk)
+             SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                 round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+                 ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN len(g2) > 0 THEN
+                 round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+                 ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                 round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+                 ELSE 0.0 END AS dup_3gram_frac
+             FROM g ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

@@ -150,5 +150,26 @@ object VectorOps {
               round(scale, 4) AS scale_r
             FROM s ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  // Per-label centroid + cosine-to-own-centroid — embedding outlier /
+  // label-noise scoring. The oracle recomputes centroids and cosines in
+  // DuckDB (double math, same sequential accumulation; see
+  // Similarity.centroidDistance's precision note).
+  private val v08 = GraftQuery(
+    "v08_centroid_outlier",
+    (s, dir) => {
+      Similarity.centroidDistance(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            el AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+            cd AS (SELECT label, pos, avg(x) AS m FROM el GROUP BY label, pos),
+            cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cd GROUP BY label)
+            SELECT e.vec_id, e.label,
+              round(list_dot_product(e.v, cent.c) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 4)
+                AS cos_centroid
+            FROM e JOIN cent USING (label) ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 }

@@ -68,4 +68,26 @@ class AnnSpec extends SparkTestBase {
     assert(r1.forall(r => r.getLong(0) != r.getLong(1)))
     assert(r1.length == 15)
   }
+
+  test("centroidDistance: in-cluster vectors score near 1, cross-cluster outliers lower") {
+    // two tight, well-separated clusters + one planted outlier whose
+    // label disagrees with its position in space
+    val rnd = new scala.util.Random(11)
+    val cA = Array.fill(dim)(5.0f + 0.01f * rnd.nextGaussian().toFloat)
+    val cB = Array.fill(dim)(-5.0f + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, 0, cA.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    } ++ (50 until 100).map { i =>
+      (i.toLong, 1, cB.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    } :+ ((100L, 0, cB.clone())) // labeled 0, lives at cluster B
+    val emb = rows.toDF("vec_id", "label", "embedding")
+
+    val scored = Similarity.centroidDistance(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inliers = (0L until 100L).map(scored)
+    assert(inliers.forall(_ > 0.99), s"min inlier ${inliers.min}")
+    // the mislabeled vector is anti-aligned with its own centroid
+    assert(scored(100L) < 0.0, s"outlier score ${scored(100L)}")
+    assert(scored.values.forall(c => c <= 1.0001 && c >= -1.0001))
+  }
 }
