@@ -596,11 +596,56 @@ object Relational {
             JOIN top ON total_revenue = max_revenue
             ORDER BY s_suppkey"""))
 
+  // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+  // `quantile_cont`, both linear interpolation over the sorted group).
+  // The exact form needs the group's values together — one shuffle by
+  // the group key; at 100 TB the approximate path is
+  // q19/approx_percentile (sketch, map-side mergeable). Keeping both
+  // mirrors the exact-baseline / scale-path pairing used across the
+  // dedup family.
+  private val q25 = GraftQuery(
+    "q25_percentiles",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+              round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // PIVOT: revenue matrix returnflag × linestatus. Spark's relational
+  // pivot with an EXPLICIT value list stays a single hash aggregate
+  // (no second values-discovery job); the oracle is the conditional-
+  // aggregation desugaring.
+  private val q26 = GraftQuery(
+    "q26_pivot_revenue",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("rev"), 2))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              round(sum(CASE WHEN l_linestatus = 'F'
+                THEN l_extendedprice * (1 - l_discount) END), 2) AS F,
+              round(sum(CASE WHEN l_linestatus = 'O'
+                THEN l_extendedprice * (1 - l_discount) END), 2) AS O
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24)
+    q22, q23, q24, q25, q26)
 }

@@ -73,4 +73,28 @@ class PlanShapeSpec extends SparkTestBase {
     // plan must contain a broadcast of the count — not a folded literal
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("t23 repetition signals are map-only (no keyed shuffle, no explode)") {
+    val p = plan("t23_repetition_signals")
+    // only the final ORDER BY's range exchange (plus the test-data
+    // spread roundrobin) — a hashpartitioning exchange would mean the
+    // n-gram work left the map side
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), s"explode crept into the map-only path:\n$p")
+  }
+
+  test("v08 centroid scoring broadcasts centroids and combines map-side") {
+    val p = plan("v08_centroid_outlier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // dim-wise centroid agg must partial-aggregate before its exchange
+    assert(p.contains("partial_avg") || p.contains("partial_"), p)
+  }
+
+  test("q26 explicit-values pivot is a single aggregate pass (no values-discovery job)") {
+    val p = plan("q26_pivot_revenue")
+    assert(!p.contains("CollectLimit"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
