@@ -596,28 +596,31 @@ object Relational {
             JOIN top ON total_revenue = max_revenue
             ORDER BY s_suppkey"""))
 
-  // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-  // `quantile_cont`, both linear interpolation over the sorted group).
-  // The exact form needs the group's values together — one shuffle by
-  // the group key; at 100 TB the approximate path is
-  // q19/approx_percentile (sketch, map-side mergeable). Keeping both
-  // mirrors the exact-baseline / scale-path pairing used across the
-  // dedup family.
+  // Exact DISCRETE percentiles (Spark `percentile_disc` ≡ DuckDB
+  // `quantile_disc`: smallest value whose cumulative distribution ≥ q).
+  // Discrete selection returns an actual data value — zero interpolation
+  // arithmetic, so the oracle is bit-exact with no rounding. (The
+  // interpolated `percentile`/`quantile_cont` pair differs by 1 ulp in
+  // midpoint arithmetic between engines — measured: a cent flip at
+  // sf0.001 — which is exactly the boundary-rounding hazard a gate
+  // query must not carry.) The exact form needs each group's values
+  // together — one shuffle by group key; at 100 TB the sketch path is
+  // approx_percentile (map-side mergeable), per the exact-baseline /
+  // scale-path pairing used across the dedup family.
   private val q25 = GraftQuery(
     "q25_percentiles",
     (s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
-        .orderBy("l_returnflag")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem_q25")
+      s.sql("""SELECT l_returnflag,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+                percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+              FROM g_lineitem_q25 GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-              round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+              quantile_disc(l_extendedprice, 0.5) AS p50,
+              quantile_disc(l_extendedprice, 0.9) AS p90,
+              quantile_disc(l_extendedprice, 0.99) AS p99
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // PIVOT: revenue matrix returnflag × linestatus. Spark's relational
