@@ -75,8 +75,34 @@ object Invoke {
         val spec = Attachments.parseAttach(stmt).getOrElse(
           throw new IllegalArgumentException(s"cannot parse ATTACH: $stmt"))
         Attachments.attach(spark, spec)
-      } else if (up.startsWith("INSTALL") ||
-          up.startsWith("LOAD") || up.startsWith("SET")) {
+      } else if (up.startsWith("SET")) {
+        // DuckDB's httpfs object-store settings (s3.parquet.sink.yml)
+        // map onto Hadoop S3A configuration — the SURVEY §2A mapping —
+        // so the same config drives Spark's s3a:// writers. Unknown
+        // SETs are logged and skipped (engine-specific tuning knobs).
+        val setPat = """(?is)^\s*SET\s+(\w+)\s*=\s*'?([^';]*?)'?\s*$""".r
+        stmt.trim match {
+          case setPat(key, value) if key.toLowerCase.startsWith("s3_") =>
+            val hc = spark.sparkContext.hadoopConfiguration
+            key.toLowerCase match {
+              case "s3_region" => hc.set("fs.s3a.endpoint.region", value)
+              case "s3_endpoint" => hc.set("fs.s3a.endpoint", value)
+              case "s3_access_key_id" => hc.set("fs.s3a.access.key", value)
+              case "s3_secret_access_key" => hc.set("fs.s3a.secret.key", value)
+              case "s3_session_token" => hc.set("fs.s3a.session.token", value)
+              case "s3_use_ssl" =>
+                hc.set("fs.s3a.connection.ssl.enabled", value.trim.toLowerCase)
+              case "s3_url_style" =>
+                hc.set("fs.s3a.path.style.access",
+                  (value.trim.equalsIgnoreCase("path")).toString)
+              case other => System.err.println(
+                s"[commands] skipping unmapped s3 setting: $other")
+            }
+          case _ => System.err.println(
+            s"[commands] skipping environment command: " +
+              stmt.linesIterator.next())
+        }
+      } else if (up.startsWith("INSTALL") || up.startsWith("LOAD")) {
         System.err.println(s"[commands] skipping environment command: " +
           stmt.linesIterator.next())
       } else if (up.startsWith("CREATE TABLE")) {
@@ -105,7 +131,10 @@ object Invoke {
       fn.kind match {
         case "read_csv" | "read_csv_auto" =>
           val sep = sniffDelimiter(fn.path)
+          // inferSchema ≡ DuckDB's auto_detect: numeric columns come
+          // back typed (geoip asn ranges), not as strings
           spark.read.option("header", "true").option("sep", sep.toString)
+            .option("inferSchema", "true")
             .csv(fn.path).createOrReplaceTempView(view)
         case "read_json_auto" =>
           spark.read.json(fn.path).createOrReplaceTempView(view)

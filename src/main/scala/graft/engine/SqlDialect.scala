@@ -274,19 +274,44 @@ object SqlDialect {
 
   /** time_bucket(INTERVAL 'n unit', x) → tumbling bucket start via
     * epoch floor-division (equivalent to Spark's window(x,'n unit').start
-    * but usable outside a streaming groupBy). */
+    * but usable outside a streaming groupBy). The value argument is
+    * extracted with a paren-balanced scan, not a regex — `x` can itself
+    * be a function call (`to_timestamp(time_us / 1000000)`,
+    * bluesky.kafka.windowed.yml:49), which a first-`)` match would
+    * truncate mid-expression. */
   private def rewriteTimeBucket(s: String): String = {
-    val pat = """(?i)time_bucket\s*\(\s*INTERVAL\s+'(\d+)'?\s*([A-Za-z]+)'?\s*,\s*([^)]+)\)""".r
-    val pat2 = """(?i)time_bucket\s*\(\s*INTERVAL\s+'(\d+)\s+([A-Za-z]+)'\s*,\s*([^)]+)\)""".r
-    def repl(n: String, unit: String, x: String): String = {
-      val secs = n.toLong * unitSeconds.getOrElse(unit.toLowerCase,
-        throw new IllegalArgumentException(s"unsupported time_bucket unit: $unit"))
-      s"timestamp_seconds((unix_timestamp($x) div $secs) * $secs)"
+    val lower = s.toLowerCase
+    val idx = lower.indexOf("time_bucket")
+    if (idx < 0) return s
+    var i = idx + "time_bucket".length
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(')
+      return s.substring(0, i) + rewriteTimeBucket(s.substring(i))
+    // matching close paren, skipping quoted strings
+    var depth = 0; var j = i; var inQ = false; var close = -1
+    while (j < s.length && close < 0) {
+      val c = s.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = j }
+      j += 1
     }
-    val once = pat2.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(repl(m.group(1), m.group(2), m.group(3).trim)))
-    pat.replaceAllIn(once, m =>
-      java.util.regex.Matcher.quoteReplacement(repl(m.group(1), m.group(2), m.group(3).trim)))
+    require(close > 0, s"unbalanced parentheses in time_bucket: $s")
+    val inner = s.substring(i + 1, close)
+    val quoted = """(?is)^\s*INTERVAL\s+'(\d+)\s+([A-Za-z]+)'\s*,\s*(.+)$""".r
+    val bare = """(?is)^\s*INTERVAL\s+'(\d+)'\s*([A-Za-z]+)\s*,\s*(.+)$""".r
+    val (n, unit, x) = inner match {
+      case quoted(a, b, c) => (a, b, c)
+      case bare(a, b, c) => (a, b, c)
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse time_bucket arguments: $inner")
+    }
+    val secs = n.toLong * unitSeconds.getOrElse(unit.toLowerCase,
+      throw new IllegalArgumentException(s"unsupported time_bucket unit: $unit"))
+    s.substring(0, idx) +
+      s"timestamp_seconds((unix_timestamp(${x.trim}) div $secs) * $secs)" +
+      rewriteTimeBucket(s.substring(close + 1))
   }
 
   /** The reference's dedup-lookup idiom (`csv.mem.join.yml:24-34`):

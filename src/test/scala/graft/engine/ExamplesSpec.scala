@@ -17,7 +17,7 @@ class ExamplesSpec extends SparkTestBase {
   test("all example configs parse, schema-validate, and model-validate") {
     val ymls = Files.list(examplesDir).iterator().asScala
       .filter(_.toString.endsWith(".yml")).toSeq
-    assert(ymls.size >= 12)
+    assert(ymls.size >= 18)
     ymls.foreach { p =>
       val raw = Files.readString(p)
       val errs = ConfigSchema.validate(Config.parseTree(raw))
@@ -69,5 +69,57 @@ class ExamplesSpec extends SparkTestBase {
       """{"domain":"example.co.uk","n":1}""",
       """{"domain":"example.com","n":1}""",
       """{"domain":"example.org","n":1}"""))
+  }
+
+  test("csv.filesystem.join example: inline read_csv join (reference test)") {
+    val got = Invoke.invoke(spark, "examples/csv.filesystem.join.yml", fixture)
+      .toJSON.collect().toSeq
+    // the locations CSV carries an alias row for New York (NYC), and
+    // the reference handler is a PLAIN join (no dedup subquery as in
+    // csv.mem.join) — each NY event matches both rows: 2 events × 2
+    assert(got == Seq(
+      """{"state_full":"New York","city_count":4}""",
+      """{"state_full":"Maryland","city_count":1}"""))
+  }
+
+  test("geoip example: ip_to_long range join enriches in-range ips, keeps misses") {
+    val got = Invoke.invoke(spark, "examples/geoip.range.join.yml",
+        "examples/fixtures/ip_events.jsonl")
+      .selectExpr("ip", "name", "asn").orderBy("ip")
+      .toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"ip":"10.0.3.7","name":"Example Net A","asn":64500}""",
+      """{"ip":"10.1.9.1","name":"Example Net B","asn":64501}""",
+      """{"ip":"172.16.0.5"}"""))  // LEFT JOIN miss: nulls dropped by toJSON
+  }
+
+  test("bluesky.windowed example: time_bucket upsert + manager drain") {
+    val got = Invoke.invoke(spark, "examples/bluesky.windowed.yml",
+        "examples/fixtures/bluesky_posts.jsonl", flushWindow = true)
+      .toJSON.collect().toSeq
+    // 1700000000000000 µs = 2023-11-14 22:13:20 UTC → minute buckets
+    // 22:13 (2 commits + 1 identity) and 22:14 (1 commit)
+    assert(got.toSet == Set(
+      """{"iso_string":"2023-11-14T22:13:00","kind":"commit","count":2}""",
+      """{"iso_string":"2023-11-14T22:13:00","kind":"identity","count":1}""",
+      """{"iso_string":"2023-11-14T22:14:00","kind":"commit","count":1}"""))
+  }
+
+  test("github.webhook.issues example: chained ->> extraction into attached table") {
+    // point the ATTACH at a fresh dir for this run (the shipped config
+    // defaults to /tmp; env templating would do the same via
+    // SQLFLOW_GITHUB_DB_DIR)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_github_db")
+    val raw = Files.readString(Paths.get("examples/github.webhook.issues.yml"))
+      .replace("/tmp/graft_github_db", dbDir.toString)
+    val conf = Config.fromString(raw)
+    Invoke.invokeConf(spark, conf, "examples/fixtures/github_issue_events.jsonl")
+    val rows = spark.table("my_db.issues")
+      .orderBy("issue_id")
+      .selectExpr("action", "issue_id", "issue_user_login", "repo_name")
+      .toJSON.collect().toSeq
+    assert(rows == Seq(
+      """{"action":"opened","issue_id":"101","issue_user_login":"alice","repo_name":"engine"}""",
+      """{"action":"closed","issue_id":"102","issue_user_login":"bob","repo_name":"engine"}"""))
   }
 }
