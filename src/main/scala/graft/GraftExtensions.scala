@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, "text_stats(text)")
       TextStats(args.head)
     }
+    register("rep_stats", "rep_stats(text)") { args =>
+      require(args.length == 1, "rep_stats(text)")
+      RepStats(args.head)
+    }
     register("lang_id", "lang_id(text)") { args =>
       require(args.length == 1, "lang_id(text)")
       LangId(args.head)

@@ -329,6 +329,62 @@ object TextStats {
     StructField("cjk", LongType, nullable = false)))
 }
 
+/** All repetition-signal counts in ONE tokenization pass: total and
+  * distinct counts of tokens, 2-grams, and 3-grams (Gopher-style
+  * duplicate-fraction inputs). The pure-builtins composition
+  * (split + transform + array_distinct, referenced once per ratio)
+  * re-evaluates the tokenize/n-gram pipeline per reference — HOF
+  * subtrees are excluded from Spark's subexpression elimination —
+  * measured ~5× slower at sf0.1. Ratios/rounding stay OUTSIDE in the
+  * plan so the DuckDB oracle composes from exact integers. */
+private[functions] object RepStatsKernel {
+  /** (nTok, dTok, n2g, d2g, n3g, d3g) — token/gram definitions match
+    * TextFunctions.tokens / ngramList (lowercase, \s+ split; grams
+    * joined by single spaces; <n tokens → zero grams). */
+  def compute(v: UTF8String): Array[Long] = {
+    val toks = v.toLowerCase.toString.trim.split("\\s+", -1)
+    val n = toks.length
+    val dTok = new java.util.HashSet[String]
+    var i = 0
+    while (i < n) { dTok.add(toks(i)); i += 1 }
+    val d2 = new java.util.HashSet[String]
+    i = 0
+    while (i < n - 1) { d2.add(toks(i) + " " + toks(i + 1)); i += 1 }
+    val d3 = new java.util.HashSet[String]
+    i = 0
+    while (i < n - 2) { d3.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
+    Array(n.toLong, dTok.size.toLong,
+      math.max(0, n - 1).toLong, d2.size.toLong,
+      math.max(0, n - 2).toLong, d3.size.toLong)
+  }
+}
+
+case class RepStats(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RepStats.schema
+  override def prettyName: String = "rep_stats"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = RepStatsKernel.compute(v.asInstanceOf[UTF8String])
+    org.apache.spark.sql.catalyst.InternalRow(a(0), a(1), a(2), a(3), a(4), a(5))
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepStats =
+    copy(child = c)
+}
+
+object RepStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("d_tokens", LongType, nullable = false),
+    StructField("n_2grams", LongType, nullable = false),
+    StructField("d_2grams", LongType, nullable = false),
+    StructField("n_3grams", LongType, nullable = false),
+    StructField("d_3grams", LongType, nullable = false)))
+}
+
 /** Heuristic language ID in one pass (same decision procedure as the
   * Column composition in TextFunctions.langId and the t04 DuckDB
   * oracle: CJK char ratio → 'zh'; best stopword-profile hit count with
@@ -424,6 +480,7 @@ object HashFunctions {
   def word_shingles(text: Column, n: Int): Column =
     asCol(WordShingles(asExpr(text), n))
   def text_stats(text: Column): Column = asCol(TextStats(asExpr(text)))
+  def rep_stats(text: Column): Column = asCol(RepStats(asExpr(text)))
   def lang_id(text: Column): Column = asCol(LangId(asExpr(text)))
   def hyperplane_bands(vec: Column, dim: Int, bands: Int, rowsPerBand: Int,
       seed: Long): Column =

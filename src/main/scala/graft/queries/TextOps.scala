@@ -553,26 +553,26 @@ object TextOps {
              FROM c ORDER BY doc_id"""))
 
   // Gopher-style repetition signals: duplicate-token / duplicate-2gram
-  // / duplicate-3gram fractions per document. Map-only over array
-  // builtins (split + array_distinct) — ZERO shuffle beyond the final
-  // sort: at 100 TB this is a pure scan-side stage, unlike the
-  // explode+groupBy formulation which would shuffle every n-gram.
+  // / duplicate-3gram fractions per document. Single-pass native
+  // `RepStats` expression — ZERO shuffle beyond the final sort: at
+  // 100 TB this is a pure scan-side stage, unlike the explode+groupBy
+  // formulation which would shuffle every n-gram. (A pure-builtins
+  // split/transform/array_distinct composition was measured ~5×
+  // slower: HOF subtrees are excluded from subexpression elimination,
+  // so each ratio re-ran the tokenize pipeline.)
   private val t23 = GraftQuery(
     "t23_repetition_signals",
     (s, dir) => {
-      val tk = tokens(col("text"))
-      val g2 = ngramList(tk, 2)
-      val g3 = ngramList(tk, 3)
-      def dupFrac(arr: org.apache.spark.sql.Column) =
-        when(size(arr) > 0,
-          round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 4))
-          .otherwise(lit(0.0))
-      docs(s, dir).select(
+      def dupFrac(d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        when(n > 0, round(lit(1.0) - d.cast("double") / n, 4)).otherwise(lit(0.0))
+      docs(s, dir)
+        .select(col("doc_id"), rep_stats(col("text")).as("rs"))
+        .select(
           col("doc_id"),
-          size(tk).cast("long").as("n_tokens"),
-          dupFrac(tk).as("dup_token_frac"),
-          dupFrac(g2).as("dup_2gram_frac"),
-          dupFrac(g3).as("dup_3gram_frac"))
+          col("rs.n_tokens").as("n_tokens"),
+          dupFrac(col("rs.d_tokens"), col("rs.n_tokens")).as("dup_token_frac"),
+          dupFrac(col("rs.d_2grams"), col("rs.n_2grams")).as("dup_2gram_frac"),
+          dupFrac(col("rs.d_3grams"), col("rs.n_3grams")).as("dup_3gram_frac"))
         .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),

@@ -49,4 +49,28 @@ class HashExpressionsSpec extends SparkTestBase {
       .select(vec_dot(col("x"), col("y")).as("d")).collect()(0).getDouble(0)
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("rep_stats matches the builtins composition it replaces") {
+    val texts = Seq(
+      "the cat sat on the mat the cat sat",
+      "a b a b a b a b",
+      "one",
+      "x Y x y X y",          // case-folds to 2 distinct tokens
+      "")
+    val got = texts.toDF("text")
+      .select(rep_stats(col("text")).as("rs"))
+      .selectExpr("rs.n_tokens", "rs.d_tokens", "rs.n_2grams", "rs.d_2grams",
+        "rs.n_3grams", "rs.d_3grams")
+      .collect().map(r => (0 to 5).map(r.getLong).toSeq)
+    // oracle: the (slow) builtins composition over the same definitions
+    val oracle = texts.toDF("text").select(
+        size(tokens(col("text"))).cast("long"),
+        size(array_distinct(tokens(col("text")))).cast("long"),
+        size(ngramList(tokens(col("text")), 2)).cast("long"),
+        size(array_distinct(ngramList(tokens(col("text")), 2))).cast("long"),
+        size(ngramList(tokens(col("text")), 3)).cast("long"),
+        size(array_distinct(ngramList(tokens(col("text")), 3))).cast("long"))
+      .collect().map(r => (0 to 5).map(r.getLong).toSeq)
+    assert(got.toSeq == oracle.toSeq)
+  }
 }

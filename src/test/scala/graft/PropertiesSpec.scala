@@ -112,4 +112,29 @@ object PropertiesSpec extends Properties("graft") {
         got(i.toLong) == expected
       }
     }
+
+  // --- Pack.packBins ≡ sequential prefix-sum oracle -----------------
+
+  private val genPackInput: Gen[(Seq[(Long, Long)], Long)] = for {
+    n <- Gen.choose(1, 120)
+    weights <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    capacity <- Gen.choose(1L, 700L)
+    // non-contiguous, unordered ids
+    ids <- Gen.pick(n, 0L until 1000L)
+  } yield (ids.toSeq.zip(weights), capacity)
+
+  property("packBins matches the sequential prefix-sum oracle for any weights/capacity") =
+    Prop.forAll(genPackInput) { case (rows, capacity) =>
+      import spark.implicits._
+      val df = spark.createDataset(scala.util.Random.shuffle(rows))
+        .repartition(7).toDF("id", "w")
+      val got = graft.operators.Pack.packBins(df, "id", "w", capacity)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      var running = 0L
+      rows.sortBy(_._1).forall { case (id, w) =>
+        val bin = running / capacity
+        running += w
+        got(id) == (w, bin)
+      }
+    }
 }

@@ -83,14 +83,20 @@ class ExamplesSpec extends SparkTestBase {
   }
 
   test("geoip example: ip_to_long range join enriches in-range ips, keeps misses") {
-    val got = Invoke.invoke(spark, "examples/geoip.range.join.yml",
-        "examples/fixtures/ip_events.jsonl")
-      .selectExpr("ip", "name", "asn").orderBy("ip")
-      .toJSON.collect().toSeq
-    assert(got == Seq(
-      """{"ip":"10.0.3.7","name":"Example Net A","asn":64500}""",
-      """{"ip":"10.1.9.1","name":"Example Net B","asn":64501}""",
-      """{"ip":"172.16.0.5"}"""))  // LEFT JOIN miss: nulls dropped by toJSON
+    try {
+      val got = Invoke.invoke(spark, "examples/geoip.range.join.yml",
+          "examples/fixtures/ip_events.jsonl")
+        .selectExpr("ip", "name", "asn").orderBy("ip")
+        .toJSON.collect().toSeq
+      assert(got == Seq(
+        """{"ip":"10.0.3.7","name":"Example Net A","asn":64500}""",
+        """{"ip":"10.1.9.1","name":"Example Net B","asn":64501}""",
+        """{"ip":"172.16.0.5"}"""))  // LEFT JOIN miss: nulls dropped by toJSON
+    } finally {
+      // the example's CREATE VIEW registers a session temp view that
+      // would shadow same-named catalog tables in later suites
+      spark.catalog.dropTempView("asn")
+    }
   }
 
   test("bluesky.windowed example: time_bucket upsert + manager drain") {
@@ -113,13 +119,15 @@ class ExamplesSpec extends SparkTestBase {
     val raw = Files.readString(Paths.get("examples/github.webhook.issues.yml"))
       .replace("/tmp/graft_github_db", dbDir.toString)
     val conf = Config.fromString(raw)
-    Invoke.invokeConf(spark, conf, "examples/fixtures/github_issue_events.jsonl")
-    val rows = spark.table("my_db.issues")
-      .orderBy("issue_id")
-      .selectExpr("action", "issue_id", "issue_user_login", "repo_name")
-      .toJSON.collect().toSeq
-    assert(rows == Seq(
-      """{"action":"opened","issue_id":"101","issue_user_login":"alice","repo_name":"engine"}""",
-      """{"action":"closed","issue_id":"102","issue_user_login":"bob","repo_name":"engine"}"""))
+    try {
+      Invoke.invokeConf(spark, conf, "examples/fixtures/github_issue_events.jsonl")
+      val rows = spark.table("my_db.issues")
+        .orderBy("issue_id")
+        .selectExpr("action", "issue_id", "issue_user_login", "repo_name")
+        .toJSON.collect().toSeq
+      assert(rows == Seq(
+        """{"action":"opened","issue_id":"101","issue_user_login":"alice","repo_name":"engine"}""",
+        """{"action":"closed","issue_id":"102","issue_user_login":"bob","repo_name":"engine"}"""))
+    } finally spark.sql("DROP DATABASE IF EXISTS my_db CASCADE")
   }
 }

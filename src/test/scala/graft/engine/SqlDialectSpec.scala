@@ -44,6 +44,16 @@ class SqlDialectSpec extends AnyFunSuite {
   test("time_bucket → epoch floor bucketing") {
     assert(translate("SELECT time_bucket(INTERVAL '1 minute', ts) FROM t") ==
       "SELECT timestamp_seconds((unix_timestamp(ts) div 60) * 60) FROM t")
+    // nested call argument (bluesky.kafka.windowed.yml:49): the value
+    // expression is extracted paren-balanced, not to the first ')'
+    assert(translate(
+      "SELECT time_bucket(INTERVAL '1 minute', to_timestamp(time_us / 1000000)) FROM t") ==
+      "SELECT timestamp_seconds((unix_timestamp(timestamp_seconds(time_us / 1000000)) div 60) * 60) FROM t")
+    // two calls in one statement both rewrite
+    assert(translate(
+      "SELECT time_bucket(INTERVAL '1' hour, a), time_bucket(INTERVAL '5 minute', b) FROM t") ==
+      "SELECT timestamp_seconds((unix_timestamp(a) div 3600) * 3600), " +
+        "timestamp_seconds((unix_timestamp(b) div 300) * 300) FROM t")
   }
 
   test("now() / to_timestamp / AT TIME ZONE rewrites") {
