@@ -644,11 +644,33 @@ object Relational {
                 THEN l_extendedprice * (1 - l_discount) END), 2) AS O
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // LAG window function: per-customer order-value delta in order-date
+  // order. Shuffle = one hashpartition by customer (bounded partitions,
+  // no global sort); deterministic tie-break on orderkey so the frame
+  // is total-ordered and the oracle exact.
+  private val q27 = GraftQuery(
+    "q27_lag_delta",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_q27")
+      s.sql("""SELECT o_custkey, o_orderkey,
+                round(o_totalprice - lag(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                  AS delta_prev
+              FROM g_orders_q27
+              ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              round(o_totalprice - lag(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                AS delta_prev
+            FROM orders
+            ORDER BY o_custkey, o_orderkey"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26)
+    q22, q23, q24, q25, q26, q27)
 }

@@ -598,6 +598,41 @@ object TextOps {
                  ELSE 0.0 END AS dup_3gram_frac
              FROM g ORDER BY doc_id"""))
 
+  // Corpus-unigram surprisal: per-doc mean -ln p(token) under the
+  // corpus's own unigram LM — the classic cheap "perplexity filter"
+  // proxy (rare-token-heavy docs score high, boilerplate low) when no
+  // external LM is available. Shape: token explode → frequency agg
+  // (map-side combined) → token-keyed join back → per-doc agg. The
+  // frequency table is corpus-vocabulary-sized — joined, never
+  // broadcast/collected (a natural-text vocabulary at 100 TB is
+  // billions of types); corpus total rides in-plan as a broadcast
+  // scalar like t12. All math double (ln of exact-integer ratios), so
+  // the oracle matches at round-4.
+  private val t24 = GraftQuery(
+    "t24_unigram_surprisal",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val total = freq.agg(sum("tf").as("__total"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          -log(col("tf").cast("double") / col("__total").cast("double")))
+        .toDF("doc_id", "nll")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg("nll"), 4).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+             freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+             tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM freq)
+             SELECT doc_id, count(*) AS n_tokens,
+               round(avg(-ln(tf / total)), 4) AS mean_surprisal
+             FROM toks JOIN freq USING (tok) CROSS JOIN tot
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
