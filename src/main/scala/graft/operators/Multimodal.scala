@@ -231,6 +231,94 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_idx"), col("n_frames"))
   }
 
+  /** True iff the bytes carry a RIFF/WAVE header. */
+  private[graft] def looksLikeWav(content: Array[Byte]): Boolean =
+    content != null && content.length >= 12 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == 'F' && content(8) == 'W' && content(9) == 'A' &&
+      content(10) == 'V' && content(11) == 'E'
+
+  /** Header-only WAV metadata read via `javax.sound.sampled` (JDK
+    * built-in): (sampleRateHz, channels, frames). The PCM payload is
+    * never decoded. None for non-WAV bytes. */
+  private[graft] def wavHeader(content: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (!looksLikeWav(content)) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+  }
+
+  /** Render a real PCM-16 mono WAV with the given frame count and
+    * sample rate, samples seeded from `seed` (deterministic). */
+  private[graft] def renderWav(frames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      var p = seed * 0x9E3779B97F4A7C15L + i
+      p ^= p >>> 29; p *= 0xBF58476D1CE4E5B9L; p ^= p >>> 32
+      val s = (p & 0xFFFF).toInt - 32768
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize a media table of REAL WAV clips whose sample rate and
+    * frame count derive arithmetically from the id — same oracle
+    * pattern as [[synthesizeImages]]: a SQL oracle recomputes the
+    * expected metadata from the id, so a hash match proves the codec
+    * read actual RIFF headers. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = 8000 + math.floorMod(id, 8).toInt * 1000
+          val frames = 400 + math.floorMod(id * 13, 800).toInt
+          Row(id, "audio", renderWav(frames, rate, id), "synthetic-wav")
+        }
+      }(enc)
+  }
+
+  /** Audio decode pass: binary → (sample_rate, channels, n_frames)
+    * via the real JDK WAV parser; non-WAV bytes yield nulls. Header
+    * read only — pure map stage. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          wavHeader(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, ch, frames)) => Row(r.getLong(0), rate, ch, frames)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Render a real PNG with the given dimensions, pixels seeded from
     * `seed` (deterministic: same seed+dims → identical bytes). */
   private[graft] def renderPng(w: Int, h: Int, seed: Long): Array[Byte] = {

@@ -137,5 +137,23 @@ object MultimodalOps {
               CAST(greatest(1, floor(h * scale)) AS INT) AS out_height
             FROM scaled ORDER BY media_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  // REAL audio codec end-to-end (javax.sound.sampled WAV parser):
+  // synthesized PCM-16 clips carry id-derived sample rate and frame
+  // count; the oracle recomputes both from the id — a hash match
+  // proves the RIFF headers were actually parsed.
+  private val m08 = GraftQuery(
+    "m08_audio_decode_real",
+    (s, dir) => {
+      Multimodal.decodeAudioMeta(
+          Multimodal.synthesizeAudio(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(400 + (doc_id * 13) % 800 AS BIGINT) AS n_frames
+            FROM documents ORDER BY media_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -92,6 +92,25 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeAudioMeta reads REAL WAV headers via javax.sound.sampled") {
+    val wav = Multimodal.renderWav(frames = 123, sampleRate = 11000, seed = 5L)
+    assert(Multimodal.looksLikeWav(wav))
+    assert(Multimodal.wavHeader(wav).contains((11000, 1, 123L)))
+    assert(Multimodal.renderWav(123, 11000, 5L).toSeq == wav.toSeq) // deterministic
+    assert(Multimodal.wavHeader("not audio".getBytes).isEmpty)
+
+    val clips = Multimodal.synthesizeAudio(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id")
+    val decoded = Multimodal.decodeAudioMeta(clips).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 + math.floorMod(id, 8).toInt * 1000)
+      assert(r.getInt(2) == 1)
+      assert(r.getLong(3) == 400 + math.floorMod(id * 13, 800))
+    }
+  }
+
   test("renderPng is deterministic; non-image bytes fall back to stub") {
     assert(Multimodal.renderPng(20, 10, 7L).toSeq ==
       Multimodal.renderPng(20, 10, 7L).toSeq)
