@@ -219,6 +219,66 @@ object Similarity {
         col("rank"))
   }
 
+  /** All pairs with cosine ≥ threshold via IVF cell blocking — the
+    * third member of the near-dup family (exact [[cosineDupPairs]] /
+    * hyperplane-banded [[lshCosinePairs]] / this). Each vector joins
+    * its `nProbe` nearest coarse cells; candidate pairs are generated
+    * WITHIN cells only and verified with the exact cosine, so
+    * precision is 1.0 and only recall is probabilistic (a pair whose
+    * members share no probed cell is missed — multi-probe on both
+    * sides covers boundary-straddling pairs).
+    *
+    * Scale shape vs [[lshCosinePairs]]: one hashpartition shuffle on
+    * cell id; candidate volume ≈ Σ|cell|² / nProbe-overlap ≈
+    * n²/nCells for balanced cells — choose nCells ∝ √n to bound it.
+    * Clustered data (the realistic embedding shape) makes cells the
+    * natural dedup blocks; a pathologically hot cell degrades to
+    * all-pairs within it — the [[graft.operators.Skew]] histogram
+    * diagnoses that, and banded LSH is the fallback. Centroids are a
+    * tiny driver model (nCells vectors), same as [[ivfTopK]]. */
+  def ivfCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy("h")
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+    def cellSims(v: org.apache.spark.sql.Column) = array(centroids.map {
+      case (_, c) =>
+        val cl = array(c.map(x => lit(x)).toSeq: _*)
+        vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum))
+    }.toSeq: _*)
+
+    val probed = graft.queries.Tables.spread(emb)
+      .withColumn("sims", cellSims(col(vecCol)))
+      .withColumn("cells",
+        expr(s"slice(array_sort(transform(sims, (s, i) -> struct(-s AS s, i AS i))), 1, $nProbe).i"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(col("cells")).as("cell"))
+
+    val a = probed.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = probed.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("cell")
+      // a pair can co-occur in up to nProbe shared cells — dedup BEFORE
+      // the cosine so the verify work is per-pair, not per-co-occurrence
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("n_a", when(vec_dot(col("v_a"), col("v_a")) > 0.0,
+        sqrt(vec_dot(col("v_a"), col("v_a")))))
+      .withColumn("n_b", when(vec_dot(col("v_b"), col("v_b")) > 0.0,
+        sqrt(vec_dot(col("v_b"), col("v_b")))))
+      .withColumn("cosine",
+        round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Per-group embedding centroid + each vector's cosine to its own
     * group's centroid — the standard embedding-space outlier / label-
     * noise score (vectors far from their class centroid are candidate

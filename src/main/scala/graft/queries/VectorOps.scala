@@ -171,5 +171,23 @@ object VectorOps {
                 AS cos_centroid
             FROM e JOIN cent USING (label) ORDER BY vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+  // IVF-blocked near-dup pairs — the cell-blocked member of the
+  // near-dup family (exact v02 / banded-LSH v06 / this). Probabilistic
+  // recall → rows-only gate; AnnSpec measures recall + precision 1.0
+  // on clustered data. Same planted-duplicate cohort as v06 so the
+  // gate row is non-vacuous at every SF.
+  private val v09 = GraftQuery(
+    "v09_cosine_dup_ivf",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.ivfCosinePairs(base.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.85, nCells = 16, nProbe = 2)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 }

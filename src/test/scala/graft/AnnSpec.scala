@@ -69,6 +69,19 @@ class AnnSpec extends SparkTestBase {
     assert(r1.length == 15)
   }
 
+  test("ivfCosinePairs: precision 1.0, high recall on clustered vectors") {
+    val emb = mkClustered
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.9,
+        nCells = 12, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((ivf -- exact).isEmpty, "exact verify step ⇒ precision 1.0")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (${ivf.size}/${exact.size})")
+  }
+
   test("centroidDistance: in-cluster vectors score near 1, cross-cluster outliers lower") {
     // two tight, well-separated clusters + one planted outlier whose
     // label disagrees with its position in space
