@@ -42,7 +42,20 @@ final case class SourceConf(
     webhook: Option[WebhookSourceConf] = None,
     file: Option[FileSourceConf] = None)
 
-final case class HandlerConf(kind: String, sql: String, table: Option[String])
+/** Declarative tumbling-window handler (`handlers.NativeWindow`): the
+  * Spark-native watermarked streaming aggregation, YAML-reachable as an
+  * alternative to the state-table + poll-thread compat path. Emission
+  * is event-time append-mode (once per closed window) instead of the
+  * reference's processing-time poll — the documented semantic upgrade
+  * (streaming/NativeWindow.scala). */
+final case class NativeWindowConf(
+    timeColumn: String,
+    keys: Seq[String],
+    duration: String,
+    watermark: String)
+
+final case class HandlerConf(kind: String, sql: String, table: Option[String],
+    window: Option[NativeWindowConf] = None)
 
 final case class KafkaSinkConf(
     brokers: Seq[String], topic: String,
@@ -171,7 +184,16 @@ object Config {
         HandlerConf(
           kind = h.path("type").asText(""),
           sql = h.path("sql").asText(""),
-          table = if (h.has("table")) Some(h.path("table").asText()) else None)
+          table = if (h.has("table")) Some(h.path("table").asText()) else None,
+          window = if (h.has("window")) {
+            val w = h.path("window")
+            import scala.jdk.CollectionConverters._
+            Some(NativeWindowConf(
+              timeColumn = w.path("time_column").asText(),
+              keys = w.path("keys").elements().asScala.map(_.asText()).toSeq,
+              duration = w.path("duration").asText(),
+              watermark = w.path("watermark").asText("0 seconds")))
+          } else None)
       },
       sink = parseSink(p.path("sink")),
       onError = {

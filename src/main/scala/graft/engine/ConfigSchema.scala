@@ -202,10 +202,21 @@ object ConfigSchema {
 
       if (pl.has("handler")) {
         val h = pl.path("handler"); val hp = "$.pipeline.handler"
-        requireKeys(h, hp, Seq("type", "sql"))
-        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table"))
+        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window"))
         enumOf(h, hp, "type", Set("handlers.InferredDiskBatch",
-          "handlers.InferredMemBatch", "handlers.StructuredBatch"))
+          "handlers.InferredMemBatch", "handlers.StructuredBatch",
+          "handlers.NativeWindow"))
+        if (h.path("type").asText() == "handlers.NativeWindow") {
+          requireKeys(h, hp, Seq("type", "window"))
+          val w = h.path("window"); val wp = s"$hp.window"
+          requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark"))
+          str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
+          if (w.has("keys") && !w.path("keys").isArray)
+            err(s"$wp.keys", "must be an array of column names")
+        } else {
+          requireKeys(h, hp, Seq("type", "sql"))
+        }
       }
 
       if (pl.has("sink")) sink(pl.path("sink"), "$.pipeline.sink")

@@ -115,6 +115,26 @@ final class StructuredBatchHandler(
   override def reset(): Unit = if (!qualified) table.truncate()
 }
 
+/** `handlers.NativeWindow` in BATCH mode (dev invoke / golden tests):
+  * the same tumbling projection as the streaming path, but batch
+  * aggregation emits every window (there is no watermark to wait on).
+  * The streaming daemon routes this handler to a real watermarked
+  * streaming aggregation instead (StreamingPipeline.start). */
+final class NativeWindowBatchHandler(w: NativeWindowConf) extends Handler {
+  override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // keys may be nested paths (properties.city) — project to their
+    // leaf names so the output schema matches the streaming path
+    val projected = batch.select(
+      col(w.timeColumn).cast("timestamp").as(leaf(w.timeColumn)) +:
+        w.keys.map(k => col(k).as(leaf(k))): _*)
+    graft.streaming.NativeWindow.tumbling(
+      projected, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark)
+  }
+
+  private def leaf(path: String): String = path.split('.').last
+}
+
 object Handlers {
   def build(conf: HandlerConf, tables: Map[String, StateTable]): Handler =
     conf.kind match {
@@ -125,6 +145,10 @@ object Handlers {
           conf.table.getOrElse(throw new IllegalArgumentException(
             "StructuredBatch handler requires `table`")),
           tables)
+      case "handlers.NativeWindow" =>
+        new NativeWindowBatchHandler(conf.window.getOrElse(
+          throw new IllegalArgumentException(
+            "NativeWindow handler requires `window`")))
       case other => throw new IllegalArgumentException(s"unknown handler type: $other")
     }
 }

@@ -44,8 +44,13 @@ object NativeWindow {
       windowDuration: String,
       watermarkDelay: String,
       aggs: Seq[Column] = Seq(count(lit(1)).as("count"))): DataFrame = {
-    val grouped = events
-      .withWatermark(tsCol, watermarkDelay)
+    // batch invocations (dev-invoke golden tests) share this plan:
+    // a watermark is only meaningful — and only accepted — on a
+    // streaming Dataset, and batch aggregation emits every window
+    val watermarked =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    val grouped = watermarked
       .groupBy(window(col(tsCol), windowDuration) +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     grouped.select(

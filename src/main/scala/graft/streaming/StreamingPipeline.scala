@@ -86,6 +86,16 @@ object StreamingPipeline {
     val batches = new AtomicLong(0)
     val policy = conf.pipeline.onError
 
+    // `handlers.NativeWindow`: the pipeline IS a watermarked streaming
+    // aggregation — one stateful query, append-mode emission on window
+    // close, no state table / poll thread / per-batch SQL
+    conf.pipeline.handler.window match {
+      case Some(w) if conf.pipeline.handler.kind == "handlers.NativeWindow" =>
+        return startNativeWindow(spark, conf, w, session, source, batches,
+          checkpointDir)
+      case _ =>
+    }
+
     val writer = source.df.writeStream
       .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
@@ -108,6 +118,50 @@ object StreamingPipeline {
     // handle_managed_tables): closed windows must drain on their own
     // timer for an unbounded run, not only at shutdown
     session.managers.foreach(_.start())
+    Running(writer.start(), session, source.onStop, batches)
+  }
+
+  /** The `handlers.NativeWindow` daemon: raw JSON values → schema-free
+    * extraction of the event-time column + keys (get_json_object —
+    * needs no declared schema, unlike from_json) → watermarked tumbling
+    * aggregation → append-mode sink on window close. State is the
+    * streaming aggregation's own store, keyed (window, keys) — the
+    * same asymptotics the compat path gets from its unique index, with
+    * checkpointed recovery for free. */
+  private def startNativeWindow(
+      spark: SparkSession,
+      conf: Conf,
+      w: NativeWindowConf,
+      session: Invoke.Session,
+      source: Sources.Built,
+      batches: AtomicLong,
+      checkpointDir: Option[String]): Running = {
+    def leaf(p: String): String = p.split('.').last
+    val decoded = source.df
+      .select(col("value").cast("string").as("__v"))
+      .select(
+        get_json_object(col("__v"), s"$$.${w.timeColumn}")
+          .cast("timestamp").as(leaf(w.timeColumn)) +:
+          w.keys.map(k => get_json_object(col("__v"), s"$$.$k").as(leaf(k))): _*)
+    val out = NativeWindow.tumbling(
+      decoded, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark)
+    val sink = session.sink
+    val writer = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
+      .trigger(conf.pipeline.flushIntervalSeconds match {
+        case Some(s) => Trigger.ProcessingTime(s"$s seconds")
+        case None => Trigger.ProcessingTime(0L)
+      })
+      .foreachBatch { (closed: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!closed.isEmpty) {
+          sink.write(closed.localCheckpoint(true))
+          sink.flush()
+        }
+        batches.incrementAndGet()
+        ()
+      }
     Running(writer.start(), session, source.onStop, batches)
   }
 

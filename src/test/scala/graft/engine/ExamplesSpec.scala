@@ -23,7 +23,9 @@ class ExamplesSpec extends SparkTestBase {
       val errs = ConfigSchema.validate(Config.parseTree(raw))
       assert(errs.isEmpty, s"$p: ${errs.mkString("; ")}")
       val conf = Config.fromString(raw)
-      assert(conf.pipeline.handler.sql.nonEmpty, s"$p: empty handler sql")
+      // NativeWindow handlers declare a window instead of SQL
+      assert(conf.pipeline.handler.sql.nonEmpty ||
+        conf.pipeline.handler.window.nonEmpty, s"$p: empty handler sql")
       assert(conf.pipeline.source.kind.nonEmpty, s"$p: missing source type")
     }
   }
@@ -69,6 +71,16 @@ class ExamplesSpec extends SparkTestBase {
       """{"domain":"example.co.uk","n":1}""",
       """{"domain":"example.com","n":1}""",
       """{"domain":"example.org","n":1}"""))
+  }
+
+  test("native.window example: batch invoke aggregates every window") {
+    val got = Invoke.invoke(spark, "examples/native.window.yml", fixture)
+      .selectExpr("date_format(bucket, 'HH:mm') AS b", "city", "count")
+      .orderBy("b", "city")
+      .toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"b":"19:00","city":"Baltimore","count":1}""",
+      """{"b":"19:00","city":"New York","count":2}"""))
   }
 
   test("csv.filesystem.join example: inline read_csv join (reference test)") {

@@ -361,6 +361,48 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("native-window handler: YAML-declared watermarked aggregation emits on close") {
+    val inDir = Files.createTempDirectory("graft_nw_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:11:01","city":"Austin"}
+          |{"ts":"2015-12-12 19:20:02","city":"Austin"}
+          |{"ts":"2015-12-12 19:40:03","city":"Boston"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // 19:00 window still open (watermark 19:30 < 20:00): nothing emitted
+      assert(sink.allRows.isEmpty, sink.allRows.toString)
+
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 21:00:00","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable() // watermark propagates on the next trigger
+      val rows = sink.allRows.sorted
+      assert(rows == Seq(
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}""",
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Boston","count":1}"""),
+        rows.toString)
+    } finally running.stop()
+  }
+
   test("checkpoint recovery: restart resumes after committed offsets, no reprocessing") {
     val inDir = Files.createTempDirectory("graft_ckpt_in")
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
