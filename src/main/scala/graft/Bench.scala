@@ -195,6 +195,40 @@ object Bench {
       "streaming_agg_msgs_per_sec" -> (nFiles.toLong * batchSize / sec)
     }
 
+    // native watermarked-window daemon (handlers.NativeWindow): ONE
+    // stateful streaming aggregation end-to-end — the Spark-native
+    // alternative to the state-table tumbling path benched above
+    def runNativeWindowStream(): (String, Double) = {
+      val nFiles = math.max(1, (nMsgs / batchSize).toInt)
+      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
+      (0 until nFiles).foreach { f =>
+        val sb = new StringBuilder
+        batchLines.foreach { l => sb.append(l); sb.append('\n') }
+        java.nio.file.Files.writeString(inDir.resolve(f"b$f%05d.jsonl"), sb.toString)
+      }
+      val conf = graft.engine.Config.fromString(
+        s"""pipeline:
+           |  batch_size: $batchSize
+           |  source:
+           |    type: file
+           |    file: {path: '$inDir', format: json}
+           |  handler:
+           |    type: 'handlers.NativeWindow'
+           |    window:
+           |      time_column: timestamp
+           |      keys: [properties.city]
+           |      duration: '1 hour'
+           |      watermark: '10 minutes'
+           |  sink: {type: noop}
+           |""".stripMargin)
+      val t0 = System.nanoTime()
+      val running = graft.streaming.StreamingPipeline.start(spark, conf)
+      running.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      running.stop()
+      "native_window_msgs_per_sec" -> (nFiles.toLong * batchSize / sec)
+    }
+
     Seq(
       runPipe("agg_mem_msgs_per_sec",
         """SELECT properties.city as city, count(*) as city_count
@@ -209,6 +243,7 @@ object Bench {
       runDiskJoin(),
       runTumbling(),
       runStreaming(),
+      runNativeWindowStream(),
       "bench_msgs" -> nMsgs.toDouble,
       "bench_batch_size" -> batchSize.toDouble)
   }

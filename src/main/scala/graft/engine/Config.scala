@@ -52,7 +52,11 @@ final case class NativeWindowConf(
     timeColumn: String,
     keys: Seq[String],
     duration: String,
-    watermark: String)
+    watermark: String,
+    /** Columns to additively SUM per window alongside the count — the
+      * reference ADR's declared windowing scope ("Additive
+      * aggregations (COUNT, SUM)"). Emitted as `sum_<leaf>`. */
+    sums: Seq[String] = Seq())
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None)
@@ -192,7 +196,10 @@ object Config {
               timeColumn = w.path("time_column").asText(),
               keys = w.path("keys").elements().asScala.map(_.asText()).toSeq,
               duration = w.path("duration").asText(),
-              watermark = w.path("watermark").asText("0 seconds")))
+              watermark = w.path("watermark").asText("0 seconds"),
+              sums = if (w.has("sums"))
+                w.path("sums").elements().asScala.map(_.asText()).toSeq
+              else Seq()))
           } else None)
       },
       sink = parseSink(p.path("sink")),

@@ -127,12 +127,27 @@ final class NativeWindowBatchHandler(w: NativeWindowConf) extends Handler {
     // leaf names so the output schema matches the streaming path
     val projected = batch.select(
       col(w.timeColumn).cast("timestamp").as(leaf(w.timeColumn)) +:
-        w.keys.map(k => col(k).as(leaf(k))): _*)
+        (w.keys.map(k => col(k).as(leaf(k))) ++
+          w.sums.map(c => col(c).cast("double").as(leaf(c)))): _*)
     graft.streaming.NativeWindow.tumbling(
-      projected, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark)
+      projected, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+      aggs = NativeWindowBatchHandler.aggsFor(w))
   }
 
   private def leaf(path: String): String = path.split('.').last
+}
+
+object NativeWindowBatchHandler {
+  /** count(*) plus the ADR's additive SUMs, shared by the batch and
+    * streaming paths so both emit the same schema. */
+  def aggsFor(w: NativeWindowConf): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    count(lit(1)).as("count") +:
+      w.sums.map { c =>
+        val l = c.split('.').last
+        sum(col(l)).as(s"sum_$l")
+      }
+  }
 }
 
 object Handlers {

@@ -142,9 +142,12 @@ object StreamingPipeline {
       .select(
         get_json_object(col("__v"), s"$$.${w.timeColumn}")
           .cast("timestamp").as(leaf(w.timeColumn)) +:
-          w.keys.map(k => get_json_object(col("__v"), s"$$.$k").as(leaf(k))): _*)
+          (w.keys.map(k => get_json_object(col("__v"), s"$$.$k").as(leaf(k))) ++
+            w.sums.map(c => get_json_object(col("__v"), s"$$.$c")
+              .cast("double").as(leaf(c)))): _*)
     val out = NativeWindow.tumbling(
-      decoded, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark)
+      decoded, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+      aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w))
     val sink = session.sink
     val writer = out.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())

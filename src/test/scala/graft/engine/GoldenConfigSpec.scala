@@ -294,6 +294,37 @@ class GoldenConfigSpec extends SparkTestBase {
     assert(state.exists(_.contains(""""city":"New York","count":4""")), state.toString)
   }
 
+  test("NativeWindow handler: additive COUNT+SUM per window (ADR scope)") {
+    val fixture = write("nw_sum.jsonl",
+      """{"ts":"2015-12-12 19:05:00","city":"Austin","amount":2.5}
+        |{"ts":"2015-12-12 19:55:00","city":"Austin","amount":1.5}
+        |{"ts":"2015-12-12 19:30:00","city":"Boston","amount":10.0}
+        |{"ts":"2015-12-12 20:10:00","city":"Austin","amount":7.0}
+        |""".stripMargin)
+    val cfg = write("native.sum.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |      sums: [amount]
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture)
+      .selectExpr("date_format(bucket, 'HH:mm') AS b", "city", "count", "sum_amount")
+      .orderBy("b", "city")
+      .toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"b":"19:00","city":"Austin","count":2,"sum_amount":4.0}""",
+      """{"b":"19:00","city":"Boston","count":1,"sum_amount":10.0}""",
+      """{"b":"20:00","city":"Austin","count":1,"sum_amount":7.0}"""))
+  }
+
   test("sqlcommand sink: COPY to parquet writes one file per flush (reference test_local_parquet_sink)") {
     val outDir = Files.createTempDirectory("graft_parquet_sink")
     val cfg = write("local.parquet.sink.yml",
