@@ -633,6 +633,46 @@ object TextOps {
              FROM toks JOIN freq USING (tok) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Overlapping token-window chunking (embedding / context-window
+  // prep): chunk i covers tokens [i·stride, i·stride + size), stride =
+  // size − overlap; every doc yields ≥ 1 chunk. Map-only: the chunk
+  // list is built per row with array builtins and exploded
+  // partition-locally — no shuffle beyond the final sort. Chunk text
+  // is compared by md5 so the oracle checks exact content without
+  // shipping strings.
+  private val t25 = GraftQuery(
+    "t25_chunk_documents",
+    (s, dir) => {
+      val size = 32; val overlap = 8; val stride = size - overlap
+      val tk = tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), tk.as("toks"))
+        .withColumn("n_chunks",
+          greatest(lit(1), ceil((org.apache.spark.sql.functions.size(col("toks")) - overlap)
+            .cast("double") / stride).cast("int")))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .withColumn("chunk",
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          org.apache.spark.sql.functions.size(col("chunk")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             n AS (SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+               FROM tk),
+             e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM n),
+             c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS chunk
+               FROM e)
+             SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS INT) AS n_chunk_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+             FROM c ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+    t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t25)
 }
