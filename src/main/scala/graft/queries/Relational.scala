@@ -666,11 +666,62 @@ object Relational {
             FROM orders
             ORDER BY o_custkey, o_orderkey"""))
 
+  // FULL OUTER join: per-nation supplier vs customer counts, nations
+  // appearing on either side survive with nulls on the other. Both
+  // sides pre-aggregate to ≤ #nations rows before the join, so the
+  // outer join runs on two tiny aggregates, not the base tables.
+  private val q28 = GraftQuery(
+    "q28_full_outer_counts",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+        .withColumnRenamed("s_nationkey", "nationkey")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_customers"))
+        .withColumnRenamed("c_nationkey", "nationkey")
+      sup.join(cust, Seq("nationkey"), "full_outer")
+        .orderBy("nationkey")
+    },
+    Some("""WITH sup AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1),
+            cust AS (SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+              FROM customer WHERE c_acctbal > 9000 GROUP BY 1)
+            SELECT COALESCE(sup.nationkey, cust.nationkey) AS nationkey,
+              n_suppliers, n_rich_customers
+            FROM sup FULL OUTER JOIN cust USING (nationkey)
+            ORDER BY nationkey"""))
+
+  // GROUPING SETS: explicit set list (the general form of q16's
+  // ROLLUP), with grouping() flags so null-group rows are
+  // distinguishable from null keys.
+  private val q29 = GraftQuery(
+    "q29_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem_q29")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+              FROM g_lineitem_q29
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                      (l_returnflag), (l_linestatus))
+              ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+              CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+              count(*) AS n,
+              round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus))
+            ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27)
+    q22, q23, q24, q25, q26, q27, q28, q29)
 }
