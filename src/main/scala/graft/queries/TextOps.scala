@@ -672,7 +672,64 @@ object TextOps {
                md5(array_to_string(chunk, ' ')) AS chunk_md5
              FROM c ORDER BY doc_id, chunk_idx"""))
 
+  // Composed pretraining-prep pipeline: quality filter (token count +
+  // distinct ratio, single-pass RepStats) → overlapping chunking →
+  // sequence packing into fixed-capacity context bins — the end-to-end
+  // flow a pretraining data pipeline runs, as ONE declarative plan.
+  // Every stage reuses an individually-oracled operator; the oracle
+  // here recomposes all three in SQL, so the gate checks the
+  // COMPOSITION (stage boundaries, ordering, id arithmetic), not just
+  // the parts. Chunk uid = doc_id·1024 + chunk_idx keeps the pack
+  // order total and SQL-reproducible.
+  private val t26 = GraftQuery(
+    "t26_chunk_pack_pipeline",
+    (s, dir) => {
+      val size = 32; val overlap = 8; val stride = size - overlap
+      val kept = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          rep_stats(col("text")).as("rs"))
+        .filter(col("rs.n_tokens") >= 10 &&
+          col("rs.d_tokens").cast("double") / col("rs.n_tokens") >= 0.5)
+      val chunks = kept
+        .withColumn("n_chunks",
+          greatest(lit(1), ceil((col("rs.n_tokens") - overlap)
+            .cast("double") / stride).cast("int")))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .select(
+          (col("doc_id") * 1024 + col("chunk_idx")).as("uid"),
+          org.apache.spark.sql.functions
+            .size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)))
+            .cast("long").as("w"))
+      graft.operators.Pack.packBins(chunks, "uid", "w", capacity = 512L)
+        .select(
+          expr("uid div 1024").as("doc_id"),
+          pmod(col("uid"), lit(1024)).cast("int").as("chunk_idx"),
+          col("w").cast("int").as("n_chunk_tokens"),
+          col("bin"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             q AS (SELECT doc_id, toks FROM tk
+               WHERE len(toks) >= 10
+                 AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.5),
+             n AS (SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+               FROM q),
+             e AS (SELECT doc_id, toks,
+               CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx FROM n),
+             c AS (SELECT doc_id, chunk_idx,
+               doc_id * 1024 + chunk_idx AS uid,
+               len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS w
+               FROM e),
+             p AS (SELECT doc_id, chunk_idx, w,
+               COALESCE(sum(w) OVER (ORDER BY uid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+               FROM c)
+             SELECT doc_id, chunk_idx, CAST(w AS INT) AS n_chunk_tokens,
+               CAST(prefix // 512 AS BIGINT) AS bin
+             FROM p ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25)
+    t25, t26)
 }
