@@ -469,10 +469,41 @@ case class HyperplaneBands(
     copy(child = c)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — canonical
+  * composition so visually-identical strings (é vs e+◌́) hash and
+  * dedup identically. Spark has no normalization builtin; this stays
+  * inside whole-stage codegen (the generated code calls the JDK
+  * normalizer directly, no boxing beyond the String the JDK API
+  * requires). Matches DuckDB's `nfc_normalize` for the oracles. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.text.Normalizer.normalize($c.toString(),
+            java.text.Normalizer.Form.NFC));
+      """)
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** Column-API entry points for the native expressions. */
 object HashFunctions {
   import Bridge.{column => asCol, expression => asExpr}
   def rolling_hash64(c: Column): Column = asCol(RollingHash64(asExpr(c)))
+  def nfc_normalize(c: Column): Column = asCol(NfcNormalize(asExpr(c)))
   def simhash64(hashedTokens: Column): Column = asCol(SimHash64(asExpr(hashedTokens)))
   def vec_dot(a: Column, b: Column): Column = asCol(VecDot(asExpr(a), asExpr(b)))
   def minhash_sig(shingles: Column, k: Int, seed: Long): Column =

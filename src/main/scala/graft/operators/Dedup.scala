@@ -418,4 +418,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Incremental dedup of a FRESH batch against a HISTORICAL corpus via
+    * a Bloom-filter prefilter + exact verify — the shape that dedups a
+    * new crawl against 100 TB of already-curated data without joining
+    * the new batch against the whole history:
+    *
+    *   1. one pass over history builds a Bloom filter of content
+    *      hashes (distributed `treeAggregate` under
+    *      `DataFrameStatFunctions.bloomFilter`; ~1.2 GB for 10⁹ docs
+    *      at fpp 0.1% — broadcastable, where the hash SET would be
+    *      ~16 GB+ and the raw text petabytes);
+    *   2. the broadcast filter drops every fresh doc that CANNOT be a
+    *      duplicate (map-only, no shuffle — at a typical few-% dup
+    *      rate this eliminates ~99% of the join input);
+    *   3. only the surviving candidates semi-join history for the
+    *      exact verify, so Bloom false positives cost a join row, never
+    *      a wrong answer. Output is EXACT (oracle-checkable).
+    *
+    * The filter is keyed on xxhash64 of the 128-bit content hash (the
+    * sketch API hashes longs natively); `expectedItems` sizes the bits
+    * — at production scale it comes from table statistics, here from a
+    * metadata-only count. Returns every fresh row's id with an
+    * `is_dup` flag. */
+  def bloomIncrementalDedup(
+      hist: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double = 0.001): DataFrame = {
+    // h = 128-bit content hash (the verify key); hk = 64-bit key for
+    // the Bloom filter only (the sketch hashes longs natively). The
+    // exact join uses the FULL h so a 64-bit hk collision can never
+    // produce a false duplicate.
+    val histKeys = hist
+      .select(md5(col(textCol).cast("binary")).as("h"))
+      .withColumn("hk", xxhash64(col("h")))
+    val expectedItems = math.max(1L, histKeys.count())
+    val bloom = histKeys.stat.bloomFilter("hk", expectedItems, fpp)
+    val bc = hist.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((hk: Long) => bc.value.mightContainLong(hk))
+
+    val freshKeyed = fresh.select(
+      col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    val candidates = freshKeyed.filter(mightContain(xxhash64(col("h"))))
+    // exact verify: semi join candidates (tiny after the prefilter)
+    // against history — removes Bloom false positives
+    val dups = candidates
+      .join(histKeys.select("h").distinct(), "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    freshKeyed.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

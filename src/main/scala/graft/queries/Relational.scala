@@ -717,11 +717,126 @@ object Relational {
                                     (l_returnflag), (l_linestatus))
             ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
 
+  // Window FRAME (ROWS BETWEEN): per-user trailing average over the
+  // last 4 events. Shuffle = one hash partition by user_id with a
+  // partition-local sort — no global sort; the frame is bounded so
+  // state per row is O(4). Deterministic tie-break on event_id.
+  private val q30 = GraftQuery(
+    "q30_moving_avg_frame",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("g_events_q30")
+      s.sql("""SELECT user_id, event_id,
+                round(avg(value) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+              FROM g_events_q30
+              ORDER BY user_id, event_id""")
+    },
+    Some("""SELECT user_id, event_id,
+              round(avg(value) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+            FROM events
+            ORDER BY user_id, event_id"""))
+
+  // NTILE bucketing: account-balance quartiles. NTILE needs a TOTAL
+  // order (one window partition) — fine for a ranked report, but at
+  // 100 TB the scale path is approx-quantile bucketing (q25's
+  // percentile family) which needs no global sort; this registers the
+  // exact operator with that caveat on record. Tie-break on custkey
+  // makes the quartile assignment (and thus the oracle) exact.
+  private val q31 = GraftQuery(
+    "q31_ntile_quartiles",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer_q31")
+      s.sql("""WITH q AS (SELECT c_acctbal,
+                  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+                FROM g_customer_q31)
+              SELECT quartile, count(*) AS n,
+                round(min(c_acctbal), 2) AS min_bal,
+                round(max(c_acctbal), 2) AS max_bal
+              FROM q GROUP BY quartile ORDER BY quartile""")
+    },
+    Some("""WITH q AS (SELECT c_acctbal,
+                ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+              FROM customer)
+            SELECT quartile, count(*) AS n,
+              round(min(c_acctbal), 2) AS min_bal,
+              round(max(c_acctbal), 2) AS max_bal
+            FROM q GROUP BY quartile ORDER BY quartile"""))
+
+  // Ordered list aggregation: per-customer CSV of order priorities.
+  // collect_list is order-nondeterministic under parallel merge, so
+  // the result is array_sort'ed before joining — the only way a list
+  // agg is reproducible at scale. One hash-agg shuffle on custkey.
+  private val q32 = GraftQuery(
+    "q32_collect_sorted_csv",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          array_join(array_sort(collect_list(col("o_orderpriority"))), ",")
+            .as("priorities_csv"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+              string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                AS priorities_csv
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // Aggregate FILTER clause — conditional aggregation without
+  // self-joins or CASE pyramids; one pass, map-side combine.
+  private val q33 = GraftQuery(
+    "q33_filter_clause_agg",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_q33")
+      s.sql("""SELECT o_orderstatus,
+                count(*) AS n,
+                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                  AS avg_urgent
+              FROM g_orders_q33
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus,
+              count(*) AS n,
+              count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+              round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                AS avg_urgent
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // Fuzzy string matching: closest nation name per region name by edit
+  // distance (levenshtein is codegen'd in Spark, built-in in DuckDB).
+  // The match space here is dim × dim (tiny, broadcast); at corpus
+  // scale the same scalar powers a similarity-gated join after a
+  // cheap blocking stage (length / first-letter buckets).
+  private val q34 = GraftQuery(
+    "q34_levenshtein_nearest",
+    (s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("g_region_q34")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation_q34")
+      s.sql("""WITH d AS (SELECT r_name, n_name,
+                  levenshtein(r_name, n_name) AS dist,
+                  row_number() OVER (PARTITION BY r_name
+                    ORDER BY levenshtein(r_name, n_name), n_name) AS rk
+                FROM g_region_q34 CROSS JOIN g_nation_q34)
+              SELECT r_name, n_name AS nearest_nation, dist
+              FROM d WHERE rk = 1 ORDER BY r_name""")
+    },
+    Some("""WITH d AS (SELECT r_name, n_name,
+                levenshtein(r_name, n_name) AS dist,
+                row_number() OVER (PARTITION BY r_name
+                  ORDER BY levenshtein(r_name, n_name), n_name) AS rk
+              FROM region CROSS JOIN nation)
+            SELECT r_name, n_name AS nearest_nation, dist
+            FROM d WHERE rk = 1 ORDER BY r_name"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28, q29)
+    q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

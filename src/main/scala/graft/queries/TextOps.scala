@@ -187,8 +187,14 @@ object TextOps {
     },
     Some(jaccardOracle(0.8)))
 
-  // MinHash-LSH near-dup (probabilistic recall, exact verify) — no SQL
-  // oracle; DedupSpec asserts recall ≥ 0.9 against t07's exact pairs.
+  // MinHash-LSH near-dup: candidates from seeded (deterministic)
+  // banded signatures, then EXACT-Jaccard verified — so the output is
+  // always a subset of t07's exact pairs, and equals them whenever LSH
+  // recall is 1.0. On the fixture corpus recall IS 1.0 at every SF
+  // (measured sf0.01 and sf0.1), so the t07 oracle applies verbatim:
+  // a gate mismatch here would mean an LSH recall regression, which is
+  // exactly what the gate should catch. DedupSpec separately asserts
+  // recall ≥ 0.9 on adversarial synthetic corpora.
   private val t08 = GraftQuery(
     "t08_dedup_minhash_lsh",
     (s, dir) => {
@@ -196,7 +202,7 @@ object TextOps {
           n = 3, threshold = 0.3)
         .orderBy("doc_a", "doc_b")
     },
-    None,
+    Some(jaccardOracle(0.3)),
     headline = true)
 
   // SimHash near-dup within Hamming ≤ 3 — no SQL oracle (native
@@ -729,7 +735,104 @@ object TextOps {
                CAST(prefix // 512 AS BIGINT) AS bin
              FROM p ORDER BY doc_id, chunk_idx"""))
 
+  // Incremental dedup: fresh batch (doc_id % 5 == 0) vs historical
+  // corpus (the rest) through a Bloom prefilter + exact verify
+  // (Dedup.bloomIncrementalDedup — the shape that dedups a new crawl
+  // against 100 TB of history without a full join). The Bloom filter
+  // only prunes candidates; the output is exact, so the oracle is
+  // plain set membership.
+  private val t27 = GraftQuery(
+    "t27_bloom_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomIncrementalDedup(
+          hist = d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          fresh = d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH hist AS (SELECT text FROM documents WHERE doc_id % 5 != 0),
+            fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+            SELECT doc_id, (text IN (SELECT text FROM hist)) AS is_dup
+            FROM fresh ORDER BY doc_id"""))
+
+  // Deterministic training-mixture schedule (Mixture.interleave):
+  // weighted interleaving of language sources into one reproducible
+  // consumption order; the bounded preview compiles to TakeOrdered.
+  private val t28 = GraftQuery(
+    "t28_mixture_interleave",
+    (s, dir) => {
+      graft.operators.Mixture.interleave(
+          t(s, dir, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 3.0, "zh" -> 0.5))
+        .orderBy("mix_pos", "lang", "src_rank")
+        .limit(200)
+    },
+    Some("""WITH r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS src_rank
+              FROM documents)
+            SELECT doc_id, lang, src_rank,
+              round(src_rank / (CASE lang WHEN 'en' THEN 3.0
+                                          WHEN 'zh' THEN 0.5
+                                          ELSE 1.0 END)::DOUBLE, 6) AS mix_pos
+            FROM r ORDER BY mix_pos, lang, src_rank LIMIT 200"""))
+
+  // Unicode NFC canonicalization (native NfcNormalize expression) +
+  // casefold + whitespace squeeze — the normalization pass that makes
+  // visually-identical texts dedup identically. The gate compares a
+  // digest + length of the normalized text per doc (full-text
+  // equality, sortable representation).
+  private val t29 = GraftQuery(
+    "t29_normalize_nfc",
+    (s, dir) => {
+      val norm = trim(regexp_replace(lower(nfc_normalize(col("text"))), "\\s+", " "))
+      docs(s, dir).select(
+          col("doc_id"),
+          length(norm).as("norm_len"),
+          md5(norm.cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+                AS norm_len,
+              md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+                AS norm_md5
+            FROM documents ORDER BY doc_id"""))
+
+  // Out-of-vocabulary rate against the corpus' own top-1000 token
+  // vocabulary — a standard quality / domain-shift signal. The vocab
+  // is a tiny derived model (one counted shuffle with map-side
+  // combine, deterministic (count DESC, token) cutoff) broadcast back
+  // over the exploded corpus; per-doc agg is the second keyed shuffle.
+  private val t30 = GraftQuery(
+    "t30_oov_rate",
+    (s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tk.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          round(sum(when(col("in_vocab").isNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)), 4).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+             cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             vocab AS (SELECT tok FROM (SELECT tok,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rk FROM cnt)
+               WHERE rk <= 1000),
+             j AS (SELECT t.doc_id, v.tok AS vt
+               FROM tk t LEFT JOIN vocab v ON t.tok = v.tok)
+             SELECT doc_id, count(*) AS n_toks,
+               round(count(*) FILTER (WHERE vt IS NULL)::DOUBLE / count(*), 4)
+                 AS oov_rate
+             FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26)
+    t25, t26, t27, t28, t29, t30)
 }

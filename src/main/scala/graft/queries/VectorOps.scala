@@ -127,6 +127,11 @@ object VectorOps {
   // 127/max|x|; all arithmetic in double on BOTH engines so the
   // rounding is bit-identical and the oracle checks every element.
   // Map-only, zero shuffle.
+  //
+  // The quantized vector is emitted as a CSV STRING, not array<int>:
+  // the driver's compare sorts column values in pandas, and array
+  // columns are unhashable there (the round-2 gate errored on exactly
+  // this). Same per-element strictness, sortable representation.
   private val v07 = GraftQuery(
     "v07_quantize_int8",
     (s, dir) => {
@@ -137,7 +142,8 @@ object VectorOps {
           greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
         .withColumn("scale", lit(127.0) / col("max_abs"))
       d.select(col("vec_id"),
-          transform(col("v"), x => round(x * col("scale"), 0).cast("int")).as("q"),
+          array_join(transform(col("v"),
+            x => round(x * col("scale"), 0).cast("int")), ",").as("q_csv"),
           round(col("scale"), 4).as("scale_r"))
         .orderBy("vec_id")
     },
@@ -146,7 +152,7 @@ object VectorOps {
                 127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
               FROM e)
             SELECT vec_id,
-              list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q,
+              array_to_string(list_transform(v, x -> CAST(round(x * scale) AS INTEGER)), ',') AS q_csv,
               round(scale, 4) AS scale_r
             FROM s ORDER BY vec_id"""))
 
@@ -172,10 +178,15 @@ object VectorOps {
             FROM e JOIN cent USING (label) ORDER BY vec_id"""))
 
   // IVF-blocked near-dup pairs — the cell-blocked member of the
-  // near-dup family (exact v02 / banded-LSH v06 / this). Probabilistic
-  // recall → rows-only gate; AnnSpec measures recall + precision 1.0
-  // on clustered data. Same planted-duplicate cohort as v06 so the
-  // gate row is non-vacuous at every SF.
+  // near-dup family (exact v02 / banded-LSH v06 / this). Same
+  // planted-duplicate cohort as v06, and every emitted pair is
+  // exact-cosine verified, so the output is a subset of v06's oracle
+  // answer and equals it whenever IVF recall on the planted pairs is
+  // 1.0 — which it is deterministically here: a ×1.001 copy preserves
+  // direction, so both members probe identical cells (the coarse
+  // quantizer is seeded/deterministic). The shared oracle makes a
+  // recall regression a gate failure. AnnSpec separately measures
+  // recall + precision on clustered synthetic data.
   private val v09 = GraftQuery(
     "v09_cosine_dup_ivf",
     (s, dir) => {
@@ -187,7 +198,15 @@ object VectorOps {
           threshold = 0.85, nCells = 16, nProbe = 2)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             planted AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM base),
+             e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckCos("a.v", "b.v", 4)} AS cosine
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
+             ORDER BY id_a, id_b"""))
 
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 }
