@@ -132,4 +132,31 @@ class DedupSpec extends SparkTestBase {
     assert(Seq(Set(1L, 2L), Set(3L, 4L), Set(5L, 6L))
       .forall(c => (c & keptIds).size == 1))
   }
+
+  test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
+    val hist = Seq(
+      (1L, "shared text alpha"), (2L, "shared text beta"),
+      (3L, "history only gamma")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "shared text alpha"),   // dup of 1
+      (11L, "brand new delta"),     // not in history
+      (12L, "shared text beta"),    // dup of 2
+      (13L, "brand new epsilon")).toDF("doc_id", "text")
+    val got = Dedup.bloomIncrementalDedup(hist, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(got == Set((10L, true), (11L, false), (12L, true), (13L, false)))
+  }
+
+  test("bloomIncrementalDedup: a loose-fpp filter still yields the exact answer (verify join)") {
+    val hist = (1 to 200).map(i => (i.toLong, s"hist doc $i")).toDF("doc_id", "text")
+    val fresh = ((1 to 50).map(i => (1000L + i, s"hist doc $i")) ++      // 50 dups
+      (1 to 50).map(i => (2000L + i, s"fresh doc $i"))).toDF("doc_id", "text")
+    // fpp 0.5: the Bloom prefilter passes many false positives — the
+    // exact verify join must remove every one of them
+    val got = Dedup.bloomIncrementalDedup(hist, fresh, "doc_id", "text", fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got.size == 100)
+    assert((1 to 50).forall(i => got(1000L + i)), "all planted dups flagged")
+    assert((1 to 50).forall(i => !got(2000L + i)), "no false positives survive verify")
+  }
 }

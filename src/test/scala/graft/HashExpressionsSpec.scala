@@ -73,4 +73,22 @@ class HashExpressionsSpec extends SparkTestBase {
       .collect().map(r => (0 to 5).map(r.getLong).toSeq)
     assert(got.toSeq == oracle.toSeq)
   }
+
+  test("nfc_normalize composes decomposed unicode; identity on NFC text; null-safe") {
+    val composed = "caf" + "\u00e9"   // e-acute as one codepoint
+    val decomposed = "cafe" + "\u0301" // e + combining acute
+    val df = Seq(composed, decomposed, "plain ascii", null)
+      .toDF("s").select(nfc_normalize(col("s")).as("n"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(got(0).contains(composed))
+    assert(got(1).contains(composed), "decomposed form must compose to NFC")
+    assert(got(2).contains("plain ascii"))
+    assert(got(3).isEmpty)
+    // interpreted eval (no codegen) agrees with the codegen'd path
+    val interp = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+      .eval(null).toString
+    assert(interp == composed)
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Mixture
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 sources × 30 docs each, ids interleaved so in-source rank ≠ id order
+  private def mkDocs = (1 to 90).map { i =>
+    (i.toLong, Seq("en", "de", "zh")(i % 3))
+  }.toDF("doc_id", "src")
+
+  test("interleave serves sources proportionally to their weights") {
+    val sched = Mixture.interleave(mkDocs, "src", "doc_id",
+        weights = Map("en" -> 3.0, "zh" -> 0.5))
+      .orderBy("mix_pos", "src", "src_rank")
+    // the first 15 positions: en at k/3, de at k/1, zh at k/0.5 →
+    // en appears ~3× as often as de, de ~2× as often as zh
+    val head = sched.limit(15).collect().map(_.getString(1)).toSeq
+    val counts = head.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("en") >= 9, s"en under-served: $counts")
+    assert(counts.getOrElse("zh", 0) <= 2, s"zh over-served: $counts")
+    assert(counts("en") > counts("de") && counts("de") > counts.getOrElse("zh", 0))
+  }
+
+  test("schedule is deterministic and a total order (no position collisions after tiebreak)") {
+    val a = Mixture.interleave(mkDocs, "src", "doc_id", Map("en" -> 2.0))
+      .orderBy("mix_pos", "src", "src_rank").collect().map(_.toSeq)
+    val b = Mixture.interleave(mkDocs, "src", "doc_id", Map("en" -> 2.0))
+      .orderBy("mix_pos", "src", "src_rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // every doc appears exactly once
+    assert(a.map(_.head).distinct.length == 90)
+  }
+
+  test("rejects non-positive weights") {
+    intercept[IllegalArgumentException] {
+      Mixture.interleave(mkDocs, "src", "doc_id", Map("en" -> 0.0))
+    }
+  }
+}
