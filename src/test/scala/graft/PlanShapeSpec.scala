@@ -97,4 +97,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CollectLimit"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q32 list agg combines map-side (partial_collect_list before the exchange)") {
+    val p = plan("q32_collect_sorted_csv")
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t27 bloom prefilter evaluates at the scan, verify joins without cartesian") {
+    val p = plan("t27_bloom_incremental_dedup")
+    // the mightContain UDF must sit in a Filter over the scan (map-only
+    // pruning BEFORE any shuffle/join), and the exact verify must be an
+    // equi-join on the content hash
+    assert(p.contains("UDF(xxhash64(md5("), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t28 mixture schedule: one per-source window shuffle, bounded preview is TakeOrdered") {
+    val p = plan("t28_mixture_interleave")
+    assert(p.contains("TakeOrderedAndProject"), s"preview must not global-sort:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t30 OOV: vocab is TakeOrdered + broadcast, per-doc agg combines map-side") {
+    val p = plan("t30_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cutoff must be top-k, not global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
