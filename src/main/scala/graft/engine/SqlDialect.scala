@@ -33,6 +33,7 @@ object SqlDialect {
     s = rewriteStrftime(s)
     s = rewriteTimeBucket(s)
     s = rewriteDoubleColonCasts(s)
+    s = rewriteQualify(s)
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
@@ -378,6 +379,83 @@ object SqlDialect {
             .filter(_.nonEmpty)).getOrElse(Seq())))
       case _ => None
     }
+  }
+
+  /** DuckDB `QUALIFY <pred>` (filter on window-function results without
+    * a subquery) → standard SQL Spark parses. Two forms:
+    *  - pred references a SELECT-list alias (`QUALIFY rk = 1`): wrap
+    *    the select in a subquery and filter outside, where the alias is
+    *    a real column.
+    *  - pred contains an inline window function (`QUALIFY row_number()
+    *    OVER (...) = 1`): windows cannot go in WHERE, so the predicate
+    *    is materialized as a lateral-alias column inside the select and
+    *    filtered + dropped outside.
+    * Applied recursively to parenthesized subqueries/CTE bodies; the
+    * trailing top-level ORDER BY / LIMIT stay outside the wrap. */
+  private def rewriteQualify(s: String): String = {
+    // recurse into top-level paren groups first (CTE bodies, subqueries)
+    val sb = new StringBuilder
+    var i = 0; var q = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { sb.append(c); if (c == '\'') q = false; i += 1 }
+      else if (c == '\'') { sb.append(c); q = true; i += 1 }
+      else if (c == '(') {
+        var depth = 1; var j = i + 1; var qq = false
+        while (j < s.length && depth > 0) {
+          val cj = s.charAt(j)
+          if (qq) { if (cj == '\'') qq = false }
+          else if (cj == '\'') qq = true
+          else if (cj == '(') depth += 1
+          else if (cj == ')') depth -= 1
+          j += 1
+        }
+        val inner = s.substring(i + 1, j - 1)
+        sb.append('(').append(rewriteQualify(inner)).append(')')
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    qualifyTopLevel(sb.toString)
+  }
+
+  /** First top-level (paren-depth-0, outside string literals) position
+    * of word `kw` in `s` at or after `from`, or -1. */
+  private def findTopLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    var i = 0; var q = false; var depth = 0
+    val n = kw.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else if (c == '\'') q = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (i >= from && depth == 0 && i + n <= s.length &&
+          s.regionMatches(true, i, kw, 0, n) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+          (i + n == s.length || !Character.isLetterOrDigit(s.charAt(i + n)) && s.charAt(i + n) != '_'))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def qualifyTopLevel(s: String): String = {
+    val qi = findTopLevelKeyword(s, "QUALIFY")
+    if (qi < 0) return s
+    val head = s.substring(0, qi).trim
+    val rest = s.substring(qi + "QUALIFY".length)
+    val cut = Seq(findTopLevelKeyword(rest, "ORDER"), findTopLevelKeyword(rest, "LIMIT"))
+      .filter(_ >= 0).sorted.headOption.getOrElse(rest.length)
+    val pred = rest.substring(0, cut).trim
+    val tail = if (cut < rest.length) " " + rest.substring(cut).trim else ""
+    if ("(?is).*\\bover\\s*\\(.*".r.matches(pred)) {
+      val fi = findTopLevelKeyword(head, "FROM")
+      require(fi > 0, s"QUALIFY rewrite: no top-level FROM in: $head")
+      val sel = head.substring(0, fi).trim
+      val from = head.substring(fi)
+      s"SELECT * EXCEPT (__graft_qualify) FROM ($sel, ($pred) AS __graft_qualify $from) WHERE __graft_qualify$tail"
+    } else
+      s"SELECT * FROM ($head) WHERE $pred$tail"
   }
 
   private def splitTopLevelCommas(s: String): Seq[String] = {

@@ -237,6 +237,53 @@ object Dedup {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** Exact n-gram CONTAINMENT self-join: pairs with
+    * |A∩B| / min(|A|,|B|) ≥ t — the asymmetric complement to
+    * [[jaccardPairs]]. Jaccard divides by the UNION, so a short
+    * document fully embedded in a much longer one (quoted article,
+    * concatenated crawl page, boilerplate-wrapped repost) scores near
+    * |A|/|B| ≈ 0 and survives Jaccard dedup; containment scores it
+    * 1.0. This is the standard "subset duplicate" pass run alongside
+    * near-dedup in pretraining pipelines.
+    *
+    * Shape: identical inverted index to [[jaccardPairs]] — one shuffle
+    * keyed by shingle, Σf² candidate rows, one keyed shuffle on
+    * candidate pairs. The size-ratio prefilter is intentionally ABSENT:
+    * containment is exactly the regime where |A| ≪ |B| pairs matter, so
+    * there is nothing sound to prune on sizes alone (a `maxShingleFreq`
+    * cap remains the explicit opt-in approximation for Zipfian corpora,
+    * as in jaccardPairs). Output orientation: doc_a < doc_b, with the
+    * containment computed against the smaller shingle set of the two.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = graft.queries.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val capped = if (maxShingleFreq == Long.MaxValue) sh else sh
+      .withColumn("freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("freq") <= maxShingleFreq)
+      .drop("freq")
+    val a = capped.select(
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = capped.select(
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any benchmark
     * document. The training-data hygiene pass: eval-set text leaking

@@ -321,4 +321,53 @@ object Similarity {
         round(dot(col("v"), col("centroid")) / (col("n_v") * col("n_c")), 4)
           .as("cos_centroid"))
   }
+
+  /** Per-dimension mean / stddev / extrema of an embedding column —
+    * the feature-distribution health check run before training or
+    * index-building (a collapsed dimension or an unnormalized feature
+    * shows up here first).
+    *
+    * Shape: posexplode fans each row into `dim` (pos, value) rows, then
+    * ONE hash aggregation keyed by pos — map-side partial aggregation
+    * means the shuffle carries `dim × partitions` partial states, not
+    * `rows × dim` values, so at 100 TB the exchanged data is a few KB
+    * per partition regardless of corpus size. */
+  def dimensionStats(emb: DataFrame, vecCol: String): DataFrame =
+    graft.queries.Tables.spread(emb)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("x"), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("sd"),
+        round(min("x"), 4).as("mn"),
+        round(max("x"), 4).as("mx"))
+
+  /** Semantic (embedding-space) cross-corpus contamination: pairs of
+    * (probe, corpus) vectors with cosine ≥ threshold. The companion to
+    * [[graft.operators.Dedup.contaminationPairs]]'s n-gram overlap —
+    * n-grams catch verbatim leakage, cosine catches paraphrased /
+    * re-rendered leakage of eval data into a training corpus.
+    *
+    * Exact by contract: the probe (benchmark) side is SMALL — it is
+    * broadcast, so the corpus side streams through one map stage with
+    * zero shuffle, the same asymptotics as [[bruteForceTopK]]. For a
+    * probe set too large to broadcast, compose [[ivfCosinePairs]] /
+    * [[lshCosinePairs]] over the union instead (probabilistic recall,
+    * bucketed join). */
+  def crossContamination(
+      corpus: DataFrame, probe: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = withNorm(graft.queries.Tables.spread(corpus), idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("v_c"), col("nrm").as("n_c"))
+    val p = withNorm(probe, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"), col("nrm").as("n_p"))
+    c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(vec_dot(col("v_c"), col("v_p")) / (col("n_c") * col("n_p")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("probe_id", "corpus_id", "cosine")
+  }
 }

@@ -832,11 +832,71 @@ object Relational {
             SELECT r_name, n_name AS nearest_nation, dist
             FROM d WHERE rk = 1 ORDER BY r_name"""))
 
+  // Distribution-position window functions: percent_rank + cume_dist
+  // of account balance within each market segment. Per-key partitioned
+  // window — one shuffle on mktsegment, in-partition sort; identical
+  // tie semantics on both engines (percent_rank = (rank-1)/(n-1),
+  // cume_dist = #peers≤ / n).
+  private val q35 = GraftQuery(
+    "q35_percent_rank_cume",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .filter(col("c_custkey") % 10 === 0)
+        .orderBy("c_custkey")
+    },
+    Some("""WITH r AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                round(percent_rank() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey), 4) AS pr,
+                round(cume_dist() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey), 4) AS cd
+              FROM customer)
+            SELECT * FROM r WHERE c_custkey % 10 = 0 ORDER BY c_custkey"""))
+
+  // Dense calendar zero-fill: hourly error-event counts with EVERY hour
+  // of the events table's span present (missing hours → 0) — the gap
+  // repair every time-series rollup needs before charting/anomaly
+  // scoring. The hour spine is sequence(min, max, 1h) exploded from a
+  // ONE-ROW global agg — a driver-sized scalar, broadcast to the left
+  // join against the (already tiny) hourly aggregate. Two scans of
+  // events (bounds + counts) but the join itself never touches raw
+  // rows; at 100 TB both scans prune to the ts/event_type columns.
+  private val q36 = GraftQuery(
+    "q36_calendar_zero_fill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(
+        date_trunc("hour", min("ts")).as("h_min"),
+        date_trunc("hour", max("ts")).as("h_max"))
+      val spine = bounds.select(explode(
+        sequence(col("h_min"), col("h_max"),
+          expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      val counts = ev.filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hour_ts"), "left")
+        .select(col("hour_ts"), coalesce(col("n"), lit(0L)).as("n_errors"))
+        .orderBy("hour_ts")
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h_min,
+                  date_trunc('hour', max(ts)) AS h_max FROM events),
+            spine AS (SELECT unnest(generate_series(h_min, h_max,
+                  INTERVAL 1 HOUR)) AS hour_ts FROM b),
+            c AS (SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n
+                  FROM events WHERE event_type = 'error' GROUP BY 1)
+            SELECT spine.hour_ts, COALESCE(c.n, 0) AS n_errors
+            FROM spine LEFT JOIN c USING (hour_ts) ORDER BY hour_ts"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-    q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
+    q35, q36)
 }

@@ -832,7 +832,34 @@ object TextOps {
                  AS oov_rate
              FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Asymmetric shingle CONTAINMENT pairs (|A∩B| / min size) — the
+  // subset-duplicate pass Jaccard misses: a short doc embedded in a
+  // long one scores ~|A|/|B| Jaccard (survives t07/t11) but 1.0
+  // containment. Same inverted-index shuffle shape as t07; oracle is
+  // the same DuckDB shingle family with the min-size denominator.
+  private val t31 = GraftQuery(
+    "t31_dedup_containment",
+    (s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  FOR i IN range(1, len(toks) - 1)]
+            ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM tk)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            least(len(a.sh), len(b.sh)), 4) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            least(len(a.sh), len(b.sh)), 4) >= 0.6
+        ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30)
+    t25, t26, t27, t28, t29, t30, t31)
 }

@@ -208,5 +208,52 @@ object VectorOps {
              WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
              ORDER BY id_a, id_b"""))
 
-  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
+  // Per-dimension feature-distribution stats — the embedding health
+  // check before training / index builds (collapsed or unnormalized
+  // dimensions surface here). posexplode → ONE hash agg keyed by pos;
+  // map-side partials mean the shuffle carries dim × partitions states
+  // regardless of corpus size. Spark posexplode is 0-based; the oracle
+  // subtracts 1 from generate_subscripts to match.
+  private val v10 = GraftQuery(
+    "v10_dimension_stats",
+    (s, dir) => {
+      Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("pos")
+    },
+    Some("""WITH x AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+                generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+            SELECT pos, count(*) AS n, round(avg(x), 4) AS mean,
+              round(stddev_samp(x), 4) AS sd,
+              round(min(x), 4) AS mn, round(max(x), 4) AS mx
+            FROM x GROUP BY pos ORDER BY pos"""))
+
+  // Semantic cross-corpus contamination: eval-style probe set (a
+  // deterministic ~2.5% md5 split of the embeddings, mirroring
+  // t17_split_assign's key) vs the remaining corpus, cosine ≥ 0.4 —
+  // the paraphrase-robust companion to t19's n-gram contamination.
+  // Probe side broadcast → corpus streams through one map stage with
+  // zero shuffle (contract documented on Similarity.crossContamination;
+  // too-big probe sets compose the LSH/IVF pair family instead).
+  private val v11 = GraftQuery(
+    "v11_semantic_contamination",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val key = "substr(md5(CAST(vec_id AS STRING)), 1, 4)"
+      Similarity.crossContamination(
+          corpus = e.filter(expr(s"$key >= '0a3d'")),
+          probe = e.filter(expr(s"$key < '0a3d'")),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("probe_id", "corpus_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS k FROM embeddings),
+             p AS (SELECT vec_id AS probe_id, v AS v_p FROM e WHERE k < '0a3d'),
+             c AS (SELECT vec_id AS corpus_id, v AS v_c FROM e WHERE k >= '0a3d')
+             SELECT probe_id, corpus_id, ${duckCos("v_c", "v_p", 4)} AS cosine
+             FROM c CROSS JOIN p
+             WHERE corpus_id != probe_id AND ${duckCos("v_c", "v_p", 4)} >= 0.4
+             ORDER BY probe_id, corpus_id"""))
+
+  val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
+    v10, v11)
 }

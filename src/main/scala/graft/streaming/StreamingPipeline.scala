@@ -137,14 +137,32 @@ object StreamingPipeline {
       batches: AtomicLong,
       checkpointDir: Option[String]): Running = {
     def leaf(p: String): String = p.split('.').last
+    // ONE from_json parse per row with a minimal schema derived from
+    // the configured paths — still schema-free for the user, but not
+    // the N-paths × N-reparses of per-field get_json_object (JSON
+    // parsing dominates this hot path; measured in Bench's
+    // native_window daemon). Leaves parse as strings and cast after,
+    // keeping get_json_object's lenient coercion semantics.
+    val paths = (w.timeColumn +: (w.keys ++ w.sums)).distinct
+    val schema = {
+      def merge(fields: Seq[Seq[String]]): org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(
+          fields.groupBy(_.head).toSeq.sortBy(_._1).map { case (head, group) =>
+            val children = group.map(_.tail).filter(_.nonEmpty)
+            if (children.isEmpty)
+              org.apache.spark.sql.types.StructField(
+                head, org.apache.spark.sql.types.StringType)
+            else
+              org.apache.spark.sql.types.StructField(head, merge(children))
+          })
+      merge(paths.map(_.split('.').toSeq))
+    }
     val decoded = source.df
-      .select(col("value").cast("string").as("__v"))
+      .select(from_json(col("value").cast("string"), schema).as("__j"))
       .select(
-        get_json_object(col("__v"), s"$$.${w.timeColumn}")
-          .cast("timestamp").as(leaf(w.timeColumn)) +:
-          (w.keys.map(k => get_json_object(col("__v"), s"$$.$k").as(leaf(k))) ++
-            w.sums.map(c => get_json_object(col("__v"), s"$$.$c")
-              .cast("double").as(leaf(c)))): _*)
+        col(s"__j.${w.timeColumn}").cast("timestamp").as(leaf(w.timeColumn)) +:
+          (w.keys.map(k => col(s"__j.$k").as(leaf(k))) ++
+            w.sums.map(c => col(s"__j.$c").cast("double").as(leaf(c)))): _*)
     val out = NativeWindow.tumbling(
       decoded, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
       aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w))

@@ -103,4 +103,44 @@ class AnnSpec extends SparkTestBase {
     assert(scored(100L) < 0.0, s"outlier score ${scored(100L)}")
     assert(scored.values.forall(c => c <= 1.0001 && c >= -1.0001))
   }
+
+  test("crossContamination finds exactly the probe-corpus pairs above threshold") {
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val corpus = ((1 to 30).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    } :+ ((99L, base.map(x => x * 2.0f)))   // planted paraphrase-dup of probe 1000
+    ).toDF("vec_id", "embedding")
+    val probe = Seq((1000L, base)).toDF("vec_id", "embedding")
+    val got = Similarity.crossContamination(corpus, probe, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1000L, 99L)))
+    // brute-force agreement at a loose threshold
+    val loose = Similarity.crossContamination(corpus, probe, "vec_id", "embedding", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cl = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = cl.map { case (id, v) =>
+        (1000L, id, BigDecimal(cos(base, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.filter(_._3 >= 0.2).toSet
+    assert(loose == want)
+  }
+
+  test("dimensionStats: per-dimension moments match a local computation") {
+    val rows = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(3.0f, 0.0f, 0.5f)),
+      (3L, Array(5.0f, 2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimensionStats(rows, "embedding")
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == ((0, 3L, 3.0, 2.0, 1.0, 5.0)))
+    assert(got(1) == ((1, 3L, 0.0, 2.0, -2.0, 2.0)))
+    // constant dimension: sd 0 — the "collapsed feature" signal
+    assert(got(2) == ((2, 3L, 0.5, 0.0, 0.5, 0.5)))
+  }
 }

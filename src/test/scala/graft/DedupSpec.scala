@@ -133,6 +133,42 @@ class DedupSpec extends SparkTestBase {
       .forall(c => (c & keptIds).size == 1))
   }
 
+  test("containmentPairs catches subset duplicates Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"            // 4 3-shingles
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    // Jaccard(short, long) = 4/64 ≈ 0.06 → invisible at t=0.3
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3).count() == 0)
+    // containment(short, long) = 4/4 = 1.0
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("containmentPairs equals the brute-force answer on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("red", "blue", "green", "gold", "iron", "clay", "moss", "sand")
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to 12 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val local = docs.collect().map(r => (r.getLong(0), shingles(r.getString(1))))
+    val want = (for {
+      (ia, sa) <- local; (ib, sb) <- local if ia < ib
+      c = BigDecimal((sa & sb).size.toDouble / math.min(sa.size, sb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.5
+    } yield (ia, ib, c)).toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
     val hist = Seq(
       (1L, "shared text alpha"), (2L, "shared text beta"),

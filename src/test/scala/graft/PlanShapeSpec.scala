@@ -127,4 +127,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("t31 containment uses the inverted-index join (no cartesian/nested-loop)") {
+    val p = plan("t31_dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v10 dimension stats combine map-side (partial aggregates before the exchange)") {
+    val p = plan("v10_dimension_stats")
+    assert(p.contains("partial_avg") || p.contains("partial_count"),
+      s"per-dim agg must have a partial phase:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("v11 contamination broadcasts the probe side (corpus never shuffles)") {
+    val p = plan("v11_semantic_contamination")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning"), s"corpus must not shuffle by key:\n$p")
+  }
+
+  test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
+    val p = plan("q36_calendar_zero_fill")
+    assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

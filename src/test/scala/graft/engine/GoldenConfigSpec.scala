@@ -57,6 +57,45 @@ class GoldenConfigSpec extends SparkTestBase {
       """{"city":"Baltimore","city_count":1}"""))
   }
 
+  test("QUALIFY handler SQL executes end-to-end (alias and inline-window forms)") {
+    val fixture = write("qualify.jsonl",
+      """{"event":"search","properties":{"city":"New York"},"user":{"id":"u1"}}
+        |{"event":"search","properties":{"city":"New York"},"user":{"id":"u2"}}
+        |{"event":"search","properties":{"city":"Baltimore"},"user":{"id":"u3"}}
+        |""".stripMargin)
+    val cfg = write("qualify.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT properties.city AS city, count(*) AS n,
+        |             row_number() OVER (ORDER BY count(*) DESC) AS rk
+        |      FROM batch GROUP BY city QUALIFY rk = 1
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSeq
+    assert(got == Seq("""{"city":"New York","n":2,"rk":1}"""))
+
+    val cfg2 = write("qualify2.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT properties.city AS city, user.id AS uid FROM batch
+        |      QUALIFY row_number() OVER (PARTITION BY properties.city ORDER BY user.id) = 1
+        |      ORDER BY city
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got2 = Invoke.invoke(spark, cfg2, fixture).toJSON.collect().toSeq
+    assert(got2 == Seq(
+      """{"city":"Baltimore","uid":"u3"}""",
+      """{"city":"New York","uid":"u1"}"""))
+  }
+
   test("structured batch: validate + insert + query table (reference test_structured_mem)") {
     val cfg = write("structured.mem.yml",
       """commands:

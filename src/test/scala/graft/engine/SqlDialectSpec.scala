@@ -130,6 +130,26 @@ class SqlDialectSpec extends AnyFunSuite {
       Seq(("read_csv", "/tmp/a.csv"), ("read_json_auto", "/tmp/b.json")))
   }
 
+  test("QUALIFY on a select-list alias wraps in a subquery filter") {
+    assert(translate(
+      "SELECT city, row_number() OVER (ORDER BY n DESC) AS rk FROM t QUALIFY rk <= 3 ORDER BY rk") ==
+      "SELECT * FROM (SELECT city, row_number() OVER (ORDER BY n DESC) AS rk FROM t) WHERE rk <= 3 ORDER BY rk")
+  }
+
+  test("QUALIFY with an inline window materializes the predicate column") {
+    val out = translate(
+      "SELECT city FROM t QUALIFY row_number() OVER (PARTITION BY st ORDER BY n DESC) = 1")
+    assert(out.startsWith("SELECT * EXCEPT (__graft_qualify) FROM (SELECT city,"))
+    assert(out.contains("AS __graft_qualify FROM t) WHERE __graft_qualify"))
+  }
+
+  test("QUALIFY inside a CTE body is rewritten; quoted text untouched") {
+    val out = translate(
+      "WITH top AS (SELECT a, rank() OVER (ORDER BY b) AS rk FROM t QUALIFY rk = 1) SELECT 'QUALIFY x' AS lit, a FROM top")
+    assert(out.contains("WITH top AS (SELECT * FROM (SELECT a, rank() OVER (ORDER BY b) AS rk FROM t) WHERE rk = 1)"))
+    assert(out.contains("'QUALIFY x' AS lit"))
+  }
+
   test("correlated LIMIT 1 left join is rewritten to dedup-then-join") {
     val sql =
       """SELECT a FROM batch LEFT JOIN (
