@@ -56,7 +56,12 @@ final case class NativeWindowConf(
     /** Columns to additively SUM per window alongside the count — the
       * reference ADR's declared windowing scope ("Additive
       * aggregations (COUNT, SUM)"). Emitted as `sum_<leaf>`. */
-    sums: Seq[String] = Seq())
+    sums: Seq[String] = Seq(),
+    /** `append` (default): emit each window once, on watermark close —
+      * replay-stable. `update`: re-emit a window's current aggregate
+      * every trigger it changes in — the reference manager's
+      * re-emission behavior for late rows; sink must tolerate upserts. */
+    mode: String = "append")
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None)
@@ -199,7 +204,8 @@ object Config {
               watermark = w.path("watermark").asText("0 seconds"),
               sums = if (w.has("sums"))
                 w.path("sums").elements().asScala.map(_.asText()).toSeq
-              else Seq()))
+              else Seq(),
+              mode = w.path("mode").asText("append")))
           } else None)
       },
       sink = parseSink(p.path("sink")),

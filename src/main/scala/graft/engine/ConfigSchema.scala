@@ -210,8 +210,9 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode"))
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
+          if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
           if (w.has("keys") && !w.path("keys").isArray)
             err(s"$wp.keys", "must be an array of column names")
         } else {

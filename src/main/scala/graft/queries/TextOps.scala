@@ -859,7 +859,100 @@ object TextOps {
             least(len(a.sh), len(b.sh)), 4) >= 0.6
         ORDER BY doc_a, doc_b"""))
 
+  // Bigram conditional surprisal -ln P(w_i | w_{i-1}) averaged per doc
+  // — one step up t24's unigram ladder toward an LM perplexity filter:
+  // repetitive/boilerplate word SEQUENCES (not just rare words) score
+  // low. P(w2|w1) = c(w1 w2)/c(w1) from the corpus itself (no
+  // smoothing needed: every observed bigram has both counts ≥ 1).
+  // Shape: bigram explode → two count aggs (map-side combined) → two
+  // keyed join-backs (bigram table and unigram table are
+  // vocabulary-sized — joined, never collected) → per-doc agg. Same
+  // double-ln-of-integer-ratio math as t24, oracle-stable at round-4.
+  private val t32 = GraftQuery(
+    "t32_bigram_surprisal",
+    (s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val uni = tk.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bg = tk.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i+1]) AS b))")).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.b").as("b"))
+      val big = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      bg.join(big, "b").join(uni, "w1")
+        .select(col("doc_id"),
+          (-log(col("c2").cast("double") / col("c1").cast("double"))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("nll"), 4).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             bg AS (SELECT doc_id, unnest([
+                 {'w1': toks[i], 'b': toks[i] || ' ' || toks[i+1]}
+                 FOR i IN range(1, len(toks))]) AS x
+               FROM tk WHERE len(toks) >= 2),
+             b2 AS (SELECT doc_id, x.w1 AS w1, x.b AS b FROM bg),
+             uni AS (SELECT unnest(toks) AS w1 FROM tk),
+             c1t AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+             c2t AS (SELECT b, count(*) AS c2 FROM b2 GROUP BY b)
+             SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(c2 / CAST(c1 AS DOUBLE))), 4) AS mean_surprisal
+             FROM b2 JOIN c2t USING (b) JOIN c1t USING (w1)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  // Top PMI collocations: ln(c12·N / (c1·c2)) over corpus bigrams with
+  // support ≥ 5 — the classic phrase-mining signal (tokenizer vocab
+  // candidates, stopword-phrase detection). Counts as in t32; the
+  // top-k cutoff sorts by ROUNDED pmi with a bigram tiebreak so the
+  // ordering is FP-stable across engines, and compiles to TakeOrdered
+  // (no global sort). N = total bigram count, in-plan broadcast scalar.
+  private val t33 = GraftQuery(
+    "t33_pmi_collocations",
+    (s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val uni = tk.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bg = tk.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("x"))
+        .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
+      val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val total = bg.agg(count(lit(1)).as("__n"))
+      big
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(broadcast(total))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"), col("c12"),
+          round(log(col("c12").cast("double") * col("__n") /
+            (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(30)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             bg AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                 FOR i IN range(1, len(toks))]) AS x
+               FROM tk WHERE len(toks) >= 2),
+             b2 AS (SELECT x.w1 AS w1, x.w2 AS w2 FROM bg),
+             uni AS (SELECT w, count(*) AS c FROM
+               (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+             c12t AS (SELECT w1, w2, count(*) AS c12 FROM b2
+               GROUP BY w1, w2 HAVING count(*) >= 5),
+             tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b2)
+             SELECT w1 || ' ' || w2 AS bigram, c12,
+               round(ln(c12 * n / (u1.c * CAST(u2.c AS DOUBLE))), 4) AS pmi
+             FROM c12t
+             JOIN uni u1 ON c12t.w1 = u1.w
+             JOIN uni u2 ON c12t.w2 = u2.w
+             CROSS JOIN tot
+             ORDER BY pmi DESC, bigram LIMIT 30"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }

@@ -168,7 +168,9 @@ object StreamingPipeline {
       aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w))
     val sink = session.sink
     val writer = out.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .outputMode(
+        if (w.mode == "update") org.apache.spark.sql.streaming.OutputMode.Update()
+        else org.apache.spark.sql.streaming.OutputMode.Append())
       .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
       .trigger(conf.pipeline.flushIntervalSeconds match {

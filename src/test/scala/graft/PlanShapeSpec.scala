@@ -148,6 +148,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), s"corpus must not shuffle by key:\n$p")
   }
 
+  test("t33 PMI cutoff is TakeOrdered; count joins have no cartesian") {
+    val p = plan("t33_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t32 bigram surprisal: count aggs combine map-side, keyed join-backs only") {
+    val p = plan("t32_bigram_surprisal")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")

@@ -87,6 +87,21 @@ class ConfigSchemaSpec extends AnyFunSuite {
       "type: 'handlers.Bogus'")).exists(_.contains("handlers.Bogus")))
   }
 
+  test("native-window mode accepts append/update, rejects others") {
+    def nw(mode: String) =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.NativeWindow'
+         |    window: {time_column: ts, keys: [city], duration: '1 hour', watermark: '1 minute', mode: $mode}
+         |  sink: {type: noop}
+         |""".stripMargin
+    assert(errsOf(nw("update")).isEmpty)
+    assert(errsOf(nw("append")).isEmpty)
+    assert(errsOf(nw("complete")).exists(_.contains("complete")))
+  }
+
   test("type violations are reported") {
     assert(errsOf(minimal.replace("batch_size: 1", "batch_size: lots"))
       .exists(_.contains("must be an integer")))

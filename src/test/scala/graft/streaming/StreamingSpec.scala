@@ -403,6 +403,47 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("native-window update mode re-emits a window's running aggregate per trigger") {
+    val inDir = Files.createTempDirectory("graft_nwu_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |      mode: update
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:11:01","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // update mode: the OPEN 19:00 window is emitted immediately
+      assert(sink.allRows ==
+        Seq("""{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":1}"""),
+        sink.allRows.toString)
+
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 19:20:02","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // the changed window re-emits with its refreshed aggregate
+      assert(sink.allRows.last ==
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}""",
+        sink.allRows.toString)
+    } finally running.stop()
+  }
+
   test("checkpoint recovery: restart resumes after committed offsets, no reprocessing") {
     val inDir = Files.createTempDirectory("graft_ckpt_in")
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
