@@ -34,6 +34,10 @@ object SqlDialect {
     s = rewriteTimeBucket(s)
     s = rewriteDoubleColonCasts(s)
     s = rewriteQualify(s)
+    // DuckDB SELECT-list unnest(arr) ≡ Spark explode(arr) (one output
+    // row per element). FROM-clause unnest is not rewritten — Spark's
+    // lateral-join form differs structurally; use explode directly.
+    s = renameFunctionCall(s, "unnest", "explode")
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
@@ -416,6 +420,28 @@ object SqlDialect {
       } else { sb.append(c); i += 1 }
     }
     qualifyTopLevel(sb.toString)
+  }
+
+  /** Rename every call-site `from(` → `to(` outside single-quoted
+    * string literals (case-insensitive, word-boundary). */
+  private def renameFunctionCall(s: String, from: String, to: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var q = false
+    val n = from.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { sb.append(c); if (c == '\'') q = false; i += 1 }
+      else if (c == '\'') { sb.append(c); q = true; i += 1 }
+      else if (s.regionMatches(true, i, from, 0, n) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') && {
+            var j = i + n
+            while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+            j < s.length && s.charAt(j) == '('
+          }) {
+        sb.append(to); i += n
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** First top-level (paren-depth-0, outside string literals) position

@@ -284,6 +284,35 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD '03 —
+    * the MOSS scheme): hash every `k`-gram, keep the minimum hash in
+    * each window of `w` consecutive grams, distinct the selections.
+    * Guarantee: two documents sharing ≥ k+w-1 consecutive tokens share
+    * ≥ 1 fingerprint; expected density ~2/(w+1) of full shingling.
+    * Value-based min over md5 hex so selection is engine-portable and
+    * deterministic. Pure array transforms — ZERO shuffle; output
+    * (id, fps sorted-distinct array<string>) feeds the pair-join
+    * family ([[jaccardPairs]]-style inverted index over fingerprints)
+    * at ~25% the index volume. */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    graft.queries.Tables.spread(docs)
+      .select(col(idCol), tokenize(col(textCol)).as("toks"))
+      .withColumn("grams", expr(
+        s"""CASE WHEN size(toks) >= $k
+            THEN transform(sequence(0, size(toks)-$k),
+              i -> md5(cast(concat_ws(' ', slice(toks, i+1, $k)) as binary)))
+            ELSE array(md5(cast(concat_ws(' ', toks) as binary))) END"""))
+      .withColumn("fps", expr(
+        s"""array_sort(array_distinct(transform(
+              sequence(0, greatest(size(grams)-$w, 0)),
+              j -> array_min(slice(grams, j+1, $w)))))"""))
+      .select(col(idCol), col("fps"))
+
+  private def tokenize(c: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.tokens(c)
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any benchmark
     * document. The training-data hygiene pass: eval-set text leaking

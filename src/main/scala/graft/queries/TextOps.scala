@@ -952,7 +952,41 @@ object TextOps {
              CROSS JOIN tot
              ORDER BY pmi DESC, bigram LIMIT 30"""))
 
+  // Winnowing fingerprint selection (Schleimer et al., SIGMOD '03 —
+  // the MOSS scheme): hash every 3-gram, keep the minimum hash of each
+  // window of 4 consecutive grams, distinct the selections. Guarantees
+  // any match ≥ window+gram length shares a fingerprint, at ~2/(w+1)
+  // the storage of full shingling — the standard compact sketch for
+  // substring-level duplicate detection. Value-based min (md5 hex) so
+  // both engines select identically; pure array transforms, ZERO
+  // shuffle — at 100 TB this is a map stage emitting ~25% of shingle
+  // volume into whatever pair-join follows (t07/t11/t31 family).
+  private val t34 = GraftQuery(
+    "t34_winnowing_fingerprints",
+    (s, dir) => {
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .select(col("doc_id"),
+          size(col("fps")).as("n_fp"),
+          md5(concat_ws(",", col("fps")).cast("binary")).as("fp_digest"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [md5(array_to_string(toks, ' '))] END AS grams
+               FROM tk),
+             w AS (SELECT doc_id, list_sort(list_distinct(
+                 [list_min(grams[j : j+3])
+                  FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)])) AS fps
+               FROM g)
+             SELECT doc_id, len(fps) AS n_fp,
+               md5(array_to_string(fps, ',')) AS fp_digest
+             FROM w ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
 }

@@ -169,6 +169,23 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("winnowing guarantee: docs sharing >= k+w-1 consecutive tokens share a fingerprint") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag${rnd.nextInt(1000)}").mkString(" ")
+    val shared = "common run of tokens here exactly six" // 7 tokens ≥ k+w-1 = 6
+    val docs = Seq(
+      (1L, words(30, "a") + " " + shared + " " + words(30, "b")),
+      (2L, words(25, "c") + " " + shared + " " + words(25, "d")),
+      (3L, words(40, "e"))).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs share nothing")
+    // density: far fewer fingerprints than grams
+    val nGrams = 30 + 7 + 30 - 2
+    assert(fps(1L).size < nGrams / 2, s"selected ${fps(1L).size} of $nGrams grams")
+  }
+
   test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
     val hist = Seq(
       (1L, "shared text alpha"), (2L, "shared text beta"),

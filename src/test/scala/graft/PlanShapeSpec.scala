@@ -161,6 +161,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t34 winnowing is map-only (array transforms, no join, no keyed shuffle)") {
+    val p = plan("t34_winnowing_fingerprints")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), s"winnowing must not shuffle by key:\n$p")
+  }
+
   test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")

@@ -150,6 +150,13 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(out.contains("'QUALIFY x' AS lit"))
   }
 
+  test("SELECT-list unnest rewrites to explode") {
+    assert(translate("SELECT id, unnest(tags) AS tag FROM t") ==
+      "SELECT id, explode(tags) AS tag FROM t")
+    assert(translate("SELECT 'unnest(x)' AS s FROM t") ==
+      "SELECT 'unnest(x)' AS s FROM t")
+  }
+
   test("correlated LIMIT 1 left join is rewritten to dedup-then-join") {
     val sql =
       """SELECT a FROM batch LEFT JOIN (
