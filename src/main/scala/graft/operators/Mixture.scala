@@ -44,4 +44,31 @@ object Mixture {
       // round only to pin the textual representation for the gate
       .withColumn("mix_pos", round(col("src_rank").cast("double") / w, 6))
   }
+
+  /** Temperature-scaled mixture weights: p_s ∝ n_s^(1/T), the standard
+    * multilingual/multi-source rebalancing rule (T=1 → proportional;
+    * T→∞ → uniform; T<1 sharpens toward big sources). Output per
+    * source: count, raw share, temperature share, and the implied
+    * per-source sampling rate (expected_docs / n_s) for a target
+    * budget. One map-side-combined count agg over the corpus; the
+    * per-source table is then a driver-sized model (sources are few) —
+    * the normalization constant rides in-plan via a broadcast scalar,
+    * no collect. */
+  def temperatureWeights(
+      df: DataFrame, sourceCol: String,
+      temperature: Double, targetDocs: Long): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("scaled", pow(col("n_docs").cast("double"), lit(1.0 / temperature)))
+    val totals = counts.agg(
+      sum("n_docs").as("__total"), sum("scaled").as("__z"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("n_docs") / col("__total"), 6).as("raw_share"),
+        round(col("scaled") / col("__z"), 6).as("temp_share"),
+        round(least(lit(1.0),
+          col("scaled") / col("__z") * targetDocs / col("n_docs")), 6)
+          .as("sample_rate"))
+  }
 }

@@ -986,7 +986,27 @@ object TextOps {
                md5(array_to_string(fps, ',')) AS fp_digest
              FROM w ORDER BY doc_id"""))
 
+  // Temperature-scaled mixture weights p_s ∝ n_s^(1/T) — the standard
+  // multilingual rebalancing rule (mT5/XLM-R style) emitting per-source
+  // sampling rates for a target budget. One count agg; normalization
+  // constants ride in-plan as a broadcast scalar (no collect).
+  private val t35 = GraftQuery(
+    "t35_temperature_mixture",
+    (s, dir) => {
+      graft.operators.Mixture.temperatureWeights(
+          t(s, dir, "documents"), "lang", temperature = 0.7, targetDocs = 300L)
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs,
+                pow(count(*)::DOUBLE, 1.0/0.7) AS scaled FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, sum(scaled) AS z FROM c)
+            SELECT lang, n_docs,
+              round(n_docs / total, 6) AS raw_share,
+              round(scaled / z, 6) AS temp_share,
+              round(least(1.0, scaled / z * 300 / n_docs), 6) AS sample_rate
+            FROM c CROSS JOIN tot ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

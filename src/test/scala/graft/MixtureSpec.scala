@@ -38,4 +38,19 @@ class MixtureSpec extends SparkTestBase {
       Mixture.interleave(mkDocs, "src", "doc_id", Map("en" -> 0.0))
     }
   }
+
+  test("temperatureWeights: T=1 is proportional, high T flattens, rate caps at 1") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (100L + i, "small"))).toDF("doc_id", "src")
+    val t1 = Mixture.temperatureWeights(docs, "src", 1.0, 50L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(t1("big")._1 == t1("big")._2 && t1("small")._1 == t1("small")._2,
+      "T=1 must leave shares proportional")
+    val t100 = Mixture.temperatureWeights(docs, "src", 100.0, 50L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(math.abs(t100("big")._1 - 0.5) < 0.01 && math.abs(t100("small")._1 - 0.5) < 0.01,
+      s"high T must flatten toward uniform: $t100")
+    // uniform share 0.5 of 50 docs = 25 wanted from a 10-doc source → capped
+    assert(t100("small")._2 == 1.0, s"oversubscribed source must cap at 1.0: $t100")
+  }
 }
