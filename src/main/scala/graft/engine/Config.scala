@@ -61,7 +61,13 @@ final case class NativeWindowConf(
       * replay-stable. `update`: re-emit a window's current aggregate
       * every trigger it changes in — the reference manager's
       * re-emission behavior for late rows; sink must tolerate upserts. */
-    mode: String = "append")
+    mode: String = "append",
+    /** Event-identity columns. Non-empty → duplicate events (source
+      * replays, at-least-once redelivery) within the watermark horizon
+      * are dropped BEFORE aggregation: exactly-once effect per event
+      * with state bounded by distinct ids per horizon
+      * (dropDuplicatesWithinWatermark). */
+    dedupKeys: Seq[String] = Seq())
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None)
@@ -205,7 +211,10 @@ object Config {
               sums = if (w.has("sums"))
                 w.path("sums").elements().asScala.map(_.asText()).toSeq
               else Seq(),
-              mode = w.path("mode").asText("append")))
+              mode = w.path("mode").asText("append"),
+              dedupKeys = if (w.has("dedup_keys"))
+                w.path("dedup_keys").elements().asScala.map(_.asText()).toSeq
+              else Seq()))
           } else None)
       },
       sink = parseSink(p.path("sink")),

@@ -210,7 +210,7 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys"))
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
           if (w.has("keys") && !w.path("keys").isArray)

@@ -254,6 +254,61 @@ object VectorOps {
              WHERE corpus_id != probe_id AND ${duckCos("v_c", "v_p", 4)} >= 0.4
              ORDER BY probe_id, corpus_id"""))
 
+  // ANN over int8-quantized vectors (v07's quantization) — the
+  // memory-bandwidth-reduction path: 4 bytes/dim → 1 with top-k
+  // quality measured against v03's full-precision answer. KEY
+  // property: per-vector scales CANCEL in cosine —
+  // cos_q = dot(qa,qb)/sqrt(dot(qa,qa)·dot(qb,qb)) — so scoring is
+  // pure integer arithmetic (64·127² products, exact in i64/double)
+  // with zero FP-accumulation hazard: bit-identical on both engines,
+  // hence fully oracle-checkable even though it is an approximation
+  // of the float cosine. Broadcast queries × linear corpus scan, as
+  // v03.
+  private val v12 = GraftQuery(
+    "v12_ann_topk_int8",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("""transform(embedding, x ->
+                    cast(round(cast(x as double) *
+                      (127.0 / greatest(array_max(transform(embedding,
+                         y -> abs(cast(y as double)))), 1e-12)), 0) as int))""")
+            .as("qv"))
+        .withColumn("qnorm", expr(
+          "aggregate(qv, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+      val probes = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+          col("qnorm").as("qn_q"))
+      val scored = q.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .withColumn("idot", expr(
+          "aggregate(zip_with(qv, qv_q, (x, y) -> cast(x as bigint) * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("cos_q", round(
+          col("idot").cast("double") /
+            sqrt((col("qnorm") * col("qn_q")).cast("double")), 4))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_q").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("nbr_id"), col("cos_q"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x *
+                    (127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)))
+                    AS BIGINT)) AS qv FROM e),
+            n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qnorm FROM q),
+            p AS (SELECT vec_id AS query_id, qv AS qv_q, qnorm AS qn_q FROM n WHERE vec_id < 10),
+            sc AS (SELECT query_id, n.vec_id AS nbr_id,
+                     round(list_dot_product(n.qv, p.qv_q) /
+                       sqrt(CAST(n.qnorm * p.qn_q AS DOUBLE)), 4) AS cos_q
+                   FROM n CROSS JOIN p WHERE n.vec_id != p.query_id),
+            r AS (SELECT query_id, nbr_id, cos_q, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos_q DESC, nbr_id) AS rank
+                  FROM sc)
+            SELECT query_id, nbr_id, cos_q, rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11)
+    v10, v11, v12)
 }

@@ -36,19 +36,24 @@ object NativeWindow {
 
   /** @param aggs aggregate columns (aliased); default `count(*)` as
     *             `count` — the additive aggregations the reference's
-    *             ADR declares in scope. */
+    *             ADR declares in scope.
+    * @param applyWatermark pass false when an upstream stateful stage
+    *             (e.g. [[StreamDedup.withinWatermark]]) already set the
+    *             watermark on `tsCol` — Spark rejects a redefinition. */
   def tumbling(
       events: DataFrame,
       tsCol: String,
       keyCols: Seq[String],
       windowDuration: String,
       watermarkDelay: String,
-      aggs: Seq[Column] = Seq(count(lit(1)).as("count"))): DataFrame = {
+      aggs: Seq[Column] = Seq(count(lit(1)).as("count")),
+      applyWatermark: Boolean = true): DataFrame = {
     // batch invocations (dev-invoke golden tests) share this plan:
     // a watermark is only meaningful — and only accepted — on a
     // streaming Dataset, and batch aggregation emits every window
     val watermarked =
-      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      if (events.isStreaming && applyWatermark)
+        events.withWatermark(tsCol, watermarkDelay)
       else events
     val grouped = watermarked
       .groupBy(window(col(tsCol), windowDuration) +: keyCols.map(col): _*)

@@ -143,7 +143,7 @@ object StreamingPipeline {
     // parsing dominates this hot path; measured in Bench's
     // native_window daemon). Leaves parse as strings and cast after,
     // keeping get_json_object's lenient coercion semantics.
-    val paths = (w.timeColumn +: (w.keys ++ w.sums)).distinct
+    val paths = (w.timeColumn +: (w.keys ++ w.sums ++ w.dedupKeys)).distinct
     val schema = {
       def merge(fields: Seq[Seq[String]]): org.apache.spark.sql.types.StructType =
         org.apache.spark.sql.types.StructType(
@@ -162,10 +162,20 @@ object StreamingPipeline {
       .select(
         col(s"__j.${w.timeColumn}").cast("timestamp").as(leaf(w.timeColumn)) +:
           (w.keys.map(k => col(s"__j.$k").as(leaf(k))) ++
-            w.sums.map(c => col(s"__j.$c").cast("double").as(leaf(c)))): _*)
+            w.sums.map(c => col(s"__j.$c").cast("double").as(leaf(c))) ++
+            w.dedupKeys.filterNot(d => w.keys.contains(d) || w.sums.contains(d))
+              .map(d => col(s"__j.$d").as(leaf(d)))): _*)
+    // dedup_keys: at-least-once redelivery collapses to exactly-once
+    // EFFECT before aggregation; state bounded by distinct ids per
+    // watermark horizon (see StreamDedup.withinWatermark)
+    val deduped =
+      if (w.dedupKeys.isEmpty) decoded
+      else StreamDedup.withinWatermark(
+        decoded, w.dedupKeys.map(leaf), leaf(w.timeColumn), w.watermark)
     val out = NativeWindow.tumbling(
-      decoded, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
-      aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w))
+      deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+      aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),
+      applyWatermark = w.dedupKeys.isEmpty)
     val sink = session.sink
     val writer = out.writeStream
       .outputMode(

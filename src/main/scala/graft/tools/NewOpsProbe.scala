@@ -9,8 +9,9 @@ object NewOpsProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- Seq("t22_pack_sequences","t23_repetition_signals","v08_centroid_outlier",
-        "m06_image_decode_real","m07_image_resize_real","q25_percentiles","q26_pivot_revenue")) {
+    for (n <- Seq("t31_dedup_containment","t32_bigram_surprisal","t33_pmi_collocations",
+        "t34_winnowing_fingerprints","t35_temperature_mixture","v10_dimension_stats",
+        "v11_semantic_contamination","q35_percent_rank_cume","q36_calendar_zero_fill")) {
       val q = Registry.byName(n)
       q.run(spark, dir).write.mode("overwrite").format("noop").save() // warm
       val t0 = System.nanoTime()

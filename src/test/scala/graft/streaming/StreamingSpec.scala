@@ -444,6 +444,50 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("native-window dedup_keys: replayed events count once (exactly-once effect)") {
+    val inDir = Files.createTempDirectory("graft_nwd_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |      dedup_keys: [event_id]
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"event_id":"e1","ts":"2015-12-12 19:11:01","city":"Austin"}
+          |{"event_id":"e2","ts":"2015-12-12 19:12:01","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // at-least-once source replays e2 (and a genuinely new e3 arrives)
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"event_id":"e2","ts":"2015-12-12 19:12:01","city":"Austin"}
+          |{"event_id":"e3","ts":"2015-12-12 19:13:01","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      Files.writeString(inDir.resolve("c.jsonl"),
+        """{"event_id":"e9","ts":"2015-12-12 21:00:00","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      // e2's replay must not double-count: 3 distinct events, not 4
+      assert(sink.allRows.contains(
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":3}"""),
+        sink.allRows.toString)
+    } finally running.stop()
+  }
+
   test("checkpoint recovery: restart resumes after committed offsets, no reprocessing") {
     val inDir = Files.createTempDirectory("graft_ckpt_in")
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
