@@ -313,6 +313,30 @@ object Dedup {
   private def tokenize(c: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(c)
 
+  /** Candidate duplicate pairs from the winnowed sketch: documents
+    * sharing ≥ `minShared` selected fingerprints. The pair-generation
+    * stage [[winnowingFingerprints]] exists to feed — same inverted-
+    * index shuffle as [[jaccardPairs]] but over the ~2/(w+1)-density
+    * fingerprint set, so the Σf² join volume shrinks ~(w+1)²/4×. By
+    * the winnowing guarantee every pair sharing a ≥ k+w-1-token run
+    * survives; pairs are deterministic (value-min selection), making
+    * this sketch-based stage exactly reproducible — feed survivors to
+    * an exact verifier ([[jaccardPairs]]-style) or straight to
+    * [[connectedComponents]] when fingerprint evidence suffices. */
+  def winnowedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), explode(col("fps")).as("fp"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any benchmark
     * document. The training-data hygiene pass: eval-set text leaking

@@ -1006,7 +1006,36 @@ object TextOps {
               round(least(1.0, scaled / z * 300 / n_docs), 6) AS sample_rate
             FROM c CROSS JOIN tot ORDER BY lang"""))
 
+  // Winnowed-sketch candidate pairs (t34's pair-generation stage):
+  // docs sharing ≥ 2 selected fingerprints. Deterministic selection →
+  // the sketch-join is exactly reproducible in SQL, so even this
+  // "approximate" stage is fully oracle-checked (DuckDB recomputes
+  // the winnowing and intersects fingerprint lists).
+  private val t36 = GraftQuery(
+    "t36_winnowed_pairs",
+    (s, dir) => {
+      Dedup.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [md5(array_to_string(toks, ' '))] END AS grams
+               FROM tk),
+             f AS (SELECT doc_id, list_distinct(
+                 [list_min(grams[j : j+3])
+                  FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+               FROM g)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.fps, b.fps)) AS n_shared
+             FROM f a JOIN f b ON a.doc_id < b.doc_id
+             WHERE len(list_intersect(a.fps, b.fps)) >= 2
+             ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }

@@ -186,6 +186,21 @@ class DedupSpec extends SparkTestBase {
     assert(fps(1L).size < nGrams / 2, s"selected ${fps(1L).size} of $nGrams grams")
   }
 
+  test("winnowedPairs surfaces shared-substring pairs and never invents pairs") {
+    val rnd = new scala.util.Random(17)
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag${rnd.nextInt(1000)}").mkString(" ")
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(30, "a") + " " + shared + " " + words(30, "b")),
+      (2L, words(25, "c") + " " + shared + " " + words(25, "d")),
+      (3L, words(40, "e")), (4L, words(40, "f"))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(docs, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "12-token shared run must produce a candidate pair")
+    // unrelated random docs share no fingerprints at minShared=2
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L), s"spurious pairs: $pairs")
+  }
+
   test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
     val hist = Seq(
       (1L, "shared text alpha"), (2L, "shared text beta"),

@@ -167,6 +167,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), s"winnowing must not shuffle by key:\n$p")
   }
 
+  test("t36 winnowed pair-join has no cartesian/nested-loop (fingerprint inverted index)") {
+    val p = plan("t36_winnowed_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")
