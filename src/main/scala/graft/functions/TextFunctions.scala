@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for expensive derived columns used inside lambda
+    * expressions: evaluates `c` ONCE per row and passes the result as
+    * a lambda variable. Catalyst's projection collapse inlines alias
+    * references into higher-order-function bodies, so a derived array
+    * referenced inside `transform(..., i -> f(arr, i))` is otherwise
+    * RECOMPUTED per element — measured 244s → 0.7s on the winnowing
+    * pipeline at 20k docs (WinnowProbe3; quadratic blowup, not
+    * constant overhead). */
+  def bound(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   /** Lowercased, whitespace-collapsed text. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

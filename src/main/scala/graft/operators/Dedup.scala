@@ -296,19 +296,24 @@ object Dedup {
     * at ~25% the index volume. */
   def winnowingFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame =
-    graft.queries.Tables.spread(docs)
-      .select(col(idCol), tokenize(col(textCol)).as("toks"))
-      .withColumn("grams", expr(
-        s"""CASE WHEN size(toks) >= $k
-            THEN transform(sequence(0, size(toks)-$k),
-              i -> md5(cast(concat_ws(' ', slice(toks, i+1, $k)) as binary)))
-            ELSE array(md5(cast(concat_ws(' ', toks) as binary))) END"""))
-      .withColumn("fps", expr(
-        s"""array_sort(array_distinct(transform(
-              sequence(0, greatest(size(grams)-$w, 0)),
-              j -> array_min(slice(grams, j+1, $w)))))"""))
-      .select(col(idCol), col("fps"))
+      k: Int = 3, w: Int = 4): DataFrame = {
+    // toks and grams are let-BOUND (TextFunctions.bound), not aliased
+    // columns: projection collapse would inline the alias into every
+    // lambda reference and recompute the upstream array per window —
+    // measured 244s vs 0.7s at 20k docs (WinnowProbe3).
+    val fps = graft.functions.TextFunctions.bound(tokenize(col(textCol))) { t =>
+      val grams = when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => md5(concat_ws(" ", slice(t, i + lit(1), lit(k))).cast("binary"))))
+        .otherwise(array(md5(concat_ws(" ", t).cast("binary"))))
+      graft.functions.TextFunctions.bound(grams) { g =>
+        array_sort(array_distinct(transform(
+          sequence(lit(0), greatest(size(g) - w, lit(0))),
+          j => array_min(slice(g, j + lit(1), lit(w))))))
+      }
+    }
+    graft.queries.Tables.spread(docs).select(col(idCol), fps.as("fps"))
+  }
 
   private def tokenize(c: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(c)
@@ -322,12 +327,28 @@ object Dedup {
     * survives; pairs are deterministic (value-min selection), making
     * this sketch-based stage exactly reproducible — feed survivors to
     * an exact verifier ([[jaccardPairs]]-style) or straight to
-    * [[connectedComponents]] when fingerprint evidence suffices. */
+    * [[connectedComponents]] when fingerprint evidence suffices.
+    *
+    * Measured (WinnowProbe, 20k docs ×4 replicas): fingerprint index =
+    * 0.39× the shingle index (the 2/(w+1) theory), pair generation in
+    * family with the full shingle path at 4× smaller index. On
+    * boilerplate-heavy corpora value-min selection concentrates on the
+    * globally smallest hashes; `maxFpFreq` drops fingerprints selected
+    * by more than `cap` documents before pair generation — an explicit
+    * approximation (pairs evidenced ONLY by ubiquitous fingerprints
+    * are lost; those are boilerplate matches, not duplicates — the
+    * same contract as jaccardPairs' maxShingleFreq). */
   def winnowedPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxFpFreq: Long = Long.MaxValue): DataFrame = {
+    val fp0 = winnowingFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("doc_id"), explode(col("fps")).as("fp"))
+    val fp = if (maxFpFreq == Long.MaxValue) fp0 else fp0
+      .withColumn("freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("freq") <= maxFpFreq)
+      .drop("freq")
     val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))

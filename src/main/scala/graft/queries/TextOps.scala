@@ -875,10 +875,19 @@ object TextOps {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val uni = tk.select(explode(col("toks")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val bg = tk.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-2), " +
-            "i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i+1]) AS b))")).as("x"))
+      // toks is let-bound: an aliased derived array would be inlined
+      // into every lambda reference and re-split per bigram (see
+      // TextFunctions.bound); explode drops the empty array for
+      // sub-2-token docs
+      val bg = docs(s, dir)
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.bound(
+          tokens(col("text"))) { t =>
+            when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+              i => struct(element_at(t, i + lit(1)).as("w1"),
+                concat_ws(" ", element_at(t, i + lit(1)),
+                  element_at(t, i + lit(2))).as("b"))))
+              .otherwise(array().cast("array<struct<w1:string,b:string>>"))
+          }).as("x"))
         .select(col("doc_id"), col("x.w1").as("w1"), col("x.b").as("b"))
       val big = bg.groupBy("b").agg(count(lit(1)).as("c2"))
       bg.join(big, "b").join(uni, "w1")
@@ -912,14 +921,18 @@ object TextOps {
   private val t33 = GraftQuery(
     "t33_pmi_collocations",
     (s, dir) => {
-      val tk = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val uni = tk.select(explode(col("toks")).as("w"))
+      val uni = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val bg = tk.filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(toks)-2), " +
-            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("x"))
+      // toks let-bound, as in t32
+      val bg = docs(s, dir)
+        .select(explode(graft.functions.TextFunctions.bound(
+          tokens(col("text"))) { t =>
+            when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+              i => struct(element_at(t, i + lit(1)).as("w1"),
+                element_at(t, i + lit(2)).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          }).as("x"))
         .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
       val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
