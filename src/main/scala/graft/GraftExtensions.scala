@@ -18,8 +18,8 @@ import graft.functions._
   * }}}
   *
   * Registered: word_shingles(text, n), minhash_sig(shingles, k, seed),
-  * simhash64(hashedTokens), rolling_hash64(text), vec_dot(a, b),
-  * text_stats(text), lang_id(text),
+  * simhash64(hashedTokens), rolling_hash64(text), nfc_normalize(text),
+  * vec_dot(a, b), text_stats(text), lang_id(text),
   * hyperplane_bands(vec, dim, bands, rowsPerBand, seed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("rolling_hash64", "rolling_hash64(text)") { args =>
       require(args.length == 1, "rolling_hash64(text)")
       RollingHash64(args.head)
+    }
+    register("nfc_normalize", "nfc_normalize(text)") { args =>
+      require(args.length == 1, "nfc_normalize(text)")
+      NfcNormalize(args.head)
     }
     register("vec_dot", "vec_dot(a, b)") { args =>
       require(args.length == 2, "vec_dot(a, b)")

@@ -213,8 +213,12 @@ object ConfigSchema {
           checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys"))
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
-          if (w.has("keys") && !w.path("keys").isArray)
-            err(s"$wp.keys", "must be an array of column names")
+          // scalar-instead-of-array is a silent no-op downstream
+          // (elements() on a TextNode is empty) — reject loudly
+          Seq("keys", "sums", "dedup_keys").foreach { k =>
+            if (w.has(k) && !w.path(k).isArray)
+              err(s"$wp.$k", "must be an array of column names")
+          }
         } else {
           requireKeys(h, hp, Seq("type", "sql"))
         }

@@ -128,9 +128,18 @@ final class NativeWindowBatchHandler(w: NativeWindowConf) extends Handler {
     val projected = batch.select(
       col(w.timeColumn).cast("timestamp").as(leaf(w.timeColumn)) +:
         (w.keys.map(k => col(k).as(leaf(k))) ++
-          w.sums.map(c => col(c).cast("double").as(leaf(c)))): _*)
+          w.sums.map(c => col(c).cast("double").as(leaf(c))) ++
+          w.dedupKeys.filterNot(d => d == w.timeColumn ||
+              w.keys.contains(d) || w.sums.contains(d))
+            .map(d => col(d).as(leaf(d)))): _*)
+    // batch analogue of the streaming dedup_keys contract: replayed
+    // event identities collapse before aggregation (the whole batch is
+    // one "horizon"), so dev-invoke numbers match the daemon's
+    val deduped =
+      if (w.dedupKeys.isEmpty) projected
+      else projected.dropDuplicates(w.dedupKeys.map(leaf).distinct)
     graft.streaming.NativeWindow.tumbling(
-      projected, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+      deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
       aggs = NativeWindowBatchHandler.aggsFor(w))
   }
 

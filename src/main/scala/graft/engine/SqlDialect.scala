@@ -35,8 +35,12 @@ object SqlDialect {
     s = rewriteDoubleColonCasts(s)
     s = rewriteQualify(s)
     // DuckDB SELECT-list unnest(arr) ≡ Spark explode(arr) (one output
-    // row per element). FROM-clause unnest is not rewritten — Spark's
-    // lateral-join form differs structurally; use explode directly.
+    // row per element). The rename is position-blind: a simple
+    // FROM-clause `unnest(array)` also becomes `explode(array)`, which
+    // Spark 3.4+ runs as a table-valued generator with the same rows;
+    // DuckDB-only forms (recursive := true, correlated lateral unnest
+    // with column aliases) are NOT supported — Spark rejects them at
+    // parse/analysis rather than silently diverging.
     s = renameFunctionCall(s, "unnest", "explode")
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")

@@ -572,9 +572,15 @@ object Dedup {
     // the Bloom filter only (the sketch hashes longs natively). The
     // exact join uses the FULL h so a 64-bit hk collision can never
     // produce a false duplicate.
+    // persist the hashed keys: sizing (count), the Bloom build, and
+    // the verify join each need them — without the persist that is
+    // three full recomputes of md5 over the history text, tripling
+    // the dominant I/O at scale. The persisted projection is ~24
+    // bytes/doc (spill-to-disk allowed), not the text.
     val histKeys = hist
       .select(md5(col(textCol).cast("binary")).as("h"))
       .withColumn("hk", xxhash64(col("h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expectedItems = math.max(1L, histKeys.count())
     val bloom = histKeys.stat.bloomFilter("hk", expectedItems, fpp)
     val bc = hist.sparkSession.sparkContext.broadcast(bloom)

@@ -163,15 +163,23 @@ object StreamingPipeline {
         col(s"__j.${w.timeColumn}").cast("timestamp").as(leaf(w.timeColumn)) +:
           (w.keys.map(k => col(s"__j.$k").as(leaf(k))) ++
             w.sums.map(c => col(s"__j.$c").cast("double").as(leaf(c))) ++
-            w.dedupKeys.filterNot(d => w.keys.contains(d) || w.sums.contains(d))
+            w.dedupKeys.filterNot(d => d == w.timeColumn ||
+                w.keys.contains(d) || w.sums.contains(d))
               .map(d => col(s"__j.$d").as(leaf(d)))): _*)
+    // distinct paths collapsing to one leaf name (user.id + meta.id)
+    // would silently produce ambiguous columns — fail at build instead
+    val leaves = (w.timeColumn +: (w.keys ++ w.sums ++ w.dedupKeys))
+      .distinct.map(leaf)
+    require(leaves.distinct.size == leaves.size,
+      s"window column paths collide on leaf names: ${leaves.mkString(", ")} " +
+        "(rename the JSON fields or use distinct leaf names)")
     // dedup_keys: at-least-once redelivery collapses to exactly-once
     // EFFECT before aggregation; state bounded by distinct ids per
     // watermark horizon (see StreamDedup.withinWatermark)
     val deduped =
       if (w.dedupKeys.isEmpty) decoded
       else StreamDedup.withinWatermark(
-        decoded, w.dedupKeys.map(leaf), leaf(w.timeColumn), w.watermark)
+        decoded, w.dedupKeys.map(leaf).distinct, leaf(w.timeColumn), w.watermark)
     val out = NativeWindow.tumbling(
       deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
       aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  text_stats('a b a').n_distinct AS nd,
         |  size(minhash_sig(array('x', 'y'), 8, 42L)) AS sig_len,
         |  size(hyperplane_bands(array(1.0F, 0.5F), 2, 4, 8, 7L)) AS nbands,
-        |  simhash64(array(xxhash64('a'), xxhash64('b'))) AS simh
+        |  simhash64(array(xxhash64('a'), xxhash64('b'))) AS simh,
+        |  nfc_normalize('café') AS nfc
         |""".stripMargin).head()
 
     assert(row.getSeq[String](0) ==
@@ -54,6 +55,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(4) == 2L)
     assert(row.getInt(5) == 8)
     assert(row.getInt(6) == 4)
+    assert(row.getString(8) == "café")
   }
 
   test("duck_extract dispatches on struct vs JSON-string input") {

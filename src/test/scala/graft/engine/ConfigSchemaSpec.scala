@@ -102,6 +102,26 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(nw("complete")).exists(_.contains("complete")))
   }
 
+  test("scalar dedup_keys/sums/keys are rejected (silent-no-op guard)") {
+    def nw(windowBody: String) =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.NativeWindow'
+         |    window: {$windowBody}
+         |  sink: {type: noop}
+         |""".stripMargin
+    val base = "time_column: ts, keys: [city], duration: '1 hour', watermark: '1 minute'"
+    // dedup_keys: event_id (scalar) parses to an EMPTY seq downstream —
+    // the pipeline would run with no dedup while the config requests it
+    assert(errsOf(nw(s"$base, dedup_keys: event_id"))
+      .exists(e => e.contains("dedup_keys") && e.contains("array")))
+    assert(errsOf(nw(s"$base, sums: amount"))
+      .exists(e => e.contains("sums") && e.contains("array")))
+    assert(errsOf(nw(s"$base, dedup_keys: [event_id], sums: [amount]")).isEmpty)
+  }
+
   test("type violations are reported") {
     assert(errsOf(minimal.replace("batch_size: 1", "batch_size: lots"))
       .exists(_.contains("must be an integer")))

@@ -96,6 +96,32 @@ class GoldenConfigSpec extends SparkTestBase {
       """{"city":"New York","uid":"u1"}"""))
   }
 
+  test("NativeWindow batch invoke honors dedup_keys (parity with the streaming daemon)") {
+    val fixture = write("nw_dedup.jsonl",
+      """{"event_id":"e1","ts":"2015-12-12 19:11:01","city":"Austin"}
+        |{"event_id":"e2","ts":"2015-12-12 19:12:01","city":"Austin"}
+        |{"event_id":"e2","ts":"2015-12-12 19:12:01","city":"Austin"}
+        |""".stripMargin)
+    val cfg = write("nw_dedup.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |      dedup_keys: [event_id]
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSeq
+    // e2's replay collapses: 2 events, not 3 — same as the daemon path
+    assert(got == Seq("""{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}"""),
+      got.toString)
+  }
+
   test("structured batch: validate + insert + query table (reference test_structured_mem)") {
     val cfg = write("structured.mem.yml",
       """commands:
