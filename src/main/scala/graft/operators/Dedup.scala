@@ -358,6 +358,34 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Sketch-then-verify containment dedup — the composed 100-TB shape:
+    * [[winnowedPairs]] proposes candidates from the ~2/(w+1)-density
+    * fingerprint index, then exact containment is computed ONLY on
+    * candidate pairs (shingle-array intersection per pair — no second
+    * inverted index, no all-pairs pass). Versus [[containmentPairs]]'s
+    * exact Σf² join, the verify stage touches |candidates| pairs; the
+    * trade is the winnowing guarantee: pairs whose overlap never spans
+    * k+w-1 consecutive tokens can be missed (scattered-ngram overlap —
+    * set-level, not substring-level, evidence). Deterministic
+    * selection keeps the composition exactly reproducible. */
+  def winnowedContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val cand = winnowedPairs(docs, idCol, textCol, k, w, minShared)
+      .select("doc_a", "doc_b")
+    val sh = graft.queries.Tables.spread(docs)
+      .select(col(idCol), wordShingles(col(textCol), k).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any benchmark
     * document. The training-data hygiene pass: eval-set text leaking

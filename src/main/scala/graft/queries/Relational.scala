@@ -891,6 +891,37 @@ object Relational {
             SELECT spine.hour_ts, COALESCE(c.n, 0) AS n_errors
             FROM spine LEFT JOIN c USING (hour_ts) ORDER BY hour_ts"""))
 
+  // TIME-based window frame: per-user trailing-1-hour event count and
+  // value sum via RANGE BETWEEN over epoch seconds — the sliding-
+  // horizon metric ROWS frames (q30) cannot express (row counts ≠ time
+  // spans on irregular events). Epoch-seconds range keys make the
+  // frame engine-portable (Spark lacks INTERVAL range frames). One
+  // shuffle on user_id, partition-local sort — q27's shape.
+  private val q37 = GraftQuery(
+    "q37_time_range_frame",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("g_events_q37")
+      s.sql("""SELECT event_id, user_id,
+                count(*) OVER w AS n_1h,
+                round(sum(value) OVER w, 2) AS sum_1h
+              FROM (SELECT event_id, user_id, value,
+                      unix_timestamp(ts) AS es FROM g_events_q37)
+              WINDOW w AS (PARTITION BY user_id ORDER BY es
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, user_id,
+              count(*) OVER w AS n_1h,
+              round(sum(value) OVER w, 2) AS sum_1h
+            FROM (SELECT event_id, user_id, value,
+                    -- floor, not cast: epoch() is fractional and a
+                    -- double->bigint CAST rounds; Spark's
+                    -- unix_timestamp floors
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY es
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -898,5 +929,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36)
+    q35, q36, q37)
 }

@@ -1048,7 +1048,49 @@ object TextOps {
              WHERE len(list_intersect(a.fps, b.fps)) >= 2
              ORDER BY doc_a, doc_b"""))
 
+  // Sketch-then-verify composition: t36's winnowed candidates, exact
+  // containment computed only on candidate pairs — the scale shape for
+  // substring dedup (verify cost ∝ |candidates|, not Σf²). The oracle
+  // recomposes the full chain (winnow → candidate join → per-pair
+  // shingle intersection) in SQL.
+  private val t37 = GraftQuery(
+    "t37_winnow_verify_pipeline",
+    (s, dir) => {
+      Dedup.winnowedContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [md5(array_to_string(toks, ' '))] END AS grams
+               FROM tk),
+             f AS (SELECT doc_id, list_distinct(
+                 [list_min(grams[j : j+3])
+                  FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+               FROM g),
+             cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM f a JOIN f b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.fps, b.fps)) >= 2),
+             sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [array_to_string(toks, ' ')] END) AS sh
+               FROM tk)
+             SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 least(len(sa.sh), len(sb.sh)), 4) AS containment
+             FROM cand
+             JOIN sh sa ON sa.doc_id = doc_a
+             JOIN sh sb ON sb.doc_id = doc_b
+             WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 least(len(sa.sh), len(sb.sh)), 4) >= 0.6
+             ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
 }

@@ -201,6 +201,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L), s"spurious pairs: $pairs")
   }
 
+  test("winnowedContainmentPairs ⊆ exact containment; equal on substring dups") {
+    val rnd = new scala.util.Random(23)
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag${rnd.nextInt(1000)}").mkString(" ")
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(20, "a") + " " + shared + " " + words(20, "b")),
+      (2L, words(30, "c") + " " + shared + " " + words(30, "d")),
+      (3L, words(35, "e"))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairsOf(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.1))
+    val sketch = pairsOf(Dedup.winnowedContainmentPairs(docs, "doc_id", "text",
+      threshold = 0.1))
+    assert(sketch.subsetOf(exact), s"sketch invented pairs: ${sketch -- exact}")
+    assert(sketch.exists(p => p._1 == 1L && p._2 == 2L),
+      "10-token shared run must survive sketch + verify")
+  }
+
   test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
     val hist = Seq(
       (1L, "shared text alpha"), (2L, "shared text beta"),
