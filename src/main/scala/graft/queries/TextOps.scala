@@ -1090,7 +1090,47 @@ object TextOps {
                  least(len(sa.sh), len(sb.sh)), 4) >= 0.6
              ORDER BY doc_a, doc_b"""))
 
+  // Classifier-style quality filtering: a fixed-weight logistic scorer
+  // over the t02 feature vector (the shape of a fasttext/logreg quality
+  // model applied at scale — weights here are illustrative constants;
+  // a trained model drops into the same map-only plan). Features are
+  // computed from the ROUNDED t02 values on both engines so the
+  // sigmoid input is bit-identical; decision = score ≥ 0.5.
+  private val t38 = GraftQuery(
+    "t38_quality_linear_score",
+    (s, dir) => {
+      val d = docs(s, dir)
+      d.withColumn("st", textStats(col("text")))
+        .select(
+          col("doc_id"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("f_distinct"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("f_stop"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("f_len"))
+        .withColumn("z",
+          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+            (col("f_len") - 4.0) * -0.5)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"),
+          (col("z") >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             f AS (SELECT doc_id,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+               FROM tk),
+             z AS (SELECT doc_id,
+                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
+               FROM f)
+             SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,
+               z >= 0.0 AS keep
+             FROM z ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }
