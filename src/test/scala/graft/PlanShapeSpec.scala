@@ -173,6 +173,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q37 time-range frame: per-key window, no global sort before the frame") {
+    val p = plan("q37_time_range_frame")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), s"frame must partition by user:\n$p")
+  }
+
+  test("t37 sketch-then-verify has no cartesian; verify joins candidates only") {
+    val p = plan("t37_winnow_verify_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t38 quality scorer is map-only (no join, no keyed shuffle)") {
+    val p = plan("t38_quality_linear_score")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), s"scorer must not shuffle by key:\n$p")
+  }
+
   test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")
