@@ -29,48 +29,75 @@ object AsofJoin {
 
   /** @param payload the right-side columns to attach (everything else
     *                on the right is dropped); names must not collide
-    *                with left column names. */
+    *                with left column names.
+    * @param direction `backward` (default): latest right row with
+    *                rts ≤ lts — the SQL ASOF contract. `forward`:
+    *                earliest right row with rts ≥ lts (the "next
+    *                reading" join). Both inclusive at equality.
+    * @param toleranceSeconds max |lts - rts| in seconds; a match older
+    *                (or, forward, farther ahead) than this is nulled —
+    *                pandas merge_asof's `tolerance`. Same single-
+    *                shuffle plan: the bound is applied to the carried
+    *                match, never by widening the join. */
   def asofLeft(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one equi-key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"right payload ${payload.intersect(leftCols)} collides with left columns")
 
-    val rPayloadType = org.apache.spark.sql.types.StructType(
-      right.select(payload.map(col): _*).schema.fields)
+    // the carried right value includes its own event time so a
+    // staleness bound can be applied to the match afterwards
+    val rCarryType = org.apache.spark.sql.types.StructType(
+      right.select(col(rightTsCol).as("__rts") +: payload.map(col): _*)
+        .schema.fields)
     val lTagged = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTsCol).as("__ts"),
         lit(1).as("__side"),
         struct(leftCols.map(col): _*).as("__l"),
-        lit(null).cast(rPayloadType).as("__r")): _*)
+        lit(null).cast(rCarryType).as("__r")): _*)
     val lType = lTagged.schema("__l").dataType
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"),
         lit(0).as("__side"),
         lit(null).cast(lType).as("__l"),
-        struct(payload.map(col): _*).as("__r")): _*)
+        struct(col(rightTsCol).as("__rts") +: payload.map(col): _*)
+          .as("__r")): _*)
 
-    // right rows sort before left rows at equal ts, so a right row at
-    // exactly leftTs is visible to that left row (>= semantics)
+    // backward: ascending scan, right rows first at equal ts, carry the
+    // LAST right seen = latest rts ≤ lts. forward: descending scan with
+    // the same tie order = earliest rts ≥ lts. Equality inclusive both
+    // ways.
+    val order =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(order, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(
-        leftCols.map(c => col(s"__l.$c").as(c)) ++
-          payload.map(c => col(s"__match.$c").as(c)): _*)
+    val bounded = toleranceSeconds match {
+      case None => matched
+      case Some(tol) => matched.withColumn("__match",
+        when(abs(unix_timestamp(col("__ts")) -
+            unix_timestamp(col("__match.__rts"))) <= tol, col("__match")))
+    }
+    bounded.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(c => col(s"__match.$c").as(c)): _*)
   }
 
   /** Salted as-of join for HOT keys — the straggler fix SCALE.md flags

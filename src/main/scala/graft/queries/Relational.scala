@@ -922,6 +922,45 @@ object Relational {
               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
             ORDER BY event_id"""))
 
+  // As-of join with a STALENESS BOUND (pandas merge_asof tolerance):
+  // q17's match, but a purchase older than 2 hours is no context at
+  // all — nulled, not joined. Same single-shuffle union+window plan;
+  // the bound applies to the carried match (never widens the join).
+  // Both engines compare integer-second diffs (unix_timestamp floors;
+  // the oracle floors epoch() to match).
+  private val q38 = GraftQuery(
+    "q38_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max("value").as("p_value"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      graft.operators.AsofJoin.asofLeft(
+          left, purchases,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+          payload = Seq("p_ts", "p_value"),
+          toleranceSeconds = Some(7200L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("p_value"), 2).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts AS p_ts, max(value) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+                 l AS (SELECT event_id, user_id, ts, event_type
+                       FROM events WHERE event_type <> 'purchase')
+            SELECT l.event_id, l.user_id, l.event_type,
+                   CASE WHEN floor(epoch(l.ts)) - floor(epoch(p.p_ts)) <= 7200
+                     THEN strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
+                   CASE WHEN floor(epoch(l.ts)) - floor(epoch(p.p_ts)) <= 7200
+                     THEN round(p.p_value, 2) END AS purchase_value
+            FROM l ASOF LEFT JOIN p
+              ON l.user_id = p.user_id AND l.ts >= p.p_ts
+            ORDER BY event_id"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -929,5 +968,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37)
+    q35, q36, q37, q38)
 }

@@ -42,6 +42,47 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(5L) == null)   // key absent on the right
   }
 
+  test("asofLeft forward direction matches the earliest right row at-or-after") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // next reading at 12:00
+      (2L, 100L, ts("2024-01-01 12:00:00")), // exactly at a right ts
+      (3L, 100L, ts("2024-01-01 14:30:00")), // nothing after
+      (4L, 300L, ts("2024-01-01 09:00:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 12:00:00"), 1.0),
+      (100L, ts("2024-01-01 13:00:00"), 2.0),
+      (100L, ts("2024-01-01 14:00:00"), 3.0)
+    ).toDF("user_id", "p_ts", "p_value")
+    val out = AsofJoin.asofLeft(left, right,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+        payload = Seq("p_value"), direction = "forward")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    assert(out(1L) == 1.0)  // earliest at-or-after 10:00
+    assert(out(2L) == 1.0)  // equality inclusive
+    assert(out(3L) == null) // nothing follows 14:30
+    assert(out(4L) == null)
+  }
+
+  test("asofLeft tolerance nulls matches older than the bound, keeps fresh ones") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 12:30:00")), // purchase 30 min ago → fresh
+      (2L, 100L, ts("2024-01-01 15:30:00"))  // purchase 3.5h ago → stale
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts("2024-01-01 12:00:00"), 1.0))
+      .toDF("user_id", "p_ts", "p_value")
+    val out = AsofJoin.asofLeft(left, right,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+        payload = Seq("p_value"), toleranceSeconds = Some(3600L))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == null)
+  }
+
   test("asofLeftSalted is row-for-row identical to asofLeft on a hot key") {
     // one dominant key (the straggler shape) + a minor key + a no-match key
     val rnd = new scala.util.Random(7)
