@@ -33,6 +33,7 @@ object SqlDialect {
     s = rewriteStrftime(s)
     s = rewriteTimeBucket(s)
     s = rewriteDoubleColonCasts(s)
+    s = rewriteDistinctOn(s)
     s = rewriteQualify(s)
     // DuckDB SELECT-list unnest(arr) ≡ Spark explode(arr) (one output
     // row per element). The rename is position-blind: a simple
@@ -42,6 +43,26 @@ object SqlDialect {
     // with column aliases) are NOT supported — Spark rejects them at
     // parse/analysis rather than silently diverging.
     s = renameFunctionCall(s, "unnest", "explode")
+    // DuckDB list_* higher-order/array functions → Spark equivalents
+    // with identical argument shapes and semantics (the lambda/array
+    // forms are position-free, so 1-based-list differences don't
+    // arise). NOT renamed, by design: list indexing/slicing (1-based
+    // vs 0-based), list_sum/list_unique (no direct Spark name —
+    // compose aggregate()/size(array_distinct())), len (also a string
+    // function in DuckDB).
+    Seq(
+      "list_transform" -> "transform",
+      "list_filter" -> "filter",
+      "list_distinct" -> "array_distinct",
+      "list_sort" -> "array_sort",
+      "list_min" -> "array_min",
+      "list_max" -> "array_max",
+      "list_contains" -> "array_contains",
+      "list_has_any" -> "arrays_overlap",
+      "list_append" -> "array_append",
+      "list_intersect" -> "array_intersect",
+      "array_to_string" -> "array_join"
+    ).foreach { case (from, to) => s = renameFunctionCall(s, from, to) }
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
@@ -400,8 +421,10 @@ object SqlDialect {
     *    filtered + dropped outside.
     * Applied recursively to parenthesized subqueries/CTE bodies; the
     * trailing top-level ORDER BY / LIMIT stay outside the wrap. */
-  private def rewriteQualify(s: String): String = {
-    // recurse into top-level paren groups first (CTE bodies, subqueries)
+  /** Applies `topLevel` to `s` after recursively applying this same
+    * transformation inside every parenthesized group (CTE bodies,
+    * subqueries), quote-aware. */
+  private def recurseParens(s: String)(topLevel: String => String): String = {
     val sb = new StringBuilder
     var i = 0; var q = false
     while (i < s.length) {
@@ -419,12 +442,62 @@ object SqlDialect {
           j += 1
         }
         val inner = s.substring(i + 1, j - 1)
-        sb.append('(').append(rewriteQualify(inner)).append(')')
+        sb.append('(').append(recurseParens(inner)(topLevel)).append(')')
         i = j
       } else { sb.append(c); i += 1 }
     }
-    qualifyTopLevel(sb.toString)
+    topLevel(sb.toString)
   }
+
+  private def rewriteQualify(s: String): String =
+    recurseParens(s)(qualifyTopLevel)
+
+  /** DuckDB/Postgres `SELECT DISTINCT ON (k, …) cols FROM … ORDER BY
+    * k, o` (keep the first row per key group under the query ordering)
+    * → row_number window + filter. The ORDER BY both selects the kept
+    * row (window order) and orders the final result (kept outside);
+    * without one the kept row is arbitrary on both engines — the
+    * partition keys order the window for determinism. */
+  private def rewriteDistinctOn(s: String): String =
+    recurseParens(s) { top =>
+      val m = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+        .findFirstMatchIn(top).orNull
+      if (m == null) top
+      else {
+        val open = m.end - 1
+        var depth = 0; var i = open; var q = false; var close = -1
+        while (i < top.length && close < 0) {
+          val c = top.charAt(i)
+          if (q) { if (c == '\'') q = false }
+          else if (c == '\'') q = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+          i += 1
+        }
+        require(close > 0, s"unbalanced DISTINCT ON parens in: $top")
+        val keys = top.substring(open + 1, close).trim
+        val rest = top.substring(close + 1)
+        val oi = findTopLevelKeyword(rest, "ORDER")
+        val li = findTopLevelKeyword(rest, "LIMIT")
+        val bodyEnd = Seq(oi, li).filter(_ >= 0).sorted.headOption.getOrElse(rest.length)
+        val selectList = rest.substring(0, bodyEnd)
+        val orderSpec =
+          if (oi >= 0) {
+            val afterOrder = rest.substring(oi)
+            val end = findTopLevelKeyword(afterOrder, "LIMIT")
+            (if (end >= 0) afterOrder.substring(0, end) else afterOrder)
+              .replaceFirst("(?is)^ORDER\\s+BY", "").trim
+          } else keys
+        val tail = if (oi >= 0 || li >= 0) " " + rest.substring(bodyEnd).trim else ""
+        val fi = findTopLevelKeyword(selectList, "FROM")
+        require(fi > 0, s"DISTINCT ON rewrite: no top-level FROM in: $selectList")
+        val sel = selectList.substring(0, fi).trim
+        val from = selectList.substring(fi).trim
+        s"SELECT * EXCEPT (__graft_rn) FROM (SELECT $sel, " +
+          s"row_number() OVER (PARTITION BY $keys ORDER BY $orderSpec) AS __graft_rn " +
+          s"$from) WHERE __graft_rn = 1$tail"
+      }
+    }
 
   /** Rename every call-site `from(` → `to(` outside single-quoted
     * string literals (case-insensitive, word-boundary). */

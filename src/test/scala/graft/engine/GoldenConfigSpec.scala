@@ -96,6 +96,28 @@ class GoldenConfigSpec extends SparkTestBase {
       """{"city":"New York","uid":"u1"}"""))
   }
 
+  test("DISTINCT ON handler SQL executes end-to-end (keep-first-per-key)") {
+    val fixture = write("don.jsonl",
+      """{"user":"u1","city":"Austin","n":3}
+        |{"user":"u1","city":"Boston","n":1}
+        |{"user":"u2","city":"Denver","n":2}
+        |""".stripMargin)
+    val cfg = write("don.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT DISTINCT ON (user) user, city, n FROM batch ORDER BY user, n ASC
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"user":"u1","city":"Boston","n":1}""",
+      """{"user":"u2","city":"Denver","n":2}"""), got.toString)
+  }
+
   test("NativeWindow batch invoke honors dedup_keys (parity with the streaming daemon)") {
     val fixture = write("nw_dedup.jsonl",
       """{"event_id":"e1","ts":"2015-12-12 19:11:01","city":"Austin"}

@@ -150,6 +150,33 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(out.contains("'QUALIFY x' AS lit"))
   }
 
+  test("DuckDB list_* functions rename to Spark array equivalents") {
+    assert(translate("SELECT list_transform(a, x -> x + 1), list_min(a) FROM t") ==
+      "SELECT transform(a, x -> x + 1), array_min(a) FROM t")
+    assert(translate("SELECT list_filter(list_distinct(a), x -> x > 0) FROM t") ==
+      "SELECT filter(array_distinct(a), x -> x > 0) FROM t")
+    assert(translate("SELECT array_to_string(list_sort(a), ',') FROM t") ==
+      "SELECT array_join(array_sort(a), ',') FROM t")
+    // not function calls / quoted → untouched
+    assert(translate("SELECT 'list_min(a)' AS s, list_min_x FROM t") ==
+      "SELECT 'list_min(a)' AS s, list_min_x FROM t")
+  }
+
+  test("DISTINCT ON rewrites to row_number keep-first; ORDER BY drives the pick") {
+    assert(translate(
+      "SELECT DISTINCT ON (user_id) user_id, ts, v FROM t ORDER BY user_id, ts DESC") ==
+      "SELECT * EXCEPT (__graft_rn) FROM (SELECT user_id, ts, v, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY user_id, ts DESC) AS __graft_rn " +
+        "FROM t) WHERE __graft_rn = 1 ORDER BY user_id, ts DESC")
+    // no ORDER BY → partition keys order the window (deterministic pick)
+    assert(translate("SELECT DISTINCT ON (k) k, v FROM t") ==
+      "SELECT * EXCEPT (__graft_rn) FROM (SELECT k, v, " +
+        "row_number() OVER (PARTITION BY k ORDER BY k) AS __graft_rn " +
+        "FROM t) WHERE __graft_rn = 1")
+    // plain DISTINCT untouched
+    assert(translate("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t")
+  }
+
   test("SELECT-list unnest rewrites to explode") {
     assert(translate("SELECT id, unnest(tags) AS tag FROM t") ==
       "SELECT id, explode(tags) AS tag FROM t")
