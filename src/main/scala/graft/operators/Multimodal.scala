@@ -367,6 +367,132 @@ object Multimodal {
 
   /** Synthesize a media table from any table with an id + string column
     * (used for tests/benchmarks in lieu of real media files). */
+  // ---- REAL video container metadata (ISO-BMFF / MP4) --------------
+  // The JDK has no video codec, but the MP4 CONTAINER is a simple
+  // length-prefixed box tree — the metadata a 100-TB curation pass
+  // actually needs (duration, timescale, track count) lives in
+  // moov/mvhd and never requires decoding a frame. Writer + parser are
+  // ~60 lines of pure JVM; decode stays header-only and IO-bound.
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** Minimal valid-enough MP4: ftyp + moov(mvhd + n×trak) + mdat. */
+  private[graft] def renderMp4(
+      timescale: Int, durationUnits: Long, nTracks: Int, seed: Long): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp42".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++        // version 0 + flags
+        be32(0) ++ be32(0) ++           // creation, modification
+        be32(timescale) ++ be32(durationUnits.toInt) ++
+        be32(0x00010000) ++             // rate 1.0
+        Array[Byte](0x01, 0x00) ++      // volume 1.0
+        new Array[Byte](10) ++          // reserved
+        new Array[Byte](36) ++          // matrix (zeros fine for meta)
+        new Array[Byte](24) ++          // pre_defined
+        be32(nTracks + 1))              // next_track_ID
+    val traks = (0 until nTracks).map(i => mp4Box("trak", be32(i)))
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    val moov = mp4Box("moov", mvhd ++ traks)
+    val data = new Array[Byte](32)
+    var i = 0; var p = seed
+    while (i < data.length) {
+      p = p * 0x9E3779B97F4A7C15L + 1; data(i) = (p >>> 56).toByte; i += 1
+    }
+    ftyp ++ moov ++ mp4Box("mdat", data)
+  }
+
+  /** Header-only MP4 parse: (timescale, durationUnits, nTracks) from
+    * the moov box, or None if the bytes are not ISO-BMFF. Handles
+    * mvhd versions 0 and 1; never touches mdat. */
+  private[graft] def mp4Header(content: Array[Byte]): Option[(Int, Long, Int)] = {
+    if (content == null || content.length < 16) return None
+    def u32(o: Int): Long =
+      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
+        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
+    def typ(o: Int): String =
+      new String(content, o, 4, "US-ASCII")
+    if (typ(4) != "ftyp") return None
+    var off = 0
+    while (off + 8 <= content.length) {
+      val size = u32(off)
+      if (size < 8 || off + size > content.length) return None
+      if (typ(off + 4) == "moov") {
+        var in = off + 8; val end = off + size.toInt
+        var ts = -1; var dur = -1L; var tracks = 0
+        while (in + 8 <= end) {
+          val bs = u32(in)
+          if (bs < 8 || in + bs > end) return None
+          typ(in + 4) match {
+            case "mvhd" =>
+              val v = content(in + 8) & 0xFF
+              if (v == 1) { // 64-bit times: ts at +28, dur at +32 (8B)
+                ts = u32(in + 28).toInt
+                dur = (u32(in + 32) << 32) | u32(in + 36)
+              } else {
+                ts = u32(in + 20).toInt
+                dur = u32(in + 24)
+              }
+            case "trak" => tracks += 1
+            case _ =>
+          }
+          in += bs.toInt
+        }
+        return if (ts > 0) Some((ts, dur, tracks)) else None
+      }
+      off += size.toInt
+    }
+    None
+  }
+
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ts = 600 * (1 + math.floorMod(id, 4).toInt)
+          val dur = 240L + math.floorMod(id * 17, 2400)
+          val n = 1 + math.floorMod(id, 3).toInt
+          Row(id, "video", renderMp4(ts, dur, n, id), "synthetic-mp4")
+        }
+      }(enc)
+  }
+
+  /** Video metadata decode: parses the real MP4 container headers.
+    * Partition-local map, no shuffle; unparseable bytes → null row
+    * fields (same contract as decodeAudioMeta). */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("timescale", IntegerType),
+      StructField("duration_units", LongType),
+      StructField("n_tracks", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          mp4Header(r.getAs[Array[Byte]](1)) match {
+            case Some((ts, dur, n)) => Row(r.getLong(0), ts, dur, n)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   def synthesize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),

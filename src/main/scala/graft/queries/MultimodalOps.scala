@@ -155,5 +155,24 @@ object MultimodalOps {
               CAST(400 + (doc_id * 13) % 800 AS BIGINT) AS n_frames
             FROM documents ORDER BY media_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  // REAL video container metadata end-to-end: synthesized ISO-BMFF/MP4
+  // files carry id-derived timescale/duration/track-count in moov/mvhd;
+  // the oracle recomputes them from the id — a hash match proves the
+  // box tree was actually walked (no codec needed: container metadata
+  // is what a curation pass reads, frames are never decoded).
+  private val m09 = GraftQuery(
+    "m09_video_decode_real",
+    (s, dir) => {
+      Multimodal.decodeVideoMeta(
+          Multimodal.synthesizeVideo(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CAST(600 * (1 + doc_id % 4) AS INT) AS timescale,
+              CAST(240 + (doc_id * 17) % 2400 AS BIGINT) AS duration_units,
+              CAST(1 + doc_id % 3 AS INT) AS n_tracks
+            FROM documents ORDER BY media_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

@@ -124,4 +124,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count() >= media.count())
     assert(frames.schema.fieldNames.contains("frame_idx"))
   }
+
+  test("mp4Header round-trips renderMp4 and rejects malformed bytes") {
+    val bytes = Multimodal.renderMp4(1200, 1234L, 2, seed = 42L)
+    assert(Multimodal.mp4Header(bytes).contains((1200, 1234L, 2)))
+    // determinism
+    assert(bytes.toSeq == Multimodal.renderMp4(1200, 1234L, 2, 42L).toSeq)
+    // malformed: not ISO-BMFF / truncated / box overrunning the buffer
+    assert(Multimodal.mp4Header("plain text, not a container".getBytes).isEmpty)
+    assert(Multimodal.mp4Header(null).isEmpty)
+    assert(Multimodal.mp4Header(bytes.take(20)).isEmpty)
+    val corrupt = bytes.clone(); corrupt(0) = 0x7F.toByte // huge top box size
+    assert(Multimodal.mp4Header(corrupt).isEmpty)
+  }
+
+  test("mp4Header parses version-1 mvhd (64-bit times)") {
+    // hand-build a moov with a v1 mvhd: times are 8 bytes
+    def be32(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, p: Array[Byte]) = be32(8 + p.length) ++ t.getBytes ++ p
+    val mvhd = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(90000) ++ be64(5000000000L) ++ new Array[Byte](80))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", Array[Byte]())) ++
+      box("mdat", Array[Byte](1, 2, 3))
+    assert(Multimodal.mp4Header(mp4).contains((90000, 5000000000L, 1)))
+  }
 }
