@@ -1130,7 +1130,55 @@ object TextOps {
                z >= 0.0 AS keep
              FROM z ORDER BY doc_id"""))
 
+  // Passage-level duplication: exact dedup (t06's hash-groupBy) applied
+  // to t25's overlapping 32-token chunks — repeated PASSAGES across
+  // documents (quoted paragraphs, shared boilerplate blocks) that
+  // whole-doc dedup cannot see and per-doc signals cannot localize.
+  // Pure hash equality — zero FP hazard; one shuffle keyed by the
+  // 128-bit chunk hash. Output: each duplicated passage with its
+  // spread (n_copies, n_docs, canonical first location).
+  private val t39 = GraftQuery(
+    "t39_chunk_dup_passages",
+    (s, dir) => {
+      val size = 32; val overlap = 8; val stride = size - overlap
+      val tk = tokens(col("text"))
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), tk.as("toks"))
+        .withColumn("n_chunks",
+          greatest(lit(1), ceil((org.apache.spark.sql.functions.size(col("toks")) - overlap)
+            .cast("double") / stride).cast("int")))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)))).as("chunk_md5"))
+      chunks.groupBy("chunk_md5")
+        .agg(
+          count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          // t26's total-order chunk uid: doc_id·1024 + idx (idx ≪ 1024)
+          min(col("doc_id") * 1024 + col("chunk_idx")).as("first_uid"))
+        .filter(col("n_copies") > 1)
+        .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
+          expr("first_uid div 1024").as("first_doc"),
+          pmod(col("first_uid"), lit(1024)).cast("int").as("first_chunk"))
+        .orderBy("chunk_md5")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             n AS (SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+               FROM tk),
+             e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM n),
+             c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               md5(array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS chunk_md5
+               FROM e)
+             SELECT chunk_md5, count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(min(doc_id * 1024 + chunk_idx) // 1024 AS BIGINT) AS first_doc,
+               CAST(min(doc_id * 1024 + chunk_idx) % 1024 AS INT) AS first_chunk
+             FROM c GROUP BY chunk_md5 HAVING count(*) > 1
+             ORDER BY chunk_md5"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }
