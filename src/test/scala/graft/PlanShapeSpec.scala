@@ -191,6 +191,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), s"scorer must not shuffle by key:\n$p")
   }
 
+  test("t39 passage dedup: one keyed shuffle on the chunk hash, no join") {
+    val p = plan("t39_chunk_dup_passages")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), s"chunk agg must combine map-side:\n$p")
+  }
+
   test("q36 calendar fill: the spine join broadcasts (no shuffle of the hourly agg)") {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")
