@@ -49,12 +49,14 @@ object SqlDialect {
     // arise). NOT renamed, by design: list indexing/slicing (1-based
     // vs 0-based), list_sum/list_unique (no direct Spark name —
     // compose aggregate()/size(array_distinct())), len (also a string
-    // function in DuckDB).
+    // function in DuckDB), list_sort (DuckDB defaults NULLS FIRST,
+    // Spark array_sort places nulls LAST — a rename would silently
+    // diverge on arrays containing NULL; Spark rejects the unrenamed
+    // call at analysis, a loud failure the user can rewrite).
     Seq(
       "list_transform" -> "transform",
       "list_filter" -> "filter",
       "list_distinct" -> "array_distinct",
-      "list_sort" -> "array_sort",
       "list_min" -> "array_min",
       "list_max" -> "array_max",
       "list_contains" -> "array_contains",
@@ -457,13 +459,26 @@ object SqlDialect {
     * → row_number window + filter. The ORDER BY both selects the kept
     * row (window order) and orders the final result (kept outside);
     * without one the kept row is arbitrary on both engines — the
-    * partition keys order the window for determinism. */
+    * partition keys order the window for determinism.
+    *
+    * Anchored on the first TOP-LEVEL `SELECT` (not `^SELECT`), so a
+    * `WITH … SELECT DISTINCT ON (…)` statement rewrites too — the CTE
+    * bodies are parenthesized, handled by the recurseParens descent,
+    * and the prologue is re-attached verbatim. */
   private def rewriteDistinctOn(s: String): String =
-    recurseParens(s) { top =>
-      val m = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
-        .findFirstMatchIn(top).orNull
-      if (m == null) top
-      else {
+    recurseParens(s) { full =>
+      val si = findTopLevelKeyword(full, "SELECT")
+      if (si < 0) full
+      else rewriteDistinctOnAt(full, si)
+    }
+
+  private def rewriteDistinctOnAt(full: String, si: Int): String = {
+    val prologue = full.substring(0, si)
+    val top = full.substring(si)
+    val m = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+      .findFirstMatchIn(top).orNull
+    if (m == null) full
+    else {
         val open = m.end - 1
         var depth = 0; var i = open; var q = false; var close = -1
         while (i < top.length && close < 0) {
@@ -493,11 +508,11 @@ object SqlDialect {
         require(fi > 0, s"DISTINCT ON rewrite: no top-level FROM in: $selectList")
         val sel = selectList.substring(0, fi).trim
         val from = selectList.substring(fi).trim
-        s"SELECT * EXCEPT (__graft_rn) FROM (SELECT $sel, " +
+        prologue + s"SELECT * EXCEPT (__graft_rn) FROM (SELECT $sel, " +
           s"row_number() OVER (PARTITION BY $keys ORDER BY $orderSpec) AS __graft_rn " +
           s"$from) WHERE __graft_rn = 1$tail"
-      }
     }
+  }
 
   /** Rename every call-site `from(` → `to(` outside single-quoted
     * string literals (case-insensitive, word-boundary). */

@@ -34,11 +34,17 @@ object AsofJoin {
     *                rts ≤ lts — the SQL ASOF contract. `forward`:
     *                earliest right row with rts ≥ lts (the "next
     *                reading" join). Both inclusive at equality.
-    * @param toleranceSeconds max |lts - rts| in seconds; a match older
-    *                (or, forward, farther ahead) than this is nulled —
+    * @param toleranceSeconds max |lts - rts|; a match older (or,
+    *                forward, farther ahead) than this is nulled —
     *                pandas merge_asof's `tolerance`. Same single-
     *                shuffle plan: the bound is applied to the carried
-    *                match, never by widening the join. */
+    *                match, never by widening the join. Units: seconds
+    *                for timestamp/date ts columns; for numeric ts
+    *                columns (epoch millis/seconds/sequence numbers)
+    *                the bound is in the column's own units — raw
+    *                subtraction, never `unix_timestamp` (which would
+    *                string-parse a numeric column to null and silently
+    *                drop every match). */
   def asofLeft(
       left: DataFrame,
       right: DataFrame,
@@ -91,9 +97,18 @@ object AsofJoin {
       .filter(col("__side") === 1)
     val bounded = toleranceSeconds match {
       case None => matched
-      case Some(tol) => matched.withColumn("__match",
-        when(abs(unix_timestamp(col("__ts")) -
-            unix_timestamp(col("__match.__rts"))) <= tol, col("__match")))
+      case Some(tol) =>
+        import org.apache.spark.sql.types._
+        val diff = matched.schema("__ts").dataType match {
+          case _: NumericType =>
+            abs(col("__ts") - col("__match.__rts"))
+          case TimestampType | TimestampNTZType | DateType =>
+            abs(unix_timestamp(col("__ts")) -
+              unix_timestamp(col("__match.__rts")))
+          case other => throw new IllegalArgumentException(
+            s"asofLeft tolerance requires numeric or timestamp ts columns, got $other")
+        }
+        matched.withColumn("__match", when(diff <= tol, col("__match")))
     }
     bounded.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++

@@ -619,11 +619,18 @@ object Dedup {
       md5(col(textCol).cast("binary")).as("h"))
     val candidates = freshKeyed.filter(mightContain(xxhash64(col("h"))))
     // exact verify: semi join candidates (tiny after the prefilter)
-    // against history — removes Bloom false positives
+    // against history — removes Bloom false positives. The dup-id set
+    // is materialized eagerly (localCheckpoint truncates lineage — it
+    // is tiny: one id per duplicate) so the persisted histKeys cache
+    // can be RELEASED here rather than lingering for the session
+    // lifetime; per-batch incremental callers would otherwise leak one
+    // cached projection per batch.
     val dups = candidates
       .join(histKeys.select("h").distinct(), "h")
       .select(col("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
+      .localCheckpoint(true)
+    histKeys.unpersist()
     freshKeyed.select("doc_id")
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))

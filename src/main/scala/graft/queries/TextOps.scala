@@ -685,8 +685,11 @@ object TextOps {
   // Every stage reuses an individually-oracled operator; the oracle
   // here recomposes all three in SQL, so the gate checks the
   // COMPOSITION (stage boundaries, ordering, id arithmetic), not just
-  // the parts. Chunk uid = doc_id·1024 + chunk_idx keeps the pack
-  // order total and SQL-reproducible.
+  // the parts. Chunk uid = doc_id·2²⁰ + chunk_idx keeps the pack
+  // order total and SQL-reproducible; the 2²⁰ stride means a document
+  // would need ≥ ~25M tokens (2²⁰ chunks × 24-token stride) before
+  // the uid mis-decodes — beyond any single document, and still
+  // overflow-safe to ~8.7e12 docs in int64.
   private val t26 = GraftQuery(
     "t26_chunk_pack_pipeline",
     (s, dir) => {
@@ -702,14 +705,14 @@ object TextOps {
             .cast("double") / stride).cast("int")))
         .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
         .select(
-          (col("doc_id") * 1024 + col("chunk_idx")).as("uid"),
+          (col("doc_id") * 1048576L + col("chunk_idx")).as("uid"),
           org.apache.spark.sql.functions
             .size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)))
             .cast("long").as("w"))
       graft.operators.Pack.packBins(chunks, "uid", "w", capacity = 512L)
         .select(
-          expr("uid div 1024").as("doc_id"),
-          pmod(col("uid"), lit(1024)).cast("int").as("chunk_idx"),
+          expr("uid div 1048576").as("doc_id"),
+          pmod(col("uid"), lit(1048576)).cast("int").as("chunk_idx"),
           col("w").cast("int").as("n_chunk_tokens"),
           col("bin"))
         .orderBy("doc_id", "chunk_idx")
@@ -724,7 +727,7 @@ object TextOps {
              e AS (SELECT doc_id, toks,
                CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx FROM n),
              c AS (SELECT doc_id, chunk_idx,
-               doc_id * 1024 + chunk_idx AS uid,
+               doc_id * 1048576 + chunk_idx AS uid,
                len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS w
                FROM e),
              p AS (SELECT doc_id, chunk_idx, w,
@@ -1155,12 +1158,14 @@ object TextOps {
         .agg(
           count(lit(1)).as("n_copies"),
           countDistinct("doc_id").as("n_docs"),
-          // t26's total-order chunk uid: doc_id·1024 + idx (idx ≪ 1024)
-          min(col("doc_id") * 1024 + col("chunk_idx")).as("first_uid"))
+          // canonical first location = lexicographic struct min — exact
+          // for ANY chunk count (an integer-stride uid silently
+          // mis-decodes once a document exceeds the stride in chunks)
+          min(struct(col("doc_id"), col("chunk_idx"))).as("first_loc"))
         .filter(col("n_copies") > 1)
         .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
-          expr("first_uid div 1024").as("first_doc"),
-          pmod(col("first_uid"), lit(1024)).cast("int").as("first_chunk"))
+          col("first_loc.doc_id").as("first_doc"),
+          col("first_loc.chunk_idx").cast("int").as("first_chunk"))
         .orderBy("chunk_md5")
     },
     Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -1173,8 +1178,8 @@ object TextOps {
                FROM e)
              SELECT chunk_md5, count(*) AS n_copies,
                count(DISTINCT doc_id) AS n_docs,
-               CAST(min(doc_id * 1024 + chunk_idx) // 1024 AS BIGINT) AS first_doc,
-               CAST(min(doc_id * 1024 + chunk_idx) % 1024 AS INT) AS first_chunk
+               (min(struct_pack(d := doc_id, c := chunk_idx))).d AS first_doc,
+               CAST((min(struct_pack(d := doc_id, c := chunk_idx))).c AS INT) AS first_chunk
              FROM c GROUP BY chunk_md5 HAVING count(*) > 1
              ORDER BY chunk_md5"""))
 

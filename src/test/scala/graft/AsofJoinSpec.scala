@@ -83,6 +83,33 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(2L) == null)
   }
 
+  test("asofLeft tolerance on NUMERIC epoch ts columns uses raw subtraction") {
+    // epoch-millis longs: unix_timestamp would string-parse these to
+    // null and silently null EVERY match — the tolerance bound must be
+    // applied in the column's own units via plain subtraction
+    val left = Seq(
+      (1L, 100L, 12_600_000L), // match 600k units back → within 1M
+      (2L, 100L, 15_000_000L)  // match 3M units back → stale
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 12_000_000L, 1.0))
+      .toDF("user_id", "p_ts", "p_value")
+    val out = AsofJoin.asofLeft(left, right,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "p_ts",
+        payload = Seq("p_value"), toleranceSeconds = Some(1_000_000L))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == null)
+    // unsupported ts type for tolerance fails loudly, not with nulls
+    val strLeft = Seq((1L, 100L, "2024-01-01")).toDF("event_id", "user_id", "ts")
+    val strRight = Seq((100L, "2023-12-31", 1.0)).toDF("user_id", "p_ts", "p_value")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLeft(strLeft, strRight, Seq("user_id"), "ts", "p_ts",
+        Seq("p_value"), toleranceSeconds = Some(10L))
+    }
+  }
+
   test("asofLeftSalted is row-for-row identical to asofLeft on a hot key") {
     // one dominant key (the straggler shape) + a minor key + a no-match key
     val rnd = new scala.util.Random(7)

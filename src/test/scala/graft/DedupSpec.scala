@@ -231,6 +231,11 @@ class DedupSpec extends SparkTestBase {
     val got = Dedup.bloomIncrementalDedup(hist, fresh, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(got == Set((10L, true), (11L, false), (12L, true), (13L, false)))
+    // the operator releases its internal history-key cache before
+    // returning — per-batch incremental callers must not accumulate
+    // one persisted projection per batch
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bloomIncrementalDedup leaked a cached DataFrame")
   }
 
   test("bloomIncrementalDedup: a loose-fpp filter still yields the exact answer (verify join)") {

@@ -155,8 +155,13 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT transform(a, x -> x + 1), array_min(a) FROM t")
     assert(translate("SELECT list_filter(list_distinct(a), x -> x > 0) FROM t") ==
       "SELECT filter(array_distinct(a), x -> x > 0) FROM t")
-    assert(translate("SELECT array_to_string(list_sort(a), ',') FROM t") ==
-      "SELECT array_join(array_sort(a), ',') FROM t")
+    assert(translate("SELECT array_to_string(a, ',') FROM t") ==
+      "SELECT array_join(a, ',') FROM t")
+    // list_sort is deliberately NOT renamed: DuckDB sorts NULLS FIRST,
+    // Spark array_sort nulls-last — better a loud analysis error than
+    // a silent ordering divergence
+    assert(translate("SELECT list_sort(a) FROM t") ==
+      "SELECT list_sort(a) FROM t")
     // not function calls / quoted → untouched
     assert(translate("SELECT 'list_min(a)' AS s, list_min_x FROM t") ==
       "SELECT 'list_min(a)' AS s, list_min_x FROM t")
@@ -175,6 +180,19 @@ class SqlDialectSpec extends AnyFunSuite {
         "FROM t) WHERE __graft_rn = 1")
     // plain DISTINCT untouched
     assert(translate("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t")
+  }
+
+  test("DISTINCT ON after a WITH prologue is rewritten (top-level SELECT anchor)") {
+    val out = translate(
+      "WITH r AS (SELECT k, ts, v FROM t) SELECT DISTINCT ON (k) k, v FROM r ORDER BY k, ts DESC")
+    assert(out ==
+      "WITH r AS (SELECT k, ts, v FROM t) SELECT * EXCEPT (__graft_rn) FROM (SELECT k, v, " +
+        "row_number() OVER (PARTITION BY k ORDER BY k, ts DESC) AS __graft_rn " +
+        "FROM r) WHERE __graft_rn = 1 ORDER BY k, ts DESC")
+    // DISTINCT ON inside a CTE body still rewrites via the paren descent
+    val inner = translate(
+      "WITH d AS (SELECT DISTINCT ON (k) k, v FROM t) SELECT k FROM d")
+    assert(inner.contains("row_number() OVER (PARTITION BY k"))
   }
 
   test("SELECT-list unnest rewrites to explode") {
