@@ -40,6 +40,16 @@ object TextFunctions {
   /** xxhash64 of each token (input to simhash / minhash). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16. ~2× the cost of xxhash64 (md5 + string slice) —
+    * NOT the production path; it exists so hash-dependent operators
+    * (simhash) can run with a hash that any SQL engine reproduces
+    * (`CAST('0x' || substr(md5(t),1,15) AS BIGINT)` in DuckDB), making
+    * their full pipeline oracle-checkable. 60 bits keep the value
+    * positive in a signed int64 on every engine. */
+  def portableTokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** NON-distinct word n-grams in order (corpus frequency profiling —
     * unlike [[wordShingles]], repeats are kept so counts are true
     * occurrence counts). Texts shorter than n tokens yield none. */

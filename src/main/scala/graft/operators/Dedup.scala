@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions._
@@ -542,16 +542,28 @@ object Dedup {
     * blocking: any pair within Hamming distance ≤ 3 differs in ≤ 3 bits,
     * which cannot touch all 4 bands (pigeonhole) → recall is 1.0 for
     * maxHamming ≤ 3; the bit_count verify makes precision 1.0.
-    * Same shuffle shape as LSH: keyed by (band, value), uniform. */
+    * Same shuffle shape as LSH: keyed by (band, value), uniform.
+    *
+    * @param tokenHasher token → 64-bit hash column. Default xxhash64 —
+    *                the fast production path. Pass
+    *                [[graft.functions.TextFunctions.portableTokenHash60]]
+    *                for an md5-derived 60-bit hash reproducible in any
+    *                SQL engine — slower, but it makes the WHOLE
+    *                operator (simhash majority vote, banding,
+    *                Hamming verify) oracle-checkable; the t09 gate
+    *                entry runs this variant. The banding guarantee is
+    *                hash-width independent (the top band just carries
+    *                fewer meaningful bits). */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for maxHamming <= 3")
     val withSim = graft.queries.Tables.spread(docs).select(
       col(idCol).as("doc_id"),
-      simhash64(tokenHashes(tokens(col(textCol)))).as("simhash"))
+      simhash64(transform(tokens(col(textCol)), tokenHasher)).as("simhash"))
     val bandCols = array((0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
@@ -596,6 +608,38 @@ object Dedup {
       idCol: String,
       textCol: String,
       fpp: Double = 0.001): DataFrame = {
+    val (candidates, freshKeyed, histKeys) =
+      bloomCandidates(hist, fresh, idCol, textCol, fpp)
+    // exact verify: semi join candidates (tiny after the prefilter)
+    // against history — removes Bloom false positives. The dup-id set
+    // is materialized eagerly (localCheckpoint truncates lineage — it
+    // is tiny: one id per duplicate) so the persisted histKeys cache
+    // can be RELEASED here rather than lingering for the session
+    // lifetime; per-batch incremental callers would otherwise leak one
+    // cached projection per batch.
+    val dups = candidates
+      .join(histKeys.select("h").distinct(), "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+      .localCheckpoint(true)
+    histKeys.unpersist()
+    freshKeyed.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** The prefilter stage of [[bloomIncrementalDedup]], exposed so the
+    * plan-shape pin can assert the Bloom probe evaluates at the fresh
+    * scan (map-only, before any join) — the final operator plan hides
+    * this stage behind the eager dup-set materialization. Returns
+    * (candidates, freshKeyed, histKeys); histKeys is persisted — the
+    * full operator unpersists it after the verify join materializes. */
+  private[graft] def bloomCandidates(
+      hist: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double): (DataFrame, DataFrame, DataFrame) = {
     // h = 128-bit content hash (the verify key); hk = 64-bit key for
     // the Bloom filter only (the sketch hashes longs natively). The
     // exact join uses the FULL h so a 64-bit hk collision can never
@@ -617,22 +661,6 @@ object Dedup {
     val freshKeyed = fresh.select(
       col(idCol).as("doc_id"),
       md5(col(textCol).cast("binary")).as("h"))
-    val candidates = freshKeyed.filter(mightContain(xxhash64(col("h"))))
-    // exact verify: semi join candidates (tiny after the prefilter)
-    // against history — removes Bloom false positives. The dup-id set
-    // is materialized eagerly (localCheckpoint truncates lineage — it
-    // is tiny: one id per duplicate) so the persisted histKeys cache
-    // can be RELEASED here rather than lingering for the session
-    // lifetime; per-batch incremental callers would otherwise leak one
-    // cached projection per batch.
-    val dups = candidates
-      .join(histKeys.select("h").distinct(), "h")
-      .select(col("doc_id")).distinct()
-      .withColumn("is_dup", lit(true))
-      .localCheckpoint(true)
-    histKeys.unpersist()
-    freshKeyed.select("doc_id")
-      .join(dups, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    (freshKeyed.filter(mightContain(xxhash64(col("h")))), freshKeyed, histKeys)
   }
 }

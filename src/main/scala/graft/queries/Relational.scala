@@ -961,6 +961,133 @@ object Relational {
               ON l.user_id = p.user_id AND l.ts >= p.p_ts
             ORDER BY event_id"""))
 
+  // Positional LATERAL explode (table-generator join): posexplode
+  // splits every p_type into (position, word) rows — the
+  // generator-in-SELECT surface (DuckDB unnest WITH ORDINALITY /
+  // generate_subscripts). Generate runs inside the scan stage (no
+  // shuffle to explode); the only shuffle is the (pos, word) count
+  // agg, map-side combined to the tiny distinct-key space.
+  private val q39 = GraftQuery(
+    "q39_lateral_explode",
+    (s, dir) => {
+      t(s, dir, "part")
+        .select(posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+        .groupBy("pos", "word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pos", "word")
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(p_type, ' ')) AS word,
+                 CAST(generate_subscripts(string_split(p_type, ' '), 1) - 1
+                   AS INT) AS pos
+               FROM part)
+            SELECT pos, word, count(*) AS n FROM w
+            GROUP BY pos, word ORDER BY pos, word"""))
+
+  // Correlated EXISTS + NOT EXISTS (the TPC-H Q21 shape): suppliers
+  // whose returned lineitems were the ONLY returned ones in
+  // multi-supplier finished orders. Catalyst plans EXISTS as a left
+  // semi and NOT EXISTS as a left anti join — lineitem appears three
+  // times, all three joins keyed on l_orderkey, so the shuffles
+  // co-partition and AQE reuses the exchange; the supplier dim
+  // broadcasts. Exercises the correlated-existential SQL surface
+  // end-to-end through spark.sql.
+  private val q40 = GraftQuery(
+    "q40_only_late_supplier",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem_q40")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_q40")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier_q40")
+      s.sql("""SELECT s_name, count(*) AS numwait
+               FROM g_supplier_q40, g_lineitem_q40 l1, g_orders_q40
+               WHERE s_suppkey = l1.l_suppkey
+                 AND o_orderkey = l1.l_orderkey
+                 AND o_orderstatus = 'F'
+                 AND l1.l_returnflag = 'R'
+                 AND EXISTS (SELECT 1 FROM g_lineitem_q40 l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM g_lineitem_q40 l3
+                   WHERE l3.l_orderkey = l1.l_orderkey
+                     AND l3.l_suppkey <> l1.l_suppkey
+                     AND l3.l_returnflag = 'R')
+               GROUP BY s_name
+               ORDER BY numwait DESC, s_name
+               LIMIT 20""")
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20"""))
+
+  // INTERPOLATED percentiles (percentile_cont ≡ quantile_cont): the
+  // continuous complement of q25's percentile_disc. Both engines
+  // interpolate linearly at rank p·(n−1); inputs are 2-decimal prices
+  // so the interpolated midpoints stay far from the 4-decimal rounding
+  // boundary. Same single-pass sort-based agg per group.
+  private val q41 = GraftQuery(
+    "q41_percentile_cont",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Correlated scalar subqueries in the SELECT list — the enrichment
+  // surface analysts write first (one subquery per metric). Catalyst
+  // de-correlates each into a left outer join against the pre-grouped
+  // subquery (no per-row re-execution); both aggregates key on
+  // nationkey, the 25-row nation side broadcasts.
+  private val q42 = GraftQuery(
+    "q42_scalar_subqueries",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("g_nation_q42")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer_q42")
+      t(s, dir, "supplier").createOrReplaceTempView("g_supplier_q42")
+      // the empty-group coalesce sits OUTSIDE the subquery: an
+      // aggregate over zero correlated rows surfaces as NULL at the
+      // outer level identically in both engines, where in-subquery
+      // handling of the empty case is engine-dependent (the classic
+      // COUNT-bug corner)
+      s.sql("""SELECT n_name,
+                 (SELECT count(*) FROM g_customer_q42 c
+                  WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+                 coalesce((SELECT round(avg(s_acctbal), 2)
+                  FROM g_supplier_q42 s
+                  WHERE s.s_nationkey = n.n_nationkey), 0.0) AS avg_supp_bal
+               FROM g_nation_q42 n
+               ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+              (SELECT count(*) FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+              coalesce((SELECT round(avg(s_acctbal), 2) FROM supplier s
+               WHERE s.s_nationkey = n.n_nationkey), 0.0) AS avg_supp_bal
+            FROM nation n
+            ORDER BY n_name"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -968,5 +1095,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38)
+    q35, q36, q37, q38, q39, q40, q41, q42)
 }

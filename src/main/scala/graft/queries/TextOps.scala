@@ -9,9 +9,10 @@ import graft.operators.{Dedup, Redact}
 /** Text-analysis / dedup operators over the `documents` table — the
   * training-data-pipeline extension surface (not present in the
   * reference, which has no text operators; see the build brief).
-  * DuckDB oracles replicate the exact token/shingle definitions; the
-  * probabilistic ops (minhash LSH, simhash) have no SQL oracle and are
-  * covered by ScalaTest recall checks instead. */
+  * DuckDB oracles replicate the exact token/shingle definitions —
+  * including the hash-dependent ops (t05 rolling hash via HUGEINT
+  * arithmetic, t09 simhash via the portable md5-derived token hash);
+  * ScalaTest adds recall checks on adversarial corpora. */
 object TextOps {
   import Tables.t
 
@@ -205,15 +206,38 @@ object TextOps {
     Some(jaccardOracle(0.3)),
     headline = true)
 
-  // SimHash near-dup within Hamming ≤ 3 — no SQL oracle (native
-  // expression); DedupSpec checks planted near-dups are found.
+  // SimHash near-dup within Hamming ≤ 3. The gate runs the operator
+  // with the engine-portable md5-derived token hash so the ENTIRE
+  // pipeline — per-bit majority vote, 4×16-bit band blocking, Hamming
+  // verify — is replicated in DuckDB SQL and oracle-checked (upgraded
+  // from a rows-only entry). Production callers keep the default
+  // xxhash64 hasher (same logic, faster hash) — covered by DedupSpec's
+  // planted near-dup recall tests.
   private val t09 = GraftQuery(
     "t09_dedup_simhash",
     (s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          tokenHasher = graft.functions.TextFunctions.portableTokenHash60)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+             h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tk),
+             bits AS (SELECT doc_id, CAST(bb.b AS INT) AS b,
+                 sum(CASE WHEN (h >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+               FROM h, (SELECT unnest(range(60)) AS b) bb GROUP BY 1, 2),
+             sim AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id),
+             bands AS (SELECT doc_id, simhash, CAST(bb.band AS INT) AS band,
+                 (simhash >> (CAST(bb.band AS INT) * 16)) & 65535 AS v
+               FROM sim, (SELECT unnest(range(4)) AS band) bb),
+             cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+               FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
+                 AND x.doc_id < y.doc_id)
+             SELECT doc_a, doc_b, hamming FROM cand
+             WHERE hamming <= 3 ORDER BY doc_a, doc_b"""))
 
   // Composite curation pipeline — the end-to-end training-data shape:
   // exact-dedup (keep the min doc_id per content hash), quality gate
@@ -1183,7 +1207,99 @@ object TextOps {
              FROM c GROUP BY chunk_md5 HAVING count(*) > 1
              ORDER BY chunk_md5"""))
 
+  // Gopher-style document-quality rules (QualityRules.gopherSignals):
+  // word-count bounds, mean-word-length band, symbol ratio,
+  // bullet/ellipsis line fractions, alphabetic fraction, stop-word
+  // presence — each signal returned alongside the keep decision, all
+  // thresholded on ROUNDED values so both engines decide identically.
+  // Map-only, zero shuffle. The corpus has no bullets/ellipses (those
+  // signals are exercised on crafted multiline fixtures in
+  // QualityRulesSpec); word-level signals vary per doc here.
+  private val t40 = GraftQuery(
+    "t40_gopher_quality_rules",
+    (s, dir) => {
+      graft.operators.QualityRules.gopherSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, text, $duckToks AS toks,
+                 string_split(text, chr(10)) AS lines FROM documents),
+             sig AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / len(toks), 4) AS mean_word_len,
+                 round(((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+                   / len(toks), 4) AS symbol_ratio,
+                 round(len(list_filter(lines, l ->
+                     substr(l, 1, 2) IN ('- ', '* ', '• ')))::DOUBLE
+                   / len(lines), 4) AS frac_bullet_lines,
+                 round(len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE
+                   / len(lines), 4) AS frac_ellipsis_lines,
+                 round(len(list_filter(toks, t ->
+                     regexp_matches(t, '[a-z]')))::DOUBLE
+                   / len(toks), 4) AS frac_alpha_words,
+                 CAST(len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(toks, sw))) AS INT) AS n_stop_hits
+               FROM tk)
+             SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND frac_bullet_lines <= 0.9
+                AND frac_ellipsis_lines <= 0.3
+                AND frac_alpha_words >= 0.8
+                AND n_stop_hits >= 2) AS keep
+             FROM sig ORDER BY doc_id"""))
+
+  // C4-style line filtering (QualityRules.c4LineFilter). The corpus is
+  // single-line word soup, so the gate derives a deterministic
+  // multiline corpus IN-PLAN — 8-token lines, terminal '.' on lines
+  // where (doc_id + line_idx) % 3 != 0 — and both engines replicate
+  // the derivation + the filter, keeping every rule (punctuation end,
+  // min words, marker blocklist) non-vacuously exercised. Real
+  // multiline/boilerplate text is covered in QualityRulesSpec.
+  private val t41 = GraftQuery(
+    "t41_c4_line_filters",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val derived = docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("nl",
+          ceil(org.apache.spark.sql.functions.size(col("toks")) / 8.0).cast("int"))
+        .select(col("doc_id"), array_join(
+          transform(sequence(lit(0), col("nl") - 1), i =>
+            concat(
+              concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))),
+              when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+          "\n").as("text"))
+      graft.operators.QualityRules.c4LineFilter(derived, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             n AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 8.0) AS INT) AS nl FROM tk),
+             lns AS (SELECT doc_id, list_transform(range(nl), i ->
+                 array_to_string(toks[i*8+1 : i*8+8], ' ') ||
+                 CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END) AS lines
+               FROM n),
+             k AS (SELECT doc_id, lines, list_filter(lines, l ->
+                 (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+                 AND len(string_split(trim(l), ' ')) >= 5
+                 AND NOT contains(lower(l), 'javascript')
+                 AND NOT contains(lower(l), 'lorem ipsum')
+                 AND NOT contains(l, '{') AND NOT contains(l, '}')) AS kept
+               FROM lns)
+             SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept,
+               CASE WHEN len(kept) > 0
+                 THEN md5(array_to_string(kept, chr(10))) END AS cleaned_md5,
+               len(kept) > 0 AS keep
+             FROM k ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
+    t40, t41)
 }

@@ -220,6 +220,9 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("bloomIncrementalDedup flags exactly the fresh docs whose text exists in history") {
+    // baseline an empty cache so the leak assertion below sees only
+    // THIS operator's effect (the session is shared across suites)
+    spark.sharedState.cacheManager.clearCache()
     val hist = Seq(
       (1L, "shared text alpha"), (2L, "shared text beta"),
       (3L, "history only gamma")).toDF("doc_id", "text")

@@ -105,11 +105,22 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("t27 bloom prefilter evaluates at the scan, verify joins without cartesian") {
-    val p = plan("t27_bloom_incremental_dedup")
+    // the final operator plan hides the prefilter behind the eager
+    // dup-set materialization (lineage truncation is what lets it
+    // release the history cache), so pin the prefilter stage directly:
     // the mightContain UDF must sit in a Filter over the scan (map-only
-    // pruning BEFORE any shuffle/join), and the exact verify must be an
-    // equi-join on the content hash
-    assert(p.contains("UDF(xxhash64(md5("), p)
+    // pruning BEFORE any shuffle/join)
+    val d = graft.queries.Tables.t(spark, dir, "documents")
+    val (candidates, _, histKeys) = graft.operators.Dedup.bloomCandidates(
+      d.filter(org.apache.spark.sql.functions.expr("doc_id % 5 != 0")),
+      d.filter(org.apache.spark.sql.functions.expr("doc_id % 5 = 0")),
+      "doc_id", "text", fpp = 0.001)
+    val cp = candidates.queryExecution.executedPlan.toString
+    histKeys.unpersist()
+    assert(cp.contains("UDF(xxhash64(md5("), cp)
+    assert(!cp.contains("Join"), s"prefilter must be join-free:\n$cp")
+    // and the full operator's verify path stays cartesian-free
+    val p = plan("t27_bloom_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -201,5 +212,34 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q36_calendar_zero_fill")
     assert(!p.contains("SortMergeJoin"), s"tiny spine/agg must broadcast-join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t40/t41 quality rules are map-only (no join, no keyed shuffle)") {
+    Seq("t40_gopher_quality_rules", "t41_c4_line_filters").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$n must not shuffle by key:\n$p")
+    }
+  }
+
+  test("q39 lateral explode: generator in the scan stage, count combines map-side") {
+    val p = plan("q39_lateral_explode")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_count"), s"count must combine before the exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q40 EXISTS/NOT EXISTS plan as semi/anti joins, no cartesian") {
+    val p = plan("q40_only_late_supplier")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t09 simhash banding joins on (band,value), no cartesian/nested-loop") {
+    val p = plan("t09_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
