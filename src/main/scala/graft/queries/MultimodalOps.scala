@@ -174,5 +174,29 @@ object MultimodalOps {
               CAST(1 + doc_id % 3 AS INT) AS n_tracks
             FROM documents ORDER BY media_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  // REAL audio resample end-to-end: synthesized PCM-16 WAVs are
+  // decimated ×2 (every 2nd frame, rate halved — true payload
+  // surgery through the JDK codec), then the OUTPUT bytes are
+  // re-decoded by the same header reader the m08 gate uses. The
+  // oracle recomputes the expected post-resample metadata from the id
+  // alone — a hash match proves decode → decimate → re-encode →
+  // re-decode all actually happened to the bytes.
+  private val m10 = GraftQuery(
+    "m10_audio_resample_real",
+    (s, dir) => {
+      Multimodal.decodeAudioMeta(
+          Multimodal.resampleAudio(
+            Multimodal.synthesizeAudio(
+              Tables.spread(t(s, dir, "documents")), "doc_id"),
+            factor = 2))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CAST((8000 + (doc_id % 8) * 1000) // 2 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST((400 + (doc_id * 13) % 800 + 1) // 2 AS BIGINT) AS n_frames
+            FROM documents ORDER BY media_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
+    m10)
 }

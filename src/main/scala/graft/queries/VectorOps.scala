@@ -309,6 +309,55 @@ object VectorOps {
             SELECT query_id, nbr_id, cos_q, rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Distributed k-means FIT over int8-quantized embeddings — the
+  // training step behind the v05/v09 IVF coarse quantizer, fully
+  // oracle-checked: integer centroid-update sums are summation-order-
+  // free (exact), assignment distances round to 6 decimals before the
+  // (dist, cid) argmin, init = k smallest ids. The oracle unrolls both
+  // Lloyd iterations in SQL. Centroids as DECIMAL(14,4) CSV strings
+  // (sortable/hashable representation — see v07's note).
+  private val v13 = GraftQuery(
+    "v13_kmeans_int8",
+    (s, dir) => {
+      Similarity.kmeansFitInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x *
+                    (127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)))
+                    AS INTEGER)) AS qv FROM e),
+            c0 AS (SELECT cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS c FROM
+                    (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                     FROM q ORDER BY vec_id LIMIT 8)),
+            a1 AS (SELECT vec_id, qv, cid FROM (
+                    SELECT q.vec_id, q.qv, c0.cid,
+                      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                        round(list_sum(list_transform(range(len(q.qv)),
+                          i -> (q.qv[i+1] - c0.c[i+1])^2)), 6), c0.cid) AS rn
+                    FROM q, c0) WHERE rn = 1),
+            m1 AS (SELECT cid, pos, round(CAST(sum(val) AS DOUBLE) / count(*), 4) AS m
+                   FROM (SELECT cid, generate_subscripts(qv, 1) AS pos,
+                           unnest(qv) AS val FROM a1)
+                   GROUP BY cid, pos),
+            c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid),
+            a2 AS (SELECT vec_id, qv, cid FROM (
+                    SELECT q.vec_id, q.qv, c1.cid,
+                      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                        round(list_sum(list_transform(range(len(q.qv)),
+                          i -> (q.qv[i+1] - c1.c[i+1])^2)), 6), c1.cid) AS rn
+                    FROM q, c1) WHERE rn = 1),
+            m2 AS (SELECT cid, pos, round(CAST(sum(val) AS DOUBLE) / count(*), 4) AS m
+                   FROM (SELECT cid, generate_subscripts(qv, 1) AS pos,
+                           unnest(qv) AS val FROM a2)
+                   GROUP BY cid, pos),
+            c2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cid)
+            SELECT f.cid, f.n_members,
+              array_to_string(list_transform(c2.c,
+                x -> CAST(CAST(x AS DECIMAL(14,4)) AS VARCHAR)), ',') AS centroid_csv
+            FROM (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid) f
+            LEFT JOIN c2 USING (cid)
+            ORDER BY cid"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12)
+    v10, v11, v12, v13)
 }

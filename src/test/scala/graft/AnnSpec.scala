@@ -143,4 +143,40 @@ class AnnSpec extends SparkTestBase {
     // constant dimension: sd 0 — the "collapsed feature" signal
     assert(got(2) == ((2, 3L, 0.5, 0.0, 0.5, 0.5)))
   }
+
+  test("kmeansFitInt8 recovers well-separated planted clusters") {
+    // 3 distant centers, tight noise → 2 Lloyd iterations from the
+    // min-id init must converge to one kmeans cluster per planted
+    // cluster (sizes 134/133/133) with all members together
+    val rnd = new scala.util.Random(11)
+    val centers = Array(
+      Array.fill(dim)(10.0f + rnd.nextFloat()),
+      Array.fill(dim)(-10.0f - rnd.nextFloat()),
+      Array.fill(dim)(rnd.nextFloat() * 0.1f))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansFitInt8(emb, "vec_id", "embedding", k = 3, iters = 2)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_members")).sum == 400L)
+    // purity: re-assign each planted member by its id's cluster → the
+    // operator's sizes must match the planted sizes exactly
+    assert(out.map(_.getAs[Long]("n_members")).sorted.toSeq == Seq(133L, 133L, 134L))
+    // centroid csv parses back to dim values
+    val c0 = out.head.getAs[String]("centroid_csv").split(",")
+    assert(c0.length == dim)
+  }
+
+  test("kmeansFitInt8 is invariant to input partitioning (deterministic fit)") {
+    val emb = mkClustered
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansFitInt8(df, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().map(_.toString).toSeq
+    val a = run(emb.repartition(1))
+    val b = run(emb.repartition(7, col("vec_id")))
+    assert(a == b, "fit must not depend on partitioning/summation order")
+  }
 }

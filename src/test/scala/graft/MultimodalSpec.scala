@@ -152,4 +152,25 @@ class MultimodalSpec extends SparkTestBase {
       box("mdat", Array[Byte](1, 2, 3))
     assert(Multimodal.mp4Header(mp4).contains((90000, 5000000000L, 1)))
   }
+
+  test("decimateWav keeps exactly every nth PCM sample and halves the rate") {
+    val wav = Multimodal.renderWav(frames = 101, sampleRate = 10000, seed = 5L)
+    val out = Multimodal.decimateWav(wav, factor = 2).get
+    // re-decode: ceil(101/2)=51 frames at 5000 Hz
+    assert(Multimodal.wavHeader(out).contains((5000, 1, 51L)))
+    // sample-exact: output frame i == input frame 2i (no filtering)
+    def pcm(bytes: Array[Byte]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      (0 until ais.getFrameLength.toInt).map(i =>
+        ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort)
+    }
+    val in = pcm(wav); val dec = pcm(out)
+    assert(dec == (0 until 51).map(i => in(2 * i)))
+    // malformed / unsupported inputs are rejected, not mangled
+    assert(Multimodal.decimateWav("not audio".getBytes, 2).isEmpty)
+    assert(Multimodal.decimateWav(null, 2).isEmpty)
+    assert(Multimodal.decimateWav(wav.take(30), 2).isEmpty)
+  }
 }

@@ -242,4 +242,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("v13 kmeans: centroids broadcast to the assignment, update combines map-side") {
+    val p = plan("v13_kmeans_int8")
+    // the k-row centroid table is the build side of a broadcast
+    // nested-loop (intended: assignment scores all k per row); the
+    // corpus must never sort-merge
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // integer centroid-update sums partial-aggregate before their exchange
+    assert(p.contains("partial_sum"), s"update agg must combine map-side:\n$p")
+  }
 }
