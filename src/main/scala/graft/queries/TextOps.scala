@@ -1298,8 +1298,76 @@ object TextOps {
                len(kept) > 0 AS keep
              FROM k ORDER BY doc_id"""))
 
+  // Gopher's char-weighted duplicate n-gram coverage — the repetition
+  // rule t23's count-based fractions do not express: the fraction of
+  // CHARACTERS inside n-grams that repeat within the document
+  // (standard approximation: every occurrence of a duplicated n-gram
+  // contributes its length; capped at 1). Map-only and O(m log m) per
+  // doc: the n-gram array is SORTED once (bound — evaluated once per
+  // row, see SCALE.md's recompute hazard) and duplication is detected
+  // by neighbor equality, never by a per-gram rescan of the array
+  // (which would be quadratic) nor a corpus shuffle. Guards: Spark's
+  // sequence(1, 0) DESCENDS and ANSI element_at throws out-of-range,
+  // so the empty-gram case short-circuits and neighbor probes are
+  // index-guarded.
+  private val t42 = GraftQuery(
+    "t42_dup_ngram_chars",
+    (s, dir) => {
+      def dupFrac(n: Int): org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.bound(
+          array_sort(ngramList(tokens(col("text")), n))) { sg =>
+          graft.functions.TextFunctions.bound(
+            org.apache.spark.sql.functions.size(sg).cast("int")) { m =>
+            val dupChars = aggregate(
+              sequence(lit(1), m), lit(0L),
+              (acc, i) => acc + when(
+                (i > 1 && element_at(sg, i) === element_at(sg, i - 1)) ||
+                  (i < m && element_at(sg, i) === element_at(sg, i + 1)),
+                length(element_at(sg, i)).cast("long")).otherwise(0L))
+            when(m === 0, 0.0).otherwise(
+              round(least(lit(1.0), dupChars.cast("double") /
+                greatest(length(normalizeText(col("text"))), lit(1))), 4))
+          }
+        }
+      docs(s, dir)
+        .select(col("doc_id"),
+          dupFrac(5).as("dup5_char_frac"),
+          dupFrac(10).as("dup10_char_frac"))
+        .withColumn("keep",
+          col("dup5_char_frac") <= 0.15 && col("dup10_char_frac") <= 0.10)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                 $duckToks AS toks FROM documents),
+             g AS (SELECT doc_id, norm,
+                 list_sort(CASE WHEN len(toks) >= 5
+                   THEN [array_to_string(toks[i : i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)] ELSE [] END) AS sg5,
+                 list_sort(CASE WHEN len(toks) >= 10
+                   THEN [array_to_string(toks[i : i+9], ' ')
+                         FOR i IN range(1, len(toks) - 8)] ELSE [] END) AS sg10
+               FROM tk),
+             f AS (SELECT doc_id,
+                 CASE WHEN len(sg5) = 0 THEN 0.0 ELSE
+                   round(least(1.0, CAST(list_sum(list_transform(range(1, len(sg5) + 1), i ->
+                     CASE WHEN (i > 1 AND sg5[i] = sg5[i-1])
+                            OR (i < len(sg5) AND sg5[i] = sg5[i+1])
+                       THEN length(sg5[i]) ELSE 0 END)) AS DOUBLE)
+                     / greatest(length(norm), 1)), 4) END AS dup5_char_frac,
+                 CASE WHEN len(sg10) = 0 THEN 0.0 ELSE
+                   round(least(1.0, CAST(list_sum(list_transform(range(1, len(sg10) + 1), i ->
+                     CASE WHEN (i > 1 AND sg10[i] = sg10[i-1])
+                            OR (i < len(sg10) AND sg10[i] = sg10[i+1])
+                       THEN length(sg10[i]) ELSE 0 END)) AS DOUBLE)
+                     / greatest(length(norm), 1)), 4) END AS dup10_char_frac
+               FROM g)
+             SELECT doc_id, dup5_char_frac, dup10_char_frac,
+               (dup5_char_frac <= 0.15 AND dup10_char_frac <= 0.10) AS keep
+             FROM f ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41)
+    t40, t41, t42)
 }

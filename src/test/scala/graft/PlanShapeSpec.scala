@@ -214,8 +214,9 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("t40/t41 quality rules are map-only (no join, no keyed shuffle)") {
-    Seq("t40_gopher_quality_rules", "t41_c4_line_filters").foreach { n =>
+  test("t40/t41/t42 quality+repetition rules are map-only (no join, no keyed shuffle)") {
+    Seq("t40_gopher_quality_rules", "t41_c4_line_filters",
+      "t42_dup_ngram_chars").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Join"), s"$n:\n$p")
       assert(!p.contains("hashpartitioning"),
