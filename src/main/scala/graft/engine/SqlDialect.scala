@@ -49,14 +49,15 @@ object SqlDialect {
     // arise). NOT renamed, by design: list indexing/slicing (1-based
     // vs 0-based), list_sum/list_unique (no direct Spark name —
     // compose aggregate()/size(array_distinct())), len (also a string
-    // function in DuckDB), list_sort (DuckDB defaults NULLS FIRST,
-    // Spark array_sort places nulls LAST — a rename would silently
-    // diverge on arrays containing NULL; Spark rejects the unrenamed
-    // call at analysis, a loud failure the user can rewrite).
+    // function in DuckDB). list_sort → array_sort null ordering was
+    // VERIFIED equivalent against the oracle's DuckDB (1.0.0:
+    // default_null_order=nulls_last, list_sort([3,NULL,1]) →
+    // [1,3,NULL]) — the same nulls-last contract as Spark array_sort.
     Seq(
       "list_transform" -> "transform",
       "list_filter" -> "filter",
       "list_distinct" -> "array_distinct",
+      "list_sort" -> "array_sort",
       "list_min" -> "array_min",
       "list_max" -> "array_max",
       "list_contains" -> "array_contains",

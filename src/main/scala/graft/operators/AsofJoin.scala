@@ -99,12 +99,18 @@ object AsofJoin {
       case None => matched
       case Some(tol) =>
         import org.apache.spark.sql.types._
+        // timestamp → fractional epoch seconds via a double cast, NOT
+        // unix_timestamp (which truncates to whole seconds and
+        // mis-decides sub-second gaps at the bound)
         val diff = matched.schema("__ts").dataType match {
           case _: NumericType =>
             abs(col("__ts") - col("__match.__rts"))
-          case TimestampType | TimestampNTZType | DateType =>
-            abs(unix_timestamp(col("__ts")) -
-              unix_timestamp(col("__match.__rts")))
+          case TimestampType | TimestampNTZType =>
+            abs(col("__ts").cast("double") -
+              col("__match.__rts").cast("double"))
+          case DateType =>
+            abs(col("__ts").cast("timestamp").cast("double") -
+              col("__match.__rts").cast("timestamp").cast("double"))
           case other => throw new IllegalArgumentException(
             s"asofLeft tolerance requires numeric or timestamp ts columns, got $other")
         }

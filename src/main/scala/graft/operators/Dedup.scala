@@ -601,7 +601,19 @@ object Dedup {
     * sketch API hashes longs natively); `expectedItems` sizes the bits
     * — at production scale it comes from table statistics, here from a
     * metadata-only count. Returns every fresh row's id with an
-    * `is_dup` flag. */
+    * `is_dup` flag.
+    *
+    * Execution contract: this operator is EAGER — the Bloom build was
+    * always an action, and the verify join now materializes too
+    * (localCheckpoint) so the persisted history-key projection can be
+    * released before returning instead of lingering for the session.
+    * The checkpointed dup-id set lives in single-copy executor-local
+    * blocks: if an executor holding them is lost before the caller's
+    * action, the downstream job fails and the operator must be re-run
+    * (lineage is intentionally cut). On clusters with aggressive
+    * decommissioning, callers wanting replay-ability should write the
+    * result to durable storage immediately — it is ids + booleans,
+    * tiny relative to the corpus. */
   def bloomIncrementalDedup(
       hist: DataFrame,
       fresh: DataFrame,

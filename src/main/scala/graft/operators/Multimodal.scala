@@ -352,7 +352,11 @@ object Multimodal {
   }
 
   /** The per-clip kernel of [[resampleAudio]]: None for non-WAV,
-    * non-PCM16-mono, or truncated payloads. */
+    * non-PCM16-mono, or truncated payloads — and for factors that do
+    * not divide the clip's sample rate: the WAV header stores an
+    * integer rate, so a non-dividing factor would silently truncate
+    * (8000/3 → 2666 Hz) and break the exact rate/factor contract the
+    * oracle recomputes. Rejecting keeps the output rate exact. */
   private[graft] def decimateWav(
       content: Array[Byte], factor: Int): Option[Array[Byte]] = {
     if (!looksLikeWav(content)) return None
@@ -361,6 +365,7 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
       if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16) return None
+      if (fmt.getSampleRate.toInt % factor != 0) return None
       val n = ais.getFrameLength.toInt
       val pcm = ais.readAllBytes()
       if (pcm.length < n * 2) return None

@@ -51,35 +51,45 @@ object QualityRules {
       textCol: String,
       minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
+    // All lambda-bearing signals are computed ONCE inside a single
+    // bound struct: subtrees containing lambda functions are excluded
+    // from Spark's subexpression elimination, so spelling each signal
+    // out per output column would re-tokenize / re-scan the lines per
+    // reference. The struct lands in its own projection (CollapseProject
+    // keeps non-cheap, multiply-referenced aliases separate), and the
+    // downstream keep/extract projections only touch struct fields.
+    import graft.functions.TextFunctions.bound
     val text = col(textCol)
-    val toks = tokens(text)
-    val lines = split(text, "\n")
-    val nWords = size(toks)
-    val nLines = size(lines)
     def frac(n: Column, d: Column): Column =
       round(n.cast("double") / d, 4)
-
     val occHash = length(text) - length(regexp_replace(text, "#", ""))
     val occEll = (length(text) -
       length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
 
-    docs.select(
-        col(idCol).as("doc_id"),
-        nWords.as("n_words"),
-        frac(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), nWords)
-          .as("mean_word_len"),
-        frac(occHash + occEll, nWords).as("symbol_ratio"),
-        frac(size(filter(lines, l =>
-          substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* " ||
-            substring(l, 1, 2) === "• ")), nLines)
-          .as("frac_bullet_lines"),
-        frac(size(filter(lines, l => l.like("%..."))), nLines)
-          .as("frac_ellipsis_lines"),
-        frac(size(filter(toks, t => t.rlike("[a-z]"))), nWords)
-          .as("frac_alpha_words"),
-        size(filter(
-          typedLit(gopherStops), sw => array_contains(toks, sw)))
-          .as("n_stop_hits"))
+    val sig = bound(tokens(text)) { toks =>
+      bound(split(text, "\n")) { lines =>
+        val nWords = size(toks)
+        val nLines = size(lines)
+        struct(
+          nWords.as("n_words"),
+          frac(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), nWords)
+            .as("mean_word_len"),
+          frac(occHash + occEll, nWords).as("symbol_ratio"),
+          frac(size(filter(lines, l =>
+            substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* " ||
+              substring(l, 1, 2) === "• ")), nLines)
+            .as("frac_bullet_lines"),
+          frac(size(filter(lines, l => l.like("%..."))), nLines)
+            .as("frac_ellipsis_lines"),
+          frac(size(filter(toks, t => t.rlike("[a-z]"))), nWords)
+            .as("frac_alpha_words"),
+          size(filter(
+            typedLit(gopherStops), sw => array_contains(toks, sw)))
+            .as("n_stop_hits"))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"), col("__sig.*"))
       .withColumn("keep",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
@@ -105,7 +115,7 @@ object QualityRules {
       idCol: String,
       textCol: String,
       minLineWords: Int = 5): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    import graft.functions.TextFunctions.bound
     val keptLine: Column => Column = l => {
       val lo = lower(l)
       (l.like("%.") || l.like("%!") || l.like("%?") || l.like("%\"")) &&
@@ -113,17 +123,24 @@ object QualityRules {
         !lo.contains("javascript") && !lo.contains("lorem ipsum") &&
         !l.contains("{") && !l.contains("}")
     }
-    docs.select(
-      col(idCol).as("doc_id"),
-      size(lines).as("n_lines"),
-      size(filter(lines, keptLine)).as("n_kept"),
-      // NULL (not md5 of the empty string) when nothing survives —
-      // "no cleaned text" is a distinct state downstream consumers
-      // filter on, and it is the one empty-list representation SQL
-      // engines agree about (DuckDB's array_to_string([]) is already
-      // NULL where Spark's array_join([]) is '')
-      when(size(filter(lines, keptLine)) > 0,
-        md5(array_join(filter(lines, keptLine), "\n"))).as("cleaned_md5"),
-      (size(filter(lines, keptLine)) > 0).as("keep"))
+    // line split + filter run ONCE per row (bound + own projection —
+    // see gopherSignals' note on lambda trees and CSE); cleaned_md5 is
+    // NULL (not md5 of the empty string) when nothing survives —
+    // "no cleaned text" is a distinct state downstream consumers
+    // filter on, and it is the one empty-list representation SQL
+    // engines agree about (DuckDB's array_to_string([]) is already
+    // NULL where Spark's array_join([]) is '')
+    val sig = bound(split(col(textCol), "\n")) { lines =>
+      bound(filter(lines, keptLine)) { kept =>
+        struct(
+          size(lines).as("n_lines"),
+          size(kept).as("n_kept"),
+          when(size(kept) > 0, md5(array_join(kept, "\n")))
+            .as("cleaned_md5"),
+          (size(kept) > 0).as("keep"))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"), col("__sig.*"))
   }
 }

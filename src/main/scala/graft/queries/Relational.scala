@@ -926,8 +926,9 @@ object Relational {
   // q17's match, but a purchase older than 2 hours is no context at
   // all — nulled, not joined. Same single-shuffle union+window plan;
   // the bound applies to the carried match (never widens the join).
-  // Both engines compare integer-second diffs (unix_timestamp floors;
-  // the oracle floors epoch() to match).
+  // Both engines compare FRACTIONAL epoch-second diffs (Spark casts
+  // the timestamp to double, DuckDB's epoch() is fractional) — whole-
+  // second truncation would mis-decide sub-second gaps at the bound.
   private val q38 = GraftQuery(
     "q38_asof_tolerance",
     (s, dir) => {
@@ -953,9 +954,9 @@ object Relational {
                  l AS (SELECT event_id, user_id, ts, event_type
                        FROM events WHERE event_type <> 'purchase')
             SELECT l.event_id, l.user_id, l.event_type,
-                   CASE WHEN floor(epoch(l.ts)) - floor(epoch(p.p_ts)) <= 7200
+                   CASE WHEN epoch(l.ts) - epoch(p.p_ts) <= 7200
                      THEN strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
-                   CASE WHEN floor(epoch(l.ts)) - floor(epoch(p.p_ts)) <= 7200
+                   CASE WHEN epoch(l.ts) - epoch(p.p_ts) <= 7200
                      THEN round(p.p_value, 2) END AS purchase_value
             FROM l ASOF LEFT JOIN p
               ON l.user_id = p.user_id AND l.ts >= p.p_ts
@@ -1088,6 +1089,32 @@ object Relational {
             FROM nation n
             ORDER BY n_name"""))
 
+  // Multiset set-ops (EXCEPT ALL / INTERSECT ALL) — q18's family with
+  // duplicate-preserving semantics: per-nation customer minus supplier
+  // multiplicities. Catalyst plans both as aggregate-based counting
+  // (no row-by-row anti join); the output re-aggregates per key so the
+  // gate compares small deterministic counts.
+  private val q43 = GraftQuery(
+    "q43_except_intersect_all",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val supp = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val ex = cust.exceptAll(supp).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = cust.intersectAll(supp).groupBy("k")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "k", "n").orderBy("op", "k")
+    },
+    Some("""WITH ex AS (SELECT k, count(*) AS n FROM
+                (SELECT c_nationkey AS k FROM customer
+                 EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k),
+                 ia AS (SELECT k, count(*) AS n FROM
+                (SELECT c_nationkey AS k FROM customer
+                 INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k)
+            SELECT 'except_all' AS op, k, n FROM ex
+            UNION ALL SELECT 'intersect_all' AS op, k, n FROM ia
+            ORDER BY op, k"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1095,5 +1122,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

@@ -1313,9 +1313,14 @@ object TextOps {
   private val t42 = GraftQuery(
     "t42_dup_ngram_chars",
     (s, dir) => {
+      // toks is BOUND before ngramList: the n-gram lambda references
+      // its input array n times per element, so an unbound
+      // tokens(text) would re-tokenize m·n times per row (the
+      // projection-collapse hazard; tokenization happens once here)
       def dupFrac(n: Int): org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.bound(tokens(col("text"))) { toks =>
         graft.functions.TextFunctions.bound(
-          array_sort(ngramList(tokens(col("text")), n))) { sg =>
+          array_sort(ngramList(toks, n))) { sg =>
           graft.functions.TextFunctions.bound(
             org.apache.spark.sql.functions.size(sg).cast("int")) { m =>
             val dupChars = aggregate(
@@ -1328,6 +1333,7 @@ object TextOps {
               round(least(lit(1.0), dupChars.cast("double") /
                 greatest(length(normalizeText(col("text"))), lit(1))), 4))
           }
+        }
         }
       docs(s, dir)
         .select(col("doc_id"),
@@ -1366,8 +1372,51 @@ object TextOps {
                (dup5_char_frac <= 0.15 AND dup10_char_frac <= 0.10) AS keep
              FROM f ORDER BY doc_id"""))
 
+  // TF-IDF top-3 keywords per document — the corpus-statistics
+  // join-back shape (t24's surprisal family, but per-doc ranked):
+  // term frequency is one (doc, term) keyed agg; document frequency
+  // is one term-keyed agg JOINED back by term (a vocabulary-sized
+  // table — joined, never collected); the corpus size rides in-plan
+  // as a broadcast one-row scalar; the cutoff is a per-doc window
+  // rank. Scores use double ln-of-integer-ratio math rounded to 4
+  // (same determinism contract as t24/t32), and rank ties break on
+  // the ROUNDED score then term, so the kept rows match across
+  // engines.
+  private val t43 = GraftQuery(
+    "t43_tfidf_keywords",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") *
+          log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+             dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             sc AS (SELECT doc_id, tf.term,
+                 round(tf * ln((n_docs + 1.0) / (dfreq + 1.0)), 4) AS score
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             r AS (SELECT doc_id, term, score, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+               FROM sc)
+             SELECT doc_id, term, score, rank FROM r
+             WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42)
+    t40, t41, t42, t43)
 }

@@ -172,5 +172,9 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decimateWav("not audio".getBytes, 2).isEmpty)
     assert(Multimodal.decimateWav(null, 2).isEmpty)
     assert(Multimodal.decimateWav(wav.take(30), 2).isEmpty)
+    // a factor that does not divide the rate would silently truncate
+    // the integer WAV header rate (10000/3) → rejected
+    assert(Multimodal.decimateWav(wav, 3).isEmpty)
+    assert(Multimodal.decimateWav(wav, 4).nonEmpty) // 10000/4 = 2500 exact
   }
 }

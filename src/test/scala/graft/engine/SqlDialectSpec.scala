@@ -155,13 +155,10 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT transform(a, x -> x + 1), array_min(a) FROM t")
     assert(translate("SELECT list_filter(list_distinct(a), x -> x > 0) FROM t") ==
       "SELECT filter(array_distinct(a), x -> x > 0) FROM t")
-    assert(translate("SELECT array_to_string(a, ',') FROM t") ==
-      "SELECT array_join(a, ',') FROM t")
-    // list_sort is deliberately NOT renamed: DuckDB sorts NULLS FIRST,
-    // Spark array_sort nulls-last — better a loud analysis error than
-    // a silent ordering divergence
-    assert(translate("SELECT list_sort(a) FROM t") ==
-      "SELECT list_sort(a) FROM t")
+    // null ordering verified equivalent on the oracle's DuckDB (1.0.0
+    // nulls-last, same as Spark array_sort)
+    assert(translate("SELECT array_to_string(list_sort(a), ',') FROM t") ==
+      "SELECT array_join(array_sort(a), ',') FROM t")
     // not function calls / quoted → untouched
     assert(translate("SELECT 'list_min(a)' AS s, list_min_x FROM t") ==
       "SELECT 'list_min(a)' AS s, list_min_x FROM t")
