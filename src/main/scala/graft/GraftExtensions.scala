@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -17,12 +17,29 @@ import graft.functions._
   *   spark.sql("SELECT word_shingles(text, 3) FROM docs")
   * }}}
   *
+  * Sessions built WITHOUT the config (embedding the library in an
+  * existing application/session) get the same registry via
+  * [[GraftExtensions.ensureRegistered]] — `Invoke` calls it before
+  * running handler SQL, so YAML pipelines can use the functions
+  * regardless of how the session was constructed.
+  *
   * Registered: word_shingles(text, n), minhash_sig(shingles, k, seed),
   * simhash64(hashedTokens), rolling_hash64(text), nfc_normalize(text),
-  * vec_dot(a, b), text_stats(text), lang_id(text),
+  * vec_dot(a, b), text_stats(text), rep_stats(text), lang_id(text),
+  * duck_extract(col, key),
   * hyperplane_bands(vec, dim, bands, rowsPerBand, seed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+    }
+}
+
+object GraftExtensions {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -36,59 +53,70 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def register(name: String, usage: String)(
-        builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, usage),
-        builder))
-
-    register("word_shingles", "word_shingles(text, n)") { args =>
+  /** (name, usage, builder) for every native SQL-callable expression —
+    * the single source for both the extensions path and
+    * [[ensureRegistered]]. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("word_shingles", "word_shingles(text, n)", (args: Seq[Expression]) => {
       require(args.length == 2, "word_shingles(text, n)")
       WordShingles(args.head, intLit(args(1), "n"))
-    }
-    register("minhash_sig", "minhash_sig(shingles, k, seed)") { args =>
+    }),
+    ("minhash_sig", "minhash_sig(shingles, k, seed)", (args: Seq[Expression]) => {
       require(args.length == 3, "minhash_sig(shingles, k, seed)")
       MinHashSig(args.head, intLit(args(1), "k"), longLit(args(2), "seed"))
-    }
-    register("simhash64", "simhash64(hashedTokens)") { args =>
+    }),
+    ("simhash64", "simhash64(hashedTokens)", (args: Seq[Expression]) => {
       require(args.length == 1, "simhash64(hashedTokens)")
       SimHash64(args.head)
-    }
-    register("rolling_hash64", "rolling_hash64(text)") { args =>
+    }),
+    ("rolling_hash64", "rolling_hash64(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "rolling_hash64(text)")
       RollingHash64(args.head)
-    }
-    register("nfc_normalize", "nfc_normalize(text)") { args =>
+    }),
+    ("nfc_normalize", "nfc_normalize(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
-    }
-    register("vec_dot", "vec_dot(a, b)") { args =>
+    }),
+    ("vec_dot", "vec_dot(a, b)", (args: Seq[Expression]) => {
       require(args.length == 2, "vec_dot(a, b)")
       VecDot(args.head, args(1))
-    }
-    register("text_stats", "text_stats(text)") { args =>
+    }),
+    ("text_stats", "text_stats(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "text_stats(text)")
       TextStats(args.head)
-    }
-    register("rep_stats", "rep_stats(text)") { args =>
+    }),
+    ("rep_stats", "rep_stats(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "rep_stats(text)")
       RepStats(args.head)
-    }
-    register("lang_id", "lang_id(text)") { args =>
+    }),
+    ("lang_id", "lang_id(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "lang_id(text)")
       LangId(args.head)
-    }
-    register("duck_extract", "duck_extract(col, 'key')") { args =>
+    }),
+    ("duck_extract", "duck_extract(col, 'key')", (args: Seq[Expression]) => {
       require(args.length == 2, "duck_extract(col, 'key')")
       DuckArrowExtract(args.head, args(1))
-    }
-    register("hyperplane_bands",
-        "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)") { args =>
-      require(args.length == 5, "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)")
-      HyperplaneBands(args.head, intLit(args(1), "dim"), intLit(args(2), "bands"),
-        intLit(args(3), "rowsPerBand"), longLit(args(4), "seed"))
+    }),
+    ("hyperplane_bands", "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)",
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)")
+        HyperplaneBands(args.head, intLit(args(1), "dim"), intLit(args(2), "bands"),
+          intLit(args(3), "rowsPerBand"), longLit(args(4), "seed"))
+      }))
+
+  /** Idempotently registers the native functions into an EXISTING
+    * session's function registry — the path for sessions built without
+    * `spark.sql.extensions` (embedded use, test harnesses, notebook
+    * sessions). Existing registrations are left untouched. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, usage, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id,
+          new ExpressionInfo("graft", name, usage), builder)
+      }
     }
   }
 }

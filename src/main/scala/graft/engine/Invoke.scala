@@ -32,6 +32,10 @@ object Invoke {
     val lock = new Object
 
     Udfs.ensureEngineFunctions(spark)
+    // native Catalyst expressions (text_stats, lang_id, …) must resolve
+    // from handler SQL even when the session was built without
+    // spark.sql.extensions=graft.GraftExtensions (embedded sessions)
+    graft.GraftExtensions.ensureRegistered(spark)
     conf.commands.foreach(c => runCommand(spark, c.sql, tables))
 
     conf.tables.foreach { t =>

@@ -64,6 +64,16 @@ class ExamplesSpec extends SparkTestBase {
       """{"bucket":"2015-12-12T19:00:00","city":"New York","count":2}"""))
   }
 
+  test("quality.filter example: native quality expressions gate the batch") {
+    val got = Invoke.invoke(spark, "examples/quality.filter.yml",
+        "examples/fixtures/documents.jsonl")
+      .toJSON.collect().toSeq
+    // id 2 (repetitive), 3 (too short), 4 (Spanish) are dropped
+    assert(got.size == 2)
+    assert(got.head.contains("\"id\":1") && got.head.contains("\"lang\":\"en\""))
+    assert(got(1).contains("\"id\":5"))
+  }
+
   test("udf example: parse_domain groups by registered domain") {
     val got = Invoke.invoke(spark, "examples/udf.yml", fixture)
       .toJSON.collect().toSeq
