@@ -21,7 +21,15 @@ object Invoke {
       /** Serializes handler-batch state mutation against manager polls —
         * the port of the reference's shared `threading.Lock` between
         * `lifecycle.invoke` and `Tumbling.poll`. */
-      lock: AnyRef = new Object)
+      lock: AnyRef = new Object,
+      /** Re-registers every file-backed lookup view (read_csv_auto /
+        * read_json_auto). DataFrame-API temp views freeze their file
+        * listing at creation (a grown dimension file is silently read
+        * at its OLD length); the reference's ATTACH-ed lookups are
+        * live per batch, so the streaming path calls this before each
+        * trigger's handler SQL. SQL-defined views re-resolve by name
+        * per query and pick the fresh registration up automatically. */
+      refreshFileViews: () => Unit = () => ())
 
   /** commands + tables DDL + udfs (reference `lifecycle.start` steps,
     * `pipeline.py:296-313`). */
@@ -30,13 +38,14 @@ object Invoke {
       managerSinkOverride: Option[GraftSink] = None): Session = {
     val tables = scala.collection.mutable.Map[String, StateTable]()
     val lock = new Object
+    val refreshers = scala.collection.mutable.Buffer[() => Unit]()
 
     Udfs.ensureEngineFunctions(spark)
     // native Catalyst expressions (text_stats, lang_id, …) must resolve
     // from handler SQL even when the session was built without
     // spark.sql.extensions=graft.GraftExtensions (embedded sessions)
     graft.GraftExtensions.ensureRegistered(spark)
-    conf.commands.foreach(c => runCommand(spark, c.sql, tables))
+    conf.commands.foreach(c => runCommand(spark, c.sql, tables, refreshers))
 
     conf.tables.foreach { t =>
       val st = StateTable.fromDdl(spark, t.sql)
@@ -57,11 +66,13 @@ object Invoke {
 
     // handler SQL may use inline table functions too (csv.filesystem.join.yml)
     val handlerConf = conf.pipeline.handler.copy(
-      sql = registerTableFunctions(spark, conf.pipeline.handler.sql))
+      sql = registerTableFunctions(spark, conf.pipeline.handler.sql, refreshers))
     val handler = Handlers.build(handlerConf, tables.toMap)
     val sink = sinkOverride.getOrElse(Sinks.build(spark, conf.pipeline.sink))
     val dlq = conf.pipeline.onError.dlq.map(Sinks.build(spark, _))
-    Session(conf, tables.toMap, managers, handler, sink, dlq, lock)
+    val refresh = refreshers.toSeq
+    Session(conf, tables.toMap, managers, handler, sink, dlq, lock,
+      refreshFileViews = () => refresh.foreach(_.apply()))
   }
 
   /** Run one setup command (`pipeline.py:296-299`). The closed set used
@@ -72,7 +83,9 @@ object Invoke {
     * table (qualified); INSTALL / LOAD / SET → DuckDB-process
     * concerns with no Spark equivalent, logged and skipped. */
   private[engine] def runCommand(spark: SparkSession, sql: String,
-      tables: scala.collection.mutable.Map[String, StateTable]): Unit = {
+      tables: scala.collection.mutable.Map[String, StateTable],
+      refreshers: scala.collection.mutable.Buffer[() => Unit] =
+        scala.collection.mutable.Buffer()): Unit = {
     StateTable.splitStatements(sql).foreach { stmt =>
       val up = stmt.trim.toUpperCase
       if (up.startsWith("ATTACH")) {
@@ -120,29 +133,42 @@ object Invoke {
         // table functions register)
         val viewFixed = stmt.replaceAll("(?i)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW",
           "CREATE OR REPLACE TEMPORARY VIEW")
-        spark.sql(SqlDialect.translate(registerTableFunctions(spark, viewFixed)))
+        spark.sql(SqlDialect.translate(
+          registerTableFunctions(spark, viewFixed, refreshers)))
       }
     }
   }
 
   /** Replace inline read_csv / read_json_auto calls with temp views
     * backed by the matching Spark reader (delimiter sniffed for CSV,
-    * the reference's `auto_detect=True`). */
-  private[engine] def registerTableFunctions(spark: SparkSession, sql: String): String = {
+    * the reference's `auto_detect=True`). Each registration is
+    * recorded as a refresher closure: a DataFrame-API temp view
+    * freezes its file listing (and file LENGTHS) at creation, so a
+    * dimension file that grows between micro-batches would be read
+    * truncated at its old size — re-registering re-lists and
+    * re-infers, which is what makes file-backed lookups live per
+    * trigger like the reference's attached databases. */
+  private[engine] def registerTableFunctions(spark: SparkSession, sql: String,
+      refreshers: scala.collection.mutable.Buffer[() => Unit] =
+        scala.collection.mutable.Buffer()): String = {
     var out = sql
     SqlDialect.findTableFunctions(sql).foreach { fn =>
       val view = "tf_" + math.abs(fn.path.hashCode).toString
-      fn.kind match {
+      val register: () => Unit = fn.kind match {
         case "read_csv" | "read_csv_auto" =>
-          val sep = sniffDelimiter(fn.path)
-          // inferSchema ≡ DuckDB's auto_detect: numeric columns come
-          // back typed (geoip asn ranges), not as strings
-          spark.read.option("header", "true").option("sep", sep.toString)
-            .option("inferSchema", "true")
-            .csv(fn.path).createOrReplaceTempView(view)
+          () => {
+            val sep = sniffDelimiter(fn.path)
+            // inferSchema ≡ DuckDB's auto_detect: numeric columns come
+            // back typed (geoip asn ranges), not as strings
+            spark.read.option("header", "true").option("sep", sep.toString)
+              .option("inferSchema", "true")
+              .csv(fn.path).createOrReplaceTempView(view)
+          }
         case "read_json_auto" =>
-          spark.read.json(fn.path).createOrReplaceTempView(view)
+          () => spark.read.json(fn.path).createOrReplaceTempView(view)
       }
+      register()
+      refreshers += register
       out = out.replace(fn.fullText, view)
     }
     out

@@ -448,4 +448,68 @@ object Similarity {
         ",").as("centroid_csv"))), Seq("cid"), "left")
       .orderBy("cid")
   }
+
+  /** Product-quantization ENCODE: each vector splits into `m`
+    * contiguous subvectors; each subvector is replaced by the id of
+    * its nearest code in that subspace's codebook. A 64-dim float
+    * vector (256 B) becomes m small integers (m bytes at k ≤ 256) —
+    * the compression that lets a 100-TB embedding corpus keep its
+    * whole index in memory, with [[kmeansFitInt8]] as the codebook
+    * trainer (run once per subspace over a sample; any codebook table
+    * with the same shape drops in).
+    *
+    * Scale shape: the codebook table (m·k rows of subvector length
+    * dim/m — KBs) broadcasts; scoring is map-side; the only shuffle is
+    * the per-vector regroup of its m code choices (m rows per vector,
+    * map-side-combined min_by). Determinism: per-subspace distances
+    * fold sequentially over the subvector (identical both engines) and
+    * round to 6 decimals before the (dist, code) argmin — same
+    * contract as the k-means fit.
+    *
+    * @param codebooks (subspace: int, code: int, cvec: array<double>)
+    *                  — one row per code per subspace.
+    * @return (vec_id, code_csv, recon_err): the m code ids joined
+    *         "," in subspace order, and the total squared
+    *         reconstruction error (sum of the m chosen distances,
+    *         rounded to 4). */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val subLen = dim / m
+    val sub = graft.queries.Tables.spread(emb).select(
+        col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("subspace"),
+            slice(col("v"), s * subLen + 1, subLen).as("sv"))
+        }: _*)).as("sub"))
+      .select(col("vec_id"), col("sub.subspace"), col("sub.sv"))
+    val scored = sub.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("dist", round(aggregate(
+        zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e), 6))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+    // recon_err sums the rounded per-subspace distances as DECIMALs —
+    // decimal addition is exact and associative, so the total is
+    // independent of aggregation order (a double sum of four rounded
+    // values can straddle a 4-decimal rounding boundary differently
+    // per engine — observed one-ulp flips at the gate)
+    scored.groupBy("vec_id")
+      .agg(
+        array_sort(collect_list(struct(col("subspace"), col("best"))))
+          .as("ps"),
+        round(sum(col("best")("dist").cast("decimal(18,6)")), 4)
+          .cast("decimal(18,4)").as("recon_err"))
+      .select(col("vec_id"),
+        array_join(transform(col("ps"),
+          p => p("best")("code").cast("string")), ",").as("code_csv"),
+        col("recon_err"))
+  }
 }

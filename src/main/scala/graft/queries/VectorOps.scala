@@ -358,6 +358,52 @@ object VectorOps {
             LEFT JOIN c2 USING (cid)
             ORDER BY cid"""))
 
+  // Product-quantization encode — the PQ half of IVF-PQ (v13 trains
+  // codebooks; this compresses the corpus to m=4 code ids per vector).
+  // The gate builds deterministic codebooks in-plan (the 16
+  // smallest-id vectors' subvectors, code = id rank) so the ENTIRE
+  // encode — subspace split, broadcast codebook scoring, rounded
+  // (dist, code) argmin, ordered reconstruction-error fold — is
+  // oracle-checked in SQL.
+  private val v14 = GraftQuery(
+    "v14_pq_encode",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val base = emb.orderBy("vec_id").limit(16)
+        .withColumn("code", row_number().over(w) - 1)
+        .select(col("code"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val codebooks = base.select(col("code"), explode(array((0 until 4).map {
+          sp => struct(lit(sp).as("subspace"),
+            slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+        }: _*)).as("sub"))
+        .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+      Similarity.pqEncode(emb, "vec_id", "embedding", codebooks, m = 4)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT code, v FROM (SELECT v,
+                row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM e ORDER BY vec_id LIMIT 16)),
+            sp AS (SELECT CAST(unnest(range(4)) AS INT) AS subspace),
+            cbs AS (SELECT subspace, code,
+                v[subspace*16+1 : subspace*16+16] AS cvec FROM cb, sp),
+            sub AS (SELECT vec_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS sv FROM e, sp),
+            sc AS (SELECT vec_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (sv[i+1] - cvec[i+1]) * (sv[i+1] - cvec[i+1]))), 6) AS dist
+              FROM sub JOIN cbs USING (subspace)),
+            best AS (SELECT vec_id, subspace, code, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                  ORDER BY dist, code) AS rn FROM sc) WHERE rn = 1)
+            SELECT vec_id,
+              array_to_string(list(code ORDER BY subspace), ',') AS code_csv,
+              CAST(round(sum(CAST(dist AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS recon_err
+            FROM best GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13)
+    v10, v11, v12, v13, v14)
 }

@@ -213,6 +213,11 @@ object StreamingPipeline {
       policy: ErrorPolicyConf,
       raw: Dataset[org.apache.spark.sql.Row],
       metrics: GraftMetrics = new GraftMetrics): Unit = {
+    // file-backed lookup views re-register per trigger so a dimension
+    // file updated between batches is visible to this batch's handler
+    // SQL — the reference's ATTACH-ed lookups are live per batch
+    // (StreamingSpec "stream-static join re-resolves")
+    session.refreshFileViews()
     val metaCols = raw.schema.fieldNames.filter(_.startsWith("kafka_")).toSeq
     // decode: per-batch JSON schema inference over the value strings,
     // then a per-row from_json against that schema so the kafka_*

@@ -170,6 +170,36 @@ class AnnSpec extends SparkTestBase {
     assert(c0.length == dim)
   }
 
+  test("pqEncode: codebook members encode to their own code with zero error") {
+    // vectors 0..7 ARE the codebook (2 subspaces × 4 codes of dim 16):
+    // each must encode to its own (codeA, codeB) with recon_err 0;
+    // a perturbed copy must choose the nearest original's codes
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat * 5f)))
+    val emb = (vecs ++ Seq((100L, vecs(2)._2.map(x => x + 0.01f))))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val codebooks = base.select(col("code"), explode(array((0 until 2).map {
+        sp => struct(lit(sp).as("subspace"),
+          slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+      }: _*)).as("sub"))
+      .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+    val out = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks,
+        m = 2, dim = 32)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("code_csv"),
+          r.getAs[java.math.BigDecimal]("recon_err").doubleValue())).toMap
+    (0 until 8).foreach { i =>
+      assert(out(i.toLong)._1 == s"$i,$i", s"vec $i must self-encode")
+      assert(out(i.toLong)._2 == 0.0)
+    }
+    assert(out(100L)._1 == "2,2", "perturbed copy picks its source's codes")
+    assert(out(100L)._2 > 0.0 && out(100L)._2 < 0.1)
+  }
+
   test("kmeansFitInt8 is invariant to input partitioning (deterministic fit)") {
     val emb = mkClustered
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -244,6 +244,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("v14 pq encode: codebooks broadcast, corpus never sort-merges") {
+    val p = plan("v14_pq_encode")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"codebook join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v13 kmeans: centroids broadcast to the assignment, update combines map-side") {
     val p = plan("v13_kmeans_int8")
     // the k-row centroid table is the build side of a broadcast

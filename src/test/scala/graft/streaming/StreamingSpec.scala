@@ -526,4 +526,45 @@ class StreamingSpec extends SparkTestBase {
       assert(sink2.allRows == Seq("""{"event":"two","n":1}"""), sink2.allRows.toString)
     } finally r2.stop()
   }
+
+  test("stream-static join re-resolves the dimension per micro-batch (slowly-changing dim)") {
+    // the reference's ATTACH-ed lookup tables are re-queried per batch;
+    // the Spark port's equivalent contract: a handler-SQL join against
+    // a CSV-backed view observes dimension-file changes at the NEXT
+    // trigger (views re-resolve per query execution — no stale cache)
+    val inDir = Files.createTempDirectory("graft_dim_in")
+    val dimDir = Files.createTempDirectory("graft_dim")
+    Files.writeString(dimDir.resolve("dim.csv"), "code,name\n1,alpha\n")
+    val yaml =
+      s"""commands:
+         |  - sql: CREATE VIEW dim AS SELECT * FROM read_csv_auto('$dimDir/dim.csv')
+         |pipeline:
+         |  batch_size: 1000
+         |  source:
+         |    type: file
+         |    file: {path: '$inDir', format: json}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT b.code, d.name FROM batch b LEFT JOIN dim d ON b.code = d.code ORDER BY b.code
+         |  sink: {type: memory}
+         |""".stripMargin
+    val sink = new MemorySink
+    val run = StreamingPipeline.start(spark, confFromString(yaml),
+      sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"), """{"code":1}""" + "\n")
+      run.processAllAvailable()
+      assert(sink.allRows == Seq("""{"code":1,"name":"alpha"}"""))
+      // dimension updated between triggers: code 1 renamed, code 2 added
+      Files.writeString(dimDir.resolve("dim.csv"),
+        "code,name\n1,alpha2\n2,beta\n")
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"code":1}""" + "\n" + """{"code":2}""" + "\n")
+      run.processAllAvailable()
+      assert(sink.allRows.drop(1) ==
+        Seq("""{"code":1,"name":"alpha2"}""", """{"code":2,"name":"beta"}"""),
+        sink.allRows.toString)
+    } finally run.stop()
+  }
 }
