@@ -512,4 +512,93 @@ object Similarity {
           p => p("best")("code").cast("string")), ",").as("code_csv"),
         col("recon_err"))
   }
+
+  /** The sign matrix for [[randomProjection]]: entry (i, j) is ±1 by
+    * the parity of the first hex digit of md5("i_j") — a seed-free,
+    * ENGINE-PORTABLE derivation (any SQL engine reproduces it from
+    * md5 alone), which is what lets the whole projection be
+    * oracle-checked. Dense ±1 (Achlioptas 2001) preserves pairwise
+    * distances within (1±ε) like Gaussian JL projections. */
+  private[graft] def signMatrix(dimIn: Int, dimOut: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dimOut, dimIn) { (j, i) =>
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      val firstHexDigit = (h(0) >> 4) & 0xF
+      if (firstHexDigit % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
+    * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
+    * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float
+    * vector becomes dimOut dims with pairwise distances preserved to
+    * (1±ε), ε ~ √(ln n / dimOut)).
+    *
+    * Scale shape: the projection matrix is a LITERAL in the plan
+    * (dimOut×dimIn doubles — KBs; at production dims, broadcast it) —
+    * the operator is pure map, zero shuffle, and each output
+    * coordinate folds the input in ascending-index order so the
+    * double arithmetic is reproducible bit-for-bit across engines
+    * (the v13/v14 determinism contract). Output coordinates round to
+    * 4 decimals and serialize as a DECIMAL CSV (v07's sortable
+    * representation). */
+  /** Matryoshka-style prefix truncation: keep the first `dimOut`
+    * coordinates and L2-renormalize — the zero-compute reduction for
+    * embeddings trained with matryoshka representation learning
+    * (nested prefixes are themselves valid embeddings). Pure map,
+    * zero shuffle; cosine over the truncated vectors needs no norm
+    * correction because the output is unit-length. Rows whose prefix
+    * is the zero vector yield a null projection (no direction to
+    * keep — same contract as [[withNorm]]'s null norm). Ordered-fold
+    * norm arithmetic, rounded DECIMAL CSV output (the v13–v15
+    * determinism/representation contract). */
+  def truncateRenorm(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dimOut: Int): DataFrame = {
+    require(dimOut >= 1, "dimOut must be positive")
+    import graft.functions.TextFunctions.bound
+    val out = bound(slice(transform(col(vecCol), x => x.cast("double")),
+        1, dimOut)) { p =>
+      bound(aggregate(p, lit(0.0), (acc, x) => acc + x * x)) { n2 =>
+        when(n2 > 0.0, struct(
+          round(sqrt(n2), 4).cast("decimal(12,4)").as("prefix_norm"),
+          array_join(transform(p, x =>
+            round(x / sqrt(n2), 4).cast("decimal(12,4)").cast("string")),
+            ",").as("unit_csv")))
+      }
+    }
+    // struct evaluated ONCE in its own projection (lambda trees skip
+    // CSE — the t40/t41 lesson), fields extracted downstream
+    graft.queries.Tables.spread(emb)
+      .select(col(idCol).as("vec_id"), out.as("__t"))
+      .select(col("vec_id"),
+        col("__t.prefix_norm").as("prefix_norm"),
+        col("__t.unit_csv").as("unit_csv"))
+  }
+
+  def randomProjection(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dimIn: Int,
+      dimOut: Int): DataFrame = {
+    require(dimIn >= 1 && dimOut >= 1, "dims must be positive")
+    val flat = signMatrix(dimIn, dimOut).flatten
+    val rLit = typedLit(flat.toSeq)
+    val scale = math.sqrt(dimOut.toDouble)
+    import graft.functions.TextFunctions.bound
+    val proj = bound(transform(col(vecCol), x => x.cast("double"))) { v =>
+      transform(sequence(lit(0), lit(dimOut - 1)), j =>
+        round(aggregate(
+          sequence(lit(0), lit(dimIn - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at(rLit, j * dimIn + i + 1) * element_at(v, i + 1)) /
+          scale, 4).cast("decimal(12,4)").cast("string"))
+    }
+    graft.queries.Tables.spread(emb).select(
+      col(idCol).as("vec_id"),
+      array_join(proj, ",").as("proj_csv"))
+  }
 }

@@ -1115,6 +1115,37 @@ object Relational {
             UNION ALL SELECT 'intersect_all' AS op, k, n FROM ia
             ORDER BY op, k"""))
 
+  // UNPIVOT / melt (wide metrics → long rows) — the inverse surface of
+  // q26's PIVOT: per-flag aggregates unpivot into (metric, value)
+  // rows. Spark's Dataset.unpivot is a plan-level Expand over the tiny
+  // aggregate — no extra shuffle beyond the agg's own; values cast to
+  // a uniform DOUBLE on both engines (DuckDB's UNPIVOT yields the
+  // common type of the named columns).
+  private val q44 = GraftQuery(
+    "q44_unpivot_metrics",
+    (s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).cast("double").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).cast("double").as("sum_price"),
+          round(avg("l_discount"), 4).cast("double").as("avg_disc"))
+      agg.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+    Some("""WITH a AS (SELECT l_returnflag,
+                CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+                CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, metric, value FROM
+              (UNPIVOT a ON sum_qty, sum_price, avg_disc
+               INTO NAME metric VALUE value)
+            ORDER BY l_returnflag, metric"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1122,5 +1153,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -404,6 +404,60 @@ object VectorOps {
                 AS DECIMAL(18,4)) AS recon_err
             FROM best GROUP BY vec_id ORDER BY vec_id"""))
 
+  // Johnson–Lindenstrauss random projection (64 → 16 dims) — the
+  // dimensionality-reduction pre-pass for cheaper downstream
+  // ANN/dedup. The ±1 sign matrix derives from md5 parity (seed-free,
+  // engine-portable), Spark embeds it as a literal (map-only, zero
+  // per-row hashing), and the oracle re-derives it in SQL from md5
+  // alone — the full projection arithmetic is oracle-checked with the
+  // v13/v14 ordered-fold determinism contract.
+  private val v15 = GraftQuery(
+    "v15_random_projection",
+    (s, dir) => {
+      Similarity.randomProjection(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dimIn = 64, dimOut = 16)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            r AS (SELECT j, i, CASE WHEN CAST(concat('0x',
+                  substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                    1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS rv
+              FROM (SELECT CAST(unnest(range(16)) AS INT) AS j),
+                   (SELECT CAST(unnest(range(64)) AS INT) AS i)),
+            rj AS (SELECT j, list(rv ORDER BY i) AS rl FROM r GROUP BY j),
+            p AS (SELECT vec_id, j,
+                CAST(CAST(round(list_sum(list_transform(range(64),
+                  i -> rl[i+1] * v[i+1])) / sqrt(16), 4)
+                  AS DECIMAL(12,4)) AS VARCHAR) AS y
+              FROM e CROSS JOIN rj)
+            SELECT vec_id, array_to_string(list(y ORDER BY j), ',') AS proj_csv
+            FROM p GROUP BY vec_id ORDER BY vec_id"""))
+
+  // Matryoshka prefix truncation (64 → 16 dims, unit-renormalized) —
+  // the zero-compute reduction for MRL-trained embeddings; cosine over
+  // the output needs no norm correction. Map-only; per-element math is
+  // an ordered fold → fully oracle-checked.
+  private val v16 = GraftQuery(
+    "v16_matryoshka_truncate",
+    (s, dir) => {
+      Similarity.truncateRenorm(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dimOut = 16)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS p
+              FROM embeddings),
+            n AS (SELECT vec_id, p,
+                list_sum(list_transform(p, x -> x * x)) AS n2 FROM e)
+            SELECT vec_id,
+              CASE WHEN n2 > 0 THEN
+                CAST(round(sqrt(n2), 4) AS DECIMAL(12,4)) END AS prefix_norm,
+              CASE WHEN n2 > 0 THEN
+                array_to_string(list_transform(p, x ->
+                  CAST(CAST(round(x / sqrt(n2), 4) AS DECIMAL(12,4))
+                    AS VARCHAR)), ',') END AS unit_csv
+            FROM n ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14)
+    v10, v11, v12, v13, v14, v15, v16)
 }

@@ -200,6 +200,32 @@ class AnnSpec extends SparkTestBase {
     assert(out(100L)._2 > 0.0 && out(100L)._2 < 0.1)
   }
 
+  test("randomProjection approximately preserves pairwise distances (JL)") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[String]("proj_csv").split(",").map(_.toDouble)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until 20; j <- (i + 1) until 20
+      orig = d2(vecs(i)._2.map(_.toDouble), vecs(j)._2.map(_.toDouble))
+      red = d2(proj(i.toLong), proj(j.toLong))
+    } yield red / orig
+    // ε ~ sqrt(ln n / k): generous bounds — the point is the projection
+    // is a genuine isometry-up-to-ε, not a degenerate map
+    assert(ratios.forall(r => r > 0.25 && r < 2.5),
+      s"distance ratios outside JL bounds: min=${ratios.min} max=${ratios.max}")
+    // deterministic: two runs over different partitionings are identical
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.randomProjection(df, "vec_id", "embedding", 64, 16)
+        .orderBy("vec_id").collect().map(_.getString(1)).toSeq
+    assert(run(emb.repartition(1)) == run(emb.repartition(5, col("vec_id"))))
+  }
+
   test("kmeansFitInt8 is invariant to input partitioning (deterministic fit)") {
     val emb = mkClustered
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -244,6 +244,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("v15 random projection is map-only (literal matrix, no join, no shuffle)") {
+    val p = plan("v15_random_projection")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"projection must not shuffle by key:\n$p")
+  }
+
   test("v14 pq encode: codebooks broadcast, corpus never sort-merges") {
     val p = plan("v14_pq_encode")
     assert(p.contains("BroadcastExchange"), p)
