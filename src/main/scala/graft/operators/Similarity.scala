@@ -423,6 +423,16 @@ object Similarity {
       .select(col("cid"),
         transform(col("qv"), x => x.cast("double")).as("c"))
 
+    // centroids MATERIALIZE between iterations (k·dim doubles — the
+    // tiny driver model): without this, iteration i's assignment plan
+    // embeds the full lineage of iterations 1..i-1 and recompute
+    // doubles per Lloyd step — exponential in `iters`. Collecting the
+    // k rows keeps the per-iteration cost at exactly one corpus pass.
+    val spark = emb.sparkSession
+    def materialize(c: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(c.collect(): _*), c.schema)
+
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val dist = round(aggregate(
@@ -434,13 +444,13 @@ object Similarity {
         .agg(min(struct(col("dist"), col("cid"))).as("m"),
           first("qv").as("qv"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("qv"))
-      centroids = assigned
+      centroids = materialize(assigned
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(round(sum("x").cast("double") / count(lit(1)), 4).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p("m")).as("c"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("c")))
     }
     assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
       .join(broadcast(centroids.select(col("cid"), array_join(
@@ -528,20 +538,6 @@ object Similarity {
     }
   }
 
-  /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
-    * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
-    * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float
-    * vector becomes dimOut dims with pairwise distances preserved to
-    * (1±ε), ε ~ √(ln n / dimOut)).
-    *
-    * Scale shape: the projection matrix is a LITERAL in the plan
-    * (dimOut×dimIn doubles — KBs; at production dims, broadcast it) —
-    * the operator is pure map, zero shuffle, and each output
-    * coordinate folds the input in ascending-index order so the
-    * double arithmetic is reproducible bit-for-bit across engines
-    * (the v13/v14 determinism contract). Output coordinates round to
-    * 4 decimals and serialize as a DECIMAL CSV (v07's sortable
-    * representation). */
   /** Matryoshka-style prefix truncation: keep the first `dimOut`
     * coordinates and L2-renormalize — the zero-compute reduction for
     * embeddings trained with matryoshka representation learning
@@ -578,6 +574,20 @@ object Similarity {
         col("__t.unit_csv").as("unit_csv"))
   }
 
+  /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
+    * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
+    * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float
+    * vector becomes dimOut dims with pairwise distances preserved to
+    * (1±ε), ε ~ √(ln n / dimOut)).
+    *
+    * Scale shape: the projection matrix is a LITERAL in the plan
+    * (dimOut×dimIn doubles — KBs; at production dims, broadcast it) —
+    * the operator is pure map, zero shuffle, and each output
+    * coordinate folds the input in ascending-index order so the
+    * double arithmetic is reproducible bit-for-bit across engines
+    * (the v13/v14 determinism contract). Output coordinates round to
+    * 4 decimals and serialize as a DECIMAL CSV (v07's sortable
+    * representation). */
   def randomProjection(
       emb: DataFrame,
       idCol: String,

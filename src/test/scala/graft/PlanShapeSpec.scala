@@ -262,10 +262,13 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("v13_kmeans_int8")
     // the k-row centroid table is the build side of a broadcast
     // nested-loop (intended: assignment scores all k per row); the
-    // corpus must never sort-merge
+    // corpus must never sort-merge. The centroid-UPDATE agg runs
+    // eagerly per Lloyd iteration (materialized k-row model — keeps
+    // lineage linear in iters), so the returned plan holds only the
+    // final assignment + count: its argmin must still combine map-side.
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // integer centroid-update sums partial-aggregate before their exchange
-    assert(p.contains("partial_sum"), s"update agg must combine map-side:\n$p")
+    assert(p.contains("partial_min"), s"assignment argmin must combine map-side:\n$p")
+    assert(p.contains("partial_count"), s"member count must combine map-side:\n$p")
   }
 }
