@@ -64,7 +64,11 @@ object SqlDialect {
       "list_has_any" -> "arrays_overlap",
       "list_append" -> "array_append",
       "list_intersect" -> "array_intersect",
-      "array_to_string" -> "array_join"
+      "array_to_string" -> "array_join",
+      // arg_max(x, y) ≡ max_by(x, y): both return x at the row
+      // maximizing y, nulls-in-y skipped in both engines
+      "arg_max" -> "max_by",
+      "arg_min" -> "min_by"
     ).foreach { case (from, to) => s = renameFunctionCall(s, from, to) }
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")

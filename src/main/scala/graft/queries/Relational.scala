@@ -1146,6 +1146,80 @@ object Relational {
                INTO NAME metric VALUE value)
             ORDER BY l_returnflag, metric"""))
 
+  // GROUP BY ALL + arg_max/arg_min — the DuckDB-idiom surface a
+  // migrating user types on day one: group keys inferred from the
+  // non-aggregate select list (both engines support GROUP BY ALL
+  // natively), and arg_max/arg_min keyed selection (renamed to
+  // max_by/min_by by the dialect shim for handler SQL; the registry
+  // exercises the Spark names directly). Ties: arg_max on a tied
+  // value is engine-nondeterministic, so the ordering key is the
+  // composite BIGINT cents·1e7 + orderkey (prices have 2 decimals;
+  // cents ≤ 5e7, keys < 1e7 — exact integer arithmetic, unique per
+  // row, identical in both engines). DuckDB's arg_max rejects STRUCT
+  // ordering keys, which rules out the struct tie-break q43's family
+  // uses — the integer encoding is the portable form.
+  private val q45 = GraftQuery(
+    "q45_group_by_all_argmax",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               max_by(o_orderkey,
+                 cast(round(o_totalprice * 100) AS bigint) * 10000000 + o_orderkey)
+                 AS priciest_order,
+               min_by(o_orderkey,
+                 cast(round(o_totalprice * 100) AS bigint) * 10000000 + o_orderkey)
+                 AS cheapest_order
+        FROM g_orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+              count(*) AS n_orders,
+              arg_max(o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+                AS priciest_order,
+              arg_min(o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+                AS cheapest_order
+            FROM orders
+            GROUP BY ALL
+            ORDER BY o_orderpriority"""))
+
+  // Recursive CTE (WITH RECURSIVE) — Spark 4's recursive-union plan
+  // against DuckDB's: a 12-row month-series anchor+step recursion,
+  // joined against 1995 orders for a zero-filled monthly count (the
+  // recursion is the series GENERATOR — q36 builds the same series
+  // with sequence(); this is the portable SQL-text form). The
+  // recursion depth is 12 and the recursive side is row-at-a-time
+  // tiny; the orders aggregation is one keyed shuffle, pre-aggregated
+  // BEFORE the join so the 12-row series joins a 12-row aggregate.
+  private val q46 = GraftQuery(
+    "q46_recursive_cte_months",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12),
+        agg AS (
+          SELECT month(o_orderdate) AS m, count(*) AS n
+          FROM g_orders WHERE year(o_orderdate) = 1995
+          GROUP BY month(o_orderdate))
+        SELECT months.m AS month, coalesce(agg.n, 0) AS n_orders
+        FROM months LEFT JOIN agg ON months.m = agg.m
+        ORDER BY month""")
+    },
+    Some("""WITH RECURSIVE months(m) AS (
+              SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12),
+            agg AS (
+              SELECT month(o_orderdate) AS m, count(*) AS n
+              FROM orders WHERE year(o_orderdate) = 1995
+              GROUP BY month(o_orderdate))
+            SELECT months.m AS month, coalesce(agg.n, 0) AS n_orders
+            FROM months LEFT JOIN agg ON months.m = agg.m
+            ORDER BY month"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1153,5 +1227,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -162,6 +162,9 @@ class SqlDialectSpec extends AnyFunSuite {
     // not function calls / quoted → untouched
     assert(translate("SELECT 'list_min(a)' AS s, list_min_x FROM t") ==
       "SELECT 'list_min(a)' AS s, list_min_x FROM t")
+    // arg_max/arg_min → max_by/min_by (same arg order and semantics)
+    assert(translate("SELECT arg_max(k, v), arg_min(k, v) FROM t GROUP BY g") ==
+      "SELECT max_by(k, v), min_by(k, v) FROM t GROUP BY g")
   }
 
   test("DISTINCT ON rewrites to row_number keep-first; ORDER BY drives the pick") {
