@@ -1415,8 +1415,42 @@ object TextOps {
              SELECT doc_id, term, score, rank FROM r
              WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  // URL canonicalization + URL-level dedup (operators/UrlOps) — the
+  // first dedup pass of a web-crawl pipeline. URLs synthesize
+  // deterministically from doc_id (mixed-case host, default port,
+  // tracking params, fragment — the multimodal-gate synthesis
+  // pattern), run through the REAL regexp canonicalizer, then one agg
+  // keyed on the canonical string. The oracle derives the expected
+  // canonical form INDEPENDENTLY from the id arithmetic — a hash
+  // match proves the whole rewrite chain (lowercase host, strip :443
+  // / www / utm_* / fragment / trailing slash, keep ref&q in order)
+  // lands exactly on the intended string, not merely that both
+  // engines ran the same regexes.
+  private val t44 = GraftQuery(
+    "t44_url_canonical_dedup",
+    (s, dir) => {
+      val d = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+        lit(".Example.COM:443/path/"), (d % 25).cast("string"),
+        lit("/?utm_source=feed&ref="), (d % 5).cast("string"),
+        lit("&utm_campaign=x&q="), (d % 5).cast("string"),
+        lit("#sec"), (d % 3).cast("string"))
+      graft.operators.UrlOps.urlDedup(
+          docs(s, dir).select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .orderBy("canon_url")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+              'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/path/' || CAST(doc_id % 25 AS VARCHAR) ||
+              '?ref=' || CAST(doc_id % 5 AS VARCHAR) ||
+              '&q=' || CAST(doc_id % 5 AS VARCHAR) AS canon_url
+            FROM documents)
+            SELECT canon_url, count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM c GROUP BY canon_url ORDER BY canon_url"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43)
+    t40, t41, t42, t43, t44)
 }
