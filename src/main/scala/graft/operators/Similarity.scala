@@ -523,6 +523,68 @@ object Similarity {
         col("recon_err"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k SEARCH — the query half of
+    * IVF-PQ: queries stay full-precision, the corpus exists ONLY as
+    * [[pqEncode]]'s m code ids per vector, and each query's distance
+    * to a vector is the sum of m lookup-table entries
+    * `LUT[q][s][code] = ||q_s − codebook[s][code]||²` (Jégou et al.
+    * 2011's ADC). This is what makes 100-TB-corpus search feasible:
+    * the scan touches m BYTES per corpus vector, never the floats.
+    *
+    * Scale shape: the LUT is queries × m × k rows (KBs — broadcast);
+    * corpus codes explode to m rows per vector, broadcast-join the
+    * LUT on (subspace, code), and the per-(query, vector) sum is a
+    * map-side-combined keyed agg; the final top-k is a per-query
+    * window (rank over each query's scored corpus — at production
+    * scale cap candidates first with the IVF cell filter, v05's
+    * shape). Determinism: LUT distances round to 6 decimals (the
+    * pqEncode contract); the per-pair total sums DECIMALs (exact,
+    * order-free) and rounds to 4; rank ties break on (adist, vec_id).
+    *
+    * @param codes (vec_id, code_csv) — [[pqEncode]] output: the
+    *              search reads ONLY this compressed form.
+    * @return (query_id, nbr_id, adist, rank) for rank ≤ k. */
+  def pqAdcTopK(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      m: Int,
+      k: Int,
+      dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val subLen = dim / m
+    val qsub = queries.select(
+        col(qIdCol).as("query_id"),
+        transform(col(qVecCol), x => x.cast("double")).as("qv"))
+      .select(col("query_id"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("subspace"),
+            slice(col("qv"), s * subLen + 1, subLen).as("qs"))
+        }: _*)).as("sub"))
+      .select(col("query_id"), col("sub.subspace"), col("sub.qs"))
+    val lut = qsub.join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        round(aggregate(
+          zip_with(col("qs"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 6).as("d"))
+    val corpus = graft.queries.Tables.spread(codes).select(col("vec_id"),
+        posexplode(split(col("code_csv"), ","))
+          .as(Seq("subspace", "code_s")))
+      .select(col("vec_id"), col("subspace"), col("code_s").cast("int").as("code"))
+    val scored = corpus.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("d").cast("decimal(18,6)")), 4)
+        .cast("decimal(18,4)").as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        col("adist"), col("rank"))
+  }
+
   /** The sign matrix for [[randomProjection]]: entry (i, j) is ±1 by
     * the parity of the first hex digit of md5("i_j") — a seed-free,
     * ENGINE-PORTABLE derivation (any SQL engine reproduces it from

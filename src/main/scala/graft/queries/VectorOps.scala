@@ -458,6 +458,68 @@ object VectorOps {
                     AS VARCHAR)), ',') END AS unit_csv
             FROM n ORDER BY vec_id"""))
 
+  // PQ asymmetric-distance (ADC) top-k search — the query half of
+  // IVF-PQ over v14's compressed codes: full-precision queries score
+  // a corpus the search reads ONLY as m=4 code ids per vector, each
+  // distance the sum of 4 broadcast LUT entries. Self-matches stay in
+  // (the query is a corpus member; its adist is its reconstruction
+  // distance — deterministic). Identical codes tie on adist and break
+  // on vec_id, so the ranked rows are unique. The oracle replays
+  // codebook build → encode → LUT → sum → rank entirely in SQL.
+  private val v17 = GraftQuery(
+    "v17_pq_adc_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val base = emb.orderBy("vec_id").limit(16)
+        .withColumn("code", row_number().over(w) - 1)
+        .select(col("code"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val codebooks = base.select(col("code"), explode(array((0 until 4).map {
+          sp => struct(lit(sp).as("subspace"),
+            slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+        }: _*)).as("sub"))
+        .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks, m = 4)
+        .select("vec_id", "code_csv")
+      Similarity.pqAdcTopK(codes, codebooks,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", m = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT code, v FROM (SELECT v,
+                row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM e ORDER BY vec_id LIMIT 16)),
+            sp AS (SELECT CAST(unnest(range(4)) AS INT) AS subspace),
+            cbs AS (SELECT subspace, code,
+                v[subspace*16+1 : subspace*16+16] AS cvec FROM cb, sp),
+            sub AS (SELECT vec_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS sv FROM e, sp),
+            sc AS (SELECT vec_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (sv[i+1] - cvec[i+1]) * (sv[i+1] - cvec[i+1]))), 6) AS dist
+              FROM sub JOIN cbs USING (subspace)),
+            best AS (SELECT vec_id, subspace, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                  ORDER BY dist, code) AS rn FROM sc) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+            qs AS (SELECT query_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS qsv FROM q, sp),
+            lut AS (SELECT query_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (qsv[i+1] - cvec[i+1]) * (qsv[i+1] - cvec[i+1]))), 6) AS d
+              FROM qs JOIN cbs USING (subspace)),
+            sc2 AS (SELECT query_id, vec_id,
+                CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
+                  AS DECIMAL(18,4)) AS adist
+              FROM best JOIN lut USING (subspace, code)
+              GROUP BY query_id, vec_id),
+            r AS (SELECT query_id, vec_id AS nbr_id, adist, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+              FROM sc2)
+            SELECT query_id, nbr_id, adist, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16)
+    v10, v11, v12, v13, v14, v15, v16, v17)
 }

@@ -200,6 +200,39 @@ class AnnSpec extends SparkTestBase {
     assert(out(100L)._2 > 0.0 && out(100L)._2 < 0.1)
   }
 
+  test("pqAdcTopK: ADC over codes ranks the query's planted twin first") {
+    // same construction as the encode test: codebook = vectors 0..7,
+    // corpus adds near-copies of vectors 2 and 5. An ADC search for
+    // vector 2 must rank {2, its twin 100} (adist 0 — identical codes,
+    // tie broken by id) ahead of everything else.
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat * 5f)))
+    val emb = (vecs ++ Seq(
+      (100L, vecs(2)._2.map(x => x + 0.01f)),
+      (101L, vecs(5)._2.map(x => x - 0.01f))))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val codebooks = base.select(col("code"), explode(array((0 until 2).map {
+        sp => struct(lit(sp).as("subspace"),
+          slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+      }: _*)).as("sub"))
+      .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks,
+      m = 2, dim = 32).select("vec_id", "code_csv")
+    val out = Similarity.pqAdcTopK(codes, codebooks,
+        emb.filter(col("vec_id") === 2L), "vec_id", "embedding",
+        m = 2, k = 3, dim = 32)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nbr_id")).take(2).toSeq == Seq(2L, 100L),
+      "self and twin (identical codes, adist 0) rank first")
+    assert(out.take(2).forall(
+      _.getAs[java.math.BigDecimal]("adist").doubleValue() == 0.0))
+    assert(out(2).getAs[java.math.BigDecimal]("adist").doubleValue() > 0.0)
+  }
+
   test("randomProjection approximately preserves pairwise distances (JL)") {
     val rnd = new scala.util.Random(23)
     val vecs = (0 until 40).map(i =>
