@@ -1449,8 +1449,67 @@ object TextOps {
             SELECT canon_url, count(*) AS n_docs, min(doc_id) AS first_doc
             FROM c GROUP BY canon_url ORDER BY canon_url"""))
 
+  // Domain-reputation filter (UT1-blocklist / RefinedWeb stage): a
+  // per-DOMAIN quality aggregate joined back to every doc — documents
+  // from domains whose mean quality falls below threshold are dropped
+  // wholesale, catching low-quality sites whose individual pages pass
+  // per-doc filters. Shape: one map pass for the per-doc signal
+  // (alpha-char count — cheap, regexp length algebra), ONE agg keyed
+  // on domain (7 keys here; ~10^7 in a real crawl — uniform, tiny),
+  // and a broadcast join-back of the domain table; the corpus never
+  // shuffles. Domains synthesize from doc_id (t44's pattern). The
+  // domain statistic is the CHAR-WEIGHTED alpha fraction — two exact
+  // BIGINT sums divided once then rounded, so the aggregate is
+  // summation-order-free (an avg of per-doc rounded doubles can
+  // 1-ulp-flip at the rounding boundary across engines). The block
+  // threshold is RELATIVE — domains below the corpus-wide fraction
+  // (a broadcast one-row scalar, same exact-integer math) are
+  // dropped — so the gate always exercises both outcomes (a fixed
+  // threshold on this corpus kept everything: a vacuous flag).
+  private val t45 = GraftQuery(
+    "t45_domain_reputation_filter",
+    (s, dir) => {
+      val domain = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val nAlpha = length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))
+      val perDoc = docs(s, dir).select(col("doc_id"), domain.as("domain"),
+        nAlpha.cast("bigint").as("n_alpha"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      val perDomain = perDoc.groupBy("domain")
+        .agg(round(sum("n_alpha").cast("double") /
+            greatest(sum("n_chars"), lit(1L)), 4).as("domain_alpha"),
+          count(lit(1)).as("domain_docs"))
+      val global = perDoc.agg(round(sum("n_alpha").cast("double") /
+        greatest(sum("n_chars"), lit(1L)), 4).as("corpus_alpha"))
+      perDoc.join(broadcast(perDomain), Seq("domain"))
+        .crossJoin(broadcast(global))
+        .select(col("doc_id"), col("domain"), col("n_alpha"),
+          col("domain_alpha"), col("domain_docs"),
+          (col("domain_alpha") >= col("corpus_alpha")).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+              CAST(length(text) -
+                length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)
+                AS n_alpha,
+              CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents),
+            g AS (SELECT domain,
+                round(CAST(sum(n_alpha) AS DOUBLE) /
+                  greatest(sum(n_chars), 1), 4) AS domain_alpha,
+                count(*) AS domain_docs
+              FROM d GROUP BY domain),
+            gl AS (SELECT round(CAST(sum(n_alpha) AS DOUBLE) /
+                greatest(sum(n_chars), 1), 4) AS corpus_alpha FROM d)
+            SELECT doc_id, d.domain, n_alpha, domain_alpha, domain_docs,
+              domain_alpha >= corpus_alpha AS keep
+            FROM d JOIN g ON d.domain = g.domain CROSS JOIN gl
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44)
+    t40, t41, t42, t43, t44, t45)
 }
