@@ -1220,6 +1220,45 @@ object Relational {
             FROM months LEFT JOIN agg ON months.m = agg.m
             ORDER BY month"""))
 
+  // Z-order (Morton) layout values over (l_orderkey, l_partkey) —
+  // operators/Layout: exact-integer range quantization to 8 bits per
+  // dimension + unrolled bit-interleave, the clustering key a layout
+  // rewrite range-partitions on so file min/max stats prune BOTH
+  // dimensions. Everything is BIGINT arithmetic (quantize uses
+  // remainder-subtracted floor division) — bit-identical across
+  // engines, so the full z-value computation is oracle-checked. The
+  // gate aggregates z-values into 64 coarse buckets (count + span
+  // per bucket): the layout histogram a rewrite planner would size
+  // files from, and a stable 64-row comparison.
+  private val q47 = GraftQuery(
+    "q47_zorder_layout",
+    (s, dir) => {
+      val z = graft.operators.Layout.zorder(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", bits = 8)
+      z.withColumn("bucket", shiftright(col("zvalue"), 10))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("zvalue").as("z_min"), max("zvalue").as("z_max"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT min(l_orderkey) AS min_a, max(l_orderkey) AS max_a,
+                min(l_partkey) AS min_b, max(l_partkey) AS max_b
+              FROM lineitem),
+            q AS (SELECT
+                ((l_orderkey - min_a) * 255) // greatest(max_a - min_a, 1) AS za,
+                ((l_partkey - min_b) * 255) // greatest(max_b - min_b, 1) AS zb
+              FROM lineitem CROSS JOIN b),
+            z AS (SELECT za, zb,
+                CAST(list_sum(list_transform(range(8), i ->
+                  ((za >> i) & 1) * (1::BIGINT << (2*i)) +
+                  ((zb >> i) & 1) * (1::BIGINT << (2*i + 1))))
+                  AS BIGINT) AS zvalue
+              FROM q)
+            SELECT zvalue >> 10 AS bucket, count(*) AS n_rows,
+              min(zvalue) AS z_min, max(zvalue) AS z_max
+            FROM z GROUP BY bucket ORDER BY bucket"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1227,5 +1266,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }
