@@ -1259,6 +1259,71 @@ object Relational {
               min(zvalue) AS z_min, max(zvalue) AS z_max
             FROM z GROUP BY bucket ORDER BY bucket"""))
 
+  // Ordered funnel (view → later click → later purchase): each stage
+  // is a min-ts agg keyed on user_id joined to the next stage's
+  // events with a strict ts inequality — the sequential-conversion
+  // query (MATCH_RECOGNIZE territory) expressed as three user-keyed
+  // aggregations. Scale shape: every join and agg shares ONE
+  // partitioning (user_id), so the funnel is three reuses of the same
+  // shuffle, not three independent ones; stage outputs only shrink.
+  private val q48 = GraftQuery(
+    "q48_funnel_stages",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "ts", "event_type")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+              JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+              JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM v) AS n_view,
+                   (SELECT count(*) FROM c) AS n_click_after_view,
+                   (SELECT count(*) FROM p) AS n_purchase_after_click"""))
+
+  // Cohort retention: users cohorted by the month of their FIRST
+  // event; activity counted as distinct users per (cohort, month
+  // offset). The offset is exact integer month arithmetic (no date
+  // subtraction FP), the distinct count is one (cohort, offset,
+  // user) dedup — the standard retention matrix at any scale. The
+  // first-event table is the same user-keyed agg q48 starts from.
+  private val q49 = GraftQuery(
+    "q49_cohort_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "ts")
+      val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+      e.join(first, "user_id")
+        .withColumn("cohort", date_format(col("t0"), "yyyy-MM"))
+        .withColumn("offset",
+          (year(col("ts")) - year(col("t0"))) * 12 +
+            (month(col("ts")) - month(col("t0"))))
+        .filter(col("offset") <= 3)
+        .groupBy("cohort", "offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "offset")
+    },
+    Some("""WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+              GROUP BY user_id)
+            SELECT strftime(t0, '%Y-%m') AS cohort,
+              (year(ts) - year(t0)) * 12 + (month(ts) - month(t0)) AS "offset",
+              count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            WHERE (year(ts) - year(t0)) * 12 + (month(ts) - month(t0)) <= 3
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1266,5 +1331,6 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+    q48, q49)
 }
