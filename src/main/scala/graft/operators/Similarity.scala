@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -583,6 +583,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("nbr_id"),
         col("adist"), col("rank"))
+  }
+
+  /** 1-bit (sign) binary quantization: dimension j of the embedding
+    * contributes bit j%32 of word j/32 when positive — a 64-dim float
+    * vector (256 B) becomes two BIGINT words (16 B, bits in two
+    * 32-bit halves so neither word's integer value overflows a signed
+    * 64-bit lane in ANY engine). Angular distance is then Hamming
+    * distance over the words ([[hammingTopK]]) — the coarsest, and at
+    * corpus scale often the first, vector-compression tier (1-bit
+    * quantization retrieval à la Rademacher/sign-LSH: sign bits of
+    * unit vectors preserve angle up to the Hamming/angle identity).
+    * Pure map, zero shuffle, exact integer output — fully
+    * oracle-checkable. Requires dim ≤ 64 here (two words); widen the
+    * word array for larger dims. */
+  def binarySignBits(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 64, "dim must be in [2, 64] (two 32-bit words)")
+    import graft.functions.TextFunctions.bound
+    def word(v: Column, lo: Int, hi: Int): Column =
+      (lo until hi).map { j =>
+        when(element_at(v, j + 1) > 0.0, lit(1L << (j - lo))).otherwise(0L)
+      }.reduce(_ + _)
+    val half = math.min(32, dim)
+    graft.queries.Tables.spread(emb).select(
+      col(idCol).as("vec_id"),
+      bound(transform(col(vecCol), x => x.cast("double"))) { v =>
+        struct(word(v, 0, half).as("w0"),
+          (if (dim > 32) word(v, 32, dim) else lit(0L)).as("w1"))
+      }.as("__w"))
+      .select(col("vec_id"), col("__w.w0").as("w0"), col("__w.w1").as("w1"))
+  }
+
+  /** Hamming top-k over [[binarySignBits]] words: distance =
+    * popcount(w0⊕q0) + popcount(w1⊕q1) — integer-exact, so ranks are
+    * deterministic with the (distance, vec_id) tie-break. Scale
+    * shape: queries broadcast, the corpus scan reads 16 B per vector
+    * (the whole point), one per-query window for the cut. */
+  def hammingTopK(
+      signs: DataFrame,
+      queryIds: DataFrame => DataFrame,
+      k: Int): DataFrame = {
+    val probes = queryIds(signs).select(
+      col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = signs.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        col("hamming"), col("rank"))
   }
 
   /** The sign matrix for [[randomProjection]]: entry (i, j) is ±1 by

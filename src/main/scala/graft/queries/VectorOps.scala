@@ -520,6 +520,41 @@ object VectorOps {
             SELECT query_id, nbr_id, adist, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // 1-bit binary quantization + Hamming ANN — the coarsest
+  // compression tier (64 dims → two BIGINT words, 16 B/vector;
+  // retrieval scans bits, not floats). Sign extraction, XOR popcount
+  // distance and the (hamming, vec_id) rank are ALL integer-exact, so
+  // unlike the float-cosine ANN family this approximate index is
+  // fully oracle-checked end-to-end.
+  private val v18 = GraftQuery(
+    "v18_hamming_topk_1bit",
+    (s, dir) => {
+      val signs = Similarity.binarySignBits(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.hammingTopK(signs, _.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            w AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w0,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+33] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w1
+              FROM e),
+            p AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM w
+              WHERE vec_id < 10),
+            sc AS (SELECT query_id, w.vec_id AS nbr_id,
+                CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INT)
+                  AS hamming
+              FROM w CROSS JOIN p WHERE w.vec_id != p.query_id),
+            r AS (SELECT query_id, nbr_id, hamming, row_number() OVER
+                (PARTITION BY query_id ORDER BY hamming, nbr_id) AS rank
+              FROM sc)
+            SELECT query_id, nbr_id, hamming, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18)
 }
