@@ -388,6 +388,121 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Synthesize REAL 64×64 grayscale PNGs whose 8×8 block pattern
+    * derives from md5 — block (bx, by)'s 64 pixels all take the FIRST
+    * BYTE of md5("id_bx_by") as their gray value. The same seed-free
+    * derivation as the JL sign matrix (Similarity.signMatrix): a SQL
+    * oracle recomputes every block value from md5 alone, which is
+    * what lets the full decode → downsample → threshold path of
+    * [[imageAHash64]] be oracle-checked end-to-end on real codec
+    * bytes. */
+  def synthesizeBlockImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val h = md.digest(s"${id}_${bx}_${by}".getBytes("UTF-8"))
+              val v = h(0) & 0xFF
+              var y = by * 8
+              while (y < by * 8 + 8) {
+                var x = bx * 8
+                while (x < bx * 8 + 8) {
+                  raster.setSample(x, y, 0, v); x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          Row(id, "image", baos.toByteArray, "synthetic-block-png")
+        }
+      }(enc)
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL image
+    * bytes: decode, downsample to an 8×8 grid of block means, set bit
+    * j when block j's mean exceeds the global mean — the standard
+    * near-duplicate-image primitive (two re-encodes/resizes of the
+    * same picture land within a few Hamming bits). Output is two
+    * BIGINT words in [[Similarity.binarySignBits]]'s layout, so
+    * [[Similarity.hammingTopK]] searches image fingerprints directly.
+    * The threshold compares exact integer sums (`blockSum·64 >
+    * totalSum` — no FP mean), so the hash is bit-reproducible across
+    * engines and partitionings. Pure map stage; undecodable bytes →
+    * null row (the decode passes' shared DLQ contract). */
+  def imageAHash64(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("w0", LongType, nullable = true),
+      StructField("w1", LongType, nullable = true),
+      StructField("n_set", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val w = img.getWidth; val h = img.getHeight
+            val gray = img.getRaster.getNumBands == 1
+            // integer luma per pixel, summed into its 8×8 grid cell
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val lum =
+                  if (gray) img.getRaster.getSample(x, y, 0).toLong
+                  else {
+                    val p = img.getRGB(x, y)
+                    ((p >> 16 & 0xFF) * 299L + (p >> 8 & 0xFF) * 587L +
+                      (p & 0xFF) * 114L) / 1000L
+                  }
+                val j = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+                sums(j) += lum; counts(j) += 1
+                x += 1
+              }
+              y += 1
+            }
+            // bit j iff blockMean_j > globalMean, in exact integers:
+            // (sum_j / n_j) > (total / N)  ⇔  sum_j · N > total · n_j
+            val total = sums.sum; val n = counts.sum
+            var w0 = 0L; var w1 = 0L; var set = 0
+            var j = 0
+            while (j < 64) {
+              if (sums(j) * n > total * counts(j)) {
+                if (j < 32) w0 |= 1L << j else w1 |= 1L << (j - 32)
+                set += 1
+              }
+              j += 1
+            }
+            Row(id, w0, w1, set)
+          } catch { case _: Exception => Row(id, null, null, null) }
+        }
+      }(enc)
+  }
+
   /** Render a real PNG with the given dimensions, pixels seeded from
     * `seed` (deterministic: same seed+dims → identical bytes). */
   private[graft] def renderPng(w: Int, h: Int, seed: Long): Array[Byte] = {

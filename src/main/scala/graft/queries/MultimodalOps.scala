@@ -197,6 +197,41 @@ object MultimodalOps {
               CAST((400 + (doc_id * 13) % 800 + 1) // 2 AS BIGINT) AS n_frames
             FROM documents ORDER BY media_id"""))
 
+  // Image perceptual hash (aHash) over REAL PNG bytes, fully
+  // oracle-checked: the synthesized images carry an 8×8 block pattern
+  // whose gray values derive from md5 (the JL-sign-matrix trick moved
+  // into pixels), so DuckDB recomputes every block value from md5
+  // alone and replays the integer threshold — a hash match proves the
+  // codec DECODED the actual pixels, downsampled them, and
+  // thresholded correctly. Output words are binarySignBits-shaped:
+  // hammingTopK searches these fingerprints directly (image near-dup
+  // detection at 16 B per image).
+  private val m11 = GraftQuery(
+    "m11_image_ahash_real",
+    (s, dir) => {
+      Multimodal.imageAHash64(
+          Multimodal.synthesizeBlockImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+            b AS (SELECT media_id, j,
+                CAST(concat('0x', substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+                  CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                  1, 2)) AS INT) AS v
+              FROM ids, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            tot AS (SELECT media_id, sum(v) AS total FROM b GROUP BY media_id),
+            bits AS (SELECT media_id, j,
+                CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM b JOIN tot USING (media_id))
+            SELECT media_id,
+              CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                ELSE 0 END) AS BIGINT) AS w0,
+              CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                ELSE 0 END) AS BIGINT) AS w1,
+              CAST(sum(bit) AS INT) AS n_set
+            FROM bits GROUP BY media_id ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10)
+    m10, m11)
 }

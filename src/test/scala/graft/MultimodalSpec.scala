@@ -177,4 +177,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decimateWav(wav, 3).isEmpty)
     assert(Multimodal.decimateWav(wav, 4).nonEmpty) // 10000/4 = 2500 exact
   }
+
+  test("imageAHash64 survives resize (near-dup) but separates images") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val imgs = Multimodal.synthesizeBlockImages(ids, "doc_id")
+    val orig = Multimodal.imageAHash64(imgs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val small = Multimodal.imageAHash64(
+        Multimodal.resize(imgs, 32, 32)
+          .select(col("media_id"), col("out_content").as("content")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // a half-size bilinear re-render of the same picture stays within
+    // a few bits (the near-duplicate property a pHash dedup keys on)…
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(ham(orig(id), small(id)) <= 6,
+        s"resize moved id=$id by ${ham(orig(id), small(id))} bits")
+    }
+    // …while DIFFERENT images stay far apart (~32 expected at random)
+    assert(ham(orig(1L), orig(2L)) >= 10 && ham(orig(1L), orig(3L)) >= 10)
+  }
 }
