@@ -406,35 +406,98 @@ object Multimodal {
       .encoderFor(outSchema)
     df.select(col(idCol).cast("long").as("media_id"))
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
-          val img = new java.awt.image.BufferedImage(
-            64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var by = 0
-          while (by < 8) {
-            var bx = 0
-            while (bx < 8) {
-              val h = md.digest(s"${id}_${bx}_${by}".getBytes("UTF-8"))
-              val v = h(0) & 0xFF
-              var y = by * 8
-              while (y < by * 8 + 8) {
-                var x = bx * 8
-                while (x < bx * 8 + 8) {
-                  raster.setSample(x, y, 0, v); x += 1
-                }
-                y += 1
-              }
-              bx += 1
-            }
-            by += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          Row(id, "image", baos.toByteArray, "synthetic-block-png")
+          Row(id, "image", renderBlockPng(id, None), "synthetic-block-png")
         }
       }(enc)
+  }
+
+  /** Near-duplicate companions for [[synthesizeBlockImages]]: the
+    * SAME md5 block pattern as `idCol` (so the rendered picture is
+    * visually the original) with block (0,0) overridden to
+    * `block0Value` — one edited tile, the canonical "slightly
+    * modified re-upload". Emitted under `media_id + idOffset` so both
+    * versions coexist in one corpus. The perturbation is
+    * id-arithmetic + md5, so a SQL oracle reproduces the perturbed
+    * fingerprints exactly. */
+  def synthesizePerturbedBlockImages(df: DataFrame, idCol: String,
+      idOffset: Long, block0Value: Int): DataFrame = {
+    require(block0Value >= 0 && block0Value <= 255)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, "image",
+            renderBlockPng(id, Some(block0Value)), "synthetic-block-png-mod")
+        }
+      }(enc)
+  }
+
+  private[graft] def renderBlockPng(
+      patternId: Long, block0Override: Option[Int]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val h = md.digest(s"${patternId}_${bx}_${by}".getBytes("UTF-8"))
+        val v =
+          if (bx == 0 && by == 0) block0Override.getOrElse(h(0) & 0xFF)
+          else h(0) & 0xFF
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) {
+            raster.setSample(x, y, 0, v); x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Banded-Hamming near-duplicate IMAGE pairs over [[imageAHash64]]
+    * fingerprints — simhash's 4×16-bit pigeonhole blocking applied to
+    * the picture domain: any two fingerprints within Hamming ≤ 3
+    * agree exactly on at least one 16-bit band, so candidates come
+    * from four uniform (band, value) bucket joins — never an
+    * all-pairs scan — and the popcount verify touches candidates
+    * only. O(corpus) + O(candidates), the 100-TB image-dedup shape. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band blocking guarantees recall only for maxHamming <= 3")
+    val withSim = hashes.select(col("media_id"),
+      (col("w0").bitwiseOR(shiftleft(col("w1"), 32))).as("sig"))
+    val bandCols = array((0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }: _*)
+    val blocks = withSim
+      .select(col("media_id"), col("sig"), explode(bandCols).as("b"))
+      .select(col("media_id"), col("sig"), col("b.band"), col("b.v"))
+    blocks.as("x").join(blocks.as("y"), Seq("band", "v"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(
+        col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Average-hash (aHash) perceptual fingerprint over REAL image

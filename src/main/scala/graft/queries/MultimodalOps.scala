@@ -232,6 +232,57 @@ object MultimodalOps {
               CAST(sum(bit) AS INT) AS n_set
             FROM bits GROUP BY media_id ORDER BY media_id"""))
 
+  // Image near-duplicate PAIRS: m11's aHash fingerprints through
+  // simhash-style 4×16-bit pigeonhole banding (one-band-exact
+  // candidates + popcount verify — never all-pairs). The corpus
+  // plants perturbed companions (same md5 block pattern, ONE edited
+  // tile, offset ids) whose fingerprints sit a few Hamming bits from
+  // their originals; random image pairs sit ~32 bits apart, so the
+  // pair set is exactly planted-copy ↔ original. The oracle
+  // recomputes both fingerprint sets from md5 + the perturbation
+  // arithmetic and scans ALL pairs — banding recall ≤ 3 bits is
+  // pigeonhole-exact, so banded Spark ≡ exhaustive SQL.
+  private val m12 = GraftQuery(
+    "m12_image_neardup_pairs",
+    (s, dir) => {
+      val base = Tables.spread(t(s, dir, "documents"))
+      val orig = Multimodal.synthesizeBlockImages(base, "doc_id")
+      val mod = Multimodal.synthesizePerturbedBlockImages(
+        base.filter(col("doc_id") < 50), "doc_id",
+        idOffset = 10000000L, block0Value = 255)
+      Multimodal.imageNearDupPairs(
+          Multimodal.imageAHash64(orig.unionByName(mod)), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS media_id, doc_id AS pat, FALSE AS mod
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+              WHERE doc_id < 50),
+            b AS (SELECT media_id, j,
+                CASE WHEN mod AND j = 0 THEN 255 ELSE
+                  CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) || '_' ||
+                    CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                    1, 2)) AS INT) END AS v
+              FROM ids, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            tot AS (SELECT media_id, sum(v) AS total FROM b GROUP BY media_id),
+            bits AS (SELECT media_id, j,
+                CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM b JOIN tot USING (media_id)),
+            w AS (SELECT media_id,
+                CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                  ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                  ELSE 0 END) AS BIGINT) AS w1
+              FROM bits GROUP BY media_id)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+              CAST(bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1))
+                AS INT) AS hamming
+            FROM w a JOIN w c ON a.media_id < c.media_id
+            WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 3
+            ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11)
+    m10, m11, m12)
 }
