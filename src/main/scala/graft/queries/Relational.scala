@@ -1324,6 +1324,32 @@ object Relational {
             WHERE (year(ts) - year(t0)) * 12 + (month(ts) - month(t0)) <= 3
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // LISTAGG WITHIN GROUP (ANSI ordered string aggregation, new SQL
+  // surface in Spark 4) vs DuckDB's string_agg(expr, sep ORDER BY …):
+  // the deterministic-order contract makes an otherwise
+  // merge-order-nondeterministic aggregate reproducible (q32 reaches
+  // the same result via array_sort ∘ collect_list — this is the
+  // SQL-text form). Dims broadcast; one 5-group agg.
+  private val q50 = GraftQuery(
+    "q50_listagg_within_group",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      t(s, dir, "region").createOrReplaceTempView("g_region")
+      s.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM g_nation JOIN g_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")
+    },
+    Some("""SELECT r_name,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1332,5 +1358,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49)
+    q48, q49, q50)
 }

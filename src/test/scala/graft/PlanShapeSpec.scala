@@ -271,4 +271,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_min"), s"assignment argmin must combine map-side:\n$p")
     assert(p.contains("partial_count"), s"member count must combine map-side:\n$p")
   }
+
+  test("v17 ADC: LUT broadcasts, per-pair sum combines map-side, no sort-merge") {
+    val p = plan("v17_pq_adc_topk")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), s"ADC sum must combine map-side:\n$p")
+  }
+
+  test("v18 hamming: probes broadcast against a linear corpus scan") {
+    val p = plan("v18_hamming_topk_1bit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t44 url dedup: map-side canonicalization + ONE keyed agg, no join") {
+    val p = plan("t44_url_canonical_dedup")
+    assert(!p.contains("Join"), s"url dedup must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"canonical-url agg must combine map-side:\n$p")
+  }
+
+  test("q47 zorder: single agg for bounds, no sort-merge, no cartesian blowup") {
+    val p = plan("q47_zorder_layout")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds must broadcast:\n$p")
+  }
+
+  test("m12 image near-dup: banded bucket join, never all-pairs") {
+    val p = plan("m12_image_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"banding must bucket-join:\n$p")
+  }
 }
