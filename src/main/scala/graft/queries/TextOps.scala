@@ -1508,8 +1508,63 @@ object TextOps {
             FROM d JOIN g ON d.domain = g.domain CROSS JOIN gl
             ORDER BY doc_id"""))
 
+  // Distributed logistic-regression TRAINING (operators/Classifier) —
+  // the trainer behind t38's fixed-weight scorer: full-batch GD,
+  // predict-English-from-char-stats as the task (bias + length band +
+  // alpha fraction + digit fraction). Deterministic by the v13
+  // contract (per-row gradients rounded then DECIMAL-summed —
+  // order-free; weights materialize per step), so BOTH Lloyd-style
+  // iterations unroll in the SQL oracle, exp() and all.
+  private val t46 = GraftQuery(
+    "t46_logreg_train",
+    (s, dir) => {
+      val len = greatest(length(col("text")), lit(1))
+      val alphaFrac = round((length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double") /
+        len, 4)
+      val digitFrac = round((length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        len, 4)
+      val feats = docs(s, dir).select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        array(lit(1.0),
+          round(least(col("n_chars"), lit(2000)).cast("double") / 2000.0, 4),
+          alphaFrac, digitFrac).as("x"))
+      graft.operators.Classifier.logregFit(feats, "y", "x",
+          iters = 2, lr = 0.5)
+        .orderBy("j")
+    },
+    Some("""WITH f AS (SELECT
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+              [1.0,
+               round(least(n_chars, 2000) / 2000.0, 4),
+               round(CAST(length(text) - length(regexp_replace(text,
+                 '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4),
+               round(CAST(length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4)
+              ] AS x
+            FROM documents),
+            js AS (SELECT CAST(unnest(range(4)) AS INT) AS j),
+            g1 AS (SELECT j, sum(CAST(round((y - 0.5) * x[j+1], 6)
+                AS DECIMAL(18,6))) AS s, count(*) AS n
+              FROM f, js GROUP BY j),
+            w1 AS (SELECT j, round(0.5 * CAST(s AS DOUBLE) / n, 6) AS w
+              FROM g1),
+            w1l AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+            s2 AS (SELECT y, x,
+                round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(4),
+                  k -> wl[k+1] * x[k+1]))))), 6) AS sig
+              FROM f, w1l),
+            g2 AS (SELECT j, sum(CAST(round((y - sig) * x[j+1], 6)
+                AS DECIMAL(18,6))) AS s, count(*) AS n
+              FROM s2, js GROUP BY j)
+            SELECT g2.j AS j,
+              round(w1.w + 0.5 * CAST(g2.s AS DOUBLE) / g2.n, 6) AS weight
+            FROM g2 JOIN w1 ON g2.j = w1.j
+            ORDER BY g2.j"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44, t45)
+    t40, t41, t42, t43, t44, t45, t46)
 }
