@@ -641,6 +641,88 @@ object Similarity {
         col("hamming"), col("rank"))
   }
 
+  /** Composed IVF-PQ top-k search — the canonical 100-TB ANN shape in
+    * one operator: a coarse quantizer prunes the corpus to the
+    * query's nProbe nearest CELLS, then [[pqAdcTopK]]'s
+    * asymmetric-distance scoring runs over only those cells' m-byte
+    * codes. Corpus cost per query: |corpus|·nProbe/nCells code
+    * lookups instead of a full scan — the IVF cut — and the scan
+    * still never touches the stored floats.
+    *
+    * Determinism contract (what makes the WHOLE composition
+    * oracle-checkable): cell assignment + probe selection use
+    * 6-decimal-rounded distances with id tie-breaks (v13's argmin
+    * rule), and the ADC stage inherits v14/v17's rounded-LUT +
+    * exact-DECIMAL-sum contract. Both stages' models (centroids,
+    * codebooks) are tiny broadcast tables.
+    *
+    * @param centroids (cid, cvec array<double>) — coarse cells, e.g.
+    *                  [[kmeansFitInt8]] output re-parsed, or any
+    *                  deterministic table of cell centers.
+    * @param codes     (vec_id, cid, code_csv) — [[pqEncode]] output
+    *                  pre-joined with each vector's cell id.
+    * @return (query_id, nbr_id, adist, rank) for rank ≤ k within the
+    *         probed cells. */
+  def ivfPqTopK(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      m: Int,
+      k: Int,
+      nProbe: Int,
+      dim: Int = 64): DataFrame = {
+    require(nProbe >= 1, "nProbe must be positive")
+    val q = queries.select(
+      col(qIdCol).as("query_id"),
+      transform(col(qVecCol), x => x.cast("double")).as("qv"))
+    // probe selection: nProbe nearest cells per query (rounded-argmin
+    // rule); centroid table is KBs — broadcast, map-only scoring
+    val cellDist = round(aggregate(
+      zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e), 6)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cellDist)
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // LUT per (query, subspace, code) — v17's shape
+    val subLen = dim / m
+    val qsub = probes.select(col("query_id"), col("cid"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("subspace"),
+            slice(col("qv"), s * subLen + 1, subLen).as("qs"))
+        }: _*)).as("sub"))
+      .select(col("query_id"), col("cid"), col("sub.subspace"), col("sub.qs"))
+    val lut = qsub.join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("cid"), col("subspace"), col("code"),
+        round(aggregate(
+          zip_with(col("qs"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 6).as("d"))
+    // ADC over ONLY the probed cells: the (cid) equi-join key is what
+    // prunes the corpus before any scoring happens
+    val corpus = graft.queries.Tables.spread(codes).select(
+        col("vec_id"), col("cid"),
+        posexplode(split(col("code_csv"), ","))
+          .as(Seq("subspace", "code_s")))
+      .select(col("vec_id"), col("cid"), col("subspace"),
+        col("code_s").cast("int").as("code"))
+    val scored = corpus.join(broadcast(lut), Seq("cid", "subspace", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("d").cast("decimal(18,6)")), 4)
+        .cast("decimal(18,4)").as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        col("adist"), col("rank"))
+  }
+
   /** The sign matrix for [[randomProjection]]: entry (i, j) is ±1 by
     * the parity of the first hex digit of md5("i_j") — a seed-free,
     * ENGINE-PORTABLE derivation (any SQL engine reproduces it from

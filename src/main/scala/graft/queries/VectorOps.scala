@@ -555,6 +555,102 @@ object VectorOps {
             SELECT query_id, nbr_id, hamming, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Composed IVF-PQ search — the full 100-TB ANN pipeline in one
+  // operator: coarse cells (8 deterministic centers) prune the corpus
+  // to nProbe=2 cells per query, then v17's ADC scores ONLY those
+  // cells' codes. Every stage (cell assignment, probe selection,
+  // encode, LUT, rank) follows the rounded-argmin / DECIMAL-sum
+  // contract, so the entire composition unrolls in the SQL oracle.
+  private val v19 = GraftQuery(
+    "v19_ivf_pq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val centroids = emb.orderBy("vec_id").limit(8)
+        .withColumn("cid", row_number().over(w) - 1)
+        .select(col("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val base = emb.orderBy("vec_id").limit(16)
+        .withColumn("code", row_number().over(w) - 1)
+        .select(col("code"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val codebooks = base.select(col("code"), explode(array((0 until 4).map {
+          sp => struct(lit(sp).as("subspace"),
+            slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+        }: _*)).as("sub"))
+        .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+      val cellDist = round(aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e), 6)
+      val assign = emb.crossJoin(broadcast(centroids))
+        .withColumn("cdist", cellDist)
+        .groupBy("vec_id")
+        .agg(min(struct(col("cdist"), col("cid"))).as("mc"))
+        .select(col("vec_id"), col("mc.cid").as("cid"))
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks,
+          m = 4).select("vec_id", "code_csv")
+        .join(assign, "vec_id")
+      Similarity.ivfPqTopK(codes, codebooks, centroids,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          m = 4, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT code, v FROM (SELECT v,
+                row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM e ORDER BY vec_id LIMIT 16)),
+            sp AS (SELECT CAST(unnest(range(4)) AS INT) AS subspace),
+            cbs AS (SELECT subspace, code,
+                v[subspace*16+1 : subspace*16+16] AS cvec FROM cb, sp),
+            sub AS (SELECT vec_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS sv FROM e, sp),
+            sc AS (SELECT vec_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (sv[i+1] - cvec[i+1]) * (sv[i+1] - cvec[i+1]))), 6) AS dist
+              FROM sub JOIN cbs USING (subspace)),
+            best AS (SELECT vec_id, subspace, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                  ORDER BY dist, code) AS rn FROM sc) WHERE rn = 1),
+            c8 AS (SELECT cid, v AS cvec FROM (SELECT v,
+                row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM e ORDER BY vec_id LIMIT 8)),
+            asg AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c8.cid, row_number() OVER
+                  (PARTITION BY e.vec_id ORDER BY
+                    round(list_sum(list_transform(range(64),
+                      i -> (v[i+1] - cvec[i+1]) * (v[i+1] - cvec[i+1]))), 6),
+                    c8.cid) AS rn
+                FROM e, c8) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+            pr AS (SELECT query_id, cid FROM (
+                SELECT q.query_id, c8.cid, row_number() OVER
+                  (PARTITION BY q.query_id ORDER BY
+                    round(list_sum(list_transform(range(64),
+                      i -> (v[i+1] - cvec[i+1]) * (v[i+1] - cvec[i+1]))), 6),
+                    c8.cid) AS rn
+                FROM q, c8) WHERE rn <= 2),
+            qs AS (SELECT query_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS qsv FROM q, sp),
+            lut AS (SELECT query_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (qsv[i+1] - cvec[i+1]) * (qsv[i+1] - cvec[i+1]))), 6) AS d
+              FROM qs JOIN cbs USING (subspace)),
+            sc2 AS (SELECT lut.query_id, best.vec_id,
+                CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
+                  AS DECIMAL(18,4)) AS adist
+              FROM best
+              JOIN asg USING (vec_id)
+              JOIN pr ON asg.cid = pr.cid
+              JOIN lut ON lut.query_id = pr.query_id
+                AND lut.subspace = best.subspace AND lut.code = best.code
+              GROUP BY lut.query_id, best.vec_id),
+            r AS (SELECT query_id, vec_id AS nbr_id, adist, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+              FROM sc2)
+            SELECT query_id, nbr_id, adist, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
 }
