@@ -74,6 +74,16 @@ class ExamplesSpec extends SparkTestBase {
     assert(got(1).contains("\"id\":5"))
   }
 
+  test("funnel example: ordered conversion stages over the batch") {
+    val got = Invoke.invoke(spark, "examples/funnel.analytics.yml",
+        "examples/fixtures/funnel_events.jsonl")
+      .toJSON.collect().toSeq
+    // user 1 completes the funnel; user 2's purchase precedes the
+    // click; user 3's click precedes the view; user 4 never viewed
+    assert(got == Seq(
+      """{"n_view":3,"n_click_after_view":2,"n_purchase_after_click":1}"""))
+  }
+
   test("udf example: parse_domain groups by registered domain") {
     val got = Invoke.invoke(spark, "examples/udf.yml", fixture)
       .toJSON.collect().toSeq
