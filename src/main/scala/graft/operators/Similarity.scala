@@ -723,6 +723,25 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  /** ANN index-quality report: recall@k of an approximate result
+    * against a reference top-k, per query — the measurement loop that
+    * decides nProbe/band/bit budgets BEFORE a 100-TB index build.
+    * Both inputs are (query_id, nbr_id) sets; output is (query_id,
+    * n_hit, recall). One equi-join keyed on (query_id, nbr_id) + one
+    * tiny agg — queries with zero hits are kept via the reference's
+    * query spine (an inner-join-only report silently drops the worst
+    * queries, the exact rows a recall audit exists to surface). */
+  def annRecall(ann: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val hits = ann.select("query_id", "nbr_id")
+      .join(ref.select("query_id", "nbr_id"), Seq("query_id", "nbr_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    ref.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall", round(col("n_hit") / k.toDouble, 4))
+  }
+
   /** The sign matrix for [[randomProjection]]: entry (i, j) is ±1 by
     * the parity of the first hex digit of md5("i_j") — a seed-free,
     * ENGINE-PORTABLE derivation (any SQL engine reproduces it from

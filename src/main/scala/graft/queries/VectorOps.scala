@@ -651,6 +651,60 @@ object VectorOps {
             SELECT query_id, nbr_id, adist, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // ANN recall report — the measurement operator (Similarity
+  // .annRecall) run over two of the registry's own indexes: the 1-bit
+  // Hamming tier (v18) audited against the exact int8-cosine top-k
+  // (v12). Both pipelines are deterministic, so even the RECALL
+  // NUMBERS are oracle-checked — the SQL replays both index
+  // computations and the intersection count. Queries with zero hits
+  // stay in the report via the reference query spine.
+  private val v20 = GraftQuery(
+    "v20_ann_recall_report",
+    (s, dir) => {
+      val ref = v12.run(s, dir).select("query_id", "nbr_id")
+      val ann = v18.run(s, dir).select("query_id", "nbr_id")
+      Similarity.annRecall(ann, ref, k = 5).orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            iq AS (SELECT vec_id, list_transform(v, x -> CAST(round(x *
+                    (127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)))
+                    AS BIGINT)) AS qv FROM e),
+            in_ AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qnorm FROM iq),
+            ip AS (SELECT vec_id AS query_id, qv AS qv_q, qnorm AS qn_q
+              FROM in_ WHERE vec_id < 10),
+            isc AS (SELECT query_id, in_.vec_id AS nbr_id,
+                     round(list_dot_product(in_.qv, ip.qv_q) /
+                       sqrt(CAST(in_.qnorm * ip.qn_q AS DOUBLE)), 4) AS cos_q
+                   FROM in_ CROSS JOIN ip WHERE in_.vec_id != ip.query_id),
+            iref AS (SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos_q DESC, nbr_id) AS rank
+                FROM isc) WHERE rank <= 5),
+            hw AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w0,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+33] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w1
+              FROM e),
+            hp AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM hw
+              WHERE vec_id < 10),
+            hsc AS (SELECT query_id, hw.vec_id AS nbr_id,
+                bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS hamming
+              FROM hw CROSS JOIN hp WHERE hw.vec_id != hp.query_id),
+            hann AS (SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id, row_number() OVER
+                  (PARTITION BY query_id ORDER BY hamming, nbr_id) AS rank
+                FROM hsc) WHERE rank <= 5),
+            h AS (SELECT hann.query_id, count(*) AS n_hit
+              FROM hann JOIN iref USING (query_id, nbr_id) GROUP BY 1)
+            SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+              round(coalesce(n_hit, 0) / 5.0, 4) AS recall
+            FROM (SELECT DISTINCT query_id FROM iref) q
+            LEFT JOIN h USING (query_id)
+            ORDER BY query_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
 }
