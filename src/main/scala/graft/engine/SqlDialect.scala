@@ -70,6 +70,12 @@ object SqlDialect {
       "arg_max" -> "max_by",
       "arg_min" -> "min_by"
     ).foreach { case (from, to) => s = renameFunctionCall(s, from, to) }
+    // DuckDB star modifier `* EXCLUDE (a, b)` / `* EXCLUDE a` ≡ Spark
+    // `* EXCEPT (a, b)` (same column-pruning semantics; the `*`
+    // anchor keeps string literals safe). `* REPLACE (...)` has no
+    // Spark equivalent and is left for a loud parse failure.
+    s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s*\\(", "$1EXCEPT (")
+    s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s+(\"?[\\w]+\"?)", "$1EXCEPT ($2)")
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")

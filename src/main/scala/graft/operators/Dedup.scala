@@ -145,6 +145,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** LSH banding PLANNER for [[minhashLshPairs]]: given a target
+    * Jaccard threshold and the signature budget, pick (bands, rows)
+    * so the S-curve's 50%-candidate point `(1/b)^(1/r)` lands nearest
+    * the target. Driver-side arithmetic over the divisors of
+    * `numHashes` — the tuning loop a 100-TB dedup runs BEFORE
+    * committing to a banding (each retune of a wrong banding costs a
+    * full corpus pass). Returns (bands, rows, estThreshold,
+    * pCandidateAtTarget): `1 − (1 − t^r)^b` at the target says how
+    * much recall the chosen curve gives exactly at the threshold. */
+  def lshPlan(threshold: Double, numHashes: Int)
+      : (Int, Int, Double, Double) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(numHashes >= 2, "numHashes must be >= 2")
+    val candidates = (1 to numHashes)
+      .filter(r => numHashes % r == 0 && numHashes / r >= 1)
+      .map { r =>
+        val b = numHashes / r
+        val tEst = math.pow(1.0 / b, 1.0 / r)
+        (b, r, tEst)
+      }
+      .filter(_._1 >= 2) // a single band never bucket-joins
+    val (b, r, tEst) = candidates.minBy(c => math.abs(c._3 - threshold))
+    val pAtT = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    (b, r, tEst, pAtT)
+  }
+
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     *
     * Signature: k=64 affine min-hashes (map-side, codegen'd). Banding:

@@ -253,4 +253,22 @@ class DedupSpec extends SparkTestBase {
     assert((1 to 50).forall(i => got(1000L + i)), "all planted dups flagged")
     assert((1 to 50).forall(i => !got(2000L + i)), "no false positives survive verify")
   }
+
+  test("lshPlan picks the banding whose S-curve midpoint nears the target") {
+    // known optima: 128 hashes, t=0.8 → 8 bands × 16 rows
+    // ((1/8)^(1/16) ≈ 0.878 beats (1/16)^(1/8) ≈ 0.707); t=0.5 →
+    // 32 × 4 ((1/32)^(1/4) ≈ 0.420)
+    val (b1, r1, t1, p1) = Dedup.lshPlan(0.8, 128)
+    assert((b1, r1) == (8, 16), s"got ($b1, $r1) est $t1")
+    assert(p1 > 0.2 && p1 < 1.0)
+    val (b2, r2, t2, _) = Dedup.lshPlan(0.5, 128)
+    assert((b2, r2) == (32, 4), s"got ($b2, $r2) est $t2")
+    // the shipped t08 default (64 hashes, low-threshold dedup): the
+    // planner agrees 32×2 targets j ≈ 0.18
+    val (b3, r3, t3, _) = Dedup.lshPlan(0.18, 64)
+    assert((b3, r3) == (32, 2), s"got ($b3, $r3) est $t3")
+    // estimator sanity: midpoint is where P(candidate) ≈ 1/2-ish
+    val pMid = 1.0 - math.pow(1.0 - math.pow(t1, r1), b1)
+    assert(pMid > 0.3 && pMid < 0.8)
+  }
 }

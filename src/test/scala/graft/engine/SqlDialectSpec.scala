@@ -167,6 +167,16 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT max_by(k, v), min_by(k, v) FROM t GROUP BY g")
   }
 
+  test("star EXCLUDE rewrites to Spark EXCEPT (list and bare forms)") {
+    assert(translate("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(translate("SELECT t.* EXCLUDE secret FROM t") ==
+      "SELECT t.* EXCEPT (secret) FROM t")
+    // not a star modifier → untouched
+    assert(translate("SELECT 'EXCLUDE (a)' AS s FROM t") ==
+      "SELECT 'EXCLUDE (a)' AS s FROM t")
+  }
+
   test("DISTINCT ON rewrites to row_number keep-first; ORDER BY drives the pick") {
     assert(translate(
       "SELECT DISTINCT ON (user_id) user_id, ts, v FROM t ORDER BY user_id, ts DESC") ==
