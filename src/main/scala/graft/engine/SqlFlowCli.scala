@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   *       batch through the pipeline, result rows printed as JSON lines.
   *   validate <config.yml>
   *     — parse + template-render + structural checks, exit non-zero on error.
+  *   example
+  *     — print a canonical config covering the schema's surface
+  *       (reference `config example`, which renders its JSON schema;
+  *       ours is curated and kept honest by CliExampleSpec, which
+  *       validates it through the same structural checks).
   *   run <config.yml> [--max-batches N]
   *     — the streaming daemon (StreamingPipeline).
   *
@@ -44,6 +49,8 @@ object SqlFlowCli {
             System.err.println(s"INVALID: ${e.getMessage}")
             sys.exit(1)
         }
+      case "example" =>
+        println(exampleYaml)
       case "run" =>
         val maxBatches = args.sliding(2).collectFirst {
           case Array("--max-batches", n) => n.toInt
@@ -60,7 +67,55 @@ object SqlFlowCli {
   }
 
   private def usage(): Unit =
-    System.err.println("usage: SqlFlowCli (invoke|validate|run) <config.yml> ...")
+    System.err.println(
+      "usage: SqlFlowCli (invoke|validate|example|run) <config.yml> ...")
+
+  /** Canonical example config: every top-level section, the common
+    * source/sink kinds, a managed table, a UDF and an error policy —
+    * validated by CliExampleSpec through ConfigSchema. */
+  private[engine] val exampleYaml: String =
+    """commands:
+      |  - name: attach lookups
+      |    sql: ATTACH 'jdbc:derby:memory:lookups;create=true' AS lookups (TYPE JDBC)
+      |udfs:
+      |  - function_name: parse_domain
+      |    import_path: graft.udf.parse_domain
+      |tables:
+      |  sql:
+      |    - name: totals
+      |      sql: |
+      |        CREATE TABLE totals (bucket TIMESTAMPTZ, city STRING, n BIGINT);
+      |        CREATE UNIQUE INDEX totals_idx ON totals (bucket, city);
+      |      manager:
+      |        tumbling_window:
+      |          poll_interval_seconds: 10
+      |          collect_closed_windows_sql: SELECT * FROM totals
+      |          delete_closed_windows_sql: DELETE FROM totals
+      |        sink:
+      |          type: console
+      |pipeline:
+      |  batch_size: 1000
+      |  flush_interval_seconds: 5
+      |  source:
+      |    type: kafka
+      |    kafka:
+      |      brokers: ['{{ KAFKA_BROKERS|default('localhost:9092') }}']
+      |      group_id: sqlflow
+      |      auto_offset_reset: earliest
+      |      topics: [input-topic]
+      |  handler:
+      |    type: 'handlers.InferredMemBatch'
+      |    sql: SELECT city, count(*) AS n FROM batch GROUP BY city
+      |  sink:
+      |    type: kafka
+      |    kafka:
+      |      brokers: ['{{ KAFKA_BROKERS|default('localhost:9092') }}']
+      |      topic: output-topic
+      |  on_error:
+      |    policy: DLQ
+      |    dlq:
+      |      type: console
+      |""".stripMargin
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
