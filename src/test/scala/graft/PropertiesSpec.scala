@@ -137,4 +137,44 @@ object PropertiesSpec extends Properties("graft") {
         got(id) == (w, bin)
       }
     }
+
+  // --- UrlOps.canonicalizeUrl: idempotence --------------------------
+
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTPS", "https")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("Example.COM", "a.b.org", "x.io")
+    port <- Gen.oneOf("", ":443", ":80", ":8080")
+    path <- Gen.oneOf("", "/", "/P/Q", "/p/")
+    query <- Gen.oneOf("", "?a=1", "?utm_source=x", "?utm_a=1&b=2&utm_c=3",
+      "?b=2&utm_x=9")
+    frag <- Gen.oneOf("", "#f", "#Sec2")
+  } yield s"$scheme://$www$host$port$path$query$frag"
+
+  property("canonicalizeUrl is idempotent (canon ∘ canon = canon)") =
+    Prop.forAll(Gen.listOfN(8, genUrl)) { urls =>
+      import spark.implicits._
+      import graft.operators.UrlOps.canonicalizeUrl
+      val df = urls.toDF("u")
+      val once = df.select(canonicalizeUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      val twice = df.select(
+          canonicalizeUrl(canonicalizeUrl(col("u"))).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      once == twice
+    }
+
+  // --- Layout.mortonInterleave: bijective on the quantized grid -----
+
+  property("mortonInterleave is a bijection on [0,2^b)² and bounded by 4^b") =
+    Prop.forAll(Gen.choose(2, 5)) { bits =>
+      import spark.implicits._
+      val n = 1 << bits
+      val grid = (for { a <- 0 until n; b <- 0 until n }
+        yield (a.toLong, b.toLong)).toDF("a", "b")
+      val zs = grid.select(
+          graft.operators.Layout.mortonInterleave(col("a"), col("b"), bits))
+        .collect().map(_.getLong(0))
+      zs.distinct.length == n * n && zs.forall(z => z >= 0 && z < n.toLong * n)
+    }
 }
