@@ -279,6 +279,37 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in embedding space — block the corpus with the IVF
+    * coarse quantizer, generate within-cell cosine near-dup pairs,
+    * union-find the pairs into duplicate groups, and keep ONE
+    * representative per group. The representative here is the minimum
+    * id (deterministic, auditable); the paper keeps the member with
+    * the lowest centroid similarity — that variant is a one-line swap
+    * of the keep rank using [[centroidDistance]].
+    *
+    * Scale shape: pair generation is [[ivfCosinePairs]] (cell-blocked
+    * candidates + exact verify — never all-pairs), grouping is
+    * [[graft.operators.Dedup.connectedComponents]] (alternating
+    * large-star/small-star keyed aggs, O(log diameter) rounds), and
+    * the keep decision is ONE left join back to the corpus spine. No
+    * stage materializes more than corpus + candidate pairs.
+    *
+    * Output: (idCol, rep_id, keep) for EVERY input row — `keep=false`
+    * rows name the representative that supersedes them. */
+  def semDeDup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val pairs = ivfCosinePairs(emb, idCol, vecCol, threshold, nCells, nProbe)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("doc_id", idCol)
+    emb.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("component_id"), col(idCol)))
+      .withColumn("keep", col("rep_id") === col(idCol))
+      .select(col(idCol), col("rep_id"), col("keep"))
+  }
+
   /** Per-group embedding centroid + each vector's cosine to its own
     * group's centroid — the standard embedding-space outlier / label-
     * noise score (vectors far from their class centroid are candidate

@@ -1563,8 +1563,184 @@ object TextOps {
             FROM g2 JOIN w1 ON g2.j = w1.j
             ORDER BY g2.j"""))
 
+  // CCNet-style perplexity bucketing (Wenzek et al. 2020,
+  // arXiv:1911.00359): score each document with an LM proxy (t32's
+  // corpus bigram surprisal), then cut each LANGUAGE into
+  // head/middle/tail terciles by score — CCNet keeps `head` (and
+  // optionally `middle`) for pretraining. Shape: t32's two
+  // map-side-combined count aggs + vocabulary join-backs, a langid map
+  // (t04's native expression), then ONE per-language window. ntile
+  // orders by (rounded surprisal, doc_id) — a total order, so the cut
+  // point is deterministic in both engines, and both fill earlier
+  // buckets first on non-divisible partition sizes. Scale: the
+  // per-language sort ranks only within each language partition (the
+  // honest CCNet cut); at 100 TB swap ntile for approx-percentile
+  // thresholds per language (one pass, broadcast back) — same output
+  // contract, no sort at all.
+  private val t47 = GraftQuery(
+    "t47_ccnet_perplexity_buckets",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val uni = d.select(explode(tokens(col("text"))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bg = d
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+          explode(graft.functions.TextFunctions.bound(tokens(col("text"))) { t =>
+            when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+              i => struct(element_at(t, i + lit(1)).as("w1"),
+                concat_ws(" ", element_at(t, i + lit(1)),
+                  element_at(t, i + lit(2))).as("b"))))
+              .otherwise(array().cast("array<struct<w1:string,b:string>>"))
+          }).as("x"))
+        .select(col("doc_id"), col("lang_pred"),
+          col("x.w1").as("w1"), col("x.b").as("b"))
+      val big = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      val surp = bg.join(big, "b").join(uni, "w1")
+        .select(col("doc_id"), col("lang_pred"),
+          (-log(col("c2").cast("double") / col("c1").cast("double"))).as("nll"))
+        .groupBy("doc_id", "lang_pred")
+        .agg(round(avg("nll"), 4).as("mean_surprisal"))
+      val w = Window.partitionBy("lang_pred")
+        .orderBy(col("mean_surprisal"), col("doc_id"))
+      surp.withColumn("nt", ntile(3).over(w))
+        .select(col("doc_id"), col("lang_pred"), col("mean_surprisal"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks,
+               length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+               FROM documents),
+             sc AS (SELECT doc_id, toks, cjk,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+               len(list_filter(toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk),
+             lg AS (SELECT doc_id, CASE
+               WHEN cjk * 4 >= len(toks) THEN 'zh'
+               WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS lang_pred FROM sc),
+             bg AS (SELECT doc_id, unnest([
+                 {'w1': toks[i], 'b': toks[i] || ' ' || toks[i+1]}
+                 FOR i IN range(1, len(toks))]) AS x
+               FROM tk WHERE len(toks) >= 2),
+             b2 AS (SELECT doc_id, x.w1 AS w1, x.b AS b FROM bg),
+             uni AS (SELECT unnest(toks) AS w1 FROM tk),
+             c1t AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+             c2t AS (SELECT b, count(*) AS c2 FROM b2 GROUP BY b),
+             surp AS (SELECT doc_id,
+                 round(avg(-ln(c2 / CAST(c1 AS DOUBLE))), 4) AS mean_surprisal
+               FROM b2 JOIN c2t USING (b) JOIN c1t USING (w1)
+               GROUP BY doc_id)
+             SELECT s.doc_id, l.lang_pred, s.mean_surprisal,
+               CASE ntile(3) OVER (PARTITION BY l.lang_pred
+                   ORDER BY s.mean_surprisal, s.doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+             FROM surp s JOIN lg l USING (doc_id) ORDER BY doc_id"""))
+
+  // Distributed BPE merge learning (Sennrich et al. 2016,
+  // arXiv:1508.07909) — two byte-pair-encoding merge iterations
+  // learned over corpus word frequencies; each iteration emits its
+  // full top-10 candidate table (rank by count desc, pair asc — a
+  // total order) with the chosen merge flagged. The corpus first
+  // collapses to DISTINCT words with counts — the classic BPE-learning
+  // trick: all later stages are vocabulary-sized, not corpus-sized, so
+  // at 100 TB the expensive part is one word-count agg. Per iteration:
+  // ONE map-side-combined (pair → Σ word-count) agg, then a 1-row
+  // TakeOrdered broadcast to apply the merge — nothing corpus-scale
+  // ever sorts.
+  //
+  // The merge applies via marker-padded non-overlapping
+  // replace(' w1 w2 ' → ' m '): inside a run of the SAME repeated
+  // symbol this merges alternate occurrences (reference BPE re-scans
+  // greedily); Spark and DuckDB share the scan-resume-after-replacement
+  // semantics, so the gate is engine-exact — the deviation is
+  // documented, affects only same-symbol runs, and changes no pair
+  // STATISTICS of iteration 1 (only how a chosen run-merge rewrites).
+  private val t48 = GraftQuery(
+    "t48_bpe_merges",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        // filter guards the trailing empty string Java's Pattern.split
+        // keeps at limit -1 (DuckDB's char split emits none)
+        .withColumn("sym", concat_ws(" ",
+          filter(split(col("w"), ""), x => length(x) > 0)))
+      def pairCounts(ws: org.apache.spark.sql.DataFrame) =
+        ws.select(col("wc"), explode(graft.functions.TextFunctions.bound(
+            split(col("sym"), " ")) { a =>
+          when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
+            i => concat_ws(" ", element_at(a, i + lit(1)),
+              element_at(a, i + lit(2)))))
+            .otherwise(array().cast("array<string>"))
+        }).as("p"))
+        .groupBy("p").agg(sum("wc").as("cnt"))
+      def top10(pc: org.apache.spark.sql.DataFrame, step: Int) = {
+        val w = Window.orderBy(col("cnt").desc, col("p"))
+        // row_number windows over an already-LIMITed 10-row set —
+        // driver-scale, not a corpus sort
+        pc.orderBy(col("cnt").desc, col("p")).limit(10)
+          .withColumn("rank", row_number().over(w))
+          .withColumn("step", lit(step))
+      }
+      def applyTop(ws: org.apache.spark.sql.DataFrame,
+          pc: org.apache.spark.sql.DataFrame) = {
+        val m = pc.orderBy(col("cnt").desc, col("p")).limit(1)
+          .select(col("p").as("m_p"),
+            regexp_replace(col("p"), " ", "").as("m_m"))
+        ws.crossJoin(broadcast(m))
+          .withColumn("sym", expr(
+            "trim(replace(concat(' ', sym, ' '), concat(' ', m_p, ' '), concat(' ', m_m, ' ')))"))
+          .drop("m_p", "m_m")
+      }
+      val pc1 = pairCounts(words)
+      val words2 = applyTop(words, pc1)
+      val pc2 = pairCounts(words2)
+      top10(pc1, 1).unionByName(top10(pc2, 2))
+        .select(col("step"), col("rank"), col("p").as("pair"), col("cnt"),
+          (col("rank") === 1).as("chosen"))
+        .orderBy("step", "rank")
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents),
+             w AS (SELECT t AS w, count(*) AS wc
+               FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t),
+             s0 AS (SELECT wc,
+                 array_to_string(regexp_split_to_array(w, ''), ' ') AS sym
+               FROM w),
+             p1 AS (SELECT wc, unnest([a[i] || ' ' || a[i+1]
+                 FOR i IN range(1, len(a))]) AS p
+               FROM (SELECT wc, str_split(sym, ' ') AS a FROM s0)
+               WHERE len(a) >= 2),
+             c1 AS (SELECT p, sum(wc) AS cnt FROM p1 GROUP BY p),
+             t1 AS (SELECT 1 AS step,
+                 row_number() OVER (ORDER BY cnt DESC, p) AS rank, p, cnt
+               FROM c1 QUALIFY rank <= 10),
+             m1 AS (SELECT p AS mp, replace(p, ' ', '') AS mm
+               FROM t1 WHERE rank = 1),
+             s1 AS (SELECT wc, trim(replace(' ' || sym || ' ',
+                 ' ' || mp || ' ', ' ' || mm || ' ')) AS sym FROM s0, m1),
+             p2 AS (SELECT wc, unnest([a[i] || ' ' || a[i+1]
+                 FOR i IN range(1, len(a))]) AS p
+               FROM (SELECT wc, str_split(sym, ' ') AS a FROM s1)
+               WHERE len(a) >= 2),
+             c2 AS (SELECT p, sum(wc) AS cnt FROM p2 GROUP BY p),
+             t2 AS (SELECT 2 AS step,
+                 row_number() OVER (ORDER BY cnt DESC, p) AS rank, p, cnt
+               FROM c2 QUALIFY rank <= 10),
+             u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+             SELECT step, rank, p AS pair, cnt, rank = 1 AS chosen
+             FROM u ORDER BY step, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44, t45, t46)
+    t40, t41, t42, t43, t44, t45, t46, t47, t48)
 }

@@ -705,6 +705,53 @@ object VectorOps {
             LEFT JOIN h USING (query_id)
             ORDER BY query_id"""))
 
+  // SemDeDup (Abbas et al. 2023) — the full semantic-dedup DECISION,
+  // not just the pair list: IVF-blocked near-dup pairs → connected
+  // components → keep-min-per-group, emitted for every corpus row.
+  // Cohort plants TWO scaled copies (×1.001, ×1.002) of each base
+  // vector so components are non-trivial 3-cliques and the min-id
+  // representative is exercised across a 2-hop group. Direction is
+  // preserved by scaling, so both copies probe the same IVF cells as
+  // their base — recall is deterministically 1.0 and the oracle (exact
+  // all-pairs + recursive-CTE union-find in DuckDB) checks the entire
+  // composition: blocking, verify, grouping, keep decision.
+  private val v21 = GraftQuery(
+    "v21_semdedup",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def planted(off: Long, f: Float) = base.select(
+        (col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(f)).as("embedding"))
+      val cohort = base
+        .unionByName(planted(1000000L, 1.001f))
+        .unionByName(planted(2000000L, 1.002f))
+      Similarity.semDeDup(cohort, "vec_id", "embedding",
+          threshold = 0.85, nCells = 16, nProbe = 2)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl1 AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM base),
+             pl2 AS (SELECT vec_id + 2000000 AS vec_id,
+                 list_transform(v, x -> x * 1.002) AS v FROM base),
+             e AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+                   UNION ALL SELECT * FROM pl2),
+             prs AS (SELECT a.vec_id AS u, b.vec_id AS v
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85),
+             ed AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs),
+             cc AS (
+               SELECT u AS node, u AS label FROM ed
+               UNION
+               SELECT ed.v AS node, c.label FROM cc c JOIN ed ON c.node = ed.u
+             ),
+             comp AS (SELECT node AS vec_id, min(label) AS component_id
+               FROM cc GROUP BY node)
+             SELECT e.vec_id,
+               coalesce(comp.component_id, e.vec_id) AS rep_id,
+               coalesce(comp.component_id, e.vec_id) = e.vec_id AS keep
+             FROM e LEFT JOIN comp USING (vec_id) ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21)
 }

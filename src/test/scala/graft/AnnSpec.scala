@@ -268,4 +268,29 @@ class AnnSpec extends SparkTestBase {
     val b = run(emb.repartition(7, col("vec_id")))
     assert(a == b, "fit must not depend on partitioning/summation order")
   }
+
+  test("semDeDup: one representative per duplicate group, min-id rep, spine complete") {
+    // three planted cliques (scaled copies preserve direction → cosine 1)
+    // plus two singletons that must survive untouched
+    val rnd = new scala.util.Random(11)
+    def v() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val g1 = v(); val g2 = v(); val g3 = v()
+    val rows = Seq(
+      (1L, g1), (2L, g1.map(_ * 1.01f)), (3L, g1.map(_ * 0.99f)),
+      (10L, g2), (11L, g2.map(_ * 1.02f)),
+      (20L, g3), (21L, g3.map(_ * 1.01f)), (22L, g3.map(_ * 0.98f)),
+      (30L, v()), (31L, v()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Similarity.semDeDup(emb, "vec_id", "embedding",
+      threshold = 0.999, nCells = 4, nProbe = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
+    assert(r.map(_._1) == rows.map(_._1).toSet, "every input row present")
+    val keeps = r.filter(_._3).map(_._1)
+    assert(keeps.contains(1L) && keeps.contains(10L) && keeps.contains(20L),
+      s"min id kept per clique: $keeps")
+    assert(keeps.contains(30L) && keeps.contains(31L), "singletons kept")
+    assert(r.filter(t => Set(2L, 3L).contains(t._1)).forall(t => t._2 == 1L && !t._3))
+    assert(r.filter(t => t._1 == 11L).forall(t => t._2 == 10L && !t._3))
+    assert(r.filter(t => Set(21L, 22L).contains(t._1)).forall(t => t._2 == 20L && !t._3))
+  }
 }

@@ -306,4 +306,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"banding must bucket-join:\n$p")
   }
+
+  test("t48 bpe: corpus never globally sorts — top candidates via TakeOrdered") {
+    val p = plan("t48_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10/merge selection must be TakeOrdered, not a global sort:\n$p")
+    // the only broadcasts are the 1-row merge rows; the vocabulary-sized
+    // word table must never sort-merge against itself
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"pair counts must combine map-side:\n$p")
+  }
+
+  test("t47 ccnet buckets: vocab join-backs never collect; window partitions by lang") {
+    val p = plan("t47_ccnet_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // per-language ranking must be a partitioned window, not a single
+    // global partition (empty partition-by would be the 100-TB killer)
+    assert(p.contains("partitionBy") || p.contains("lang_pred"),
+      s"window must partition by lang_pred:\n$p")
+  }
 }
