@@ -29,6 +29,7 @@ object SqlDialect {
     s = rewriteDoubleQuotedIdents(s)
     s = rewriteTrailingCommas(s)
     s = rewriteJsonArrows(s)
+    s = rewriteAsofJoin(s)
     s = rewriteCorrelatedLimit1Join(s)
     s = rewriteStrftime(s)
     s = rewriteTimeBucket(s)
@@ -363,6 +364,87 @@ object SqlDialect {
     * Spark rejects correlated subqueries with LIMIT; the equivalent
     * plan keeps exactly one dim row per key (first by input order) and
     * left-joins it (SURVEY.md §7.4 risk #3). */
+  /** DuckDB `ASOF [LEFT] JOIN` (also `LEFT ASOF JOIN`) → Spark
+    * correlated LATERAL LIMIT-1 subquery. Spark has no ASOF syntax;
+    * the lateral form decorrelates to a domain join + WindowGroupLimit
+    * with identical pick-one semantics (verified against DuckDB on
+    * inner + left, backward + forward).
+    *
+    * Supported subset — anything else is left untouched so Spark
+    * fails loudly on the `ASOF` token rather than silently diverging:
+    * a table/view-name right side with optional alias, and an ON
+    * conjunction of plain `x.col OP y.col` terms containing exactly
+    * ONE inequality that involves the right alias (DuckDB's own
+    * well-formedness rule for ASOF).
+    *
+    * Direction: `l.ts >= r.ts` (backward, the canonical form) picks
+    * the LATEST matching right row → `ORDER BY r.ts DESC LIMIT 1`;
+    * `l.ts <= r.ts` (forward) picks the EARLIEST → ASC. Ties on the
+    * right timestamp are nondeterministic in BOTH engines — unique
+    * (keys, ts) right sides remain the caller's contract.
+    *
+    * Scale: the decorrelated plan joins the right side against the
+    * DISTINCT left (keys, ts) domain — fine for dimension-sized
+    * rights; a big-fact × big-fact as-of should use
+    * [[graft.operators.AsofJoin]] (q17's union+window, ONE shuffle)
+    * rather than SQL text. */
+  private def rewriteAsofJoin(s: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      """(?is)\b(?:(LEFT)\s+ASOF\s+JOIN|ASOF\s+(?:(LEFT)\s+)?JOIN)\s+([\w\.]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\b""")
+    val m = pat.matcher(s)
+    if (!m.find()) return s
+    val condsStart = m.end()
+    val tail = s.substring(condsStart)
+    val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "HAVING",
+      "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL",
+      "INNER", "CROSS", "ASOF")
+    val endRel = stops.map(k => findTopLevelKeyword(tail, k))
+      .filter(_ >= 0).sorted.headOption.getOrElse(tail.length)
+    val conds = tail.substring(0, endRel).trim
+    val table = m.group(3)
+    val ra = Option(m.group(4)).getOrElse(table.split('.').last)
+    val cmp = """(?s)^([\w\.]+)\s*(<=|>=|<|>|=)\s*([\w\.]+)$""".r
+    val parsed = splitTopLevelAnd(conds).map(_.trim).map {
+      case cmp(a, op, b) => Some((a, op, b))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return s
+    def isRa(x: String) = x.startsWith(ra + ".")
+    val ineqs = parsed.flatten.filter(_._2 != "=")
+    val raIneqs = ineqs.filter(t => isRa(t._1) ^ isRa(t._3))
+    if (ineqs.size != 1 || raIneqs.size != 1) return s
+    val (a, op, b) = raIneqs.head
+    val (orderCol, dir) =
+      if (isRa(a)) (a, if (op == "<=" || op == "<") "DESC" else "ASC")
+      else (b, if (op == ">=" || op == ">") "DESC" else "ASC")
+    val leftKw = if (m.group(1) != null || m.group(2) != null) "LEFT " else ""
+    val repl = s"${leftKw}JOIN LATERAL (SELECT * FROM $table AS $ra " +
+      s"WHERE $conds ORDER BY $orderCol $dir LIMIT 1) AS $ra ON true"
+    rewriteAsofJoin(s.substring(0, m.start()) + repl + " " +
+      s.substring(condsStart + endRel))
+  }
+
+  /** Split on top-level ANDs (outside parens and string literals). */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0; var start = 0; var depth = 0; var q = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false; i += 1 }
+      else if (c == '\'') { q = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && i + 3 <= s.length &&
+          s.regionMatches(true, i, "AND", 0, 3) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+          (i + 3 == s.length || !Character.isLetterOrDigit(s.charAt(i + 3)) && s.charAt(i + 3) != '_')) {
+        out += s.substring(start, i); i += 3; start = i
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
   private def rewriteCorrelatedLimit1Join(s: String): String = {
     val pat =
       """(?is)LEFT\s+JOIN\s*\(\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\.(\w+)\s*=\s*([\w\.]+)\s*LIMIT\s+1\s*\)\s*AS\s+(\w+)""".r

@@ -1350,6 +1350,48 @@ object Relational {
             GROUP BY r_name
             ORDER BY r_name"""))
 
+  // DuckDB ASOF JOIN *SQL syntax* through the dialect layer — the
+  // reference's handler SQL can use DuckDB's ASOF grammar directly;
+  // SqlDialect.rewriteAsofJoin turns it into a Spark correlated
+  // LATERAL LIMIT-1 join. Semantics companion to q17 (same pairing,
+  // DataFrame operator) — here the ORACLE runs DuckDB's native ASOF
+  // while Spark runs the translated text, so the gate checks the
+  // rewrite end-to-end. Right side pre-aggregated to unique
+  // (user, ts) — asof right-timestamp ties are nondeterministic in
+  // both engines (contract documented on the rewrite).
+  private val q51 = GraftQuery(
+    "q51_asof_join_sql",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max("value").as("p_value"))
+        .createOrReplaceTempView("g_purchases")
+      ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+        .createOrReplaceTempView("g_nonpurchase")
+      s.sql(graft.engine.SqlDialect.translate("""
+        SELECT l.event_id, l.user_id, l.event_type,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               round(p.p_value, 2) AS purchase_value
+        FROM g_nonpurchase l ASOF LEFT JOIN g_purchases p
+          ON l.user_id = p.user_id AND l.ts >= p.p_ts
+        ORDER BY l.event_id"""))
+    },
+    Some("""WITH p AS (SELECT user_id, ts AS p_ts, max(value) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+                 l AS (SELECT event_id, user_id, ts, event_type
+                       FROM events WHERE event_type <> 'purchase')
+            SELECT l.event_id, l.user_id, l.event_type,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+                   strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   round(p.p_value, 2) AS purchase_value
+            FROM l ASOF LEFT JOIN p
+              ON l.user_id = p.user_id AND l.ts >= p.p_ts
+            ORDER BY event_id"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1358,5 +1400,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50)
+    q48, q49, q50, q51)
 }

@@ -221,4 +221,36 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(out.contains("row_number() OVER (PARTITION BY city"))
     assert(!out.toUpperCase.contains("LIMIT 1"))
   }
+
+  test("ASOF LEFT JOIN rewrites to LATERAL LIMIT-1, backward = DESC") {
+    val out = translate(
+      "SELECT l.a, p.v FROM l ASOF LEFT JOIN prices p " +
+        "ON l.k = p.k AND l.ts >= p.ts ORDER BY l.a")
+    assert(out.contains("LEFT JOIN LATERAL (SELECT * FROM prices AS p"), out)
+    assert(out.contains("ORDER BY p.ts DESC LIMIT 1) AS p ON true"), out)
+    assert(out.contains("WHERE l.k = p.k AND l.ts >= p.ts"), out)
+    // the query-level ORDER BY is untouched
+    assert(out.endsWith("ORDER BY l.a"), out)
+  }
+
+  test("ASOF JOIN (inner, forward <=) rewrites with ASC; LEFT ASOF order also accepted") {
+    val inner = translate(
+      "SELECT * FROM l ASOF JOIN quotes ON l.ts <= quotes.ts")
+    assert(inner.contains("JOIN LATERAL (SELECT * FROM quotes AS quotes"), inner)
+    assert(!inner.startsWith("LEFT"), inner)
+    assert(inner.contains("ORDER BY quotes.ts ASC LIMIT 1"), inner)
+    val alt = translate(
+      "SELECT * FROM l LEFT ASOF JOIN quotes q ON l.k = q.k AND q.ts <= l.ts")
+    assert(alt.contains("LEFT JOIN LATERAL"), alt)
+    assert(alt.contains("ORDER BY q.ts DESC LIMIT 1"), alt)
+  }
+
+  test("unsupported ASOF shapes are left untouched (loud Spark failure)") {
+    // two inequalities — not a valid single-pick asof
+    val two = "SELECT * FROM l ASOF JOIN r ON l.ts >= r.ts AND l.ts2 >= r.ts2"
+    assert(translate(two).contains("ASOF"), translate(two))
+    // non-column operand (literal) in a condition
+    val lit = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= '2020-01-01'"
+    assert(translate(lit).contains("ASOF"), translate(lit))
+  }
 }
