@@ -29,6 +29,7 @@ object SqlDialect {
     s = rewriteDoubleQuotedIdents(s)
     s = rewriteTrailingCommas(s)
     s = rewriteJsonArrows(s)
+    s = rewritePivotStatement(s)
     s = rewriteAsofJoin(s)
     s = rewriteCorrelatedLimit1Join(s)
     s = rewriteStrftime(s)
@@ -364,6 +365,40 @@ object SqlDialect {
     * Spark rejects correlated subqueries with LIMIT; the equivalent
     * plan keeps exactly one dim row per key (first by input order) and
     * left-joins it (SURVEY.md §7.4 risk #3). */
+  /** DuckDB top-level `PIVOT` statement → Spark `PIVOT` clause.
+    * DuckDB: `PIVOT tbl ON c IN ('a','b') USING agg(x) GROUP BY g
+    * [ORDER BY …]` — Spark has the same capability but as a
+    * table-suffix clause whose non-pivot columns implicitly group, so
+    * the rewrite projects (group cols, on col, agg arg) in a subquery
+    * first. Output column names match DuckDB's (the bare literal
+    * value) via `AS` aliases in the IN list.
+    *
+    * Supported subset, else untouched for a loud Spark parse failure
+    * on the leading `PIVOT` token: explicit `IN` value list of
+    * literals (DuckDB's auto-discovered ON-values form needs a
+    * catalog scan at translate time — out of scope by design: an
+    * unbounded value set is also the 100-TB anti-pattern, one output
+    * column per distinct key), single `agg(column)`, explicit GROUP
+    * BY of plain columns. */
+  private def rewritePivotStatement(s: String): String = {
+    val pat = ("""(?is)^\s*PIVOT\s+([\w\.]+)\s+ON\s+(\w+)\s+IN\s*\(([^)]*)\)""" +
+      """\s+USING\s+(\w+)\s*\(\s*([\w\.]+)\s*\)\s+GROUP\s+BY\s+""" +
+      """(\w+(?:\s*,\s*\w+)*)\s*(ORDER\s+BY\s+.*)?$""").r
+    s match {
+      case pat(table, onCol, vals, agg, arg, groupCols, orderBy) =>
+        val aliases = vals.split(",").map(_.trim).filter(_.nonEmpty).map { v =>
+          val name = v.stripPrefix("'").stripSuffix("'")
+          s"$v AS `$name`"
+        }.mkString(", ")
+        val g = groupCols.split(",").map(_.trim).toSeq
+        val proj = (g :+ onCol :+ arg).distinct.mkString(", ")
+        val ob = Option(orderBy).map(" " + _).getOrElse("")
+        s"SELECT * FROM (SELECT $proj FROM $table) " +
+          s"PIVOT ($agg($arg) FOR $onCol IN ($aliases))$ob"
+      case _ => s
+    }
+  }
+
   /** DuckDB `ASOF [LEFT] JOIN` (also `LEFT ASOF JOIN`) → Spark
     * correlated LATERAL LIMIT-1 subquery. Spark has no ASOF syntax;
     * the lateral form decorrelates to a domain join + WindowGroupLimit

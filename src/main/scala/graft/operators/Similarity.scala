@@ -109,6 +109,46 @@ object Similarity {
         col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor), the top-k most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the anchor's — the near-miss negatives that make
+    * triplet/InfoNCE batches informative (high cosine, wrong class).
+    *
+    * Shape is [[bruteForceTopK]] with a label-mismatch predicate
+    * pushed into the candidate filter: broadcast anchors × one linear
+    * corpus scan, per-anchor window top-k. Exact by contract — the
+    * auditing baseline. At 100 TB compose the same predicate into
+    * [[ivfTopK]]'s probed-cell scan instead (the label filter is a
+    * cheap row predicate either way; it prunes BEFORE the dot
+    * product, so mining cost ≤ plain ANN cost). */
+  def hardNegativesTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // withNorm projects to (id, vec, nrm) — join the label back in via
+    // an inline norm instead so the scan stays single-pass
+    def normed(df: DataFrame) = df.select(
+      col(idCol), col(labelCol), col(vecCol),
+      when(vec_dot(col(vecCol), col(vecCol)) > 0.0,
+        sqrt(vec_dot(col(vecCol), col(vecCol)))).as("nrm"))
+    val c = normed(graft.queries.Tables.spread(corpus))
+      .select(col(idCol).as("nbr_id"), col(labelCol).as("nbr_label"),
+        col(vecCol).as("v_c"), col("nrm").as("n_c"))
+    val q = normed(queries)
+      .select(col(idCol).as("query_id"), col(labelCol).as("anchor_label"),
+        col(vecCol).as("v_q"), col("nrm").as("n_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_label") =!= col("anchor_label"))
+      .withColumn("cosine",
+        round(vec_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("anchor_label"), col("nbr_id"),
+        col("nbr_label"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at
     * least one signature band with the query, exact cosine + top-k
     * within candidates.

@@ -1392,6 +1392,56 @@ object Relational {
               ON l.user_id = p.user_id AND l.ts >= p.p_ts
             ORDER BY event_id"""))
 
+  // Forward-fill gap repair (last observation carried forward): per
+  // user, each event carries the most recent purchase value at or
+  // before it — `last(_, ignoreNulls)` over a running row frame, the
+  // canonical LOCF shape both engines express as `last_value …
+  // IGNORE NULLS`. One shuffle on user_id; the frame is running, so
+  // no per-key materialization beyond the window sort.
+  private val q52 = GraftQuery(
+    "q52_gap_fill_locf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("filled", last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("filled"), 2).as("last_purchase_value"),
+          (col("pv").isNull && col("filled").isNotNull).as("was_filled"))
+        .orderBy("event_id")
+    },
+    Some("""WITH f AS (SELECT event_id, user_id, event_type,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+               FROM events)
+            SELECT event_id, user_id, event_type,
+              round(filled, 2) AS last_purchase_value,
+              (pv IS NULL AND filled IS NOT NULL) AS was_filled
+            FROM f ORDER BY event_id"""))
+
+  // DuckDB top-level PIVOT *statement* through the dialect layer —
+  // the oracle runs DuckDB's native PIVOT grammar while Spark runs
+  // the translated PIVOT-clause text, gating the rewrite end-to-end
+  // (q26 covers the same reshape built with the DataFrame API).
+  private val q53 = GraftQuery(
+    "q53_pivot_sql",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_pivot")
+      s.sql(graft.engine.SqlDialect.translate(
+        "PIVOT g_orders_pivot ON o_orderstatus IN ('O', 'F', 'P') " +
+          "USING count(o_totalprice) GROUP BY o_orderpriority " +
+          "ORDER BY o_orderpriority"))
+    },
+    Some("""PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+            USING count(o_totalprice) GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1400,5 +1450,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51)
+    q48, q49, q50, q51, q52, q53)
 }

@@ -1739,8 +1739,192 @@ object TextOps {
              SELECT step, rank, p AS pair, cnt, rank = 1 AS chosen
              FROM u ORDER BY step, rank"""))
 
+  // Token-budget corpus selection: per source, take documents in
+  // quality order (t38's linear-logistic z, tie-broken by doc_id)
+  // until the running token count exceeds the budget — here 50% of
+  // each source's tokens, expressed as exact integer arithmetic
+  // (cum·2 ≤ total) so no float threshold can diverge. The window
+  // sorts WITHIN each source only (one shuffle on source). At 100 TB
+  // a full per-source sort is a straggler when sources are few and
+  // huge; the documented swap is approxQuantile on z to find the
+  // cutoff score, then a plain filter — same selection up to
+  // boundary ties, no global sort.
+  private val t49 = GraftQuery(
+    "t49_token_budget_select",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val scored = d.withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          col("st.n_tokens").cast("long").as("n_toks"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("f_distinct"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("f_stop"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("f_len"))
+        // z stays UNROUNDED for ordering (identical IEEE arithmetic on
+        // identical round-4 features in both engines → identical order);
+        // display goes through t38's sigmoid+round, the exact output
+        // contract the t38 gate already proves matches at 4 digits
+        .withColumn("z",
+          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+            (col("f_len") - 4.0) * -0.5)
+      val wCum = Window.partitionBy("source")
+        .orderBy(col("z").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("source")
+      scored
+        .withColumn("cum_toks", sum("n_toks").over(wCum))
+        .withColumn("total_toks", sum("n_toks").over(wTot))
+        .filter(col("cum_toks") * 2 <= col("total_toks"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"))
+        .orderBy("source", "cum_toks")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+             f AS (SELECT doc_id, source, len(toks)::BIGINT AS n_toks,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+               FROM tk),
+             z AS (SELECT doc_id, source, n_toks,
+                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
+               FROM f),
+             c AS (SELECT doc_id, source, n_toks, z,
+                 CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY z DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks,
+                 CAST(sum(n_toks) OVER (PARTITION BY source) AS BIGINT) AS total_toks
+               FROM z)
+             SELECT doc_id, source, n_toks, cum_toks,
+               round(1.0 / (1.0 + exp(-z)), 4) AS quality
+             FROM c WHERE cum_toks * 2 <= total_toks
+             ORDER BY source, cum_toks"""))
+
+  // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+  // each document by how much its hashed-bigram distribution looks
+  // like a target corpus (here lang='en') vs the full source corpus.
+  // Features are token bigrams hashed into 512 buckets with the
+  // engine-portable md5 hash (t05/t09's mechanism); bucket weight =
+  // log((tc+1)/(Tt+B)) − log((sc+1)/(Ts+B)) (add-1 smoothing), doc
+  // weight = mean over its bigram instances. Two corpus-wide aggs on
+  // a 512-row key space + one broadcast join back — no per-pair work,
+  // the weight table is a tiny driver-sized model exactly like the
+  // IVF centroids, so the shape is 100-TB-safe (two scans, one
+  // uniform 512-key shuffle).
+  private val t50 = GraftQuery(
+    "t50_dsir_importance",
+    (s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("a"))
+        .select(col("doc_id"), col("lang"), explode(
+          graft.functions.TextFunctions.bound(col("a")) { a =>
+            when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
+              i => concat_ws(" ", element_at(a, i + lit(1)),
+                element_at(a, i + lit(2)))))
+              .otherwise(array().cast("array<string>"))
+          }).as("bg"))
+        .withColumn("bkt",
+          graft.functions.TextFunctions.portableTokenHash60(col("bg")) % 512)
+      val st = bg.groupBy("bkt").agg(
+        count(lit(1)).as("sc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      val tot = st.agg(
+        sum("sc").cast("double").as("ts"), sum("tc").cast("double").as("tt"))
+      val lw = st.crossJoin(broadcast(tot)).select(col("bkt"),
+        round(log((col("tc") + 1).cast("double") / (col("tt") + 512)) -
+          log((col("sc") + 1).cast("double") / (col("ts") + 512)), 6).as("lw"))
+      bg.join(broadcast(lw), "bkt")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          // + 0.0 normalizes IEEE −0.0 to 0.0 (DuckDB prints 0.0)
+          (round(avg("lw"), 4) + lit(0.0)).as("dsir_weight"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+             bg AS (SELECT doc_id, lang,
+                 unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+               FROM tk WHERE len(toks) >= 2),
+             b AS (SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(bg), 1, 15)) AS BIGINT) % 512 AS bkt
+               FROM bg),
+             st AS (SELECT bkt, count(*) AS sc,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+               FROM b GROUP BY bkt),
+             tot AS (SELECT CAST(sum(sc) AS DOUBLE) AS ts,
+                 CAST(sum(tc) AS DOUBLE) AS tt FROM st),
+             lw AS (SELECT bkt,
+                 round(ln((tc + 1) / (tt + 512)) - ln((sc + 1) / (ts + 512)), 6) AS lw
+               FROM st CROSS JOIN tot)
+             SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(lw), 4) + 0.0 AS dsir_weight
+             FROM b JOIN lw USING (bkt) GROUP BY doc_id ORDER BY doc_id"""))
+
+  // Passage-grain keep-first dedup WITH text reconstruction — the
+  // C4/ExactSubstr-lite shape: split every document into 20-token
+  // blocks, keep only each block's globally-first occurrence
+  // (lexicographic (doc_id, blk_idx) min — exact for any doc size),
+  // and rebuild the surviving text per document in block order.
+  // Differs from t12 (drops only FREQUENT lines) and t39 (reports
+  // duplicated chunks, doesn't rewrite): this one emits the cleaned
+  // corpus. The groupBy keys on md5(block), never the raw text, so
+  // the dedup shuffle moves 16-byte keys; the rebuild shuffles only
+  // kept blocks back to their doc. Output compares md5 of the
+  // rebuilt text so the gate checks exact content without hashing MBs
+  // of strings through the driver.
+  private val t51 = GraftQuery(
+    "t51_passage_dedup_rebuild",
+    (s, dir) => {
+      val tks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+      val blk = tks.select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.bound(col("a")) { a =>
+            transform(sequence(lit(0), ((size(a) - 1) / lit(20)).cast("int")),
+              i => concat_ws(" ", slice(a, i * lit(20) + 1, lit(20))))
+          }))
+        .toDF("doc_id", "blk_idx", "blk")
+        .withColumn("bh", md5(col("blk")))
+      val firstLoc = blk.groupBy("bh")
+        .agg(min(struct(col("doc_id"), col("blk_idx"))).as("fl"))
+      val kept = blk.join(firstLoc, "bh")
+        .filter(col("doc_id") === col("fl.doc_id") &&
+          col("blk_idx") === col("fl.blk_idx"))
+      val totals = blk.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("blk_idx"), col("blk")))),
+          p => p("blk"))).as("txt"))
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("txt"), lit(""))).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             blk AS (SELECT doc_id,
+                 unnest([{'blk_idx': i - 1,
+                          'blk': array_to_string(toks[(i-1)*20+1 : (i-1)*20+20], ' ')}
+                   FOR i IN range(1, (len(toks) + 19) // 20 + 1)],
+                   recursive := true)
+               FROM tk),
+             k AS (SELECT doc_id, blk_idx, blk, md5(blk) AS bh FROM blk),
+             fl AS (SELECT bh, min({'doc_id': doc_id, 'blk_idx': blk_idx}) AS fl
+               FROM k GROUP BY bh),
+             kept AS (SELECT k.doc_id, k.blk_idx, k.blk
+               FROM k JOIN fl USING (bh)
+               WHERE k.doc_id = fl.fl.doc_id AND k.blk_idx = fl.fl.blk_idx),
+             tot AS (SELECT doc_id, count(*) AS n_blocks FROM k GROUP BY doc_id),
+             rb AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(blk, ' ' ORDER BY blk_idx) AS txt
+               FROM kept GROUP BY doc_id)
+             SELECT tot.doc_id, n_blocks,
+               coalesce(n_kept, 0) AS n_kept,
+               md5(coalesce(txt, '')) AS content_md5
+             FROM tot LEFT JOIN rb USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44, t45, t46, t47, t48)
+    t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51)
 }

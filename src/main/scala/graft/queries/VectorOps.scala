@@ -752,6 +752,35 @@ object VectorOps {
                coalesce(comp.component_id, e.vec_id) = e.vec_id AS keep
              FROM e LEFT JOIN comp USING (vec_id) ORDER BY vec_id"""))
 
+  // Hard-negative mining — per-anchor top-k most-similar vectors with
+  // a DIFFERENT label (the near-miss negatives contrastive batches
+  // need). Exact baseline shape (broadcast anchors × linear scan);
+  // the label predicate prunes before the dot product, so the IVF
+  // composition in Similarity.ivfTopK is the unchanged scale path.
+  private val v22 = GraftQuery(
+    "v22_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+          emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, label AS anchor_label, v AS v_q
+                   FROM e WHERE vec_id < 10),
+             sc AS (SELECT query_id, anchor_label, e.vec_id AS nbr_id,
+                      e.label AS nbr_label,
+                      ${duckCos("v_q", "e.v", 6)} AS c
+                    FROM q CROSS JOIN e WHERE e.label != anchor_label),
+             r AS (SELECT query_id, anchor_label, nbr_id, nbr_label, c,
+                     row_number() OVER
+                       (PARTITION BY query_id ORDER BY c DESC, nbr_id) AS rank
+                   FROM sc)
+             SELECT query_id, anchor_label, nbr_id, nbr_label,
+               round(c, 4) AS cosine, rank
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
 }

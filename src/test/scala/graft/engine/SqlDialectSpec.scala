@@ -245,6 +245,23 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(alt.contains("ORDER BY q.ts DESC LIMIT 1"), alt)
   }
 
+  test("PIVOT statement rewrites to Spark PIVOT clause with named value columns") {
+    val out = translate(
+      "PIVOT orders ON o_orderstatus IN ('O', 'F') USING count(o_totalprice) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    assert(out.startsWith(
+      "SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)"), out)
+    assert(out.contains(
+      "PIVOT (count(o_totalprice) FOR o_orderstatus IN ('O' AS `O`, 'F' AS `F`))"), out)
+    assert(out.endsWith("ORDER BY o_orderpriority"), out)
+  }
+
+  test("PIVOT auto-discovery form (no IN list) is left untouched") {
+    val auto = "PIVOT orders ON o_orderstatus USING count(o_totalprice) " +
+      "GROUP BY o_orderpriority"
+    assert(translate(auto).trim.startsWith("PIVOT"), translate(auto))
+  }
+
   test("unsupported ASOF shapes are left untouched (loud Spark failure)") {
     // two inequalities — not a valid single-pick asof
     val two = "SELECT * FROM l ASOF JOIN r ON l.ts >= r.ts AND l.ts2 >= r.ts2"
