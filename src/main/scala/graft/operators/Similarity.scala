@@ -149,6 +149,81 @@ object Similarity {
         col("nbr_label"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998): per query, greedily pick `k` vectors from its `poolSize`
+    * nearest candidates, each step maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s) — relevance minus
+    * redundancy, the diversified-retrieval shape (diverse few-shot /
+    * RAG example selection over a training corpus).
+    *
+    * The greedy loop is inherently sequential in k but k is small and
+    * the per-step work is a window argmax over each query's candidate
+    * pool — pool×pool pairwise cosines are computed ONCE up front
+    * (poolSize² per query, queries broadcast-sized by contract). All
+    * scores round to 6 digits before comparison with id tie-breaks,
+    * so the pick sequence is deterministic and engine-portable. At
+    * 100 TB the candidate pool comes from [[ivfTopK]] instead of the
+    * brute-force scan; the MMR refinement cost is unchanged (it never
+    * touches the corpus again). */
+  def mmrSelect(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, poolSize: Int, lambda: Double): DataFrame = {
+    val c = withNorm(graft.queries.Tables.spread(corpus), idCol, vecCol)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"), col("nrm").as("n_c"))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("v_q"), col("nrm").as("n_q"))
+    val wPool = Window.partitionBy("query_id")
+      .orderBy(col("qc").desc, col("nbr_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("qc",
+        round(vec_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= poolSize)
+      .select("query_id", "nbr_id", "qc", "v_c", "n_c")
+    // pool×pool pairwise cosines, computed once — the redundancy term
+    val pairCos = cand.select(col("query_id"), col("nbr_id").as("a_id"),
+        col("v_c").as("v_a"), col("n_c").as("n_a"))
+      .join(cand.select(col("query_id"), col("nbr_id").as("b_id"),
+        col("v_c").as("v_b"), col("n_c").as("n_b")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("pc",
+        round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .select("query_id", "a_id", "b_id", "pc")
+    val slim = cand.select("query_id", "nbr_id", "qc")
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("nbr_id"))
+    def argmax(scored: DataFrame, pick: Int) = scored
+      .withColumn("r", row_number().over(wPick))
+      .filter(col("r") === 1)
+      .select(col("query_id"), lit(pick).as("pick"),
+        col("nbr_id"), col("score"))
+    var selected = argmax(slim.withColumn("score", col("qc")), 1)
+    var remaining = slim.join(
+      selected.select(col("query_id"), col("nbr_id")),
+      Seq("query_id", "nbr_id"), "left_anti")
+    for (step <- 2 to k) {
+      val redundancy = pairCos
+        .join(selected.select(col("query_id"), col("nbr_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("nbr_id"))
+        .agg(max("pc").as("msim"))
+      val scored = remaining.join(redundancy, Seq("query_id", "nbr_id"))
+        .withColumn("score",
+          round(lit(lambda) * col("qc") - lit(1 - lambda) * col("msim"), 6))
+        .select("query_id", "nbr_id", "qc", "score")
+      val pick = argmax(scored, step)
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"), "left_anti")
+    }
+    selected
+      .select(col("query_id"), col("pick"), col("nbr_id"),
+        round(col("score"), 4).as("mmr_score"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at
     * least one signature band with the query, exact cosine + top-k
     * within candidates.

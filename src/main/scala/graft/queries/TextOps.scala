@@ -1923,8 +1923,158 @@ object TextOps {
                md5(coalesce(txt, '')) AS content_md5
              FROM tot LEFT JOIN rb USING (doc_id) ORDER BY doc_id"""))
 
+  // BM25 top-k retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75) —
+  // the IR scoring loop as a distributed inverted-index shape. The
+  // broadcast query-term list filters postings BEFORE any shuffle, so
+  // the keyed work is O(docs containing a query term), not O(corpus);
+  // df/tf aggs are map-side combinable. avgdl is computed as exact
+  // integer sum ÷ count (bit-identical in both engines — a float avg
+  // over distributed partitions would not be). idf uses the
+  // +1 log-smoothed form, always positive.
+  private val t52 = GraftQuery(
+    "t52_bm25_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val (k1, b) = (1.2, 0.75)
+      val qt = Seq(
+        (1, "spark"), (1, "join"), (1, "fast"),
+        (2, "filter"), (2, "scan"),
+        (3, "window"), (3, "merge"), (3, "sort"))
+        .toDF("query_id", "term")
+      val withToks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dl = withToks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val corpus = dl.agg(
+        count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = withToks
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(qt), "term")
+        .groupBy("query_id", "term", "doc_id").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.select("term", "doc_id").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum("s"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "bm25", "n_terms_hit")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH qt AS (SELECT * FROM (VALUES
+               (1, 'spark'), (1, 'join'), (1, 'fast'),
+               (2, 'filter'), (2, 'scan'),
+               (3, 'window'), (3, 'merge'), (3, 'sort')) v(query_id, term)),
+             tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+             corpus AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             post AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             tf AS (SELECT query_id, term, doc_id, count(*) AS tf
+               FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
+             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tf GROUP BY term),
+             sc AS (SELECT query_id, doc_id,
+                 round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
+                 count(*) AS n_terms_hit
+               FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN corpus
+               GROUP BY 1, 2),
+             r AS (SELECT query_id, doc_id, bm25, n_terms_hit,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS rank FROM sc)
+             SELECT query_id, rank, doc_id, bm25, n_terms_hit
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // Phrase-blocklist content filter — the NSFW/spam phrase gate every
+  // web-corpus pipeline runs before training. Phrases are token
+  // BIGRAMS so matching is tokenization-robust (plain substring would
+  // false-positive across token boundaries). Pure map stage: the
+  // blocklist is a literal broadcast array, hits = array_intersect
+  // per row, no shuffle at all beyond the output sort.
+  private val t53 = GraftQuery(
+    "t53_phrase_blocklist",
+    (s, dir) => {
+      val blocked = Seq("fast join", "slow scan", "small batch", "stream group")
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+        .withColumn("bgs", graft.functions.TextFunctions.bound(col("a")) { a =>
+          when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
+            i => concat_ws(" ", element_at(a, i + lit(1)),
+              element_at(a, i + lit(2)))))
+            .otherwise(array().cast("array<string>"))
+        })
+      d.withColumn("hits", array_sort(array_distinct(
+          array_intersect(col("bgs"), lit(blocked.toArray)))))
+        .select(col("doc_id"), size(col("hits")).as("n_hits"),
+          concat_ws(",", col("hits")).as("hit_phrases"),
+          (size(col("hits")) === 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             bg AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+                 [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                 ELSE [] END AS bgs FROM tk),
+             h AS (SELECT doc_id, list_sort(list_distinct(list_intersect(bgs,
+                 ['fast join', 'slow scan', 'small batch', 'stream group']))) AS hits
+               FROM bg)
+             SELECT doc_id, len(hits) AS n_hits,
+               coalesce(array_to_string(hits, ','), '') AS hit_phrases,
+               len(hits) = 0 AS keep
+             FROM h ORDER BY doc_id"""))
+
+  // Exact stratified split — t17 assigns splits by hash RATE (each
+  // doc independently, proportions only in expectation); this one
+  // guarantees per-stratum EXACT 80/10/10 counts: a deterministic
+  // shuffle order inside each (source, lang) stratum (portable md5 of
+  // doc_id — both engines agree), then row_number cutoffs at
+  // floor(.8n)/floor(.9n). One window per stratum, no global sort;
+  // strata are numerous and bounded, so the windows stay parallel at
+  // any corpus size.
+  private val t54 = GraftQuery(
+    "t54_stratified_split",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(col("h"), col("doc_id"))
+      val wn = Window.partitionBy("source", "lang")
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("split",
+          when(col("rn") <= floor(col("n") * 0.8), "train")
+            .when(col("rn") <= floor(col("n") * 0.9), "valid")
+            .otherwise("test"))
+        .select("doc_id", "source", "lang", "split")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, lang,
+                 md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             r AS (SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source, lang
+                   ORDER BY h, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source, lang) AS n
+               FROM d)
+             SELECT doc_id, source, lang,
+               CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+                    WHEN rn <= floor(n * 0.9) THEN 'valid'
+                    ELSE 'test' END AS split
+             FROM r ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51)
+    t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54)
 }

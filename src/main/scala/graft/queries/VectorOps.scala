@@ -781,6 +781,68 @@ object VectorOps {
                round(c, 4) AS cosine, rank
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // MMR diversified selection — relevance-minus-redundancy greedy
+  // pick of 3 from each anchor's 8-candidate pool (λ=0.7). The oracle
+  // unrolls the same 3 greedy steps in CTEs; every comparison uses
+  // round-6 scores with id tie-breaks, and the redundancy coefficient
+  // is written `(1 - 0.7)` in BOTH engines (the IEEE double of the
+  // subtraction differs from literal 0.3 in the last ulp).
+  private val v23 = GraftQuery(
+    "v23_mmr_diversify",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrSelect(
+          emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, poolSize = 8, lambda = 0.7)
+        .orderBy("query_id", "pick")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS v_q FROM e WHERE vec_id < 5),
+             sc0 AS (SELECT query_id, e.vec_id AS nbr_id,
+                      ${duckCos("v_q", "e.v", 6)} AS qc
+                    FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+             cand AS (SELECT query_id, nbr_id, qc FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY qc DESC, nbr_id) AS pr FROM sc0)
+               WHERE pr <= 8),
+             pc AS (SELECT a.query_id, a.nbr_id AS a_id, b.nbr_id AS b_id,
+                      ${duckCos("ea.v", "eb.v", 6)} AS pc
+                    FROM cand a JOIN cand b
+                      ON a.query_id = b.query_id AND a.nbr_id != b.nbr_id
+                    JOIN e ea ON ea.vec_id = a.nbr_id
+                    JOIN e eb ON eb.vec_id = b.nbr_id),
+             s1 AS (SELECT query_id, 1 AS pick, nbr_id, qc AS score FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY qc DESC, nbr_id) AS r FROM cand) WHERE r = 1),
+             r1 AS (SELECT c.* FROM cand c LEFT JOIN s1
+                 ON c.query_id = s1.query_id AND c.nbr_id = s1.nbr_id
+               WHERE s1.nbr_id IS NULL),
+             m2 AS (SELECT r1.query_id, r1.nbr_id, r1.qc,
+                 round(0.7 * r1.qc - (1 - 0.7) * max(pc.pc), 6) AS score
+               FROM r1 JOIN pc ON pc.query_id = r1.query_id AND pc.a_id = r1.nbr_id
+               JOIN s1 ON s1.query_id = pc.query_id AND s1.nbr_id = pc.b_id
+               GROUP BY r1.query_id, r1.nbr_id, r1.qc),
+             s2 AS (SELECT query_id, 2 AS pick, nbr_id, score FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, nbr_id) AS r FROM m2) WHERE r = 1),
+             r2 AS (SELECT r1.* FROM r1 LEFT JOIN s2
+                 ON r1.query_id = s2.query_id AND r1.nbr_id = s2.nbr_id
+               WHERE s2.nbr_id IS NULL),
+             sel12 AS (SELECT query_id, nbr_id FROM s1
+               UNION ALL SELECT query_id, nbr_id FROM s2),
+             m3 AS (SELECT r2.query_id, r2.nbr_id,
+                 round(0.7 * r2.qc - (1 - 0.7) * max(pc.pc), 6) AS score
+               FROM r2 JOIN pc ON pc.query_id = r2.query_id AND pc.a_id = r2.nbr_id
+               JOIN sel12 sl ON sl.query_id = pc.query_id AND sl.nbr_id = pc.b_id
+               GROUP BY r2.query_id, r2.nbr_id, r2.qc),
+             s3 AS (SELECT query_id, 3 AS pick, nbr_id, score FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, nbr_id) AS r FROM m3) WHERE r = 1),
+             u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3)
+             SELECT query_id, pick, nbr_id, round(score, 4) AS mmr_score
+             FROM u ORDER BY query_id, pick"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23)
 }

@@ -293,4 +293,44 @@ class AnnSpec extends SparkTestBase {
     assert(r.filter(t => t._1 == 11L).forall(t => t._2 == 10L && !t._3))
     assert(r.filter(t => Set(21L, 22L).contains(t._1)).forall(t => t._2 == 20L && !t._3))
   }
+
+  test("hardNegativesTopK never returns the anchor's own label") {
+    val emb = mkClustered
+      .withColumn("label", (col("vec_id") % 10).cast("int"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val r = Similarity.hardNegativesTopK(
+      emb, queries, "vec_id", "embedding", "label", k = 5).collect()
+    assert(r.length == 50, s"10 anchors × 5 = ${r.length}")
+    assert(r.forall(x => x.getInt(1) != x.getInt(3)),
+      "anchor_label must differ from nbr_label on every row")
+    // negatives are the HARDEST available: each anchor's top negative
+    // must score at least as high as its 5th
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.values.forall { rs =>
+      val sorted = rs.sortBy(_.getInt(5))
+      sorted.map(_.getDouble(4)).sliding(2).forall(p => p(0) >= p(1))
+    })
+  }
+
+  test("mmrSelect diversifies: picks k distinct vectors, redundancy penalized") {
+    // planted geometry with hand-computable scores (λ=0.5):
+    //   c1 (cos 0.90 to q) wins step 1; its exact-direction twin c2
+    //   scores 0.5·0.9 − 0.5·1.0 = −0.05 at step 2, losing to the
+    //   moderately-relevant-but-different c3 (0.5·0.85 − 0.5·0.535 =
+    //   0.157) and even to the orthogonal c4 (0.0) — plain top-3
+    //   would take (c1, c2, c3); MMR must take (c1, c3, c4)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),          // the anchor
+      (1L, Array(0.9f, 0.436f, 0.0f, 0.0f)),        // c1: most relevant
+      (2L, Array(0.909f, 0.44036f, 0.0f, 0.0f)),    // c2 = 1.01·c1 (twin)
+      (3L, Array(0.85f, -0.527f, 0.0f, 0.0f)),      // c3: relevant, distinct
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))          // c4: orthogonal
+    val emb = rows.toDF("vec_id", "embedding")
+    val anchor = emb.filter(col("vec_id") === 0L)
+    val picks = Similarity.mmrSelect(emb, anchor, "vec_id", "embedding",
+        k = 3, poolSize = 4, lambda = 0.5)
+      .orderBy("pick").collect().map(_.getLong(2))
+    assert(picks.toSeq == Seq(1L, 3L, 4L),
+      s"expected diversified (1, 3, 4), got ${picks.toSeq}")
+  }
 }
