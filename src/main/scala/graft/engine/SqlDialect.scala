@@ -399,11 +399,21 @@ object SqlDialect {
     }
   }
 
-  /** DuckDB `ASOF [LEFT] JOIN` (also `LEFT ASOF JOIN`) → Spark
-    * correlated LATERAL LIMIT-1 subquery. Spark has no ASOF syntax;
-    * the lateral form decorrelates to a domain join + WindowGroupLimit
-    * with identical pick-one semantics (verified against DuckDB on
-    * inner + left, backward + forward).
+  /** DuckDB `ASOF [LEFT] JOIN` (also `LEFT ASOF JOIN`) → the
+    * NON-correlated interval rewrite. Spark has no ASOF syntax, and
+    * its decorrelation of the tempting `LATERAL … LIMIT 1` form
+    * substitutes the key equality out of the domain, leaving a
+    * nested-loop join on a ts-only domain — |distinct left ts| ×
+    * |right| comparisons, measured quadratic at sf0.1. Instead each
+    * right row is given its ownership interval via ONE window over
+    * the right side (`lead(ts) OVER (PARTITION BY keys ORDER BY ts)`
+    * for backward, `lag` for forward), and the asof becomes a plain
+    * equi-join on the keys plus interval-containment filters: exactly
+    * one right row per (key, left ts) can match. One right-side
+    * shuffle + one equi-join — the same cost class as
+    * [[graft.operators.AsofJoin]], safe for big facts on both sides
+    * (per-key SMJ work is n_l·n_r per key only pre-filter, never a
+    * cross product across keys).
     *
     * Supported subset — anything else is left untouched so Spark
     * fails loudly on the `ASOF` token rather than silently diverging:
@@ -412,17 +422,16 @@ object SqlDialect {
     * ONE inequality that involves the right alias (DuckDB's own
     * well-formedness rule for ASOF).
     *
-    * Direction: `l.ts >= r.ts` (backward, the canonical form) picks
-    * the LATEST matching right row → `ORDER BY r.ts DESC LIMIT 1`;
-    * `l.ts <= r.ts` (forward) picks the EARLIEST → ASC. Ties on the
-    * right timestamp are nondeterministic in BOTH engines — unique
-    * (keys, ts) right sides remain the caller's contract.
-    *
-    * Scale: the decorrelated plan joins the right side against the
-    * DISTINCT left (keys, ts) domain — fine for dimension-sized
-    * rights; a big-fact × big-fact as-of should use
-    * [[graft.operators.AsofJoin]] (q17's union+window, ONE shuffle)
-    * rather than SQL text. */
+    * Direction: `l.ts >= r.ts` (backward) picks the LATEST matching
+    * right row — interval [ts, next); `l.ts <= r.ts` (forward) the
+    * EARLIEST — interval (prev, ts]. Strict variants shift the
+    * bounds. Right rows with NULL ts are dropped inside the subquery
+    * (they can never match, and would corrupt the lead/lag chain).
+    * Duplicate right (keys, ts) break pick-one in BOTH engines —
+    * unique right timestamps per key remain the caller's contract.
+    * The wrapped right side carries one synthetic `__asof_end`
+    * column, visible to a `SELECT *` over the join — use explicit
+    * projections (or `* EXCLUDE`) when that matters. */
   private def rewriteAsofJoin(s: String): String = {
     val pat = java.util.regex.Pattern.compile(
       """(?is)\b(?:(LEFT)\s+ASOF\s+JOIN|ASOF\s+(?:(LEFT)\s+)?JOIN)\s+([\w\.]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\b""")
@@ -449,12 +458,31 @@ object SqlDialect {
     val raIneqs = ineqs.filter(t => isRa(t._1) ^ isRa(t._3))
     if (ineqs.size != 1 || raIneqs.size != 1) return s
     val (a, op, b) = raIneqs.head
-    val (orderCol, dir) =
-      if (isRa(a)) (a, if (op == "<=" || op == "<") "DESC" else "ASC")
-      else (b, if (op == ">=" || op == ">") "DESC" else "ASC")
+    // normalize to (left-side expr, comparator, right ts column):
+    // backward = pick the LATEST right ts ≤(<) the left ts
+    val (lExpr, rTs, backward, strict) =
+      if (isRa(a)) (b, a, op == "<=" || op == "<", op == "<" || op == ">")
+      else (a, b, op == ">=" || op == ">", op == "<" || op == ">")
+    val rTsName = rTs.stripPrefix(ra + ".")
+    val rKeys = parsed.flatten.filter(_._2 == "=")
+      .flatMap(t => Seq(t._1, t._3).filter(isRa))
+      .map(_.stripPrefix(ra + "."))
+    val fn = if (backward) "lead" else "lag"
+    val part =
+      if (rKeys.isEmpty) "" else s"PARTITION BY ${rKeys.mkString(", ")} "
+    // interval bound comparator: the left ts must fall short of (or at)
+    // the neighbouring right ts, else a LATER right row owns it
+    val endCmp = (backward, strict) match {
+      case (true, false) => "<"   // [ts, next)
+      case (true, true)  => "<="  // (ts, next]
+      case (false, false) => ">"  // (prev, ts]
+      case (false, true)  => ">=" // [prev, ts)
+    }
     val leftKw = if (m.group(1) != null || m.group(2) != null) "LEFT " else ""
-    val repl = s"${leftKw}JOIN LATERAL (SELECT * FROM $table AS $ra " +
-      s"WHERE $conds ORDER BY $orderCol $dir LIMIT 1) AS $ra ON true"
+    val sub = s"(SELECT *, $fn($rTsName) OVER (${part}ORDER BY $rTsName) " +
+      s"AS __asof_end FROM $table WHERE $rTsName IS NOT NULL) AS $ra"
+    val repl = s"${leftKw}JOIN $sub ON $conds AND " +
+      s"($ra.__asof_end IS NULL OR $lExpr $endCmp $ra.__asof_end)"
     rewriteAsofJoin(s.substring(0, m.start()) + repl + " " +
       s.substring(condsStart + endRel))
   }

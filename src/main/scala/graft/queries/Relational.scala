@@ -1352,8 +1352,9 @@ object Relational {
 
   // DuckDB ASOF JOIN *SQL syntax* through the dialect layer — the
   // reference's handler SQL can use DuckDB's ASOF grammar directly;
-  // SqlDialect.rewriteAsofJoin turns it into a Spark correlated
-  // LATERAL LIMIT-1 join. Semantics companion to q17 (same pairing,
+  // SqlDialect.rewriteAsofJoin turns it into the non-correlated
+  // interval join (lead/lag ownership windows on the right side +
+  // plain equi-join). Semantics companion to q17 (same pairing,
   // DataFrame operator) — here the ORACLE runs DuckDB's native ASOF
   // while Spark runs the translated text, so the gate checks the
   // rewrite end-to-end. Right side pre-aggregated to unique

@@ -222,27 +222,40 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(!out.toUpperCase.contains("LIMIT 1"))
   }
 
-  test("ASOF LEFT JOIN rewrites to LATERAL LIMIT-1, backward = DESC") {
+  test("ASOF LEFT JOIN rewrites to interval join, backward = lead window") {
     val out = translate(
       "SELECT l.a, p.v FROM l ASOF LEFT JOIN prices p " +
         "ON l.k = p.k AND l.ts >= p.ts ORDER BY l.a")
-    assert(out.contains("LEFT JOIN LATERAL (SELECT * FROM prices AS p"), out)
-    assert(out.contains("ORDER BY p.ts DESC LIMIT 1) AS p ON true"), out)
-    assert(out.contains("WHERE l.k = p.k AND l.ts >= p.ts"), out)
+    assert(out.contains(
+      "LEFT JOIN (SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts) " +
+        "AS __asof_end FROM prices WHERE ts IS NOT NULL) AS p"), out)
+    assert(out.contains("ON l.k = p.k AND l.ts >= p.ts AND " +
+      "(p.__asof_end IS NULL OR l.ts < p.__asof_end)"), out)
     // the query-level ORDER BY is untouched
     assert(out.endsWith("ORDER BY l.a"), out)
   }
 
-  test("ASOF JOIN (inner, forward <=) rewrites with ASC; LEFT ASOF order also accepted") {
+  test("ASOF JOIN (inner, forward <=) uses lag; LEFT ASOF keyword order also accepted") {
     val inner = translate(
       "SELECT * FROM l ASOF JOIN quotes ON l.ts <= quotes.ts")
-    assert(inner.contains("JOIN LATERAL (SELECT * FROM quotes AS quotes"), inner)
+    assert(inner.contains(
+      "JOIN (SELECT *, lag(ts) OVER (ORDER BY ts) AS __asof_end " +
+        "FROM quotes WHERE ts IS NOT NULL) AS quotes"), inner)
     assert(!inner.startsWith("LEFT"), inner)
-    assert(inner.contains("ORDER BY quotes.ts ASC LIMIT 1"), inner)
+    assert(inner.contains("(quotes.__asof_end IS NULL OR l.ts > quotes.__asof_end)"),
+      inner)
     val alt = translate(
       "SELECT * FROM l LEFT ASOF JOIN quotes q ON l.k = q.k AND q.ts <= l.ts")
-    assert(alt.contains("LEFT JOIN LATERAL"), alt)
-    assert(alt.contains("ORDER BY q.ts DESC LIMIT 1"), alt)
+    assert(alt.contains("LEFT JOIN (SELECT *, lead(ts) OVER " +
+      "(PARTITION BY k ORDER BY ts)"), alt)
+    assert(alt.contains("(q.__asof_end IS NULL OR l.ts < q.__asof_end)"), alt)
+  }
+
+  test("ASOF strict inequality shifts the interval bound to inclusive") {
+    val out = translate(
+      "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts > r.ts")
+    assert(out.contains("lead(ts)"), out)
+    assert(out.contains("(r.__asof_end IS NULL OR l.ts <= r.__asof_end)"), out)
   }
 
   test("PIVOT statement rewrites to Spark PIVOT clause with named value columns") {
