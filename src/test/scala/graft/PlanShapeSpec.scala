@@ -318,6 +318,39 @@ class PlanShapeSpec extends SparkTestBase {
       s"pair counts must combine map-side:\n$p")
   }
 
+  test("q51 SQL asof: interval join, NEVER a nested loop (the lateral regression)") {
+    val p = plan("q51_asof_join_sql")
+    // the LATERAL LIMIT-1 target decorrelated to a ts-only-domain
+    // BroadcastNestedLoopJoin — |distinct ts| × |right| comparisons,
+    // measured quadratic at sf0.1. The interval rewrite must keep the
+    // join an equi-join (hash or merge) with the window on the right.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"asof must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"ownership interval needs lead/lag window:\n$p")
+  }
+
+  test("t51 passage dedup: keyed joins only, dedup key is the block hash") {
+    val p = plan("t51_passage_dedup_rebuild")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bh"), s"group/join key must be the md5 block hash:\n$p")
+  }
+
+  test("t52 bm25: query terms broadcast, postings never sort-merge against corpus") {
+    val p = plan("t52_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"term filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"tf/df aggs must combine map-side:\n$p")
+  }
+
+  test("t50 dsir: weight table broadcasts back; no pairwise anything") {
+    val p = plan("t50_dsir_importance")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"the 1-row totals and 512-row weight table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bucket join must be broadcast-hash:\n$p")
+  }
+
   test("t47 ccnet buckets: vocab join-backs never collect; window partitions by lang") {
     val p = plan("t47_ccnet_perplexity_buckets")
     assert(!p.contains("CartesianProduct"), p)
