@@ -30,6 +30,7 @@ object SqlDialect {
     s = rewriteTrailingCommas(s)
     s = rewriteJsonArrows(s)
     s = rewritePivotStatement(s)
+    s = rewriteUnpivotStatement(s)
     s = rewriteAsofJoin(s)
     s = rewriteCorrelatedLimit1Join(s)
     s = rewriteStrftime(s)
@@ -395,6 +396,26 @@ object SqlDialect {
         val ob = Option(orderBy).map(" " + _).getOrElse("")
         s"SELECT * FROM (SELECT $proj FROM $table) " +
           s"PIVOT ($agg($arg) FOR $onCol IN ($aliases))$ob"
+      case _ => s
+    }
+  }
+
+  /** DuckDB top-level `UNPIVOT` statement → Spark `UNPIVOT` clause.
+    * DuckDB: `UNPIVOT tbl ON c1, c2 INTO NAME n VALUE v [ORDER BY …]`
+    * → Spark: `SELECT * FROM tbl UNPIVOT (v FOR n IN (c1, c2)) …`.
+    * Identical row semantics (NULL cells dropped in both engines) and
+    * identical output column order (passthrough cols, name, value).
+    * DuckDB's multi-VALUE and expression forms are left untouched for
+    * a loud Spark parse failure on the leading `UNPIVOT` token. */
+  private def rewriteUnpivotStatement(s: String): String = {
+    val pat = ("""(?is)^\s*UNPIVOT\s+([\w\.]+)\s+ON\s+""" +
+      """(\w+(?:\s*,\s*\w+)*)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s*(ORDER\s+BY\s+.*)?$""").r
+    s match {
+      case pat(table, cols, nameCol, valCol, orderBy) =>
+        val colList = cols.split(",").map(_.trim).mkString(", ")
+        val ob = Option(orderBy).map(" " + _).getOrElse("")
+        s"SELECT * FROM $table UNPIVOT ($valCol FOR $nameCol IN ($colList))$ob"
       case _ => s
     }
   }

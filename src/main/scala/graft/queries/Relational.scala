@@ -1443,6 +1443,70 @@ object Relational {
             USING count(o_totalprice) GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  // SCD2 dimension build from a change log — collapse each user's
+  // event stream into type-2 validity intervals: keep only CHANGE
+  // rows (value differs from the previous one), then valid_to =
+  // next change's valid_from, open-ended on the last. Two windows
+  // over the SAME (user_id × time) partitioning — Catalyst reuses
+  // one shuffle+sort for both (no second exchange), the canonical
+  // warehouse-dimension maintenance shape.
+  private val q54 = GraftQuery(
+    "q54_scd2_intervals",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+             ch AS (SELECT user_id, event_type, ts, event_id FROM c
+               WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id, event_type, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to_ts
+               FROM ch)
+             SELECT user_id, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               valid_to_ts IS NULL AS is_current
+             FROM iv ORDER BY user_id, valid_from"""))
+
+  // DuckDB top-level UNPIVOT *statement* through the dialect layer
+  // (the melt companion to q53's PIVOT): oracle runs DuckDB's native
+  // UNPIVOT grammar, Spark runs the translated UNPIVOT-clause text.
+  private val q55 = GraftQuery(
+    "q55_unpivot_sql",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority").pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count().na.fill(0L)
+        .createOrReplaceTempView("g_status_wide")
+      s.sql(graft.engine.SqlDialect.translate(
+        "UNPIVOT g_status_wide ON O, F, P INTO NAME status VALUE n " +
+          "ORDER BY o_orderpriority, status"))
+    },
+    Some("""WITH wide0 AS (
+              PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+              USING count(o_totalprice) GROUP BY o_orderpriority),
+            wide AS (SELECT o_orderpriority, coalesce("O", 0) AS "O",
+              coalesce("F", 0) AS "F", coalesce("P", 0) AS "P" FROM wide0)
+            UNPIVOT wide ON "O", "F", "P" INTO NAME status VALUE n
+            ORDER BY o_orderpriority, status"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1451,5 +1515,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53)
+    q48, q49, q50, q51, q52, q53, q54, q55)
 }

@@ -2073,8 +2073,91 @@ object TextOps {
                     ELSE 'test' END AS split
              FROM r ORDER BY doc_id"""))
 
+  // Trigram stupid-backoff surprisal (Brants et al. 2007) — the
+  // heavier LM-proxy above t24 (unigram) and t32 (bigram): counts
+  // come from the EVEN-doc_id half of the corpus, scored docs are the
+  // ODD half, so backoff actually fires on unseen n-grams (same-corpus
+  // counts would make every trigram seen and the backoff dead code).
+  // S(w₃|w₁w₂) = c₃/c₂ctx, else 0.4·c₂/c₁ctx, else 0.16·c₁/N; all
+  // counts are exact integer aggs (engine-identical), per-doc score =
+  // mean −ln S. Three keyed count aggs + three join-backs on n-gram
+  // strings; at 100 TB the join keys become the portable 60-bit hash
+  // (t05's mechanism) and the unigram/bigram tables broadcast.
+  private val t55 = GraftQuery(
+    "t55_trigram_backoff_surprisal",
+    (s, dir) => {
+      val tri = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.bound(col("a")) { a =>
+            when(size(a) >= 3, transform(sequence(lit(0), size(a) - 3),
+              i => struct(
+                element_at(a, i + lit(1)).as("w1"),
+                element_at(a, i + lit(2)).as("w2"),
+                element_at(a, i + lit(3)).as("w3"))))
+              .otherwise(array().cast(
+                "array<struct<w1:string,w2:string,w3:string>>"))
+          }).as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      val ref = tri.filter(col("doc_id") % 2 === 0)
+      val c3 = ref.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      val c2ctx = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2ctx"))
+      val c2 = ref.groupBy(col("w2").as("b1"), col("w3").as("b2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1ctx = ref.groupBy(col("w2").as("uc")).agg(count(lit(1)).as("c1ctx"))
+      val c1 = ref.groupBy(col("w3").as("uw")).agg(count(lit(1)).as("c1"))
+      val n = ref.agg(count(lit(1)).as("n_ref"))
+      tri.filter(col("doc_id") % 2 === 1)
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c2ctx, Seq("w1", "w2"), "left")
+        .join(c2, col("w2") === col("b1") && col("w3") === col("b2"), "left")
+        .join(c1ctx, col("w2") === col("uc"), "left")
+        .join(c1, col("w3") === col("uw"), "left")
+        .crossJoin(broadcast(n))
+        .withColumn("sb",
+          when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c2ctx"))
+          .when(col("c2").isNotNull,
+            lit(0.4) * col("c2").cast("double") / col("c1ctx"))
+          .otherwise(lit(0.4) * lit(0.4) *
+            coalesce(col("c1"), lit(1L)).cast("double") / col("n_ref")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(-log(col("sb"))), 4).as("mean_nll"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             tri AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1],
+                   'w3': toks[i+2]} FOR i IN range(1, len(toks) - 1)],
+                 recursive := true)
+               FROM tk WHERE len(toks) >= 3),
+             ref AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
+             c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM ref GROUP BY 1,2,3),
+             c2ctx AS (SELECT w1, w2, count(*) AS c2ctx FROM ref GROUP BY 1,2),
+             c2 AS (SELECT w2 AS b1, w3 AS b2, count(*) AS c2 FROM ref GROUP BY 1,2),
+             c1ctx AS (SELECT w2 AS u, count(*) AS c1ctx FROM ref GROUP BY 1),
+             c1 AS (SELECT w3 AS u, count(*) AS c1 FROM ref GROUP BY 1),
+             n AS (SELECT count(*) AS n_ref FROM ref),
+             sc AS (SELECT t.doc_id,
+                 CASE WHEN c3.c3 IS NOT NULL THEN c3.c3::DOUBLE / c2ctx.c2ctx
+                      WHEN c2.c2 IS NOT NULL THEN 0.4 * c2.c2::DOUBLE / c1ctx.c1ctx
+                      ELSE 0.4 * 0.4 * coalesce(c1.c1, 1)::DOUBLE / n.n_ref
+                 END AS sb
+               FROM tri t
+               LEFT JOIN c3 USING (w1, w2, w3)
+               LEFT JOIN c2ctx USING (w1, w2)
+               LEFT JOIN c2 ON t.w2 = c2.b1 AND t.w3 = c2.b2
+               LEFT JOIN c1ctx ON t.w2 = c1ctx.u
+               LEFT JOIN c1 ON t.w3 = c1.u
+               CROSS JOIN n
+               WHERE t.doc_id % 2 = 1)
+             SELECT doc_id, count(*) AS n_trigrams,
+               round(avg(-ln(sb)), 4) AS mean_nll
+             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
-    t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54)
+    t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
+    t55)
 }

@@ -269,6 +269,17 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(out.endsWith("ORDER BY o_orderpriority"), out)
   }
 
+  test("UNPIVOT statement rewrites to Spark UNPIVOT clause") {
+    val out = translate(
+      "UNPIVOT wide ON a, b, c INTO NAME metric VALUE v ORDER BY g, metric")
+    assert(out.startsWith(
+      "SELECT * FROM wide UNPIVOT (v FOR metric IN (a, b, c))"), out)
+    assert(out.endsWith("ORDER BY g, metric"), out)
+    // multi-value form unsupported → untouched, loud failure
+    val multi = "UNPIVOT wide ON (a, b) INTO NAME m VALUE x, y"
+    assert(translate(multi).trim.startsWith("UNPIVOT"), translate(multi))
+  }
+
   test("PIVOT auto-discovery form (no IN list) is left untouched") {
     val auto = "PIVOT orders ON o_orderstatus USING count(o_totalprice) " +
       "GROUP BY o_orderpriority"
