@@ -125,6 +125,64 @@ object Multimodal {
       }(enc)
   }
 
+  /** ViT-style patch tiling over REAL decoded pixels: each image
+    * splits into a `patch`×`patch` grid (edge tiles clamped) and every
+    * tile reports exact INTEGER pixel statistics — red-channel sum +
+    * pixel count. Integer outputs are the verification design: the
+    * m13 oracle regenerates the synthetic pixel stream arithmetically
+    * (splitmix-style int64 ops in HUGEINT mod-2⁶⁴, t05's technique)
+    * and must match the sums bit-for-bit, proving the ENTIRE
+    * decode-to-pixel path (PNG parse, raster layout, channel order) —
+    * not just header fields like m06. Pure map stage: one image in,
+    * ≤⌈w/p⌉·⌈h/p⌉ rows out, no shuffle before the gate's sort. */
+  def tileStats(media: DataFrame, patch: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("tile_x", IntegerType, nullable = false),
+      StructField("tile_y", IntegerType, nullable = false),
+      StructField("tw", IntegerType, nullable = false),
+      StructField("th", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("red_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val nx = (w + patch - 1) / patch
+            val ny = (h + patch - 1) / patch
+            for {
+              ty <- Iterator.range(0, ny)
+              tx <- Iterator.range(0, nx)
+            } yield {
+              val x0 = tx * patch; val y0 = ty * patch
+              val tw = math.min(patch, w - x0)
+              val th = math.min(patch, h - y0)
+              var sum = 0L
+              var y = y0
+              while (y < y0 + th) {
+                var x = x0
+                while (x < x0 + tw) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, tx, ty, tw, th, tw.toLong * th, sum)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Feature-extraction pass: binary → float embedding column, batched
     * per partition. Output feeds Similarity.* (ANN / dedup). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {

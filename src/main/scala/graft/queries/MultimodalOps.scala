@@ -283,6 +283,54 @@ object MultimodalOps {
             WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 3
             ORDER BY id_a, id_b"""))
 
+  // ViT patch tiling verified TO THE PIXEL: the oracle regenerates the
+  // synthetic image's pixel stream arithmetically (the splitmix-style
+  // generator renderPng uses, expressed in HUGEINT mod-2⁶⁴ with the
+  // 64×64 multiply split into 32-bit halves to stay inside INT128)
+  // and aggregates the same integer tile sums. A hash match therefore
+  // proves PNG parse + raster layout + channel order end-to-end —
+  // strictly stronger than m06/m07's header/dimension checks.
+  private val m13 = GraftQuery(
+    "m13_image_tile_stats",
+    (s, dir) => {
+      Multimodal.tileStats(
+          Multimodal.synthesizeImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"), patch = 16)
+        .orderBy("media_id", "tile_y", "tile_x")
+    },
+    // splitmix constants: 0x9E3779B97F4A7C15 = 11400714819323198485,
+    // 0xBF58476D1CE4E5B9 = 3210233709·2³² + 484763065
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 16 + doc_id % 64 AS w, 16 + (doc_id * 7) % 48 AS h
+               FROM documents),
+             xs AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM dims),
+             xy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs),
+             p0 AS (SELECT media_id, x, y,
+                 ((media_id::HUGEINT * 11400714819323198485) +
+                  (y::HUGEINT * 1048576) + x::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM xy),
+             p1 AS (SELECT media_id, x, y,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, x, y,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             p3 AS (SELECT media_id, x, y,
+                 (xor(u, u // 4294967296) % 16777216) // 65536 AS red FROM p2),
+             tiles AS (SELECT p3.media_id,
+                 CAST(x // 16 AS INT) AS tile_x, CAST(y // 16 AS INT) AS tile_y,
+                 red, d.w, d.h
+               FROM p3 JOIN dims d ON p3.media_id = d.media_id)
+             SELECT media_id, tile_x, tile_y,
+               CAST(least(16, w - tile_x * 16) AS INT) AS tw,
+               CAST(least(16, h - tile_y * 16) AS INT) AS th,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(red) AS BIGINT) AS red_sum
+             FROM tiles GROUP BY media_id, tile_x, tile_y, w, h
+             ORDER BY media_id, tile_y, tile_x"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12)
+    m10, m11, m12, m13)
 }

@@ -199,4 +199,21 @@ class MultimodalSpec extends SparkTestBase {
     // …while DIFFERENT images stay far apart (~32 expected at random)
     assert(ham(orig(1L), orig(2L)) >= 10 && ham(orig(1L), orig(3L)) >= 10)
   }
+
+  test("tileStats: tiles partition each image exactly, clamped at edges") {
+    import spark.implicits._
+    val imgs = Multimodal.synthesizeImages(Seq(5L, 64L, 77L).toDF("doc_id"), "doc_id")
+    val tiles = Multimodal.tileStats(imgs, patch = 16).collect()
+    assert(tiles.forall(r => r.getLong(5) == r.getInt(3).toLong * r.getInt(4)),
+      "n_px must equal tw×th")
+    assert(tiles.forall(r => r.getInt(3) <= 16 && r.getInt(4) <= 16))
+    val cover = tiles.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(5)).sum)
+    Seq(5L, 64L, 77L).foreach { id =>
+      val (w, h) = (16 + (id % 64), 16 + (id * 7) % 48)
+      assert(cover(id) == w * h, s"id=$id covered ${cover(id)} of ${w * h}")
+    }
+    // red sums are bounded by 255·n_px and not all zero (real pixels)
+    assert(tiles.forall(r => r.getLong(6) >= 0 && r.getLong(6) <= 255L * r.getLong(5)))
+    assert(tiles.map(_.getLong(6)).sum > 0)
+  }
 }
