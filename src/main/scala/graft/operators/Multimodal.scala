@@ -355,6 +355,61 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-level energy analysis over REAL decoded PCM — the audio
+    * analogue of [[tileStats]]: parse the WAV through the JDK codec,
+    * split the mono 16-bit stream into `frameSize`-sample frames
+    * (last frame clamped), report exact INTEGER per-frame statistics
+    * (Σ|s|, max|s|, sample count). The m14 oracle regenerates the
+    * synthetic sample stream arithmetically and must match the sums
+    * bit-for-bit, proving RIFF parse + PCM byte order + sign
+    * handling — not just the header fields m08 checks. Pure map
+    * stage; a VAD / silence-trim pass at 100 TB is this exact shape
+    * plus a threshold filter. */
+  def frameEnergy(media: DataFrame, frameSize: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("abs_sum", LongType, nullable = false),
+      StructField("abs_max", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              val bytes = ais.readAllBytes()
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                  !fmt.isBigEndian) Some(bytes)
+              else None
+            } catch { case _: Exception => None }
+          parsed match {
+            case None => Iterator.empty
+            case Some(bytes) =>
+              val n = bytes.length / 2
+              val nFrames = (n + frameSize - 1) / frameSize
+              Iterator.range(0, nFrames).map { f =>
+                val i0 = f * frameSize
+                val len = math.min(frameSize, n - i0)
+                var sum = 0L; var mx = 0; var i = i0
+                while (i < i0 + len) {
+                  val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF))
+                  val a = math.abs(s)
+                  sum += a; if (a > mx) mx = a
+                  i += 1
+                }
+                Row(id, f, len, sum, mx)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Audio decode pass: binary → (sample_rate, channels, n_frames)
     * via the real JDK WAV parser; non-WAV bytes yield nulls. Header
     * read only — pure map stage. */

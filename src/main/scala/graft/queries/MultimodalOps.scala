@@ -331,6 +331,46 @@ object MultimodalOps {
              FROM tiles GROUP BY media_id, tile_x, tile_y, w, h
              ORDER BY media_id, tile_y, tile_x"""))
 
+  // Audio frame energy verified TO THE SAMPLE — m13's oracle pattern
+  // on the PCM stream: the SQL side regenerates every 16-bit sample
+  // arithmetically and aggregates the same integer frame energies, so
+  // a hash match proves RIFF parse + little-endian byte order + sign
+  // handling through the real javax.sound decode.
+  private val m14 = GraftQuery(
+    "m14_audio_frame_energy",
+    (s, dir) => {
+      Multimodal.frameEnergy(
+          Multimodal.synthesizeAudio(
+            Tables.spread(t(s, dir, "documents")), "doc_id"), frameSize = 160)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 400 + (doc_id * 13) % 800 AS nf
+               FROM documents),
+             smp AS (SELECT media_id, unnest(range(nf)) AS i FROM dims),
+             p0 AS (SELECT media_id, i,
+                 ((media_id::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM smp),
+             p1 AS (SELECT media_id, i,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, i,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             v AS (SELECT media_id, i,
+                 CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+               FROM p2),
+             fr AS (SELECT media_id, CAST(i // 160 AS INT) AS frame_idx,
+                 abs(s) AS a FROM v)
+             SELECT media_id, frame_idx,
+               CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(a) AS BIGINT) AS abs_sum,
+               CAST(max(a) AS INT) AS abs_max
+             FROM fr GROUP BY media_id, frame_idx
+             ORDER BY media_id, frame_idx"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13)
+    m10, m11, m12, m13, m14)
 }

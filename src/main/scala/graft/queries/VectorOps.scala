@@ -843,6 +843,91 @@ object VectorOps {
              SELECT query_id, pick, nbr_id, round(score, 4) AS mmr_score
              FROM u ORDER BY query_id, pick"""))
 
+  // Top principal component by distributed covariance + THREE unrolled
+  // power iterations — the PCA direction that drives whitening /
+  // anisotropy diagnostics (embedding "rogue dimension" checks). The
+  // covariance is one (i, j)-keyed agg over exploded coordinate pairs
+  // (dim² keys = 4096, uniform — tiny shuffle); each iteration is a
+  // 4096-row matrix × 64-row vector join, driver-scale. Intermediate
+  // vectors round to 6 digits per iteration: that RE-SYNCS the two
+  // engines' float ulp drift each step, making an iterative numeric
+  // algorithm exactly oracle-checkable. At 100 TB the covariance agg
+  // is the only corpus-sized stage (map-side combined); everything
+  // after is constant work.
+  private val v24 = GraftQuery(
+    "v24_top_principal_component",
+    (s, dir) => {
+      val xr = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("id", "i", "xi")
+        .withColumn("xi", col("xi").cast("double"))
+      val n = xr.agg(countDistinct("id").as("n"))
+      val mu = xr.groupBy("i")
+        .agg((sum("xi") / count(lit(1))).as("mu"))
+      val sij = xr.as("a")
+        .join(xr.as("b"), "id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.xi") * col("b.xi")).as("s"))
+      val cov = sij
+        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"),
+          round(col("s") / col("n") - col("mu_i") * col("mu_j"), 8).as("c"))
+      val dim = 64
+      var v = s.range(dim).select(col("id").cast("int").as("i"),
+        lit(1.0 / math.sqrt(dim)).as("v"))
+      for (_ <- 1 to 3) {
+        val raw = cov.join(v.select(col("i").as("j"), col("v")), "j")
+          .groupBy("i").agg(sum(col("c") * col("v")).as("r"))
+        val nrm = raw.agg(sqrt(sum(col("r") * col("r"))).as("nrm"))
+        v = raw.crossJoin(broadcast(nrm))
+          .select(col("i"), round(col("r") / col("nrm"), 6).as("v"))
+      }
+      val cv = cov.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(col("c") * col("v")).as("cv"))
+      val lam = cv.join(v, "i")
+        .agg((sum(col("cv") * col("v")) / sum(col("v") * col("v"))).as("lambda"))
+      v.crossJoin(broadcast(lam))
+        .select(col("i").as("dim"), round(col("v"), 4).as("loading"),
+          round(col("lambda"), 4).as("eigenvalue"))
+        .orderBy("dim")
+    },
+    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+             xr AS (SELECT id, CAST(gs.i AS INT) - 1 AS i, v[gs.i] AS xi
+               FROM e, generate_series(1, 64) AS gs(i)),
+             n AS (SELECT count(DISTINCT id) AS n FROM xr),
+             mu AS (SELECT i, sum(xi) / count(*) AS mu FROM xr GROUP BY i),
+             sij AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+               FROM xr a JOIN xr b USING (id) GROUP BY a.i, b.i),
+             cov AS (SELECT sij.i, sij.j,
+                 round(s / n.n - mi.mu * mj.mu, 8) AS c
+               FROM sij
+               JOIN mu mi ON sij.i = mi.i
+               JOIN mu mj ON sij.j = mj.i
+               CROSS JOIN n),
+             v0 AS (SELECT CAST(gs.i AS INT) - 1 AS i, 0.125 AS v
+               FROM generate_series(1, 64) AS gs(i)),
+             r1 AS (SELECT cov.i, sum(c * v0.v) AS r FROM cov
+               JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
+             v1 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r1), 6) AS v
+               FROM r1),
+             r2 AS (SELECT cov.i, sum(c * v1.v) AS r FROM cov
+               JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+             v2 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r2), 6) AS v
+               FROM r2),
+             r3 AS (SELECT cov.i, sum(c * v2.v) AS r FROM cov
+               JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+             v3 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r3), 6) AS v
+               FROM r3),
+             cv AS (SELECT cov.i, sum(c * v3.v) AS cv FROM cov
+               JOIN v3 ON cov.j = v3.i GROUP BY cov.i),
+             lam AS (SELECT sum(cv.cv * v3.v) / sum(v3.v * v3.v) AS lambda
+               FROM cv JOIN v3 ON cv.i = v3.i)
+             SELECT v3.i AS dim, round(v3.v, 4) AS loading,
+               round(lam.lambda, 4) AS eigenvalue
+             FROM v3 CROSS JOIN lam ORDER BY dim"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24)
 }
