@@ -1507,6 +1507,29 @@ object Relational {
             UNPIVOT wide ON "O", "F", "P" INTO NAME status VALUE n
             ORDER BY o_orderpriority, status"""))
 
+  // GROUP BY CUBE — all 2ᵏ grouping combinations in one pass
+  // (completes the ROLLUP q16 / GROUPING SETS q29 family). Spark
+  // expands cube groupings inside a single hash aggregate; no extra
+  // scans.
+  private val q56 = GraftQuery(
+    "q56_cube",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1515,5 +1538,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

@@ -2155,9 +2155,79 @@ object TextOps {
                round(avg(-ln(sb)), 4) AS mean_nll
              FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Cross-source quantile normalization — heterogeneous sources score
+  // on incomparable scales (a web crawl's "good" ≠ a code corpus's
+  // "good"); calibration maps each doc's WITHIN-SOURCE percent rank
+  // onto the GLOBAL score distribution, so per-source thresholds mean
+  // the same thing everywhere. Exact auditing form: global rank table
+  // G + target index round(pr·(N−1)). The global row_number is the
+  // one deliberately non-scalable stage (exact quantiles need a total
+  // order); the 100-TB swap is approx_percentile's T-digest lookup —
+  // same calibration up to sketch error, no global sort.
+  private val t56 = GraftQuery(
+    "t56_quantile_normalize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val scored = d.withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("f_distinct"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("f_stop"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("f_len"))
+        .withColumn("score",
+          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+            (col("f_len") - 4.0) * -0.5)
+      val wSrc = Window.partitionBy("source")
+        .orderBy(col("score"), col("doc_id"))
+      val wAll = Window.orderBy(col("score"), col("doc_id"))
+      val ranked = scored
+        .withColumn("pr", percent_rank().over(wSrc))
+      val global = scored
+        .withColumn("gidx", row_number().over(wAll) - 1)
+        .select(col("gidx"), col("score").as("g_score"))
+      val n = global.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("tidx", round(col("pr") * (col("n_total") - 1), 0).cast("long"))
+        .join(global, col("tidx") === col("gidx"))
+        // display through the logistic squash: the raw linear scores
+        // are sums of 4-digit decimals and land EXACTLY on .5e-4
+        // rounding boundaries, where the engines' round() diverge;
+        // exp() destroys that decimal structure (t38/t49's pattern)
+        .select(col("doc_id"), col("source"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 4).as("raw_q"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("g_score"))), 4)
+            .as("calibrated_q"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+             f AS (SELECT doc_id, source,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+               FROM tk),
+             sc AS (SELECT doc_id, source,
+                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS score
+               FROM f),
+             r AS (SELECT doc_id, source, score,
+                 percent_rank() OVER (PARTITION BY source
+                   ORDER BY score, doc_id) AS pr
+               FROM sc),
+             g AS (SELECT row_number() OVER (ORDER BY score, doc_id) - 1 AS gidx,
+                 score AS g_score FROM sc),
+             n AS (SELECT count(*) AS n_total FROM sc)
+             SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-score)), 4) AS raw_q,
+               round(1.0 / (1.0 + exp(-g_score)), 4) AS calibrated_q
+             FROM r CROSS JOIN n
+             JOIN g ON CAST(round(pr * (n_total - 1), 0) AS BIGINT) = g.gidx
+             ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55)
+    t55, t56)
 }
