@@ -1530,6 +1530,34 @@ object Relational {
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY status, priority"""))
 
+  // Bucketed BIG×BIG range join — q10's BNLJ shape is only viable
+  // against a dimension; here 6k lineitem points × 1.5k order
+  // intervals (both fact-sized at scale) join through a manufactured
+  // bucket equi-key (operators/RangeJoin) instead of a nested loop.
+  // PlanShapeSpec pins the no-BNLJ shape.
+  private val q57 = GraftQuery(
+    "q57_bucketed_range_join",
+    (s, dir) => {
+      val iv = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice") - 2500).as("lo"),
+        (col("o_totalprice") + 2500).as("hi"))
+      val pts = t(s, dir, "lineitem").select("l_extendedprice")
+      graft.operators.RangeJoin.pointInInterval(
+          pts, iv, "l_extendedprice", "lo", "hi", bucketWidth = 5000.0)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_in_range"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_in_range,
+              round(min(l_extendedprice), 2) AS min_price,
+              round(max(l_extendedprice), 2) AS max_price
+            FROM orders JOIN lineitem
+              ON l_extendedprice BETWEEN o_totalprice - 2500
+                                     AND o_totalprice + 2500
+            GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1538,5 +1566,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -351,6 +351,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"bucket join must be broadcast-hash:\n$p")
   }
 
+  test("q57 bucketed range join: equi-join on bucket key, never a nested loop") {
+    val p = plan("q57_bucketed_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"big×big range join must bucket, not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t47 ccnet buckets: vocab join-backs never collect; window partitions by lang") {
     val p = plan("t47_ccnet_perplexity_buckets")
     assert(!p.contains("CartesianProduct"), p)
