@@ -2225,9 +2225,91 @@ object TextOps {
              JOIN g ON CAST(round(pr * (n_total - 1), 0) AS BIGINT) = g.gidx
              ORDER BY doc_id"""))
 
+  // Distinct-n diversity profile — the corpus-health metric that
+  // catches generation/boilerplate collapse (low distinct-n = the
+  // corpus repeats itself; Li et al. 2016's "distinct" metric at
+  // corpus grain). ONE scan builds all four n-gram streams (nested
+  // transform over n=1..4), then a 4-group agg; count(DISTINCT) is
+  // the only wide state and is per-n bounded by vocabulary size.
+  private val t57 = GraftQuery(
+    "t57_distinct_ngrams",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .select(tokens(col("text")).as("a"))
+        .select(explode(graft.functions.TextFunctions.bound(col("a")) { a =>
+          flatten(transform(sequence(lit(1), lit(4)), n =>
+            when(size(a) >= n, transform(sequence(lit(0), size(a) - n),
+              i => struct(n.as("n"),
+                concat_ws(" ", slice(a, i + 1, n)).as("g"))))
+              .otherwise(array().cast("array<struct<n:int,g:string>>"))))
+        }).as("x"))
+      grams.groupBy(col("x.n").as("n"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("x.g")).as("n_distinct"))
+        .withColumn("distinct_ratio",
+          round(col("n_distinct").cast("double") / col("total"), 4))
+        .orderBy("n")
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents),
+             g AS (
+               SELECT 1 AS n, unnest(toks) AS g FROM tk
+               UNION ALL SELECT 2, unnest([array_to_string(toks[i:i+1], ' ')
+                   FOR i IN range(1, len(toks))]) FROM tk WHERE len(toks) >= 2
+               UNION ALL SELECT 3, unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)]) FROM tk WHERE len(toks) >= 3
+               UNION ALL SELECT 4, unnest([array_to_string(toks[i:i+3], ' ')
+                   FOR i IN range(1, len(toks) - 2)]) FROM tk WHERE len(toks) >= 4)
+             SELECT n, count(*) AS total, count(DISTINCT g) AS n_distinct,
+               round(count(DISTINCT g)::DOUBLE / count(*), 4) AS distinct_ratio
+             FROM g GROUP BY n ORDER BY n"""))
+
+  // Zipf rank-frequency fit — log-log least squares over the top-1000
+  // vocabulary. A healthy natural-language corpus fits slope ≈ −1;
+  // big deviations flag synthetic/templated text. The regression is
+  // closed-form from six scalar aggregates; the only ordered stage is
+  // the top-1000 type selection (TakeOrdered at any scale — the
+  // vocabulary reduction, not a corpus sort).
+  private val t58 = GraftQuery(
+    "t58_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(1000)
+      val w = Window.orderBy(col("f").desc, col("w"))
+      val xy = freq.withColumn("r", row_number().over(w))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      xy.agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_types"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+          round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+            .as("intercept"))
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents),
+             f AS (SELECT t AS w, count(*) AS f
+               FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t
+               ORDER BY f DESC, w LIMIT 1000),
+             xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)) AS x,
+                 ln(CAST(f AS DOUBLE)) AS y FROM f),
+             agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+             SELECT CAST(n AS BIGINT) AS n_types,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+               round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+                 AS intercept
+             FROM agg"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56)
+    t55, t56, t57, t58)
 }

@@ -164,6 +164,40 @@ object PropertiesSpec extends Properties("graft") {
       once == twice
     }
 
+  // --- SqlDialect.translate: idempotent + pass-through --------------
+
+  // Statement-level rewrites (PIVOT/UNPIVOT/ASOF) are regex-driven;
+  // the properties that keep them safe are (a) translating already-
+  // translated text is a no-op, and (b) text without dialect tokens
+  // is untouched.
+  private val genDialectSql: Gen[String] = Gen.oneOf(
+    Gen.const("SELECT a, b FROM t WHERE a > 1 ORDER BY b"),
+    for {
+      tbl <- Gen.oneOf("t", "sch.t")
+      dir <- Gen.oneOf(">=", "<=", ">", "<")
+      lkw <- Gen.oneOf("ASOF JOIN", "ASOF LEFT JOIN", "LEFT ASOF JOIN")
+    } yield s"SELECT * FROM l $lkw $tbl r ON l.k = r.k AND l.ts $dir r.ts",
+    for {
+      vals <- Gen.someOf(Seq("'a'", "'b'", "'c'")).map(_.toSeq)
+        if vals.nonEmpty
+    } yield s"PIVOT t ON c IN (${vals.mkString(", ")}) USING sum(x) GROUP BY g",
+    Gen.const("UNPIVOT w ON a, b INTO NAME m VALUE v"))
+
+  property("SqlDialect.translate is idempotent on dialect statements") =
+    Prop.forAll(genDialectSql) { sql =>
+      import graft.engine.SqlDialect
+      val once = SqlDialect.translate(sql)
+      SqlDialect.translate(once) == once
+    }
+
+  property("plain ANSI text passes through translate unchanged") =
+    Prop.forAll(Gen.oneOf(
+      "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1",
+      "SELECT a FROM t JOIN u ON t.id = u.id WHERE a IS NOT NULL",
+      "SELECT count(*) FROM events ORDER BY 1 LIMIT 5")) { sql =>
+      graft.engine.SqlDialect.translate(sql) == sql
+    }
+
   // --- Layout.mortonInterleave: bijective on the quantized grid -----
 
   property("mortonInterleave is a bijection on [0,2^b)² and bounded by 4^b") =
