@@ -656,6 +656,47 @@ class GoldenConfigSpec extends SparkTestBase {
     } finally spark.sql("DROP DATABASE IF EXISTS gh_db CASCADE")
   }
 
+  test("handler SQL can use DuckDB ASOF JOIN grammar (dialect interval rewrite)") {
+    // price quotes as a CSV view; each event picks the latest quote at
+    // or before its timestamp — the stream-enrichment asof shape,
+    // written in DuckDB's native grammar and run through the engine
+    val quotesCsv = write("quotes.csv",
+      """city,quote_ts,price
+        |New York,2015-12-12T19:10:00.000Z,10
+        |New York,2015-12-12T19:11:00.000Z,20
+        |New York,2015-12-12T19:12:00.000Z,30
+        |Baltimore,2015-12-12T19:00:00.000Z,5
+        |""".stripMargin)
+    val cfg = write("asof.enrich.yml",
+      s"""commands:
+         |  - name: register quotes view
+         |    sql: |
+         |      CREATE VIEW quotes AS
+         |        SELECT city, CAST(quote_ts AS TIMESTAMP) AS quote_ts, price
+         |        FROM read_csv_auto('$quotesCsv', header=True);
+         |pipeline:
+         |  batch_size: 1000
+         |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+         |  handler:
+         |    type: 'handlers.InferredMemBatch'
+         |    sql: |
+         |      SELECT b.properties.city AS city, q.price
+         |      FROM (SELECT *, CAST(timestamp AS TIMESTAMP) AS ts FROM batch) b
+         |      ASOF LEFT JOIN quotes q
+         |        ON b.properties.city = q.city AND b.ts >= q.quote_ts
+         |      ORDER BY city, q.price;
+         |  sink: {type: noop}
+         |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, windowFixture).toJSON.collect().toSeq
+    // events at 19:11:01 → New York picks the 19:11 quote (20), never
+    // the later 19:12 one; Baltimore picks its only earlier quote (5)
+    assert(got == Seq(
+      """{"city":"Baltimore","price":5}""",
+      """{"city":"Baltimore","price":5}""",
+      """{"city":"New York","price":20}""",
+      """{"city":"New York","price":20}"""))
+  }
+
   test("config template rendering: overrides beat env beat defaults") {
     val raw = "a: {{ MISSING_VAR|default('fallback') }}\nb: {{ OV|default(7) }}"
     assert(Config.renderTemplate(raw, Map("OV" -> "9")) == "a: fallback\nb: 9")
