@@ -371,6 +371,40 @@ object MultimodalOps {
              FROM fr GROUP BY media_id, frame_idx
              ORDER BY media_id, frame_idx"""))
 
+  // Uniform frame-sampling schedule computed FROM the real MP4 decode:
+  // k=8 sample points per video at floor(i·duration/k) movie units,
+  // converted to integer milliseconds via the decoded timescale. Every
+  // output value is integer arithmetic over m09's verified container
+  // fields, so the oracle derives the same schedule from the id
+  // formulas — a wrong timescale/duration parse breaks the hash. This
+  // is the seek-table a frame-extraction pass hands to a real decoder.
+  private val m15 = GraftQuery(
+    "m15_video_sample_schedule",
+    (s, dir) => {
+      Multimodal.decodeVideoMeta(
+          Multimodal.synthesizeVideo(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .select(col("media_id"), col("timescale"), col("duration_units"),
+          explode(sequence(lit(0), lit(7))).as("sample_idx"))
+        .select(col("media_id"), col("sample_idx"),
+          expr("CAST(sample_idx * duration_units DIV 8 AS BIGINT)")
+            .as("sample_unit"),
+          expr("CAST((sample_idx * duration_units DIV 8) * 1000 DIV timescale AS BIGINT)")
+            .as("sample_ms"))
+        .orderBy("media_id", "sample_idx")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 600 * (1 + doc_id % 4) AS ts,
+                 240 + (doc_id * 17) % 2400 AS dur
+               FROM documents),
+             i AS (SELECT media_id, ts, dur,
+                 CAST(gs.i AS INT) AS sample_idx
+               FROM dims, generate_series(0, 7) AS gs(i))
+             SELECT media_id, sample_idx,
+               CAST(sample_idx * dur // 8 AS BIGINT) AS sample_unit,
+               CAST((sample_idx * dur // 8) * 1000 // ts AS BIGINT) AS sample_ms
+             FROM i ORDER BY media_id, sample_idx"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14)
+    m10, m11, m12, m13, m14, m15)
 }

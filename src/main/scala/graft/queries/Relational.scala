@@ -1558,6 +1558,52 @@ object Relational {
                                      AND o_totalprice + 2500
             GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
+  // Gap-based sessionization in plain SQL — q21 uses Spark's
+  // session_window builtin; this is the engine-portable windowed
+  // formulation every warehouse runs: flag rows whose gap from the
+  // previous event exceeds 30 min, running-sum the flags into session
+  // ordinals, aggregate per session. Two windows + one agg, all on
+  // the same user_id partitioning (one data shuffle).
+  private val q58 = GraftQuery(
+    "q58_sessionize_sql",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          round(sum("value"), 2).as("sess_value"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, ts, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) -
+                 CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+               FROM events),
+             f AS (SELECT user_id, event_id, ts, value,
+                 CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess
+               FROM g),
+             sn AS (SELECT user_id, ts, value,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+               FROM f)
+             SELECT user_id, sess_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+               round(sum(value), 2) AS sess_value
+             FROM sn GROUP BY user_id, sess_id
+             ORDER BY user_id, sess_id"""))
+
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
@@ -1566,5 +1612,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
