@@ -2307,9 +2307,66 @@ object TextOps {
                  AS intercept
              FROM agg"""))
 
+  // Dedup-rate pre-flight estimate — before paying for a full corpus
+  // dedup at 100 TB, measure the duplicate fraction on a ~20%
+  // deterministic hash sample (t16's md5 key — reproducible, no RNG)
+  // and report a 95% Wilson confidence interval. Grain is the
+  // 20-token passage (t51's block definition), the unit the full
+  // dedup pass would run at. NOTE the estimator's honest limitation,
+  // documented here by design: sampling measures duplicates WITHIN
+  // the sample; cross-sample duplicate pairs are missed, so the
+  // estimate is a LOWER bound that tightens as the sample rate grows
+  // (exact at 100%). One sample-sized hash-agg; the CI arithmetic is
+  // closed-form scalar math.
+  private val t59 = GraftQuery(
+    "t59_dup_rate_estimate",
+    (s, dir) => {
+      val samp = docs(s, dir)
+        .filter(expr(s"$sampleKey < '3333'"))
+        .select(tokens(col("text")).as("a"))
+        .select(explode(graft.functions.TextFunctions.bound(col("a")) { a =>
+          transform(sequence(lit(0), ((size(a) - 1) / lit(20)).cast("int")),
+            i => concat_ws(" ", slice(a, i * lit(20) + 1, lit(20))))
+        }).as("blk"))
+        .select(md5(col("blk")).as("h"))
+      samp.agg(count(lit(1)).as("n"),
+          countDistinct(col("h")).as("n_distinct"))
+        .withColumn("p",
+          (col("n") - col("n_distinct")).cast("double") / col("n"))
+        .withColumn("z2n", lit(1.96 * 1.96) / col("n"))
+        .withColumn("ci_lo", round(
+          (col("p") + col("z2n") / 2 - lit(1.96) *
+            sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              col("z2n") / (col("n") * 4))) / (lit(1.0) + col("z2n")), 4))
+        .withColumn("ci_hi", round(
+          (col("p") + col("z2n") / 2 + lit(1.96) *
+            sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              col("z2n") / (col("n") * 4))) / (lit(1.0) + col("z2n")), 4))
+        .select(col("n").as("n_sample"), col("n_distinct"),
+          round(col("p"), 4).as("dup_rate"), col("ci_lo"), col("ci_hi"))
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents
+               WHERE $duckSampleKey < '3333'),
+             blk AS (SELECT unnest(
+                 [array_to_string(toks[(i-1)*20+1 : (i-1)*20+20], ' ')
+                  FOR i IN range(1, (len(toks) + 19) // 20 + 1)]) AS b
+               FROM tk),
+             samp AS (SELECT md5(b) AS h FROM blk),
+             a AS (SELECT count(*) AS n, count(DISTINCT h) AS n_distinct FROM samp),
+             p AS (SELECT n, n_distinct,
+                 (n - n_distinct)::DOUBLE / n AS p,
+                 1.96 * 1.96 / n AS z2n
+               FROM a)
+             SELECT n AS n_sample, n_distinct, round(p, 4) AS dup_rate,
+               round((p + z2n / 2 - 1.96 * sqrt(p * (1.0 - p) / n + z2n / (4 * n)))
+                 / (1.0 + z2n), 4) AS ci_lo,
+               round((p + z2n / 2 + 1.96 * sqrt(p * (1.0 - p) / n + z2n / (4 * n)))
+                 / (1.0 + z2n), 4) AS ci_hi
+             FROM p"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58)
+    t55, t56, t57, t58, t59)
 }
