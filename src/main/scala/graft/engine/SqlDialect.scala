@@ -387,15 +387,23 @@ object SqlDialect {
       """(\w+(?:\s*,\s*\w+)*)\s*(ORDER\s+BY\s+.*)?$""").r
     s match {
       case pat(table, onCol, vals, agg, arg, groupCols, orderBy) =>
-        val aliases = vals.split(",").map(_.trim).filter(_.nonEmpty).map { v =>
-          val name = v.stripPrefix("'").stripSuffix("'")
-          s"$v AS `$name`"
-        }.mkString(", ")
+        val names = vals.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.stripPrefix("'").stripSuffix("'"))
+        val aliases = vals.split(",").map(_.trim).filter(_.nonEmpty)
+          .zip(names).map { case (v, n) => s"$v AS `$n`" }.mkString(", ")
         val g = groupCols.split(",").map(_.trim).toSeq
         val proj = (g :+ onCol :+ arg).distinct.mkString(", ")
         val ob = Option(orderBy).map(" " + _).getOrElse("")
-        s"SELECT * FROM (SELECT $proj FROM $table) " +
-          s"PIVOT ($agg($arg) FOR $onCol IN ($aliases))$ob"
+        val pivoted = s"(SELECT $proj FROM $table) " +
+          s"PIVOT ($agg($arg) FOR $onCol IN ($aliases))"
+        // DuckDB's PIVOT fills empty (group, value) combos with 0 for
+        // count (verified 1.0.0); Spark's clause yields NULL. Other
+        // aggs (sum/min/max/avg) are NULL in both engines — only
+        // count needs the repair projection.
+        if (agg.equalsIgnoreCase("count")) {
+          val fill = names.map(n => s"coalesce(`$n`, 0) AS `$n`")
+          s"SELECT ${(g ++ fill).mkString(", ")} FROM $pivoted$ob"
+        } else s"SELECT * FROM $pivoted$ob"
       case _ => s
     }
   }
@@ -478,6 +486,13 @@ object SqlDialect {
     val ineqs = parsed.flatten.filter(_._2 != "=")
     val raIneqs = ineqs.filter(t => isRa(t._1) ^ isRa(t._3))
     if (ineqs.size != 1 || raIneqs.size != 1) return s
+    // every equality that touches the right alias must LINK left↔right:
+    // a right-only equality (r.a = r.b) would otherwise become a bogus
+    // extra PARTITION BY key, making each (a,b)-partition's latest row
+    // pass its own containment bound → silent duplicate matches
+    // (DuckDB returns one row for that shape). Untouched = loud.
+    if (parsed.flatten.exists(t =>
+        t._2 == "=" && isRa(t._1) && isRa(t._3))) return s
     val (a, op, b) = raIneqs.head
     // normalize to (left-side expr, comparator, right ts column):
     // backward = pick the LATEST right ts ≤(<) the left ts

@@ -166,15 +166,14 @@ object Multimodal {
               val x0 = tx * patch; val y0 = ty * patch
               val tw = math.min(patch, w - x0)
               val th = math.min(patch, h - y0)
+              // one batched color-model conversion per tile — per-pixel
+              // getRGB repeats bounds checks + conversion per call
+              val buf = img.getRGB(x0, y0, tw, th, null, 0, tw)
               var sum = 0L
-              var y = y0
-              while (y < y0 + th) {
-                var x = x0
-                while (x < x0 + tw) {
-                  sum += (img.getRGB(x, y) >> 16) & 0xFF
-                  x += 1
-                }
-                y += 1
+              var k = 0
+              while (k < buf.length) {
+                sum += (buf(k) >> 16) & 0xFF
+                k += 1
               }
               Row(id, tx, ty, tw, th, tw.toLong * th, sum)
             }

@@ -34,6 +34,12 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points/intervals column names must be disjoint, clashing: $overlap")
+    require(!points.columns.contains("__bkt") &&
+      !intervals.columns.contains("__bkt"),
+      "__bkt is reserved by pointInInterval")
     val p = points
       .withColumn("__bkt", floor(col(pointCol) / bucketWidth).cast("long"))
     val iv = intervals

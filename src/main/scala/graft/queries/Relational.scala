@@ -1459,10 +1459,8 @@ object Relational {
       val changes = t(s, dir, "events")
         .withColumn("prev", lag(col("event_type"), 1).over(w))
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      val w2 = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
       changes
-        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w2))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
         .select(col("user_id"), col("event_type").as("state"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),

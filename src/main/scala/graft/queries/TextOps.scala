@@ -26,6 +26,41 @@ object TextOps {
   private val duckToks =
     """regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
 
+  /** Shared quality scorer (the t38 linear-logistic): round-4 features
+    * from one `textStats` pass plus the UNROUNDED linear z. Three
+    * consumers — t38 (score+keep), t49 (budget ranking), t56 (quantile
+    * calibration) — must stay formula-identical: their cross-engine
+    * bit-equality and cross-query calibration contracts depend on
+    * every copy of this arithmetic being literally the same, which is
+    * why it lives here once (and once in [[duckQualityZCtes]] for the
+    * oracle side). */
+  private def qualityZ(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir).withColumn("st", textStats(col("text")))
+      .select(col("doc_id"), col("source"),
+        col("st.n_tokens").cast("long").as("n_toks"),
+        round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+          .as("f_distinct"),
+        round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+          .as("f_stop"),
+        round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+          .as("f_len"))
+      .withColumn("z",
+        lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+          (col("f_len") - 4.0) * -0.5)
+
+  /** Oracle-side twin of [[qualityZ]]: CTEs `tk`, `f`, `z` (z carries
+    * doc_id, source, n_toks, features, unrounded z). */
+  private lazy val duckQualityZCtes =
+    s"""tk AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+       f AS (SELECT doc_id, source, len(toks)::BIGINT AS n_toks,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+           round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+         FROM tk),
+       z AS (SELECT doc_id, source, n_toks, f_distinct, f_stop, f_len,
+           -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
+         FROM f)"""
+
   private val t01 = GraftQuery(
     "t01_text_stats_by_lang",
     (s, dir) => {
@@ -1126,33 +1161,13 @@ object TextOps {
   private val t38 = GraftQuery(
     "t38_quality_linear_score",
     (s, dir) => {
-      val d = docs(s, dir)
-      d.withColumn("st", textStats(col("text")))
-        .select(
-          col("doc_id"),
-          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
-            .as("f_distinct"),
-          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
-            .as("f_stop"),
-          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
-            .as("f_len"))
-        .withColumn("z",
-          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
-            (col("f_len") - 4.0) * -0.5)
+      qualityZ(s, dir)
         .select(col("doc_id"),
           round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"),
           (col("z") >= 0.0).as("keep"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
-             f AS (SELECT doc_id,
-                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
-                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
-                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
-               FROM tk),
-             z AS (SELECT doc_id,
-                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
-               FROM f)
+    Some(s"""WITH $duckQualityZCtes
              SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,
                z >= 0.0 AS keep
              FROM z ORDER BY doc_id"""))
@@ -1753,23 +1768,11 @@ object TextOps {
     "t49_token_budget_select",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      val scored = d.withColumn("st", textStats(col("text")))
-        .select(col("doc_id"), col("source"),
-          col("st.n_tokens").cast("long").as("n_toks"),
-          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
-            .as("f_distinct"),
-          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
-            .as("f_stop"),
-          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
-            .as("f_len"))
-        // z stays UNROUNDED for ordering (identical IEEE arithmetic on
-        // identical round-4 features in both engines → identical order);
-        // display goes through t38's sigmoid+round, the exact output
-        // contract the t38 gate already proves matches at 4 digits
-        .withColumn("z",
-          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
-            (col("f_len") - 4.0) * -0.5)
+      // z stays UNROUNDED for ordering (identical IEEE arithmetic on
+      // identical round-4 features in both engines → identical order);
+      // display goes through t38's sigmoid+round, the exact output
+      // contract the t38 gate already proves matches at 4 digits
+      val scored = qualityZ(s, dir)
       val wCum = Window.partitionBy("source")
         .orderBy(col("z").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1782,15 +1785,7 @@ object TextOps {
           round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"))
         .orderBy("source", "cum_toks")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
-             f AS (SELECT doc_id, source, len(toks)::BIGINT AS n_toks,
-                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
-                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
-                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
-               FROM tk),
-             z AS (SELECT doc_id, source, n_toks,
-                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
-               FROM f),
+    Some(s"""WITH $duckQualityZCtes,
              c AS (SELECT doc_id, source, n_toks, z,
                  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY z DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks,
@@ -1819,10 +1814,7 @@ object TextOps {
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("a"))
         .select(col("doc_id"), col("lang"), explode(
           graft.functions.TextFunctions.bound(col("a")) { a =>
-            when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
-              i => concat_ws(" ", element_at(a, i + lit(1)),
-                element_at(a, i + lit(2)))))
-              .otherwise(array().cast("array<string>"))
+            graft.functions.TextFunctions.ngramList(a, 2)
           }).as("bg"))
         .withColumn("bkt",
           graft.functions.TextFunctions.portableTokenHash60(col("bg")) % 512)
@@ -2010,10 +2002,7 @@ object TextOps {
       val d = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("a"))
         .withColumn("bgs", graft.functions.TextFunctions.bound(col("a")) { a =>
-          when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
-            i => concat_ws(" ", element_at(a, i + lit(1)),
-              element_at(a, i + lit(2)))))
-            .otherwise(array().cast("array<string>"))
+          graft.functions.TextFunctions.ngramList(a, 2)
         })
       d.withColumn("hits", array_sort(array_distinct(
           array_intersect(col("bgs"), lit(blocked.toArray)))))
@@ -2168,18 +2157,7 @@ object TextOps {
     "t56_quantile_normalize",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      val scored = d.withColumn("st", textStats(col("text")))
-        .select(col("doc_id"), col("source"),
-          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
-            .as("f_distinct"),
-          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
-            .as("f_stop"),
-          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
-            .as("f_len"))
-        .withColumn("score",
-          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
-            (col("f_len") - 4.0) * -0.5)
+      val scored = qualityZ(s, dir).withColumnRenamed("z", "score")
       val wSrc = Window.partitionBy("source")
         .orderBy(col("score"), col("doc_id"))
       val wAll = Window.orderBy(col("score"), col("doc_id"))
@@ -2202,15 +2180,8 @@ object TextOps {
             .as("calibrated_q"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
-             f AS (SELECT doc_id, source,
-                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
-                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
-                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
-               FROM tk),
-             sc AS (SELECT doc_id, source,
-                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS score
-               FROM f),
+    Some(s"""WITH $duckQualityZCtes,
+             sc AS (SELECT doc_id, source, z AS score FROM z),
              r AS (SELECT doc_id, source, score,
                  percent_rank() OVER (PARTITION BY source
                    ORDER BY score, doc_id) AS pr

@@ -346,7 +346,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("t50 dsir: weight table broadcasts back; no pairwise anything") {
     val p = plan("t50_dsir_importance")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+    assert(!p.contains("CartesianProduct"), s"no pairwise stage allowed:\n$p")
+    assert(p.contains("BroadcastExchange"),
       s"the 1-row totals and 512-row weight table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"bucket join must be broadcast-hash:\n$p")
   }

@@ -262,11 +262,20 @@ class SqlDialectSpec extends AnyFunSuite {
     val out = translate(
       "PIVOT orders ON o_orderstatus IN ('O', 'F') USING count(o_totalprice) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    // count: empty combos are 0 in DuckDB but NULL in Spark's clause —
+    // the rewrite adds the repair projection
     assert(out.startsWith(
-      "SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)"), out)
+      "SELECT o_orderpriority, coalesce(`O`, 0) AS `O`, coalesce(`F`, 0) AS `F` " +
+        "FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)"), out)
     assert(out.contains(
       "PIVOT (count(o_totalprice) FOR o_orderstatus IN ('O' AS `O`, 'F' AS `F`))"), out)
     assert(out.endsWith("ORDER BY o_orderpriority"), out)
+    // non-count aggs are NULL in both engines: no repair projection
+    val sum = translate(
+      "PIVOT orders ON o_orderstatus IN ('O') USING sum(o_totalprice) " +
+        "GROUP BY o_orderpriority")
+    assert(sum.startsWith("SELECT * FROM"), sum)
+    assert(!sum.contains("coalesce"), sum)
   }
 
   test("UNPIVOT statement rewrites to Spark UNPIVOT clause") {
@@ -293,5 +302,9 @@ class SqlDialectSpec extends AnyFunSuite {
     // non-column operand (literal) in a condition
     val lit = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= '2020-01-01'"
     assert(translate(lit).contains("ASOF"), translate(lit))
+    // right-only equality (r.a = r.b): would become a bogus window
+    // partition key → duplicate matches; must stay untouched
+    val rr = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND r.a = r.b AND l.ts >= r.ts"
+    assert(translate(rr).contains("ASOF"), translate(rr))
   }
 }
