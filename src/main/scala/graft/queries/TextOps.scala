@@ -2335,9 +2335,54 @@ object TextOps {
                  / (1.0 + z2n), 4) AS ci_hi
              FROM p"""))
 
+  // Language-ID confusion matrix — the evaluation harness for t04's
+  // classifier against the labeled `lang` column: per (truth,
+  // prediction) cell counts plus per-truth recall. Operator-QUALITY
+  // measurement as a first-class registry entry (v20's pattern for
+  // ANN recall, here for a classifier): the gate catches silent
+  // accuracy regressions, not just decision-procedure drift. One
+  // 25-cell agg after the map-side classifier — negligible cost at
+  // any corpus size.
+  private val t60 = GraftQuery(
+    "t60_langid_confusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+      docs(s, dir)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum("n").over(w))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("lang_total"), 4).as("frac"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some(s"""WITH tk AS (SELECT lang, $duckToks AS toks,
+               length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+               FROM documents),
+             sc AS (SELECT lang, toks, cjk,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+               len(list_filter(toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk),
+             pred AS (SELECT lang, CASE
+               WHEN cjk * 4 >= len(toks) THEN 'zh'
+               WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS lang_pred
+               FROM sc),
+             cell AS (SELECT lang, lang_pred, count(*) AS n
+               FROM pred GROUP BY lang, lang_pred)
+             SELECT lang, lang_pred, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS frac
+             FROM cell ORDER BY lang, lang_pred"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59)
+    t55, t56, t57, t58, t59, t60)
 }
