@@ -519,8 +519,11 @@ object SqlDialect {
       s"AS __asof_end FROM $table WHERE $rTsName IS NOT NULL) AS $ra"
     val repl = s"${leftKw}JOIN $sub ON $conds AND " +
       s"($ra.__asof_end IS NULL OR $lExpr $endCmp $ra.__asof_end)"
-    rewriteAsofJoin(s.substring(0, m.start()) + repl + " " +
-      s.substring(condsStart + endRel))
+    // no trailing separator when the ON conditions end the statement —
+    // a dangling space would make translate non-idempotent
+    val rest = s.substring(condsStart + endRel)
+    val sep = if (rest.isEmpty) "" else " "
+    rewriteAsofJoin(s.substring(0, m.start()) + repl + sep + rest)
   }
 
   /** Split on top-level ANDs (outside parens and string literals). */

@@ -2380,9 +2380,48 @@ object TextOps {
                round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS frac
              FROM cell ORDER BY lang, lang_pred"""))
 
+  // Leakage-free split assignment — the train/test-contamination
+  // guard t17/t54 cannot give: hash-splitting individual documents
+  // puts two near-duplicates on opposite sides of the train/test
+  // fence, leaking training text into evaluation. Here the split key
+  // is the near-dup COMPONENT id (t20's connected components;
+  // singletons key on their own id), so every duplicate cluster moves
+  // as a unit. Thresholds are exact hex bands of the md5 key space
+  // (< 'cccd' ≈ 80%, < 'e666' ≈ 90%). Cost beyond t20's clustering:
+  // one broadcast-left join + map-side hashing.
+  private val t61 = GraftQuery(
+    "t61_leakage_free_split",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+      val comp = Dedup.connectedComponents(pairs)
+      d.select("doc_id").join(comp, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+        .withColumn("gh", substring(md5(col("group_id").cast("string")), 1, 4))
+        .select(col("doc_id"), col("group_id"),
+          when(col("gh") < "cccd", "train")
+            .when(col("gh") < "e666", "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ccCte,
+             comp AS (SELECT CAST(node AS BIGINT) AS doc_id,
+                 CAST(min(label) AS BIGINT) AS component_id
+               FROM cc GROUP BY node),
+             g AS (SELECT d.doc_id,
+                 coalesce(c.component_id, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN comp c USING (doc_id)),
+             sp AS (SELECT doc_id, group_id,
+                 substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS gh FROM g)
+             SELECT doc_id, group_id,
+               CASE WHEN gh < 'cccd' THEN 'train'
+                    WHEN gh < 'e666' THEN 'valid'
+                    ELSE 'test' END AS split
+             FROM sp ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59, t60)
+    t55, t56, t57, t58, t59, t60, t61)
 }
