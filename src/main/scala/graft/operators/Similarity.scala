@@ -244,6 +244,52 @@ object Similarity {
       df.select(col(idCol).as(as),
         posexplode(graft.functions.HashFunctions.hyperplane_bands(
           col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
+    bandedTopK(corpus, queries, idCol, vecCol, k, sigBands)
+  }
+
+  /** Engine-portable variant of [[lshTopK]] for oracle-checked gates:
+    * band signatures come from the seed-free md5-parity ±1 sign matrix
+    * ([[signMatrix]], the v15 derivation — any SQL engine reproduces it
+    * from md5 alone) instead of the native xxhash hyperplanes, so the
+    * FULL pipeline (banding → bucket join → candidate dedup → exact
+    * cosine verify → rank) replays in SQL. Identical join machinery and
+    * scale shape ((band, value)-keyed bucket join, broadcast query
+    * side); [[lshTopK]]'s codegen'd signatures remain the speed path. */
+  def lshTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val nHyp = bands * rowsPerBand
+    val flat = signMatrix(dim, nHyp).flatten // row-major: plane j, dim i
+    val rLit = typedLit(flat.toSeq)
+    def sigBands(df: DataFrame, as: String): DataFrame = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      // bit_j = [dot(v, plane_j) > 0] — ascending-index fold, so the
+      // double sum is bit-identical across engines (v15's contract)
+      val bits = transform(sequence(lit(0), lit(nHyp - 1)), j =>
+        when(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc, i) => acc +
+            element_at(rLit, j * lit(dim) + i + 1) * element_at(v, i + 1))
+          > 0, 1).otherwise(0))
+      // band value packs that band's rowsPerBand bits (compile-time
+      // unrolled: small integer sums, no runtime shift expression)
+      val bvals = array((0 until bands).map { b =>
+        (0 until rowsPerBand).map { r =>
+          element_at(bits, b * rowsPerBand + r + 1) * lit(1 << r)
+        }.reduce(_ + _)
+      }: _*)
+      df.select(col(idCol).as(as), posexplode(bvals).as(Seq("band", "v")))
+    }
+    bandedTopK(corpus, queries, idCol, vecCol, k, sigBands)
+  }
+
+  /** Shared LSH top-k machinery: (band, value) bucket join with the
+    * small query side broadcast, candidate dedup, exact-cosine verify,
+    * per-query rank — O(corpus) bucket work, no cross product. */
+  private def bandedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      sigBands: (DataFrame, String) => DataFrame): DataFrame = {
     val corpusSpread = graft.queries.Tables.spread(corpus)
     val cb = sigBands(corpusSpread, "nbr_id")
     val qb = sigBands(queries, "query_id")
@@ -285,20 +331,25 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic sample: the nCells corpus vectors with smallest xxhash64(id)
+    // deterministic ENGINE-PORTABLE sample: the nCells corpus vectors
+    // with smallest (md5(id), id) — any SQL engine re-derives the same
+    // centroid set, which is what lets the whole pipeline (assign →
+    // probe → verify → rank) replay in an oracle
     val centroids: Array[(Int, Array[Float])] = corpus
       .select(col(idCol), col(vecCol))
-      .withColumn("h", xxhash64(col(idCol)))
-      .orderBy("h")
+      .withColumn("h", md5(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol))
       .limit(nCells)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
+    // similarities round to 6 decimals BEFORE argmax/probe selection
+    // (ties break on cell index) — v13's rounded-argmin determinism rule
     def cellSims(v: org.apache.spark.sql.Column) = array(centroids.map {
       case (_, c) =>
         val cl = array(c.map(x => lit(x)).toSeq: _*)
-        vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum))
+        round(vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum)), 6)
     }.toSeq: _*)
 
     // corpus side: assign to the single nearest cell
