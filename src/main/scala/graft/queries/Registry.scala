@@ -41,17 +41,26 @@ object Tables {
 
   /** All reads go through here so pushdown/pruning behavior is uniform.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; read it as a long and rebuild a microsecond
-    * timestamp with exact integer division (a double division would
-    * lose precision on ~1.7e18 nanos-since-epoch values). */
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some
+    * fixture generations (which Spark 4 refuses to read natively) and
+    * TIMESTAMP(MICROS) in others, so dispatch on the read schema:
+    * nanos are read as a long and rebuilt with exact integer division
+    * (a double division would lose precision on ~1.7e18
+    * nanos-since-epoch values); native timestamps are cast to the
+    * session type so downstream ops see one type either way. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
