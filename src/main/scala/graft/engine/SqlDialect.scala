@@ -75,14 +75,57 @@ object SqlDialect {
     ).foreach { case (from, to) => s = renameFunctionCall(s, from, to) }
     // DuckDB star modifier `* EXCLUDE (a, b)` / `* EXCLUDE a` ≡ Spark
     // `* EXCEPT (a, b)` (same column-pruning semantics; the `*`
-    // anchor keeps string literals safe). `* REPLACE (...)` has no
-    // Spark equivalent and is left for a loud parse failure.
+    // anchor keeps string literals safe).
     s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s*\\(", "$1EXCEPT (")
     s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s+(\"?[\\w]+\"?)", "$1EXCEPT ($2)")
+    s = rewriteStarReplace(s)
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
     s
+  }
+
+  /** DuckDB star modifier `* REPLACE (expr AS col, …)` → Spark
+    * `* EXCEPT (col, …), expr AS col, …` — all columns pass through
+    * with `col` recomputed as `expr`. DOCUMENTED DEVIATION: Spark has
+    * no in-place star substitution, so replaced columns move to the
+    * END of the projection (DuckDB keeps their original position);
+    * the column SET and values are identical. Exprs are extracted with
+    * a paren-balanced, quote-aware scan (they may contain calls and
+    * commas); an item without a top-level ` AS ` fails loudly. */
+  private def rewriteStarReplace(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)(\\*\\s*)REPLACE\\s*\\(").matcher(s)
+    // quote-aware: skip matches inside single-quoted string literals
+    var found = false
+    while (!found && m.find())
+      found = s.substring(0, m.start).count(_ == '\'') % 2 == 0
+    if (!found) return s
+    // matching close paren, skipping quoted strings
+    val open = m.end() - 1
+    var depth = 0; var j = open; var inQ = false; var close = -1
+    while (j < s.length && close < 0) {
+      val c = s.charAt(j)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = j }
+      j += 1
+    }
+    require(close > 0, s"unbalanced parentheses in * REPLACE: $s")
+    val items = splitTopLevelCommas(s.substring(open + 1, close))
+      .map(_.trim).filter(_.nonEmpty).map { item =>
+      val asIdx = findTopLevelKeyword(item, "AS")
+      require(asIdx >= 0, s"* REPLACE item needs `expr AS col`: $item")
+      (item.substring(0, asIdx).trim,
+        item.substring(asIdx + 2).trim)
+    }
+    val except = items.map(_._2).mkString(", ")
+    val recomputed = items.map { case (e, c) => s"$e AS $c" }.mkString(", ")
+    val star = s.substring(m.start(1), m.end(1)).trim // `*` or `t.*`… keep as written
+    val rewritten = s.substring(0, m.start(1)) +
+      s"$star EXCEPT ($except), $recomputed" + s.substring(close + 1)
+    rewriteStarReplace(rewritten) // handle any further REPLACE modifiers
   }
 
   /** DuckDB/Postgres double-quoted identifiers (`em."offset"`) →

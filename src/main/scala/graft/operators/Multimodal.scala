@@ -860,4 +860,272 @@ object Multimodal {
         .otherwise("video")).as("kind"),
       encode(col(textCol), "UTF-8").as("content"),
       lit("synthetic").as("source"))
+
+  /** Audio QC statistics over REAL decoded PCM — the clipping /
+    * DC-offset / peak screen every speech-corpus ingest runs before
+    * paying for transcription: clipped recordings (samples pinned at
+    * the rail) and DC-biased ones (mic/ADC fault) are dropped or
+    * repaired early. One pass over the samples per clip, ALL-INTEGER
+    * outputs (clip count, signed DC sum, peak |s|) so the m16 oracle
+    * regenerates the synthetic PCM arithmetically and must match
+    * bit-for-bit — the m14 proof pattern. Pure map stage, zero
+    * shuffle; non-WAV / non-PCM16-mono bytes yield no row (the decode
+    * DLQ contract). */
+  def audioQcStats(media: DataFrame, clipThreshold: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("n_clipped", IntegerType, nullable = false),
+      StructField("dc_sum", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              val bytes = ais.readAllBytes()
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                  !fmt.isBigEndian) Some(bytes)
+              else None
+            } catch { case _: Exception => None }
+          parsed.map { bytes =>
+            val n = bytes.length / 2
+            var clipped = 0; var dc = 0L; var peak = 0; var i = 0
+            while (i < n) {
+              val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+              val a = math.abs(s)
+              if (a >= clipThreshold) clipped += 1
+              dc += s; if (a > peak) peak = a
+              i += 1
+            }
+            Row(id, n, clipped, dc, peak)
+          }.iterator
+        }
+      }(enc)
+  }
+
+  /** [[synthesizeBlockImages]] with a LETTERBOX: `t = id % 17` uniform
+    * zero-value rows at the top and bottom (the aspect-ratio padding a
+    * video-still or thumbnail pipeline must detect and crop), md5
+    * block pixels between. Same seed-free derivation — a SQL oracle
+    * rebuilds every pixel from id arithmetic + md5. */
+  def synthesizeLetterboxImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image", renderLetterboxPng(id),
+            "synthetic-letterbox-png")
+        }
+      }(enc)
+  }
+
+  private[graft] def renderLetterboxPng(id: Long): Array[Byte] = {
+    val t = math.floorMod(id, 17).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v =
+          if (y < t || y >= 64 - t) 0
+          else {
+            val h = md.digest(s"${id}_${x / 8}_${y / 8}".getBytes("UTF-8"))
+            h(0) & 0xFF
+          }
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** DCT-II basis for [[imagePHash64]], rounded to 6 decimals —
+    * `B(u)(x) = round6(cos(π(2x+1)u/16))`. The rounding is the
+    * portability contract: every downstream product/sum is EXACT
+    * decimal arithmetic over these fixed literals (the m18 oracle
+    * interpolates the same values into its SQL), so the hash is
+    * bit-reproducible across engines with no float-boundary hazard —
+    * the trig-free-oracle discipline of the JL sign matrix, applied
+    * where the math genuinely needs cosines. */
+  private[graft] lazy val dctBasis6: Array[Array[java.math.BigDecimal]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      java.math.BigDecimal.valueOf(Math.cos(Math.PI * (2 * x + 1) * u / 16.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Perceptual DCT hash (pHash) over REAL image bytes — the
+    * industry-standard near-duplicate-image fingerprint one tier above
+    * [[imageAHash64]]: aHash thresholds block BRIGHTNESS (fooled by
+    * global exposure shifts), pHash thresholds the 8×8 DCT SPECTRUM
+    * against its own median, capturing structure. Pipeline: decode →
+    * 8×8 grid of block luma means (exact ÷, scale-6) → 2-D DCT-II via
+    * [[dctBasis6]] (all-decimal exact products/sums) → bit (u,v) set
+    * when its coefficient exceeds the exact median of the 63 non-DC
+    * coefficients (32nd-smallest under the (value, index) total
+    * order; DC excluded and always 0). Output words follow
+    * [[graft.operators.Similarity.binarySignBits]]'s layout so
+    * `hammingTopK` / [[imageNearDupPairs]] consume pHash directly.
+    * Pure map stage; undecodable bytes → null words. */
+  def imagePHash64(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("w0", LongType, nullable = true),
+      StructField("w1", LongType, nullable = true),
+      StructField("n_set", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val basis = dctBasis6
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val w = img.getWidth; val h = img.getHeight
+            val gray = img.getRaster.getNumBands == 1
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val lum =
+                  if (gray) img.getRaster.getSample(x, y, 0).toLong
+                  else {
+                    val p = img.getRGB(x, y)
+                    ((p >> 16 & 0xFF) * 299L + (p >> 8 & 0xFF) * 587L +
+                      (p & 0xFF) * 114L) / 1000L
+                  }
+                val j = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+                sums(j) += lum; counts(j) += 1
+                x += 1
+              }
+              y += 1
+            }
+            // exact decimal block means (scale 6 — for the md5-block
+            // gate images the division is exact: 64·v / 64)
+            val mean = Array.tabulate(8, 8) { (bx, by) =>
+              java.math.BigDecimal.valueOf(sums(by * 8 + bx))
+                .divide(java.math.BigDecimal.valueOf(counts(by * 8 + bx)),
+                  6, java.math.RoundingMode.HALF_UP)
+            }
+            // 2-D DCT-II, exact decimal products and sums
+            val coef = Array.tabulate(8, 8) { (u, v) =>
+              var acc = java.math.BigDecimal.ZERO
+              var x = 0
+              while (x < 8) {
+                var yy = 0
+                while (yy < 8) {
+                  acc = acc.add(mean(x)(yy)
+                    .multiply(basis(u)(x)).multiply(basis(v)(yy)))
+                  yy += 1
+                }
+                x += 1
+              }
+              acc
+            }
+            // median = 32nd smallest of the 63 non-DC coefficients
+            // under the (value, idx) total order
+            val nonDc = (for {
+              u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0
+            } yield (coef(u)(v), u * 8 + v))
+              .sortWith { case ((c1, i1), (c2, i2)) =>
+                val c = c1.compareTo(c2); c < 0 || (c == 0 && i1 < i2)
+              }
+            val med = nonDc(31)._1
+            var w0 = 0L; var w1 = 0L; var set = 0
+            nonDc.foreach { case (c, idx) =>
+              if (c.compareTo(med) > 0) {
+                if (idx < 32) w0 |= 1L << idx else w1 |= 1L << (idx - 32)
+                set += 1
+              }
+            }
+            Row(id, w0, w1, set)
+          } catch { case _: Exception => Row(id, null, null, null) }
+        }
+      }(enc)
+  }
+
+  /** Uniform-border (letterbox / pillarbox) detection over REAL
+    * decoded rasters: with `bv` = the pixel at (0,0), count the
+    * leading/trailing rows and columns made ENTIRELY of `bv`. The
+    * crop rectangle a thumbnail/training-image pipeline applies
+    * before feature extraction falls straight out
+    * (`content_h = h − top − bottom`). All-integer, defined purely on
+    * the pixel grid — the m17 oracle recomputes the same counts from
+    * the arithmetic pixel stream, proving decode + raster orientation.
+    * Pure map stage; undecodable bytes yield no row. */
+  def borderStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("border_val", IntegerType, nullable = false),
+      StructField("top", IntegerType, nullable = false),
+      StructField("bottom", IntegerType, nullable = false),
+      StructField("left", IntegerType, nullable = false),
+      StructField("right", IntegerType, nullable = false),
+      StructField("content_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+            catch { case _: Exception => None }
+          img.map { im =>
+            val (w, h) = (im.getWidth, im.getHeight)
+            val raster = im.getRaster
+            val bv = raster.getSample(0, 0, 0)
+            def rowUniform(y: Int): Boolean = {
+              var x = 0
+              while (x < w) {
+                if (raster.getSample(x, y, 0) != bv) return false
+                x += 1
+              }
+              true
+            }
+            def colUniform(x: Int): Boolean = {
+              var y = 0
+              while (y < h) {
+                if (raster.getSample(x, y, 0) != bv) return false
+                y += 1
+              }
+              true
+            }
+            var top = 0
+            while (top < h && rowUniform(top)) top += 1
+            var bottom = 0
+            while (bottom < h - top && rowUniform(h - 1 - bottom)) bottom += 1
+            var left = 0
+            while (left < w && colUniform(left)) left += 1
+            var right = 0
+            while (right < w - left && colUniform(w - 1 - right)) right += 1
+            Row(id, bv, top, bottom, left, right, h - top - bottom)
+          }.iterator
+        }
+      }(enc)
+  }
 }

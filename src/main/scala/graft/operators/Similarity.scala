@@ -1027,4 +1027,104 @@ object Similarity {
       col(idCol).as("vec_id"),
       array_join(proj, ",").as("proj_csv"))
   }
+
+  /** Greedy k-center (farthest-first traversal) coreset selection —
+    * the deterministic diversity-sampling pass for embedding-space
+    * data curation (Sener & Savarese 2018's core-set approach,
+    * arXiv:1708.00489): seed with the smallest id, then repeatedly
+    * pick the point FARTHEST from everything selected so far. The
+    * selection 2-approximates the optimal k-center cover, and unlike
+    * k-means++ it needs no RNG — (rounded distance, id) argmax is a
+    * total order, so the whole traversal unrolls in a SQL oracle.
+    *
+    * Scale shape: the selected set is a k×dim driver-side model (the
+    * IVF-centroid pattern) embedded as plan literals, so each of the
+    * k−1 iterations is ONE map-only corpus scan + a 1-row TakeOrdered
+    * — no shuffle, no cross join, nothing corpus-sized ever sorts.
+    * (At production scale, cache the projected corpus once;
+    * k scans of a cached 2-column projection, k small.)
+    *
+    * Determinism: per-candidate distances fold the dimension in
+    * ascending order, round to 6, and the running min applies `least`
+    * per step — identical arithmetic to the DuckDB unroll.
+    *
+    * @return one row per selected point: (step, vec_id, min_dist) —
+    *         min_dist is the selection-time distance² to the nearest
+    *         earlier pick (null for the step-0 seed). */
+  def kcenterSelect(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = graft.queries.Tables.spread(emb).select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val seed = corpus.orderBy("vec_id").limit(1).head()
+    var selected = Vector(
+      (seed.getLong(0), seed.getSeq[Double](1).toArray, Option.empty[Double]))
+    for (_ <- 1 until k) {
+      val minDist = selected.map { case (_, sv, _) =>
+        val svLit = typedLit(sv.toSeq)
+        round(aggregate(
+          zip_with(col("v"), svLit, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, e) => acc + e), 6)
+      }.reduce(least(_, _))
+      val next = corpus.withColumn("mind", minDist)
+        .orderBy(col("mind").desc, col("vec_id").asc).limit(1).head()
+      selected = selected :+
+        ((next.getLong(0), next.getSeq[Double](1).toArray,
+          Some(next.getDouble(2))))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, mind), i) => (i, id, mind) }
+      .toDF("step", "vec_id", "min_dist")
+  }
+
+  /** PQ-shortlist + exact re-rank — THE production ANN serving shape
+    * (Jégou et al. 2011 §V): [[pqAdcTopK]] scans the corpus as m-byte
+    * codes to produce a `kShort` shortlist per query, then ONLY those
+    * candidates' full vectors are fetched (keyed join — candidate
+    * rows, not corpus rows) and re-scored exactly. Compression error
+    * affects WHICH kShort candidates surface, never the final order —
+    * the rank the user sees is true distance.
+    *
+    * Scale shape: the expensive full-precision corpus is touched by a
+    * candidates-only keyed join (queries·kShort rows); queries
+    * broadcast; the re-rank window partitions per query over kShort
+    * rows. Determinism: exact distances fold in dimension order,
+    * round to 6; rank ties break on (dist, vec_id).
+    *
+    * @return (query_id, nbr_id, dist, rank) for rank ≤ k. */
+  def pqRerankTopK(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      kShort: Int,
+      k: Int,
+      dim: Int = 64): DataFrame = {
+    val short = pqAdcTopK(codes, codebooks, queries, idCol, vecCol,
+      m = m, k = kShort, dim = dim)
+    val cor = corpus.select(col(idCol).as("nbr_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("nbr_id").asc)
+    short.select("query_id", "nbr_id")
+      .join(cor, "nbr_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("dist", round(aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableTokenHash60
+
+/** Count–min sketch heavy-hitter mining (Cormode & Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications", J. Algorithms 55(1)).
+  *
+  * The 100-TB problem this solves: finding all tokens above a corpus
+  * frequency threshold with a plain `groupBy(token).count()` shuffles
+  * the ENTIRE vocabulary — billions of distinct keys, most of them
+  * singletons that can never reach the threshold. The CMS pass
+  * replaces that with a depth×width counter grid (a few KB) whose
+  * estimate NEVER under-counts, so filtering the token stream on
+  * `estimate ≥ threshold` before the exact aggregation provably drops
+  * no true heavy hitter — the exact agg then shuffles only candidate
+  * occurrences (heavy tokens + the sketch's bounded false-positive
+  * mass), not the vocabulary.
+  *
+  * Determinism/portability: bucket hashes are the repo's portable
+  * md5-prefix scheme (`portableTokenHash60`), so a DuckDB oracle can
+  * rebuild the identical sketch; and because the prefilter is lossless
+  * for true heavy hitters and the verify is exact, the OUTPUT is
+  * byte-identical to the naive exact answer — the sketch changes cost,
+  * never results.
+  */
+object Sketch {
+
+  /** Bucket id of `tok` in CMS row `r`: md5 over the row-salted token,
+    * 60-bit prefix, mod `width` — nonnegative in any engine. */
+  private def bucket(r: Int, tok: Column, width: Int): Column =
+    portableTokenHash60(concat(lit(s"${r}_"), tok)) % width
+
+  /** The depth×width counter grid over a token-occurrence stream:
+    * each occurrence increments one bucket per row. ONE
+    * map-side-combined aggregate with depth·width distinct keys
+    * (uniform by construction — md5 buckets), so the shuffle carries
+    * ~depth·width·partitions pre-aggregated states, not occurrences.
+    *
+    * @param toks one row per token OCCURRENCE (not distinct)
+    * @return (r, b, c): counter value per grid cell */
+  def cmsCounts(
+      toks: DataFrame,
+      tokenCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    toks.select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), bucket(r, col(tokenCol), width).as("b"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Exact heavy hitters with a CMS prefilter: every token whose TRUE
+    * occurrence count is ≥ `threshold`, with its exact count.
+    *
+    * Three stages:
+    *  1. [[cmsCounts]] — one tiny-keyed aggregate over the stream;
+    *  2. the grid (depth·width longs — KBs) collects to the driver and
+    *     embeds in the plan as a literal lookup array (the IVF-centroid
+    *     broadcast-model pattern): the prefilter
+    *     `min_r grid[r][bucket_r(tok)] ≥ threshold` is then a pure
+    *     map-side expression, codegen'd, no join, no UDF;
+    *  3. exact `groupBy(token).count()` over SURVIVING occurrences
+    *     only, re-filtered on the true count (kills the sketch's false
+    *     positives — CMS over-counts, never under-counts, so nothing
+    *     true is lost and nothing false survives).
+    *
+    * Output ordered (cnt DESC, token) — a total order. */
+  def heavyHitters(
+      toks: DataFrame,
+      tokenCol: String,
+      threshold: Long,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    exactOverGrid(toks, tokenCol, collectGrid(toks, tokenCol, depth, width),
+      threshold, depth, width)
+
+  /** [[heavyHitters]] with a RELATIVE threshold: every token whose
+    * count is ≥ 1/`denom` of total occurrences (`denom` = 500 → ≥
+    * 0.2%). The total comes from the sketch itself — each occurrence
+    * increments exactly one bucket of row 0, so row 0 sums to the
+    * stream length — no extra corpus scan for sizing. */
+  def heavyHittersRelative(
+      toks: DataFrame,
+      tokenCol: String,
+      denom: Long,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val flat = collectGrid(toks, tokenCol, depth, width)
+    val total = flat.take(width).sum
+    exactOverGrid(toks, tokenCol, flat, (total + denom - 1) / denom,
+      depth, width)
+  }
+
+  /** Collects the grid to a flat depth·width array (cell (r,b) at
+    * index r·width+b; absent cells 0) — KBs, the broadcast-model
+    * pattern. */
+  private def collectGrid(
+      toks: DataFrame, tokenCol: String, depth: Int, width: Int): Array[Long] = {
+    val grid = cmsCounts(toks, tokenCol, depth, width).collect()
+      .map(r => (r.getInt(0).toLong * width + r.getLong(1), r.getLong(2)))
+      .toMap
+    Array.tabulate(depth * width)(i => grid.getOrElse(i.toLong, 0L))
+  }
+
+  private def exactOverGrid(
+      toks: DataFrame,
+      tokenCol: String,
+      flat: Array[Long],
+      threshold: Long,
+      depth: Int,
+      width: Int): DataFrame = {
+    // literal flat array in the plan: element_at is 1-based
+    val gridLit = array(flat.map(lit(_)): _*)
+    val est = (0 until depth).map { r =>
+      element_at(gridLit, (lit(r.toLong * width) +
+        bucket(r, col(tokenCol), width)).cast("int") + 1)
+    }.reduce(least(_, _))
+    toks.filter(est >= threshold)
+      .groupBy(col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+}

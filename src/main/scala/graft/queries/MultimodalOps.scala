@@ -405,6 +405,149 @@ object MultimodalOps {
                CAST((sample_idx * dur // 8) * 1000 // ts AS BIGINT) AS sample_ms
              FROM i ORDER BY media_id, sample_idx"""))
 
+  // Audio QC verified TO THE SAMPLE: real javax.sound WAV decode →
+  // one-pass integer clipping count (|s| ≥ 32000), signed DC sum, and
+  // peak — the screen a speech-corpus ingest runs before paying for
+  // transcription. The oracle regenerates every PCM sample
+  // arithmetically (m14's HUGEINT splitmix) and must match the sums
+  // bit-for-bit, proving RIFF parse + endianness + sign handling.
+  private val m16 = GraftQuery(
+    "m16_audio_qc_stats",
+    (s, dir) => {
+      Multimodal.audioQcStats(
+          Multimodal.synthesizeAudio(
+            Tables.spread(t(s, dir, "documents")), "doc_id"),
+          clipThreshold = 32000)
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 400 + (doc_id * 13) % 800 AS nf
+               FROM documents),
+             smp AS (SELECT media_id, unnest(range(nf)) AS i FROM dims),
+             p0 AS (SELECT media_id, i,
+                 ((media_id::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM smp),
+             p1 AS (SELECT media_id, i,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, i,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             v AS (SELECT media_id, i,
+                 CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+               FROM p2)
+             SELECT media_id, CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(CASE WHEN abs(s) >= 32000 THEN 1 ELSE 0 END) AS INT)
+                 AS n_clipped,
+               CAST(sum(s) AS BIGINT) AS dc_sum,
+               CAST(max(abs(s)) AS INT) AS peak
+             FROM v GROUP BY media_id ORDER BY media_id"""))
+
+  // Letterbox detection verified TO THE PIXEL: synthesized 64×64 PNGs
+  // carry id%17 uniform zero rows top and bottom (aspect padding);
+  // borderStats decodes the real raster and counts leading/trailing
+  // uniform rows/columns against pixel (0,0). The oracle rebuilds the
+  // full pixel grid from id arithmetic + md5 and recomputes the SAME
+  // generic counts — a wrong decode, row order, or off-by-one crop
+  // breaks the hash.
+  private val m17 = GraftQuery(
+    "m17_image_border_detect",
+    (s, dir) => {
+      Multimodal.borderStats(
+          Multimodal.synthesizeLetterboxImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS media_id,
+                 CAST(doc_id % 17 AS INT) AS t FROM documents),
+             px AS (SELECT media_id, t, x.x AS x, y.y AS y,
+                 CASE WHEN y.y < t OR y.y >= 64 - t THEN 0
+                   ELSE CAST(concat('0x', substr(md5(
+                     media_id::VARCHAR || '_' || (x.x // 8)::VARCHAR ||
+                     '_' || (y.y // 8)::VARCHAR), 1, 2)) AS INT)
+                 END AS v
+               FROM ids,
+                 (SELECT CAST(unnest(range(64)) AS INT) AS x) x,
+                 (SELECT CAST(unnest(range(64)) AS INT) AS y) y),
+             bv AS (SELECT media_id, v AS bval FROM px WHERE x = 0 AND y = 0),
+             bad AS (SELECT px.media_id, x, y
+               FROM px JOIN bv USING (media_id) WHERE v != bval),
+             byy AS (SELECT media_id, min(y) AS miny, max(y) AS maxy
+               FROM bad GROUP BY media_id),
+             byx AS (SELECT media_id, min(x) AS minx, max(x) AS maxx
+               FROM bad GROUP BY media_id),
+             agg AS (SELECT bv.media_id, bv.bval,
+                 coalesce(byy.miny, 64) AS top,
+                 least(CASE WHEN byy.maxy IS NULL THEN 64
+                   ELSE 63 - byy.maxy END,
+                   64 - coalesce(byy.miny, 64)) AS bottom,
+                 coalesce(byx.minx, 64) AS lft,
+                 least(CASE WHEN byx.maxx IS NULL THEN 64
+                   ELSE 63 - byx.maxx END,
+                   64 - coalesce(byx.minx, 64)) AS rgt
+               FROM bv
+               LEFT JOIN byy USING (media_id)
+               LEFT JOIN byx USING (media_id))
+             SELECT media_id, CAST(bval AS INT) AS border_val,
+               CAST(top AS INT) AS top, CAST(bottom AS INT) AS bottom,
+               CAST(lft AS INT) AS "left", CAST(rgt AS INT) AS "right",
+               CAST(64 - top - bottom AS INT) AS content_h
+             FROM agg ORDER BY media_id"""))
+
+  // Perceptual DCT hash (pHash) verified bit-for-bit: real PNG decode
+  // → 8×8 block-mean grid → 2-D DCT-II over a ROUNDED-LITERAL cosine
+  // basis (the same 64 decimals are interpolated into this oracle, so
+  // every product/sum is exact decimal arithmetic in both engines — no
+  // float/trig divergence possible) → median threshold over the 63
+  // non-DC coefficients. The structure-sensitive upgrade of m11's
+  // aHash, same two-word layout, searchable by hammingTopK/
+  // imageNearDupPairs.
+  private val m18 = GraftQuery(
+    "m18_image_phash",
+    (s, dir) => {
+      Multimodal.imagePHash64(
+          Multimodal.synthesizeBlockImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some {
+      val basisRows = (for (u <- 0 until 8; x <- 0 until 8) yield
+        s"($u, $x, ${Multimodal.dctBasis6(u)(x).toPlainString})")
+        .mkString(", ")
+      s"""WITH b AS (SELECT * FROM (VALUES $basisRows) t(u, x, bb)),
+          px AS (SELECT doc_id AS media_id, gx.x AS x, gy.y AS y,
+              CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR || '_' ||
+                gx.x::VARCHAR || '_' || gy.y::VARCHAR), 1, 2)) AS INT)
+                AS DECIMAL(9,6)) AS v
+            FROM documents,
+              (SELECT CAST(unnest(range(8)) AS INT) AS x) gx,
+              (SELECT CAST(unnest(range(8)) AS INT) AS y) gy),
+          coef AS (SELECT media_id, bu.u AS u, bv.u AS v,
+              sum(px.v * CAST(bu.bb AS DECIMAL(8,6))
+                * CAST(bv.bb AS DECIMAL(8,6))) AS c
+            FROM px
+            JOIN b bu ON bu.x = px.x
+            JOIN b bv ON bv.x = px.y
+            GROUP BY media_id, bu.u, bv.u),
+          ranked AS (SELECT media_id, u, v, c, row_number() OVER
+              (PARTITION BY media_id ORDER BY c, u, v) AS rn
+            FROM coef WHERE NOT (u = 0 AND v = 0)),
+          med AS (SELECT media_id, c AS m FROM ranked WHERE rn = 32),
+          bits AS (SELECT coef.media_id, u * 8 + v AS idx,
+              CASE WHEN NOT (u = 0 AND v = 0) AND c > m
+                THEN 1 ELSE 0 END AS bit
+            FROM coef JOIN med USING (media_id))
+          SELECT media_id,
+            CAST(sum(CASE WHEN bit = 1 AND idx < 32
+              THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS w0,
+            CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+              THEN (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS w1,
+            CAST(sum(bit) AS INT) AS n_set
+          FROM bits GROUP BY media_id ORDER BY media_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18)
 }

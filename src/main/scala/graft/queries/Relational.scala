@@ -1605,10 +1605,115 @@ object Relational {
   /** Flagship for SparkEntry.entry: the multi-way join+agg. */
   def flagship(s: SparkSession, dir: String): DataFrame = q03.run(s, dir)
 
+  // Named WINDOW clause (ANSI SQL window naming) — DuckDB handler SQL
+  // that defines a window once and references it from several
+  // functions must run unchanged: both engines support the grammar
+  // natively, so the SAME text runs on both sides (the gate pins the
+  // grammar, not a rewrite). Ordering key is the exact-integer
+  // cents·1e7+orderkey composite (q45's portable tie-break), so every
+  // rank is deterministic. One shuffle on o_custkey shared by both
+  // named windows.
+  private val q59 = GraftQuery(
+    "q59_named_window_clause",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               cast(round(o_totalprice * 100) AS bigint) AS cents,
+               rank() OVER w AS price_rank,
+               lag(o_orderkey) OVER w AS prev_order,
+               count(*) OVER w2 AS n_orders
+        FROM g_orders
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY
+                cast(round(o_totalprice * 100) AS bigint) * 10000000
+                  + o_orderkey DESC),
+               w2 AS (PARTITION BY o_custkey)
+        ORDER BY o_custkey, price_rank""")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              cast(round(o_totalprice * 100) AS BIGINT) AS cents,
+              rank() OVER w AS price_rank,
+              lag(o_orderkey) OVER w AS prev_order,
+              CAST(count(*) OVER w2 AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY
+                    cast(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey DESC),
+                   w2 AS (PARTITION BY o_custkey)
+            ORDER BY o_custkey, price_rank"""))
+
+  // VALUES inline table constructor — the idiomatic way handler SQL
+  // ships a small lookup (priority → tier here) WITHOUT an external
+  // file or ATTACH: both engines parse `(VALUES …) AS v(cols)` in
+  // FROM natively and the planner treats it as a broadcast dim (a
+  // LocalRelation — no scan, no shuffle on the dim side). Exact-cents
+  // BIGINT revenue keeps the agg engine-portable.
+  private val q60 = GraftQuery(
+    "q60_values_inline_dim",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT v.tier, count(*) AS n_orders,
+               sum(cast(round(o_totalprice * 100) AS bigint)) AS cents
+        FROM g_orders o
+        JOIN (VALUES ('1-URGENT', 'high'), ('2-HIGH', 'high'),
+                     ('3-MEDIUM', 'mid'), ('4-NOT SPECIFIED', 'low'),
+                     ('5-LOW', 'low')) AS v(pri, tier)
+          ON o.o_orderpriority = v.pri
+        GROUP BY v.tier
+        ORDER BY v.tier""")
+    },
+    Some("""SELECT v.tier, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM orders o
+            JOIN (VALUES ('1-URGENT', 'high'), ('2-HIGH', 'high'),
+                         ('3-MEDIUM', 'mid'), ('4-NOT SPECIFIED', 'low'),
+                         ('5-LOW', 'low')) AS v(pri, tier)
+              ON o.o_orderpriority = v.pri
+            GROUP BY v.tier
+            ORDER BY v.tier"""))
+
+  // TRY_CAST lenient coercion — the dirty-data ingestion idiom (both
+  // engines null out unparseable values instead of failing the batch,
+  // the contract messy crawl/event data needs). The gate derives a
+  // deterministic mixed-validity string column in-plan and checks
+  // parse-failure counting, null-safe aggregation, and invalid-date
+  // rejection agree engine-for-engine.
+  private val q61 = GraftQuery(
+    "q61_try_cast_lenient",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT count(*) AS n_rows,
+               count(try_cast(sv AS int)) AS n_ok,
+               sum(coalesce(try_cast(sv AS int), 0)) AS total,
+               count(try_cast(dv AS date)) AS n_dates
+        FROM (SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN concat('#', cast(o_orderkey AS string))
+                       ELSE cast(o_orderkey AS string) END AS sv,
+                     CASE WHEN o_orderkey % 2 = 0
+                       THEN '2024-13-40' ELSE '2024-01-15' END AS dv
+              FROM g_orders)""")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(try_cast(sv AS INT)) AS BIGINT) AS n_ok,
+              CAST(sum(coalesce(try_cast(sv AS INT), 0)) AS BIGINT) AS total,
+              CAST(count(try_cast(dv AS DATE)) AS BIGINT) AS n_dates
+            FROM (SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN '#' || CAST(o_orderkey AS VARCHAR)
+                       ELSE CAST(o_orderkey AS VARCHAR) END AS sv,
+                     CASE WHEN o_orderkey % 2 = 0
+                       THEN '2024-13-40' ELSE '2024-01-15' END AS dv
+              FROM orders)"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61)
 }

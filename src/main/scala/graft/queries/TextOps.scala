@@ -1659,6 +1659,46 @@ object TextOps {
                END AS bucket
              FROM surp s JOIN lg l USING (doc_id) ORDER BY doc_id"""))
 
+  // --- shared BPE plumbing (t48 learns merges, t64 applies them) ---
+
+  /** DISTINCT corpus words with counts and space-joined symbol strings
+    * — the classic BPE-learning reduction: everything downstream is
+    * vocabulary-sized, not corpus-sized. */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      // filter guards the trailing empty string Java's Pattern.split
+      // keeps at limit -1 (DuckDB's char split emits none)
+      .withColumn("sym", concat_ws(" ",
+        filter(split(col("w"), ""), x => length(x) > 0)))
+
+  /** Adjacent-pair counts weighted by word count — ONE
+    * map-side-combined agg per iteration. */
+  private def bpePairCounts(ws: org.apache.spark.sql.DataFrame) =
+    ws.select(col("wc"), explode(graft.functions.TextFunctions.bound(
+        split(col("sym"), " ")) { a =>
+      when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
+        i => concat_ws(" ", element_at(a, i + lit(1)),
+          element_at(a, i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }).as("p"))
+    .groupBy("p").agg(sum("wc").as("cnt"))
+
+  /** Applies the top-ranked merge (count DESC, pair ASC — a total
+    * order) via marker-padded non-overlapping replace; the 1-row merge
+    * table broadcasts (TakeOrdered, never a corpus sort). */
+  private def bpeApplyTop(ws: org.apache.spark.sql.DataFrame,
+      pc: org.apache.spark.sql.DataFrame) = {
+    val m = pc.orderBy(col("cnt").desc, col("p")).limit(1)
+      .select(col("p").as("m_p"),
+        regexp_replace(col("p"), " ", "").as("m_m"))
+    ws.crossJoin(broadcast(m))
+      .withColumn("sym", expr(
+        "trim(replace(concat(' ', sym, ' '), concat(' ', m_p, ' '), concat(' ', m_m, ' ')))"))
+      .drop("m_p", "m_m")
+  }
+
   // Distributed BPE merge learning (Sennrich et al. 2016,
   // arXiv:1508.07909) — two byte-pair-encoding merge iterations
   // learned over corpus word frequencies; each iteration emits its
@@ -1682,22 +1722,6 @@ object TextOps {
     "t48_bpe_merges",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val words = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        // filter guards the trailing empty string Java's Pattern.split
-        // keeps at limit -1 (DuckDB's char split emits none)
-        .withColumn("sym", concat_ws(" ",
-          filter(split(col("w"), ""), x => length(x) > 0)))
-      def pairCounts(ws: org.apache.spark.sql.DataFrame) =
-        ws.select(col("wc"), explode(graft.functions.TextFunctions.bound(
-            split(col("sym"), " ")) { a =>
-          when(size(a) >= 2, transform(sequence(lit(0), size(a) - 2),
-            i => concat_ws(" ", element_at(a, i + lit(1)),
-              element_at(a, i + lit(2)))))
-            .otherwise(array().cast("array<string>"))
-        }).as("p"))
-        .groupBy("p").agg(sum("wc").as("cnt"))
       def top10(pc: org.apache.spark.sql.DataFrame, step: Int) = {
         val w = Window.orderBy(col("cnt").desc, col("p"))
         // row_number windows over an already-LIMITed 10-row set —
@@ -1706,19 +1730,10 @@ object TextOps {
           .withColumn("rank", row_number().over(w))
           .withColumn("step", lit(step))
       }
-      def applyTop(ws: org.apache.spark.sql.DataFrame,
-          pc: org.apache.spark.sql.DataFrame) = {
-        val m = pc.orderBy(col("cnt").desc, col("p")).limit(1)
-          .select(col("p").as("m_p"),
-            regexp_replace(col("p"), " ", "").as("m_m"))
-        ws.crossJoin(broadcast(m))
-          .withColumn("sym", expr(
-            "trim(replace(concat(' ', sym, ' '), concat(' ', m_p, ' '), concat(' ', m_m, ' ')))"))
-          .drop("m_p", "m_m")
-      }
-      val pc1 = pairCounts(words)
-      val words2 = applyTop(words, pc1)
-      val pc2 = pairCounts(words2)
+      val words = bpeWords(s, dir)
+      val pc1 = bpePairCounts(words)
+      val words2 = bpeApplyTop(words, pc1)
+      val pc2 = bpePairCounts(words2)
       top10(pc1, 1).unionByName(top10(pc2, 2))
         .select(col("step"), col("rank"), col("p").as("pair"), col("cnt"),
           (col("rank") === 1).as("chosen"))
@@ -2419,9 +2434,241 @@ object TextOps {
                     ELSE 'test' END AS split
              FROM sp ORDER BY doc_id"""))
 
+  // CMS-prefiltered exact heavy hitters — every token at ≥ 0.2% of
+  // corpus occurrences, with exact counts. The point at 100 TB: the
+  // naive answer shuffles the whole vocabulary; the count-min sketch
+  // (4×256 counters, KBs, collected once — the IVF-centroid broadcast-
+  // model pattern) never under-counts, so a map-side `est ≥ threshold`
+  // prefilter provably keeps every true heavy hitter and the exact agg
+  // shuffles only candidate occurrences. Output = byte-identical to
+  // the naive exact answer (the oracle computes it naively), so the
+  // gate proves the sketch is lossless for hitters, not just plausible.
+  // Threshold sizing reads the stream length off sketch row 0 — no
+  // extra corpus pass.
+  private val t62 = GraftQuery(
+    "t62_cms_heavy_hitters",
+    (s, dir) => {
+      val toksDf = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+      graft.operators.Sketch.heavyHittersRelative(toksDf, "token", denom = 500L)
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents),
+             o AS (SELECT unnest(toks) AS token FROM tk),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+             SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             FROM o CROSS JOIN tot GROUP BY token, tot.n
+             HAVING count(*) * 500 >= tot.n
+             ORDER BY cnt DESC, token"""))
+
+  // HTML → text extraction (the crawl-ingestion step upstream of every
+  // text operator). The gate wraps each document in deterministic
+  // markup — script/style blocks with code content, comments, nav
+  // boilerplate, the 5 predefined entities — and checks the extracted
+  // prose BYTE-FOR-BYTE by md5: both engines run the identical
+  // strip/decode chain (operators/Html keeps the Spark and DuckDB
+  // forms adjacent). Map-only, codegen'd, zero shuffle.
+  private val t63 = GraftQuery(
+    "t63_html_extract",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var t = 1 < 2 && id > 0;</script>"),
+        lit("<style>p { color: #abc; }</style></head><body><!-- boilerplate -->"),
+        lit("<nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>" +
+          "<footer>fine print</footer></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Html.extractText(html).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).as("n_chars"),
+          size(split(col("clean"), " ")).as("n_words"),
+          md5(col("clean").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val htmlExpr =
+        """'<html><head><title>Doc ' || doc_id::VARCHAR ||
+           '</title><script type="text/javascript">var t = 1 < 2 && id > 0;</script>' ||
+           '<style>p { color: #abc; }</style></head><body><!-- boilerplate -->' ||
+           '<nav><ul><li>Home</li><li>Docs</li></ul></nav><h1>Doc ' || doc_id::VARCHAR ||
+           '</h1><p>' || text ||
+           '</p><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p><footer>fine print</footer></body></html>'"""
+          .linesIterator.map(_.trim).mkString(" ")
+      s"""WITH c AS (SELECT doc_id,
+              ${graft.operators.Html.duckExtractText(s"($htmlExpr)")} AS clean
+            FROM documents)
+          SELECT doc_id, length(clean) AS n_chars,
+            len(str_split(clean, ' ')) AS n_words,
+            md5(clean) AS text_md5
+          FROM c ORDER BY doc_id"""
+    })
+
+  // BPE ENCODE with the learned merge table — t48's complement: t48
+  // proves the merges are learned right, this proves applying them
+  // tokenizes right. The merge table is re-derived in-plan (2
+  // iterations, each a vocab-sized agg + 1-row broadcast), encoding is
+  // a per-WORD map over the DISTINCT vocabulary (the same
+  // corpus→vocab collapse that makes BPE learning feasible), and
+  // per-document totals come from one keyed join-back + doc agg —
+  // the vocabulary is joined, never collected.
+  private val t64 = GraftQuery(
+    "t64_bpe_apply_encode",
+    (s, dir) => {
+      val words = bpeWords(s, dir)
+      val pc1 = bpePairCounts(words)
+      val w2 = bpeApplyTop(words, pc1)
+      val pc2 = bpePairCounts(w2)
+      val w3 = bpeApplyTop(w2, pc2)
+      val wtok = w3.select(col("w"),
+        size(split(col("sym"), " ")).as("n_tok"),
+        length(col("w")).as("n_chr"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_chr").as("n_chars"),
+          sum("n_tok").as("n_bpe_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4) +
+            lit(0.0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             w AS (SELECT t AS w, count(*) AS wc
+               FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t),
+             s0 AS (SELECT w, wc,
+                 array_to_string(regexp_split_to_array(w, ''), ' ') AS sym
+               FROM w),
+             p1 AS (SELECT wc, unnest([a[i] || ' ' || a[i+1]
+                 FOR i IN range(1, len(a))]) AS p
+               FROM (SELECT wc, str_split(sym, ' ') AS a FROM s0)
+               WHERE len(a) >= 2),
+             c1 AS (SELECT p, sum(wc) AS cnt FROM p1 GROUP BY p),
+             m1 AS (SELECT p AS mp, replace(p, ' ', '') AS mm
+               FROM c1 ORDER BY cnt DESC, p LIMIT 1),
+             s1 AS (SELECT w, wc, trim(replace(' ' || sym || ' ',
+                 ' ' || mp || ' ', ' ' || mm || ' ')) AS sym FROM s0, m1),
+             p2 AS (SELECT wc, unnest([a[i] || ' ' || a[i+1]
+                 FOR i IN range(1, len(a))]) AS p
+               FROM (SELECT wc, str_split(sym, ' ') AS a FROM s1)
+               WHERE len(a) >= 2),
+             c2 AS (SELECT p, sum(wc) AS cnt FROM p2 GROUP BY p),
+             m2 AS (SELECT p AS mp, replace(p, ' ', '') AS mm
+               FROM c2 ORDER BY cnt DESC, p LIMIT 1),
+             s2 AS (SELECT w, wc, trim(replace(' ' || sym || ' ',
+                 ' ' || mp || ' ', ' ' || mm || ' ')) AS sym FROM s1, m2),
+             wt AS (SELECT w, len(str_split(sym, ' ')) AS n_tok,
+                 length(w) AS n_chr FROM s2),
+             dt AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+             g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_chr) AS BIGINT) AS n_chars,
+                 CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+               FROM dt JOIN wt USING (w) GROUP BY doc_id)
+             SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+               round(n_chars::DOUBLE / n_bpe_tokens, 4) + 0 AS compression
+             FROM g ORDER BY doc_id"""))
+
+  // Character-level Shannon entropy — the cheapest gibberish /
+  // mojibake / binary-spill detector (low entropy = repeated filler,
+  // high entropy = encoding garbage; natural English sits ~4.1 bits
+  // but this emits nats to keep both engines on bare ln). Pure
+  // map-only per-row column algebra, zero shuffle; per-character
+  // terms round to 6 then sum as exact DECIMALs over the SORTED
+  // distinct-char array, so the fold is order- and engine-free (the
+  // t46 determinism contract).
+  private val t65 = GraftQuery(
+    "t65_char_entropy",
+    (s, dir) => {
+      val ch = filter(split(normalizeText(col("text")), ""),
+        x => length(x) > 0)
+      docs(s, dir)
+        .select(col("doc_id"), ch.as("ch"))
+        .select(col("doc_id"), col("ch"),
+          array_sort(array_distinct(col("ch"))).as("d"),
+          size(col("ch")).as("n"))
+        .select(col("doc_id"),
+          col("n").as("n_chars"),
+          size(col("d")).as("n_distinct_chars"),
+          round(aggregate(
+            transform(col("d"), c =>
+              round(-(size(filter(col("ch"), x => x === c)).cast("double") /
+                  col("n")) *
+                log(size(filter(col("ch"), x => x === c)).cast("double") /
+                  col("n")), 6)
+                .cast("decimal(18,6)")),
+            lit(0).cast("decimal(28,6)"),
+            (acc, e) => (acc + e).cast("decimal(28,6)")), 4)
+            .cast("decimal(18,4)").as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH nrm AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents),
+             a AS (SELECT doc_id, regexp_split_to_array(t, '') AS ch FROM nrm),
+             b AS (SELECT doc_id, ch, len(ch) AS n,
+                 list_sort(list_distinct(ch)) AS d FROM a)
+             SELECT doc_id, n AS n_chars, len(d) AS n_distinct_chars,
+               CAST(round(list_sum(list_transform(d, c ->
+                 CAST(round(-(len(list_filter(ch, x -> x = c))::DOUBLE / n) *
+                   ln(len(list_filter(ch, x -> x = c))::DOUBLE / n), 6)
+                   AS DECIMAL(18,6)))), 4) AS DECIMAL(18,4)) AS entropy
+             FROM b ORDER BY doc_id"""))
+
+  // Per-source KL divergence from the corpus unigram distribution —
+  // the mixture diagnostic that quantifies HOW different each source's
+  // token distribution is from the blend (t28/t35 decide weights; this
+  // measures drift — a source whose KL spikes is a contamination or
+  // scraping-regression signal). Counts are exact integers; each
+  // token's term rounds to 6 and sums as exact DECIMALs per source
+  // (order-free). The ln argument uses the exact-integer cross-ratio
+  // (ns·Nc)/(Ns·nc); at 100-TB counts the documented swap is the
+  // ln-difference form (overflow-safe, same contract).
+  private val t66 = GraftQuery(
+    "t66_source_kl_divergence",
+    (s, dir) => {
+      val o = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val st = o.groupBy("source", "w").agg(count(lit(1)).as("ns"))
+      val ct = st.groupBy("w").agg(sum("ns").as("nc"))
+      val ts = st.groupBy("source").agg(sum("ns").as("tns"))
+      val tc = st.agg(sum("ns").as("tnc"))
+      val term = st.join(ct, "w").join(broadcast(ts), "source")
+        .crossJoin(broadcast(tc))
+        .select(col("source"), col("tns"),
+          round((col("ns").cast("double") / col("tns")) *
+            log((col("ns") * col("tnc")).cast("double") /
+              (col("tns").cast("double") * col("nc"))), 6)
+            .cast("decimal(18,6)").as("t"))
+      term.groupBy("source")
+        .agg(max("tns").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(sum("t"), 4).cast("decimal(18,4)").as("kl"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (SELECT source, $duckToks AS toks FROM documents),
+             o AS (SELECT source, unnest(toks) AS w FROM tk),
+             st AS (SELECT source, w, count(*) AS ns FROM o GROUP BY source, w),
+             ct AS (SELECT w, CAST(sum(ns) AS BIGINT) AS nc FROM st GROUP BY w),
+             ts AS (SELECT source, CAST(sum(ns) AS BIGINT) AS tns
+               FROM st GROUP BY source),
+             tc AS (SELECT CAST(sum(ns) AS BIGINT) AS tnc FROM st),
+             term AS (SELECT st.source, ts.tns,
+                 CAST(round((ns::DOUBLE / tns) *
+                   ln((ns * tnc)::DOUBLE / (tns::DOUBLE * nc)), 6)
+                   AS DECIMAL(18,6)) AS t
+               FROM st JOIN ct USING (w) JOIN ts USING (source) CROSS JOIN tc)
+             SELECT source, max(tns) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(round(sum(t), 4) AS DECIMAL(18,4)) AS kl
+             FROM term GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59, t60, t61)
+    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66)
 }

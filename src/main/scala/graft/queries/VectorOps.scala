@@ -928,6 +928,122 @@ object VectorOps {
                round(lam.lambda, 4) AS eigenvalue
              FROM v3 CROSS JOIN lam ORDER BY dim"""))
 
+  // Greedy k-center (farthest-first) coreset selection — deterministic
+  // diversity sampling: seed = min vec_id, then 3 unrolled iterations
+  // each picking the corpus point farthest (rounded-6 squared L2, tie
+  // on vec_id) from everything selected. The selected set is a k×dim
+  // driver model embedded as plan literals → each iteration is ONE
+  // map-only scan + a 1-row TakeOrdered; the oracle replays the whole
+  // traversal in chained CTEs.
+  private val v25 = GraftQuery(
+    "v25_kcenter_coreset",
+    (s, dir) => {
+      Similarity.kcenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4)
+        .orderBy("step")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+            d1 AS (SELECT e.vec_id, e.v,
+                round(list_sum(list_transform(range(64),
+                  i -> (e.v[i+1] - s0.v[i+1]) * (e.v[i+1] - s0.v[i+1]))), 6)
+                  AS mind
+              FROM e, s0),
+            s1 AS (SELECT vec_id, v, mind FROM d1
+              ORDER BY mind DESC, vec_id LIMIT 1),
+            d2 AS (SELECT d1.vec_id, d1.v, least(d1.mind,
+                round(list_sum(list_transform(range(64),
+                  i -> (d1.v[i+1] - s1.v[i+1]) * (d1.v[i+1] - s1.v[i+1]))), 6))
+                  AS mind
+              FROM d1, s1),
+            s2 AS (SELECT vec_id, v, mind FROM d2
+              ORDER BY mind DESC, vec_id LIMIT 1),
+            d3 AS (SELECT d2.vec_id, d2.v, least(d2.mind,
+                round(list_sum(list_transform(range(64),
+                  i -> (d2.v[i+1] - s2.v[i+1]) * (d2.v[i+1] - s2.v[i+1]))), 6))
+                  AS mind
+              FROM d2, s2),
+            s3 AS (SELECT vec_id, v, mind FROM d3
+              ORDER BY mind DESC, vec_id LIMIT 1)
+            SELECT 0 AS step, s0.vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM s0
+            UNION ALL SELECT 1, s1.vec_id, s1.mind FROM s1
+            UNION ALL SELECT 2, s2.vec_id, s2.mind FROM s2
+            UNION ALL SELECT 3, s3.vec_id, s3.mind FROM s3
+            ORDER BY step"""))
+
+  // PQ-shortlist + exact re-rank — the production ANN serving shape:
+  // v17's ADC scans the corpus as m-byte codes for a kShort=10
+  // shortlist, then ONLY those candidates' full vectors re-score
+  // exactly (keyed join, queries·kShort rows — compression error can
+  // drop a candidate but never mis-orders what the user sees). The
+  // oracle replays codebook → encode → LUT → shortlist → exact rerank.
+  private val v26 = GraftQuery(
+    "v26_pq_rerank_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val base = emb.orderBy("vec_id").limit(16)
+        .withColumn("code", row_number().over(w) - 1)
+        .select(col("code"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val codebooks = base.select(col("code"), explode(array((0 until 4).map {
+          sp => struct(lit(sp).as("subspace"),
+            slice(col("v"), sp * 16 + 1, 16).as("cvec"))
+        }: _*)).as("sub"))
+        .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks, m = 4)
+        .select("vec_id", "code_csv")
+      Similarity.pqRerankTopK(codes, codebooks, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          m = 4, kShort = 10, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT code, v FROM (SELECT v,
+                row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM e ORDER BY vec_id LIMIT 16)),
+            sp AS (SELECT CAST(unnest(range(4)) AS INT) AS subspace),
+            cbs AS (SELECT subspace, code,
+                v[subspace*16+1 : subspace*16+16] AS cvec FROM cb, sp),
+            sub AS (SELECT vec_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS sv FROM e, sp),
+            sc AS (SELECT vec_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (sv[i+1] - cvec[i+1]) * (sv[i+1] - cvec[i+1]))), 6) AS dist
+              FROM sub JOIN cbs USING (subspace)),
+            best AS (SELECT vec_id, subspace, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                  ORDER BY dist, code) AS rn FROM sc) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+            qs AS (SELECT query_id, subspace,
+                v[subspace*16+1 : subspace*16+16] AS qsv FROM q, sp),
+            lut AS (SELECT query_id, subspace, code,
+                round(list_sum(list_transform(range(16),
+                  i -> (qsv[i+1] - cvec[i+1]) * (qsv[i+1] - cvec[i+1]))), 6) AS d
+              FROM qs JOIN cbs USING (subspace)),
+            sc2 AS (SELECT query_id, vec_id,
+                CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
+                  AS DECIMAL(18,4)) AS adist
+              FROM best JOIN lut USING (subspace, code)
+              GROUP BY query_id, vec_id),
+            short AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER
+                  (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+                FROM sc2) WHERE rn <= 10),
+            ex AS (SELECT short.query_id, short.vec_id AS nbr_id,
+                round(list_sum(list_transform(range(64),
+                  i -> (q.v[i+1] - e.v[i+1]) * (q.v[i+1] - e.v[i+1]))), 6)
+                  AS dist
+              FROM short
+              JOIN e ON e.vec_id = short.vec_id
+              JOIN q ON q.query_id = short.query_id),
+            r AS (SELECT query_id, nbr_id, dist, row_number() OVER
+                (PARTITION BY query_id ORDER BY dist, nbr_id) AS rank
+              FROM ex)
+            SELECT query_id, nbr_id, dist, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
-    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24)
+    v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
+    v25, v26)
 }

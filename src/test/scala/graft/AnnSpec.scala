@@ -333,4 +333,57 @@ class AnnSpec extends SparkTestBase {
     assert(picks.toSeq == Seq(1L, 3L, 4L),
       s"expected diversified (1, 3, 4), got ${picks.toSeq}")
   }
+
+  test("kcenterSelect covers well-separated clusters one pick each") {
+    // three tight clusters far apart + the seed's cluster: farthest-
+    // first must visit a NEW cluster every step (the 2-approximation
+    // geometry), never two picks from one cluster while another is
+    // uncovered.
+    val rows = (0 until 4).flatMap { c =>
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f * (c + 1)
+      (0 until 5).map { j =>
+        val v = base.clone(); v(c * 2 + 1) = j * 0.01f
+        (c * 10L + j, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val picks = Similarity.kcenterSelect(emb, "vec_id", "embedding", k = 4)
+      .orderBy("step").collect()
+    val clusters = picks.map(_.getLong(1) / 10L).toSet
+    assert(clusters == Set(0L, 1L, 2L, 3L),
+      s"expected one pick per cluster, got ${picks.map(_.getLong(1)).toSeq}")
+    assert(picks.head.isNullAt(2) && picks.head.getLong(1) == 0L)
+  }
+
+  test("pqRerankTopK final order is exact within the shortlist") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val base = emb.orderBy("vec_id").limit(8)
+      .withColumn("code", row_number().over(w) - 1)
+      .select(col("code"), transform(col("embedding"), _.cast("double")).as("v"))
+    val codebooks = base.select(col("code"), explode(array((0 until 4).map {
+        sp => struct(lit(sp).as("subspace"),
+          slice(col("v"), sp * 2 + 1, 2).as("cvec"))
+      }: _*)).as("sub"))
+      .select(col("sub.subspace"), col("code"), col("sub.cvec"))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks,
+      m = 4, dim = 8).select("vec_id", "code_csv")
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.pqRerankTopK(codes, codebooks, emb, queries,
+        "vec_id", "embedding", m = 4, kShort = 10, k = 3, dim = 8)
+      .orderBy("query_id", "rank").collect()
+    // within each query: ranks strictly ordered by exact distance, and
+    // a corpus-member query's rank-1 is itself (exact dist 0)
+    got.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val dists = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(dists == dists.sorted, s"query $q reranked out of order")
+      val r1 = rs.minBy(_.getInt(3))
+      assert(r1.getLong(1) == q && r1.getDouble(2) == 0.0,
+        s"query $q rank-1 should be its own exact match")
+    }
+  }
 }

@@ -216,4 +216,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(tiles.forall(r => r.getLong(6) >= 0 && r.getLong(6) <= 255L * r.getLong(5)))
     assert(tiles.map(_.getLong(6)).sum > 0)
   }
+
+  test("audioQcStats matches a local decode of the same WAV exactly") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeAudio(Seq(3L, 9L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioQcStats(media, clipThreshold = 32000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    Seq(3L, 9L).foreach { id =>
+      val frames = 400 + math.floorMod(id * 13, 800).toInt
+      var clipped = 0; var dc = 0L; var peak = 0
+      (0 until frames).foreach { i =>
+        var p = id * 0x9E3779B97F4A7C15L + i
+        p ^= p >>> 29; p *= 0xBF58476D1CE4E5B9L; p ^= p >>> 32
+        val s = (p & 0xFFFF).toInt - 32768
+        val a = math.abs(s)
+        if (a >= 32000) clipped += 1
+        dc += s; if (a > peak) peak = a
+      }
+      assert(got(id) == ((frames, clipped, dc, peak)), s"id=$id mismatch")
+    }
+    // malformed bytes yield no row (decode DLQ contract)
+    val bad = Seq((1L, "audio", Array[Byte](1, 2, 3), "x"))
+      .toDF("media_id", "kind", "content", "source")
+    assert(Multimodal.audioQcStats(bad, 32000).count() == 0)
+  }
+
+  test("borderStats detects the synthesized letterbox exactly") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 16L, 17L, 33L) // t = 0, 5, 16, 0, 16
+    val media = Multimodal.synthesizeLetterboxImages(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.borderStats(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(6))).toMap
+    ids.foreach { id =>
+      val t = math.floorMod(id, 17).toInt
+      assert(got(id) == ((t, t, 64 - 2 * t)),
+        s"id=$id (t=$t) got ${got(id)}")
+    }
+    // undecodable bytes yield no row
+    val bad = Seq((1L, "image", Array[Byte](9, 9), "x"))
+      .toDF("media_id", "kind", "content", "source")
+    assert(Multimodal.borderStats(bad).count() == 0)
+  }
 }

@@ -368,4 +368,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partitionBy") || p.contains("lang_pred"),
       s"window must partition by lang_pred:\n$p")
   }
+
+  test("t62 CMS prefilter is a map-side Filter below the exact aggregate (no join)") {
+    val p = plan("t62_cms_heavy_hitters")
+    // the grid is a plan literal: the estimate filter must be a plain
+    // Filter over the scan — no join against a sketch table, and the
+    // ONLY aggregate above it is the exact candidate count
+    assert(!p.contains("Join"), s"sketch lookup must not join:\n$p")
+    // the least()-over-grid estimate filter sits BELOW the exact
+    // aggregate (later in printed order); the filter above the agg is
+    // the legitimate cnt >= threshold re-check
+    val estIdx = p.indexOf("least(")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(estIdx >= 0 && aggIdx >= 0 && estIdx > aggIdx,
+      s"estimate filter must sit below the aggregate:\n$p")
+  }
+
+  test("q60 VALUES inline dim is a LocalRelation broadcast (no dim-side scan)") {
+    val p = plan("q60_values_inline_dim")
+    assert(p.contains("LocalTableScan"), s"VALUES must plan as local rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

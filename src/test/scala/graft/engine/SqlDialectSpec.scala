@@ -177,6 +177,24 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT 'EXCLUDE (a)' AS s FROM t")
   }
 
+  test("star REPLACE rewrites to EXCEPT + recomputed columns (order moves to end)") {
+    assert(translate("SELECT * REPLACE (round(price, 2) AS price) FROM t") ==
+      "SELECT * EXCEPT (price), round(price, 2) AS price FROM t")
+    // multiple items; exprs with nested commas/parens survive the scan
+    assert(translate(
+      "SELECT * REPLACE (coalesce(a, 0) AS a, concat(b, ',x') AS b) FROM t") ==
+      "SELECT * EXCEPT (a, b), coalesce(a, 0) AS a, concat(b, ',x') AS b FROM t")
+    // qualified star keeps its qualifier
+    assert(translate("SELECT t.* REPLACE (upper(n) AS n) FROM t") ==
+      "SELECT t.* EXCEPT (n), upper(n) AS n FROM t")
+    // string literal containing REPLACE ( → untouched
+    assert(translate("SELECT '* REPLACE (x AS y)' AS s FROM t") ==
+      "SELECT '* REPLACE (x AS y)' AS s FROM t")
+    // replace() the FUNCTION is untouched (no star anchor)
+    assert(translate("SELECT replace(a, 'x', 'y') FROM t") ==
+      "SELECT replace(a, 'x', 'y') FROM t")
+  }
+
   test("DISTINCT ON rewrites to row_number keep-first; ORDER BY drives the pick") {
     assert(translate(
       "SELECT DISTINCT ON (user_id) user_id, ts, v FROM t ORDER BY user_id, ts DESC") ==
