@@ -1028,6 +1028,46 @@ object Similarity {
       array_join(proj, ",").as("proj_csv"))
   }
 
+  /** Asymmetric binary search: FULL-PRECISION queries score a corpus
+    * stored ONLY as [[binarySignBits]]'s two BIGINT words (16 B per
+    * vector) — `score = Σ_j q_j · sign_j`, the asymmetric analogue of
+    * [[hammingTopK]] (Gordo et al. 2014's asymmetric distances for
+    * binary codes): keeping the query un-quantized recovers most of
+    * the recall sym-Hamming loses, at the same corpus footprint.
+    *
+    * Scale shape: queries broadcast; the corpus scan reads two longs
+    * per vector and the score is one codegen'd 64-step fold — a
+    * brute-force tier over the COMPRESSED corpus (the banded variant
+    * for planet-scale is [[graft.operators.Multimodal.imageNearDupPairs]]'s
+    * blocking applied to these words). Determinism: the fold walks
+    * dimensions in ascending order, rounds to 6; rank ties break on
+    * (score DESC, vec_id).
+    *
+    * @param signs (vec_id, w0, w1) from [[binarySignBits]]
+    * @param queries (query_id, qv: array<double>)
+    * @return (query_id, nbr_id, score, rank) for rank ≤ k. */
+  def asymmetricBinaryTopK(
+      signs: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val scored = graft.queries.Tables.spread(signs)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(expr(
+        """aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+           (acc, j) -> acc + element_at(qv, j + 1) *
+             CASE WHEN (CASE WHEN j < 32 THEN shiftright(w0, j)
+               ELSE shiftright(w1, j - 32) END) % 2 = 1
+               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"""),
+        6) + lit(0.0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        col("score"), col("rank"))
+  }
+
   /** Greedy k-center (farthest-first traversal) coreset selection —
     * the deterministic diversity-sampling pass for embedding-space
     * data curation (Sener & Savarese 2018's core-set approach,

@@ -548,6 +548,75 @@ object MultimodalOps {
           FROM bits GROUP BY media_id ORDER BY media_id"""
     })
 
+  // The COMPLETE image-dedup pipeline in one declarative plan —
+  // fingerprint (m11 aHash over real decode) → banded-Hamming
+  // candidate pairs (m12, never all-pairs) → connected components
+  // (near-dup similarity is not transitive) → full-corpus spine with
+  // a canonical representative (min id = the original; perturbed
+  // re-uploads carry +10⁷ ids) and an is_dup drop flag. Every stage
+  // reuses an oracle-checked operator; the oracle replays fingerprint
+  // → all-pairs ≤3 edges → recursive label propagation → spine.
+  private val m19 = GraftQuery(
+    "m19_image_dedup_pipeline",
+    (s, dir) => {
+      val base = Tables.spread(t(s, dir, "documents"))
+      val orig = Multimodal.synthesizeBlockImages(base, "doc_id")
+      val mod = Multimodal.synthesizePerturbedBlockImages(
+        base.filter(col("doc_id") < 50), "doc_id",
+        idOffset = 10000000L, block0Value = 255)
+      val hashes = Multimodal.imageAHash64(orig.unionByName(mod))
+      val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      hashes.select(col("media_id"))
+        .join(comp, hashes("media_id") === comp("doc_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component_id"), col("media_id")).as("rep_id"),
+          (col("component_id").isNotNull &&
+            col("media_id") =!= col("component_id")).as("is_dup"))
+        .orderBy("media_id")
+    },
+    Some("""WITH RECURSIVE ids AS (
+              SELECT doc_id AS media_id, doc_id AS pat, FALSE AS mod
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+              WHERE doc_id < 50),
+            b AS (SELECT media_id, j,
+                CASE WHEN mod AND j = 0 THEN 255 ELSE
+                  CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) || '_' ||
+                    CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                    1, 2)) AS INT) END AS v
+              FROM ids, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            tot AS (SELECT media_id, sum(v) AS total FROM b GROUP BY media_id),
+            bits AS (SELECT media_id, j,
+                CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM b JOIN tot USING (media_id)),
+            w AS (SELECT media_id,
+                CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                  ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                  ELSE 0 END) AS BIGINT) AS w1
+              FROM bits GROUP BY media_id),
+            pairs AS (SELECT a.media_id AS u, c.media_id AS v
+              FROM w a JOIN w c ON a.media_id < c.media_id
+              WHERE bit_count(xor(a.w0, c.w0)) +
+                bit_count(xor(a.w1, c.w1)) <= 3),
+            edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            cc AS (
+              SELECT u AS node, u AS label FROM edges
+              UNION
+              SELECT e.v AS node, c.label FROM cc c JOIN edges e ON c.node = e.u
+            ),
+            comp AS (SELECT node, min(label) AS component_id
+              FROM cc GROUP BY node)
+            SELECT w.media_id,
+              CAST(coalesce(comp.component_id, w.media_id) AS BIGINT) AS rep_id,
+              comp.component_id IS NOT NULL AND
+                w.media_id != comp.component_id AS is_dup
+            FROM w LEFT JOIN comp ON w.media_id = comp.node
+            ORDER BY w.media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19)
 }

@@ -2666,9 +2666,76 @@ object TextOps {
                CAST(round(sum(t), 4) AS DECIMAL(18,4)) AS kl
              FROM term GROUP BY source ORDER BY source"""))
 
+  // Heap's-law fit (V = k·N^β — vocabulary growth vs corpus size),
+  // t58's Zipf companion: natural text grows vocabulary at β ≈
+  // 0.4–0.7; template/boilerplate corpora flatten (β → 0) and
+  // random-noise corpora inflate (β → 1), so the fitted exponent is a
+  // one-number corpus-health probe. Distributed WITHOUT any global
+  // sort or cumulative pass over docs: each token's FIRST bucket
+  // (min over a 10-way doc-id range bucketing) is one vocab-keyed
+  // agg; per-bucket token totals are a 10-key agg; both cumulate over
+  // a 10-row window (driver-scale) and the log-log least squares is
+  // t58's closed form.
+  private val t67 = GraftQuery(
+    "t67_heaps_law_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val mx = d.agg(max("doc_id").as("mx"))
+      val occ = d.crossJoin(broadcast(mx))
+        .select(expr("CAST(doc_id * 10 DIV (mx + 1) AS INT)").as("b"),
+          explode(tokens(col("text"))).as("w"))
+      val perB = occ.groupBy("b").agg(count(lit(1)).as("toks"))
+      val firstB = occ.groupBy("w").agg(min("b").as("fb"))
+        .groupBy("fb").agg(count(lit(1)).as("nt"))
+      val wspec = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val xy = perB.join(firstB, perB("b") === firstB("fb"), "left")
+        .select(perB("b"), col("toks"), coalesce(col("nt"), lit(0L)).as("nt"))
+        .withColumn("x", log(sum("toks").over(wspec).cast("double")))
+        .withColumn("y", log(sum("nt").over(wspec).cast("double")))
+      xy.agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_points"),
+          // + 0.0 normalizes IEEE −0.0 (a flat-vocabulary corpus fits
+          // a slope of exactly −0 — the probe's boilerplate signal)
+          (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+            .as("beta"),
+          (round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 4)
+            + lit(0.0)).as("ln_k"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             mx AS (SELECT max(doc_id) AS mx FROM documents),
+             o AS (SELECT CAST(doc_id * 10 // (mx + 1) AS INT) AS b,
+                 unnest(toks) AS w
+               FROM tk CROSS JOIN mx),
+             pb AS (SELECT b, count(*) AS toks FROM o GROUP BY b),
+             fb AS (SELECT fb AS b, count(*) AS nt FROM
+               (SELECT w, min(b) AS fb FROM o GROUP BY w) GROUP BY fb),
+             curve AS (SELECT pb.b, toks, coalesce(nt, 0) AS nt
+               FROM pb LEFT JOIN fb USING (b)),
+             cum AS (SELECT b,
+                 ln(CAST(sum(toks) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS DOUBLE)) AS x,
+                 ln(CAST(sum(nt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y
+               FROM curve),
+             agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM cum)
+             SELECT CAST(n AS BIGINT) AS n_points,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0 AS beta,
+               round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+                 + 0 AS ln_k
+             FROM agg"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66)
+    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67)
 }

@@ -1043,7 +1043,47 @@ object VectorOps {
             SELECT query_id, nbr_id, dist, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Asymmetric binary search — full-precision queries over the 1-bit
+  // corpus (v18's words): un-quantizing the query side recovers most
+  // of sym-Hamming's recall loss at the SAME 16 B/vector corpus
+  // footprint. The 64-step sign-weighted fold walks dimensions in
+  // order and rounds to 6, so the whole scorer is oracle-checked;
+  // ranks tie-break on (score DESC, vec_id).
+  private val v27 = GraftQuery(
+    "v27_asymmetric_binary_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val signs = Similarity.binarySignBits(emb, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+      Similarity.asymmetricBinaryTopK(signs, queries, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            w AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w0,
+                CAST(list_sum(list_transform(range(32), j ->
+                  CASE WHEN v[j+33] > 0 THEN (1::BIGINT << j) ELSE 0 END))
+                  AS BIGINT) AS w1
+              FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            sc AS (SELECT query_id, w.vec_id AS nbr_id,
+                round(list_sum(list_transform(range(64), j ->
+                  qv[j+1] * CASE WHEN (CASE WHEN j < 32
+                      THEN (w0 // (1::BIGINT << j))
+                      ELSE (w1 // (1::BIGINT << (j - 32))) END) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END)), 6) + 0 AS score
+              FROM w CROSS JOIN q WHERE w.vec_id != q.query_id),
+            r AS (SELECT query_id, nbr_id, score, row_number() OVER
+                (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+              FROM sc)
+            SELECT query_id, nbr_id, score, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26)
+    v25, v26, v27)
 }

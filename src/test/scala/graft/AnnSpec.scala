@@ -334,6 +334,26 @@ class AnnSpec extends SparkTestBase {
       s"expected diversified (1, 3, 4), got ${picks.toSeq}")
   }
 
+  test("asymmetricBinaryTopK: the sign-matched twin outranks sign-mismatched corpus") {
+    // corpus of distinct sign patterns + a twin of vector 0 (same
+    // signs, scaled): the max of Σ q_j·s_j over sign patterns s is
+    // attained exactly at s = sign(q), so the twin must rank first
+    val mk = (seed: Int) => Array.tabulate(64) { d =>
+      (((seed * 31 + d * 7) % 13) - 6).toFloat + (if (((seed + d) % 2) == 0) 0.5f else -0.5f)
+    }
+    val rows = (0 until 20).map(i => (i.toLong, mk(i))) :+
+      (100L, mk(0).map(_ * 1.01f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val signs = Similarity.binarySignBits(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val top = Similarity.asymmetricBinaryTopK(signs, queries, k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 100L,
+      s"twin must rank first, got ${top.map(_.getLong(1)).toSeq}")
+  }
+
   test("kcenterSelect covers well-separated clusters one pick each") {
     // three tight clusters far apart + the seed's cluster: farthest-
     // first must visit a NEW cluster every step (the 2-approximation
