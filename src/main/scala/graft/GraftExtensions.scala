@@ -27,7 +27,8 @@ import graft.functions._
   * simhash64(hashedTokens), rolling_hash64(text), nfc_normalize(text),
   * vec_dot(a, b), text_stats(text), rep_stats(text), lang_id(text),
   * duck_extract(col, key),
-  * hyperplane_bands(vec, dim, bands, rowsPerBand, seed).
+  * hyperplane_bands(vec, dim, bands, rowsPerBand, seed),
+  * html_extract(html).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -103,7 +104,16 @@ object GraftExtensions {
           "hyperplane_bands(vec, dim, bands, rowsPerBand, seed)")
         HyperplaneBands(args.head, intLit(args(1), "dim"), intLit(args(2), "bands"),
           intLit(args(3), "rowsPerBand"), longLit(args(4), "seed"))
-      }))
+      }),
+    // composed-expression function (not a native Expression): expands
+    // to Html.extractText's strip/decode chain at resolution time, so
+    // handler SQL gets the crawl-ingestion step with zero plumbing —
+    // and the SQL path can never drift from the Column path, because
+    // they ARE the same expression tree.
+    ("html_extract", "html_extract(html)", (args: Seq[Expression]) => {
+      require(args.length == 1, "html_extract(html)")
+      graft.operators.Html.extractExpr(args.head)
+    }))
 
   /** Idempotently registers the native functions into an EXISTING
     * session's function registry — the path for sessions built without

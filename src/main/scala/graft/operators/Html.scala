@@ -28,19 +28,34 @@ import org.apache.spark.sql.functions._
 object Html {
 
   /** Extracted text of an HTML column. */
-  def extractText(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+  def extractText(html: Column): Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      extractExpr(org.apache.spark.sql.graftx.Bridge.expression(html)))
+
+  /** The chain as a concrete Catalyst expression tree — the single
+    * source for both the Column API and the `html_extract` SQL
+    * function (GraftExtensions): a function builder must return
+    * evaluable expressions, and sharing the tree means the two entry
+    * points can never drift. */
+  private[graft] def extractExpr(
+      html: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Literal, RegExpReplace, StringReplace, StringTrim}
+    def rr(c: org.apache.spark.sql.catalyst.expressions.Expression,
+        pat: String) = RegExpReplace(c, Literal(pat), Literal(" "))
+    val noScript = rr(html, "(?is)<script\\b[^>]*>.*?</script>")
+    val noStyle = rr(noScript, "(?is)<style\\b[^>]*>.*?</style>")
+    val noComment = rr(noStyle, "(?s)<!--.*?-->")
+    val noTags = rr(noComment, "(?s)<[^>]*>")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) =>
-        replace(c, lit(from), lit(to))
+      .foldLeft(noTags:
+          org.apache.spark.sql.catalyst.expressions.Expression) {
+        case (c, (from, to)) =>
+          StringReplace(c, Literal(from), Literal(to))
       }
-    trim(regexp_replace(ent, "\\s+", " "))
+    StringTrim(RegExpReplace(ent, Literal("\\s+"), Literal(" ")))
   }
 
   /** The same chain as a DuckDB SQL expression over `inExpr` — kept

@@ -854,36 +854,79 @@ object VectorOps {
   // algorithm exactly oracle-checkable. At 100 TB the covariance agg
   // is the only corpus-sized stage (map-side combined); everything
   // after is constant work.
+  /** Oracle-side twin of [[topComponentParts]]: CTEs `e`, `xr`, `n`,
+    * `mu`, `cov`, and power iterations through `v3` (rounded-6
+    * loadings) — shared by v24 and v28. */
+  private val pcaCtes =
+    """e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       xr AS (SELECT id, CAST(gs.i AS INT) - 1 AS i, v[gs.i] AS xi
+         FROM e, generate_series(1, 64) AS gs(i)),
+       n AS (SELECT count(DISTINCT id) AS n FROM xr),
+       mu AS (SELECT i, sum(xi) / count(*) AS mu FROM xr GROUP BY i),
+       sij AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+         FROM xr a JOIN xr b USING (id) GROUP BY a.i, b.i),
+       cov AS (SELECT sij.i, sij.j,
+           round(s / n.n - mi.mu * mj.mu, 8) AS c
+         FROM sij
+         JOIN mu mi ON sij.i = mi.i
+         JOIN mu mj ON sij.j = mj.i
+         CROSS JOIN n),
+       v0 AS (SELECT CAST(gs.i AS INT) - 1 AS i, 0.125 AS v
+         FROM generate_series(1, 64) AS gs(i)),
+       r1 AS (SELECT cov.i, sum(c * v0.v) AS r FROM cov
+         JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
+       v1 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r1), 6) AS v
+         FROM r1),
+       r2 AS (SELECT cov.i, sum(c * v1.v) AS r FROM cov
+         JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+       v2 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r2), 6) AS v
+         FROM r2),
+       r3 AS (SELECT cov.i, sum(c * v2.v) AS r FROM cov
+         JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+       v3 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r3), 6) AS v
+         FROM r3)"""
+
+  /** Shared v24/v28 plumbing: exploded coordinates, per-dim means,
+    * covariance, and the 3-iteration rounded power method.
+    * @return (xr (id, i, xi), mu (i, mu), cov (i, j, c), v (i, v)) */
+  private def topComponentParts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val xr = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("id", "i", "xi")
+      .withColumn("xi", col("xi").cast("double"))
+    val n = xr.agg(countDistinct("id").as("n"))
+    val mu = xr.groupBy("i")
+      .agg((sum("xi") / count(lit(1))).as("mu"))
+    val sij = xr.as("a")
+      .join(xr.as("b"), "id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xi") * col("b.xi")).as("s"))
+    val cov = sij
+      .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round(col("s") / col("n") - col("mu_i") * col("mu_j"), 8).as("c"))
+    val dim = 64
+    var v = s.range(dim).select(col("id").cast("int").as("i"),
+      lit(1.0 / math.sqrt(dim)).as("v"))
+    for (_ <- 1 to 3) {
+      val raw = cov.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(col("c") * col("v")).as("r"))
+      val nrm = raw.agg(sqrt(sum(col("r") * col("r"))).as("nrm"))
+      v = raw.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("r") / col("nrm"), 6).as("v"))
+    }
+    (xr, mu, cov, v)
+  }
+
   private val v24 = GraftQuery(
     "v24_top_principal_component",
     (s, dir) => {
-      val xr = t(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .toDF("id", "i", "xi")
-        .withColumn("xi", col("xi").cast("double"))
-      val n = xr.agg(countDistinct("id").as("n"))
-      val mu = xr.groupBy("i")
-        .agg((sum("xi") / count(lit(1))).as("mu"))
-      val sij = xr.as("a")
-        .join(xr.as("b"), "id")
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(col("a.xi") * col("b.xi")).as("s"))
-      val cov = sij
-        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
-        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
-        .crossJoin(broadcast(n))
-        .select(col("i"), col("j"),
-          round(col("s") / col("n") - col("mu_i") * col("mu_j"), 8).as("c"))
-      val dim = 64
-      var v = s.range(dim).select(col("id").cast("int").as("i"),
-        lit(1.0 / math.sqrt(dim)).as("v"))
-      for (_ <- 1 to 3) {
-        val raw = cov.join(v.select(col("i").as("j"), col("v")), "j")
-          .groupBy("i").agg(sum(col("c") * col("v")).as("r"))
-        val nrm = raw.agg(sqrt(sum(col("r") * col("r"))).as("nrm"))
-        v = raw.crossJoin(broadcast(nrm))
-          .select(col("i"), round(col("r") / col("nrm"), 6).as("v"))
-      }
+      val (_, _, cov, v) = topComponentParts(s, dir)
       val cv = cov.join(v.select(col("i").as("j"), col("v")), "j")
         .groupBy("i").agg(sum(col("c") * col("v")).as("cv"))
       val lam = cv.join(v, "i")
@@ -893,33 +936,7 @@ object VectorOps {
           round(col("lambda"), 4).as("eigenvalue"))
         .orderBy("dim")
     },
-    Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-             xr AS (SELECT id, CAST(gs.i AS INT) - 1 AS i, v[gs.i] AS xi
-               FROM e, generate_series(1, 64) AS gs(i)),
-             n AS (SELECT count(DISTINCT id) AS n FROM xr),
-             mu AS (SELECT i, sum(xi) / count(*) AS mu FROM xr GROUP BY i),
-             sij AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
-               FROM xr a JOIN xr b USING (id) GROUP BY a.i, b.i),
-             cov AS (SELECT sij.i, sij.j,
-                 round(s / n.n - mi.mu * mj.mu, 8) AS c
-               FROM sij
-               JOIN mu mi ON sij.i = mi.i
-               JOIN mu mj ON sij.j = mj.i
-               CROSS JOIN n),
-             v0 AS (SELECT CAST(gs.i AS INT) - 1 AS i, 0.125 AS v
-               FROM generate_series(1, 64) AS gs(i)),
-             r1 AS (SELECT cov.i, sum(c * v0.v) AS r FROM cov
-               JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
-             v1 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r1), 6) AS v
-               FROM r1),
-             r2 AS (SELECT cov.i, sum(c * v1.v) AS r FROM cov
-               JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
-             v2 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r2), 6) AS v
-               FROM r2),
-             r3 AS (SELECT cov.i, sum(c * v2.v) AS r FROM cov
-               JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
-             v3 AS (SELECT i, round(r / (SELECT sqrt(sum(r * r)) FROM r3), 6) AS v
-               FROM r3),
+    Some(s"""WITH $pcaCtes,
              cv AS (SELECT cov.i, sum(c * v3.v) AS cv FROM cov
                JOIN v3 ON cov.j = v3.i GROUP BY cov.i),
              lam AS (SELECT sum(cv.cv * v3.v) / sum(v3.v * v3.v) AS lambda
@@ -1083,7 +1100,52 @@ object VectorOps {
             SELECT query_id, nbr_id, score, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+  // arXiv:1702.01417): center, then remove the top principal
+  // direction — the anisotropy correction that makes cosine
+  // similarity discriminative again when one rogue direction
+  // dominates (v24 diagnoses it; this repairs it). Re-uses v24's
+  // covariance + rounded power iterations; the per-vector pass is
+  // explode → broadcast-join (μ, u) → one id-keyed projection agg →
+  // map-side residual, with the round-6 / round-4 re-sync contract
+  // making the whole composition oracle-checkable.
+  private val v28 = GraftQuery(
+    "v28_abtt_whiten",
+    (s, dir) => {
+      val (xr, mu, _, v) = topComponentParts(s, dir)
+      val mu6 = mu.select(col("i"), round(col("mu"), 6).as("mu"))
+      val joined = xr.join(broadcast(mu6), "i").join(broadcast(v), "i")
+      val pj = joined.groupBy("id")
+        .agg((round(sum((col("xi") - col("mu")) * col("v")), 6) + lit(0.0))
+          .as("proj"))
+      joined.join(pj, "id")
+        .select(col("id"), col("i"),
+          round((col("xi") - col("mu")) - col("proj") * col("v"), 4)
+            .cast("decimal(12,4)").as("o"),
+          col("proj"))
+        .groupBy(col("id").as("vec_id"), col("proj"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("o")))),
+          p => p("o").cast("string")), ",").as("abtt_csv"))
+        .select(col("vec_id"), col("proj"), col("abtt_csv"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $pcaCtes,
+             mu6 AS (SELECT i, round(mu, 6) AS mu FROM mu),
+             j AS (SELECT xr.id, xr.i, xr.xi, mu6.mu, v3.v
+               FROM xr JOIN mu6 USING (i) JOIN v3 USING (i)),
+             pj AS (SELECT id, round(sum((xi - mu) * v), 6) + 0 AS proj
+               FROM j GROUP BY id),
+             o AS (SELECT j.id, j.i,
+                 CAST(round((xi - mu) - proj * v, 4) AS DECIMAL(12,4)) AS o,
+                 pj.proj
+               FROM j JOIN pj USING (id))
+             SELECT id AS vec_id, proj,
+               array_to_string(list(CAST(o AS VARCHAR) ORDER BY i), ',')
+                 AS abtt_csv
+             FROM o GROUP BY id, proj ORDER BY id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27)
+    v25, v26, v27, v28)
 }

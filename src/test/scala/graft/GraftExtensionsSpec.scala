@@ -58,6 +58,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(8) == "café")
   }
 
+  test("html_extract runs the full strip/decode chain from SQL text") {
+    val row = spark.sql(
+      """SELECT html_extract(
+        |  '<html><script>var x = 1;</script><p>A &amp; B</p><p>c</p></html>')
+        |  AS t""".stripMargin).head()
+    assert(row.getString(0) == "A & B c")
+  }
+
   test("duck_extract dispatches on struct vs JSON-string input") {
     val row = spark.sql(
       """SELECT

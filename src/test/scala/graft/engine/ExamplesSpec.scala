@@ -74,6 +74,21 @@ class ExamplesSpec extends SparkTestBase {
     assert(got(1).contains("\"id\":5"))
   }
 
+  test("html.ingest example: html_extract strips markup before the quality gate") {
+    val got = Invoke.invoke(spark, "examples/html.ingest.yml",
+        "examples/fixtures/html_pages.jsonl")
+      .toJSON.collect().toSeq
+    // id 2 (too thin after extraction) and 4 (script-only — empty
+    // after the strip) are dropped; markup and entities never survive
+    assert(got.size == 2, got.mkString("\n"))
+    assert(got.head.contains("\"id\":1") &&
+      got.head.contains("the quick brown fox") &&
+      !got.head.contains("<"), got.head)
+    assert(got(1).contains("\"id\":3") &&
+      got(1).contains("terms & conditions") &&
+      got(1).contains("\\\"today\\\""), got(1))
+  }
+
   test("funnel example: ordered conversion stages over the batch") {
     val got = Invoke.invoke(spark, "examples/funnel.analytics.yml",
         "examples/fixtures/funnel_events.jsonl")
