@@ -82,17 +82,26 @@ object Sketch {
     * count is ≥ 1/`denom` of total occurrences (`denom` = 500 → ≥
     * 0.2%). The total comes from the sketch itself — each occurrence
     * increments exactly one bucket of row 0, so row 0 sums to the
-    * stream length — no extra corpus scan for sizing. */
+    * stream length — no extra corpus scan for sizing.
+    *
+    * Width auto-sizes to 8·denom (min 256) when not given: a bucket's
+    * expected tail mass is total/width, so width must comfortably
+    * exceed denom (= total/threshold) or EVERY bucket crosses the
+    * threshold and the prefilter saturates (passes everything —
+    * measured on a 2M-singleton-tail stream at width 256/denom 500:
+    * zero pruning; at width 4000: tail fully pruned). Grid stays
+    * KB-scale: 4×8·denom longs. */
   def heavyHittersRelative(
       toks: DataFrame,
       tokenCol: String,
       denom: Long,
       depth: Int = 4,
-      width: Int = 256): DataFrame = {
-    val flat = collectGrid(toks, tokenCol, depth, width)
-    val total = flat.take(width).sum
+      width: Int = 0): DataFrame = {
+    val w = if (width > 0) width else math.max(256L, 8L * denom).toInt
+    val flat = collectGrid(toks, tokenCol, depth, w)
+    val total = flat.take(w).sum
     exactOverGrid(toks, tokenCol, flat, (total + denom - 1) / denom,
-      depth, width)
+      depth, w)
   }
 
   /** Collects the grid to a flat depth·width array (cell (r,b) at
@@ -106,6 +115,23 @@ object Sketch {
     Array.tabulate(depth * width)(i => grid.getOrElse(i.toLong, 0L))
   }
 
+  /** The map-side estimate column over a collected grid (plan
+    * literal): `min_r grid[r][bucket_r(tok)]`. */
+  private[graft] def estimate(
+      tokenCol: String, flat: Array[Long], depth: Int, width: Int): Column = {
+    // literal flat array in the plan: element_at is 1-based
+    val gridLit = array(flat.map(lit(_)): _*)
+    (0 until depth).map { r =>
+      element_at(gridLit, (lit(r.toLong * width) +
+        bucket(r, col(tokenCol), width)).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
+
+  /** Exposes [[collectGrid]] for probes/incremental callers. */
+  private[graft] def gridOf(
+      toks: DataFrame, tokenCol: String, depth: Int, width: Int): Array[Long] =
+    collectGrid(toks, tokenCol, depth, width)
+
   private def exactOverGrid(
       toks: DataFrame,
       tokenCol: String,
@@ -113,12 +139,7 @@ object Sketch {
       threshold: Long,
       depth: Int,
       width: Int): DataFrame = {
-    // literal flat array in the plan: element_at is 1-based
-    val gridLit = array(flat.map(lit(_)): _*)
-    val est = (0 until depth).map { r =>
-      element_at(gridLit, (lit(r.toLong * width) +
-        bucket(r, col(tokenCol), width)).cast("int") + 1)
-    }.reduce(least(_, _))
+    val est = estimate(tokenCol, flat, depth, width)
     toks.filter(est >= threshold)
       .groupBy(col(tokenCol).as("token"))
       .agg(count(lit(1)).as("cnt"))

@@ -54,6 +54,27 @@ class SketchSpec extends SparkTestBase {
     assert(perRow.values.toSet == Set(df.count()))
   }
 
+  test("CMS grids are mergeable: cell-wise sum of batch grids ≡ full-stream grid") {
+    // the sketch's superpower for incremental/streaming corpora: grids
+    // are linear, so per-batch sketches merged cell-wise give EXACTLY
+    // the full-corpus sketch — history never re-scans
+    val full = mkStream
+    val batches = Seq(
+      full.limit(300),
+      full.offset(300).limit(400),
+      full.offset(700))
+    def gridMap(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsCounts(df, "token", depth = 4, width = 64)
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => (r, b) -> c }.toMap
+    val merged = batches.map(gridMap)
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      }
+    assert(merged == gridMap(full))
+  }
+
   test("html extractText strips markup, code, comments; decodes entities once") {
     val html =
       """<html><head><script type="text/javascript">var x = 1 < 2;</script>
