@@ -713,7 +713,7 @@ object Similarity {
         array_sort(collect_list(struct(col("subspace"), col("best"))))
           .as("ps"),
         round(sum(col("best")("dist").cast("decimal(18,6)")), 4)
-          .cast("decimal(18,4)").as("recon_err"))
+          .cast("decimal(18,4)").cast("double").as("recon_err"))
       .select(col("vec_id"),
         array_join(transform(col("ps"),
           p => p("best")("code").cast("string")), ",").as("code_csv"),
@@ -773,7 +773,7 @@ object Similarity {
     val scored = corpus.join(broadcast(lut), Seq("subspace", "code"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum(col("d").cast("decimal(18,6)")), 4)
-        .cast("decimal(18,4)").as("adist"))
+        .cast("decimal(18,4)").cast("double").as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -911,7 +911,7 @@ object Similarity {
     val scored = corpus.join(broadcast(lut), Seq("cid", "subspace", "code"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum(col("d").cast("decimal(18,6)")), 4)
-        .cast("decimal(18,4)").as("adist"))
+        .cast("decimal(18,4)").cast("double").as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -975,7 +975,7 @@ object Similarity {
         1, dimOut)) { p =>
       bound(aggregate(p, lit(0.0), (acc, x) => acc + x * x)) { n2 =>
         when(n2 > 0.0, struct(
-          round(sqrt(n2), 4).cast("decimal(12,4)").as("prefix_norm"),
+          round(sqrt(n2), 4).cast("decimal(12,4)").cast("double").as("prefix_norm"),
           array_join(transform(p, x =>
             round(x / sqrt(n2), 4).cast("decimal(12,4)").cast("string")),
             ",").as("unit_csv")))

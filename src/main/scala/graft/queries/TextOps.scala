@@ -1766,7 +1766,8 @@ object TextOps {
                  row_number() OVER (ORDER BY cnt DESC, p) AS rank, p, cnt
                FROM c2 QUALIFY rank <= 10),
              u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
-             SELECT step, rank, p AS pair, cnt, rank = 1 AS chosen
+             SELECT step, rank, p AS pair, CAST(cnt AS BIGINT) AS cnt,
+               rank = 1 AS chosen
              FROM u ORDER BY step, rank"""))
 
   // Token-budget corpus selection: per source, take documents in
@@ -2602,7 +2603,7 @@ object TextOps {
                 .cast("decimal(18,6)")),
             lit(0).cast("decimal(28,6)"),
             (acc, e) => (acc + e).cast("decimal(28,6)")), 4)
-            .cast("decimal(18,4)").as("entropy"))
+            .cast("decimal(18,4)").cast("double").as("entropy"))
         .orderBy("doc_id")
     },
     Some("""WITH nrm AS (SELECT doc_id,
@@ -2615,7 +2616,7 @@ object TextOps {
                CAST(round(list_sum(list_transform(d, c ->
                  CAST(round(-(len(list_filter(ch, x -> x = c))::DOUBLE / n) *
                    ln(len(list_filter(ch, x -> x = c))::DOUBLE / n), 6)
-                   AS DECIMAL(18,6)))), 4) AS DECIMAL(18,4)) AS entropy
+                   AS DECIMAL(18,6)))), 4) AS DECIMAL(18,4)) :: DOUBLE AS entropy
              FROM b ORDER BY doc_id"""))
 
   // Per-source KL divergence from the corpus unigram distribution —
@@ -2646,7 +2647,7 @@ object TextOps {
       term.groupBy("source")
         .agg(max("tns").as("n_tokens"),
           count(lit(1)).as("n_distinct"),
-          round(sum("t"), 4).cast("decimal(18,4)").as("kl"))
+          round(sum("t"), 4).cast("decimal(18,4)").cast("double").as("kl"))
         .orderBy("source")
     },
     Some(s"""WITH tk AS (SELECT source, $duckToks AS toks FROM documents),
@@ -2663,7 +2664,7 @@ object TextOps {
                FROM st JOIN ct USING (w) JOIN ts USING (source) CROSS JOIN tc)
              SELECT source, max(tns) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_distinct,
-               CAST(round(sum(t), 4) AS DECIMAL(18,4)) AS kl
+               CAST(round(sum(t), 4) AS DECIMAL(18,4)) :: DOUBLE AS kl
              FROM term GROUP BY source ORDER BY source"""))
 
   // Heap's-law fit (V = k·N^β — vocabulary growth vs corpus size),

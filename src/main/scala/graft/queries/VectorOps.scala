@@ -401,7 +401,7 @@ object VectorOps {
             SELECT vec_id,
               array_to_string(list(code ORDER BY subspace), ',') AS code_csv,
               CAST(round(sum(CAST(dist AS DECIMAL(18,6))), 4)
-                AS DECIMAL(18,4)) AS recon_err
+                AS DECIMAL(18,4)) :: DOUBLE AS recon_err
             FROM best GROUP BY vec_id ORDER BY vec_id"""))
 
   // Johnson–Lindenstrauss random projection (64 → 16 dims) — the
@@ -451,7 +451,7 @@ object VectorOps {
                 list_sum(list_transform(p, x -> x * x)) AS n2 FROM e)
             SELECT vec_id,
               CASE WHEN n2 > 0 THEN
-                CAST(round(sqrt(n2), 4) AS DECIMAL(12,4)) END AS prefix_norm,
+                CAST(round(sqrt(n2), 4) AS DECIMAL(12,4)) :: DOUBLE END AS prefix_norm,
               CASE WHEN n2 > 0 THEN
                 array_to_string(list_transform(p, x ->
                   CAST(CAST(round(x / sqrt(n2), 4) AS DECIMAL(12,4))
@@ -511,7 +511,7 @@ object VectorOps {
               FROM qs JOIN cbs USING (subspace)),
             sc2 AS (SELECT query_id, vec_id,
                 CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
-                  AS DECIMAL(18,4)) AS adist
+                  AS DECIMAL(18,4)) :: DOUBLE AS adist
               FROM best JOIN lut USING (subspace, code)
               GROUP BY query_id, vec_id),
             r AS (SELECT query_id, vec_id AS nbr_id, adist, row_number() OVER
@@ -638,7 +638,7 @@ object VectorOps {
               FROM qs JOIN cbs USING (subspace)),
             sc2 AS (SELECT lut.query_id, best.vec_id,
                 CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
-                  AS DECIMAL(18,4)) AS adist
+                  AS DECIMAL(18,4)) :: DOUBLE AS adist
               FROM best
               JOIN asg USING (vec_id)
               JOIN pr ON asg.cid = pr.cid
@@ -1040,7 +1040,7 @@ object VectorOps {
               FROM qs JOIN cbs USING (subspace)),
             sc2 AS (SELECT query_id, vec_id,
                 CAST(round(sum(CAST(d AS DECIMAL(18,6))), 4)
-                  AS DECIMAL(18,4)) AS adist
+                  AS DECIMAL(18,4)) :: DOUBLE AS adist
               FROM best JOIN lut USING (subspace, code)
               GROUP BY query_id, vec_id),
             short AS (SELECT query_id, vec_id FROM (

@@ -191,7 +191,7 @@ class AnnSpec extends SparkTestBase {
         m = 2, dim = 32)
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[String]("code_csv"),
-          r.getAs[java.math.BigDecimal]("recon_err").doubleValue())).toMap
+          r.getAs[Double]("recon_err"))).toMap
     (0 until 8).foreach { i =>
       assert(out(i.toLong)._1 == s"$i,$i", s"vec $i must self-encode")
       assert(out(i.toLong)._2 == 0.0)
@@ -229,8 +229,8 @@ class AnnSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("nbr_id")).take(2).toSeq == Seq(2L, 100L),
       "self and twin (identical codes, adist 0) rank first")
     assert(out.take(2).forall(
-      _.getAs[java.math.BigDecimal]("adist").doubleValue() == 0.0))
-    assert(out(2).getAs[java.math.BigDecimal]("adist").doubleValue() > 0.0)
+      _.getAs[Double]("adist") == 0.0))
+    assert(out(2).getAs[Double]("adist") > 0.0)
   }
 
   test("randomProjection approximately preserves pairwise distances (JL)") {

@@ -46,6 +46,16 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        risky = [f"{c}:{t}" for c, t in
+                 list(zip(got.columns, got.types)) + list(zip(exp.columns, exp.types))
+                 if "DECIMAL" in str(t) or "HUGEINT" in str(t)]
+        if risky:
+            # The driver's comparator converts DuckDB results via pandas,
+            # where DECIMAL/HUGEINT stringify differently than parquet
+            # decimals ('0.0' vs '0.0000', '4568.0' vs '4568') -> hash
+            # mismatch even when values agree. Final columns must be
+            # DOUBLE/BIGINT/VARCHAR/BOOLEAN on both sides.
+            print(f"WARN {name}: driver-hostile output types {risky}")
         if sorted(g_cols) != sorted(e_cols):
             print(f"FAIL {name}: cols spark={sorted(g_cols)} duck={sorted(e_cols)}")
             n_fail += 1
