@@ -2734,9 +2734,88 @@ object TextOps {
                  + 0 AS ln_k
              FROM agg"""))
 
+  // Flesch reading-ease readability — the classic quality signal the
+  // t38/t40 family doesn't cover (sentence + syllable structure, not
+  // token ratios). Deterministic linguistics: syllables = vowel-group
+  // runs per token (min 1 — the standard heuristic), sentences =
+  // [.!?]+ terminator runs (min 1). All three counts are exact
+  // integers, the score is ONE double expression over them (same
+  // operation order both engines) rounded to 4 — fully oracle-checked.
+  // Map-only, no shuffle; at 100 TB this rides the same single
+  // documents scan as t02/t38.
+  private val t68 = GraftQuery(
+    "t68_readability",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val words = size(toks).cast("long")
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"))
+      val sylls = aggregate(
+        transform(toks, w => greatest(lit(1),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+        lit(0L), (acc, e) => acc + e)
+      docs(s, dir).select(col("doc_id"), words.as("n_words"),
+          sents.as("n_sentences"), sylls.as("n_syllables"))
+        .withColumn("flesch",
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words")), 4) + lit(0.0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, text, $duckToks AS toks
+               FROM documents),
+             c AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT)) AS n_sentences,
+                 CAST(list_sum(list_transform(toks, w ->
+                   greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                   AS BIGINT) AS n_syllables
+               FROM tk)
+             SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / n_words), 4) + 0 AS flesch
+             FROM c ORDER BY doc_id"""))
+
+  // Structural-template detection: documents sharing the exact
+  // token-length SHAPE of their first 30 tokens (md5 of the length
+  // sequence) are near-certain template instantiations — the signal
+  // that catches form letters / generated boilerplate whose surface
+  // tokens differ (so t06 exact-hash misses them) without any
+  // shingle index (so it's ~free next to t07/t08). One fingerprint-
+  // keyed shuffle — uniform 16-byte keys — then a broadcast-scale
+  // join-back; the 100-TB shape is identical (fp cardinality ≈ corpus
+  // distinct shapes, no skew beyond true template mass).
+  private val t69 = GraftQuery(
+    "t69_template_shape_clusters",
+    (s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"),
+        md5(array_join(transform(slice(tokens(col("text")), 1, 30),
+          w => length(w).cast("string")), ",")).as("fp"))
+      val clusters = shaped.groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+        .filter(col("n_docs") >= 2)
+      clusters.join(shaped, "fp")
+        .select(col("fp"), col("n_docs"), col("canonical_id"), col("doc_id"))
+        .orderBy("fp", "doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             fp AS (SELECT doc_id, md5(array_to_string(
+                 list_transform(toks[1:30], w -> CAST(len(w) AS VARCHAR)),
+                 ',')) AS fp FROM tk),
+             cl AS (SELECT fp, count(*) AS n_docs,
+                 min(doc_id) AS canonical_id
+               FROM fp GROUP BY fp HAVING count(*) >= 2)
+             SELECT cl.fp, n_docs, canonical_id, fp.doc_id
+             FROM cl JOIN fp USING (fp)
+             ORDER BY fp, doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67)
+    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69)
 }

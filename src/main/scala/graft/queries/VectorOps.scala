@@ -1145,7 +1145,54 @@ object VectorOps {
                  AS abtt_csv
              FROM o GROUP BY id, proj ORDER BY id"""))
 
+  // Hyperplane-LSH ANN with the ENTIRE index oracle-checked: the
+  // engine-portable signature path ([[Similarity.lshTopKPortable]],
+  // md5-parity ±1 planes — v15's seed-free derivation) lets the SQL
+  // oracle replay every stage: 64 sign bits (ascending-index dot
+  // fold), 8 bands × 8-bit packed values, (band, value) bucket join,
+  // candidate dedup, exact-cosine verify (round-6 rank, round-4
+  // output — v03's contract). v04 stays the codegen'd-speed path
+  // (recall-tested in AnnSpec); THIS gate proves the bucketing
+  // machinery itself is exact, not just probabilistically adequate.
+  private val v29 = GraftQuery(
+    "v29_ann_topk_lsh_portable",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKPortable(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             r AS (SELECT j, i, CASE WHEN CAST(concat('0x',
+                   substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                     1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS rv
+               FROM (SELECT CAST(unnest(range(64)) AS INT) AS j),
+                    (SELECT CAST(unnest(range(64)) AS INT) AS i)),
+             rj AS (SELECT j, list(rv ORDER BY i) AS rl FROM r GROUP BY j),
+             sig AS (SELECT vec_id, j, CASE WHEN
+                   list_sum(list_transform(range(64), i -> rl[i+1] * v[i+1]))
+                   > 0 THEN 1 ELSE 0 END AS bit
+               FROM e CROSS JOIN rj),
+             bv AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+                   CAST(sum(bit * (1 << CAST(j % 8 AS INT))) AS INT) AS val
+               FROM sig GROUP BY vec_id, band),
+             cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+               FROM bv c JOIN bv q ON c.band = q.band AND c.val = q.val
+               WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+             sc AS (SELECT query_id, nbr_id, ${duckCos("a.v", "b.v", 6)} AS c
+               FROM cand
+               JOIN e a ON a.vec_id = cand.query_id
+               JOIN e b ON b.vec_id = cand.nbr_id
+               WHERE list_dot_product(a.v, a.v) > 0
+                 AND list_dot_product(b.v, b.v) > 0),
+             rk AS (SELECT query_id, nbr_id, c, row_number() OVER
+                 (PARTITION BY query_id ORDER BY c DESC, nbr_id) AS rank
+               FROM sc)
+             SELECT query_id, nbr_id, round(c, 4) AS cosine, rank
+             FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28)
+    v25, v26, v27, v28, v29)
 }

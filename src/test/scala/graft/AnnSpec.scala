@@ -45,6 +45,18 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("lshTopKPortable recall@5 ≥ 0.5 and results verified-exact") {
+    val emb = mkClustered.cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+        5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & port).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("lshCosinePairs finds most exact cosine-dup pairs, precision 1.0") {
     val emb = mkClustered.cache()
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)

@@ -390,4 +390,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("t68 readability is map-only (no join, no keyed shuffle)") {
+    val p = plan("t68_readability")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"readability must not shuffle by key:\n$p")
+  }
+
+  test("t69 template shapes: ONE fp-keyed agg, cluster join-back never nested-loop") {
+    val p = plan("t69_template_shape_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v29 portable LSH: bucket equi-join with broadcast query side, no all-pairs") {
+    val p = plan("v29_ann_topk_lsh_portable")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
 }
