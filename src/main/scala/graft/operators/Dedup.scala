@@ -701,4 +701,52 @@ object Dedup {
       md5(col(textCol).cast("binary")).as("h"))
     (freshKeyed.filter(mightContain(xxhash64(col("h")))), freshKeyed, histKeys)
   }
+
+  /** Bottom-k sketch Jaccard CALIBRATION — the measurement loop you
+    * run on a sample BEFORE committing a 100-TB corpus to an
+    * LSH/sketch parameterization (v20's index-quality pattern applied
+    * to set-similarity): for every true near-dup pair (exact Jaccard ≥
+    * `pairThreshold`, [[jaccardPairs]]' inverted index), compare the
+    * bottom-`k` sketch estimate (Broder '97: keep each set's k
+    * smallest shingle hashes; est = |bottomk(A∪B) ∩ A ∩ B| /
+    * |bottomk(A∪B)|) against the exact value. The per-pair abs error
+    * tells you directly whether `k` is big enough for the dedup
+    * threshold you plan to run.
+    *
+    * Engine-portable by construction: hashes are md5 hex (lexicographic
+    * = numeric order, reproducible in any SQL engine), sketches are
+    * sorted-array slices, the estimator is exact integer counting over
+    * them — the WHOLE calibration replays in the DuckDB oracle.
+    *
+    * Scale shape: pair generation is the existing inverted-index
+    * shuffle (O(Σf²) on the sampled corpus, never all-pairs on the
+    * full one); the sketch compare is a map-side array op on each
+    * candidate row. Sketches are k×32-byte hex strings — at
+    * production k=128 that is 4 KB/doc, the footprint that makes
+    * bottom-k the samplable stand-in for full shingle sets. */
+  def bottomKCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      pairThreshold: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val hs = graft.queries.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), array_sort(transform(array_distinct(col("sh")),
+        x => md5(x.cast("binary")))).as("hs"))
+    val pairs = jaccardPairs(docs, idCol, textCol, n, pairThreshold)
+    val joined = pairs
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    val est = graft.functions.TextFunctions.bound(
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k)) { s =>
+      round(size(array_intersect(array_intersect(s, col("ha")), col("hb")))
+        .cast("double") / size(s), 4)
+    }
+    joined.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        est.as("jaccard_est"))
+      .withColumn("abs_err", round(abs(col("jaccard_est") - col("jaccard")), 4))
+  }
 }

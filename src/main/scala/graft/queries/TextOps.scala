@@ -2813,9 +2813,50 @@ object TextOps {
              FROM cl JOIN fp USING (fp)
              ORDER BY fp, doc_id"""))
 
+  // Bottom-k sketch calibration — t59's "measure before you pay for
+  // the 100-TB job" companion for set similarity: per true near-dup
+  // pair, the bottom-16 md5 sketch's Jaccard estimate next to the
+  // exact value. Everything (hash order, sorted-slice sketch, integer
+  // estimator) is engine-portable, so the full calibration — pair
+  // index included — is oracle-checked.
+  private val t70 = GraftQuery(
+    "t70_bottomk_calibration",
+    (s, dir) => {
+      Dedup.bottomKCalibration(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, pairThreshold = 0.2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [array_to_string(toks, ' ')] END) AS sh
+               FROM tk),
+             hs AS (SELECT doc_id, sh,
+                 list_sort(list_transform(sh, x -> md5(x))) AS hs FROM sh),
+             pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   4) AS jaccard,
+                 a.hs AS ha, b.hs AS hb
+               FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) >= 0.2),
+             es AS (SELECT doc_a, doc_b, jaccard,
+                 round(len(list_intersect(list_intersect(s, ha), hb))::DOUBLE
+                   / len(s), 4) AS jaccard_est
+               FROM (SELECT *, list_sort(list_distinct(ha || hb))[1:16] AS s
+                     FROM pr))
+             SELECT doc_a, doc_b, jaccard, jaccard_est,
+               round(abs(jaccard_est - jaccard), 4) AS abs_err
+             FROM es ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
-    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69)
+    t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
+    t70)
 }

@@ -69,6 +69,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count { case (a, _) => a >= 7L } == 0)
   }
 
+  test("bottomKCalibration: exact dups estimate 1.0 with zero error; large k is exact") {
+    val cal = Dedup.bottomKCalibration(mkDocs, "doc_id", "text",
+        n = 3, k = 16, pairThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (j12, e12, err12) = cal((1L, 2L))
+    assert(j12 == 1.0 && e12 == 1.0 && err12 == 0.0)
+    // with k >= |union| the sketch IS the union: estimate must equal exact
+    val exactK = Dedup.bottomKCalibration(mkDocs, "doc_id", "text",
+        n = 3, k = 10000, pairThreshold = 0.3)
+      .collect()
+    assert(exactK.nonEmpty)
+    exactK.foreach { r =>
+      assert(r.getDouble(4) == 0.0,
+        s"k>=|union| must be exact: ${r.mkString(",")}")
+    }
+  }
+
   test("minhashLshPairs recovers the exact pairs (planted dups) with exact jaccard values") {
     val exact = Dedup.jaccardPairs(mkDocs, "doc_id", "text", 3, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
