@@ -2853,10 +2853,50 @@ object TextOps {
                round(abs(jaccard_est - jaccard), 4) AS abs_err
              FROM es ORDER BY doc_a, doc_b"""))
 
+  // Maximal repeated n-gram length — repetition DEPTH, where t23
+  // measures repetition breadth: a doc with one 25-token verbatim
+  // loop (lyrics, spam blocks, scraper echo) barely moves t23's dup
+  // fractions but pegs this signal. Exact, all-integer: for each n ≤
+  // 30, does any token n-gram occur twice; answer = max such n.
+  // Map-only over the documents scan, O(m·30) gram strings per doc
+  // (bounded — never suffix-sorts the corpus); both engines build the
+  // same gram lists, so fully oracle-checked.
+  private val t71 = GraftQuery(
+    "t71_max_repeated_ngram",
+    (s, dir) => {
+      val out = bound(tokens(col("text"))) { t =>
+        bound(size(t)) { m =>
+          struct(m.cast("long").as("n_tokens"),
+            coalesce(array_max(transform(
+              sequence(lit(1), greatest(least(lit(30), m), lit(1))), n =>
+                bound(transform(sequence(lit(1), m - n + lit(1)),
+                    i => concat_ws(" ", slice(t, i, n)))) { g =>
+                  when((m - n + lit(1)) >= lit(2) &&
+                    size(g) > size(array_distinct(g)), n).otherwise(lit(0))
+                })), lit(0)).cast("long").as("max_rep_len"))
+        }
+      }
+      docs(s, dir).select(col("doc_id"), out.as("r"))
+        .select(col("doc_id"), col("r.n_tokens"), col("r.max_rep_len"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             c AS (SELECT doc_id, toks, len(toks) AS m FROM tk)
+             SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+               CAST(coalesce(list_max(list_transform(
+                 range(1, least(30, m) + 1), n ->
+                   CASE WHEN m - n + 1 >= 2 AND
+                     len([array_to_string(toks[i:i+n-1], ' ')
+                          FOR i IN range(1, m - n + 2)]) >
+                     len(list_distinct([array_to_string(toks[i:i+n-1], ' ')
+                          FOR i IN range(1, m - n + 2)]))
+                   THEN n ELSE 0 END)), 0) AS BIGINT) AS max_rep_len
+             FROM c ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70)
+    t70, t71)
 }
