@@ -2893,10 +2893,61 @@ object TextOps {
                    THEN n ELSE 0 END)), 0) AS BIGINT) AS max_rep_len
              FROM c ORDER BY doc_id"""))
 
+  // Corpus data card — the one-row summary a pipeline runs FIRST on
+  // any new corpus (and publishes with the dataset): size, vocabulary,
+  // type-token ratio, exact-duplicate fraction, doc-length profile.
+  // Every number is exact (counts + one round-4/round-6 division), so
+  // the card is fully oracle-checked. Two corpus passes: a doc-level
+  // agg (rides the shared documents scan) and ONE vocab-keyed
+  // distinct count — the same shuffles any of the token ops already
+  // pay; the scalars combine via a 1×1 cross join.
+  private val t72 = GraftQuery(
+    "t72_corpus_data_card",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val docStats = d.select(col("doc_id"), col("source"),
+          md5(normalizeText(col("text"))).as("h"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("h").as("n_unique_docs"),
+          sum("n_toks").as("n_tokens"),
+          max("n_toks").as("max_doc_tokens"),
+          round(avg("n_toks"), 4).as("mean_doc_tokens"))
+      val vocab = d.select(explode(tokens(col("text"))).as("w"))
+        .agg(countDistinct("w").as("n_distinct_tokens"))
+      docStats.crossJoin(vocab)
+        .select(col("n_docs"), col("n_sources"), col("n_tokens"),
+          col("n_distinct_tokens"),
+          round(col("n_distinct_tokens").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          round(lit(1.0) - col("n_unique_docs").cast("double") / col("n_docs"),
+            4).as("dup_doc_frac"),
+          col("max_doc_tokens"), col("mean_doc_tokens"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, text, $duckToks AS toks
+               FROM documents),
+             ds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')))) AS BIGINT) AS n_unique_docs,
+                 CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                 CAST(max(len(toks)) AS BIGINT) AS max_doc_tokens,
+                 round(avg(len(toks)), 4) AS mean_doc_tokens
+               FROM tk),
+             vc AS (SELECT CAST(count(DISTINCT w) AS BIGINT)
+                 AS n_distinct_tokens
+               FROM (SELECT unnest(toks) AS w FROM tk))
+             SELECT n_docs, n_sources, n_tokens, n_distinct_tokens,
+               round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS ttr,
+               round(1.0 - n_unique_docs::DOUBLE / n_docs, 4) AS dup_doc_frac,
+               max_doc_tokens, mean_doc_tokens
+             FROM ds CROSS JOIN vc"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71)
+    t70, t71, t72)
 }
