@@ -404,6 +404,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t71 repetition depth is map-only (no join, no keyed shuffle)") {
+    val p = plan("t71_max_repeated_ngram")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"repetition depth must not shuffle by key:\n$p")
+  }
+
+  test("t72 data card: two aggs + 1x1 broadcast combine, never sort-merge") {
+    val p = plan("t72_corpus_data_card")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v29 portable LSH: bucket equi-join with broadcast query side, no all-pairs") {
     val p = plan("v29_ann_topk_lsh_portable")
     assert(!p.contains("CartesianProduct"), p)
