@@ -113,6 +113,12 @@ object GraftExtensions {
     ("html_extract", "html_extract(html)", (args: Seq[Expression]) => {
       require(args.length == 1, "html_extract(html)")
       graft.operators.Html.extractExpr(args.head)
+    }),
+    // aggregate function: the analyzer wraps a bare AggregateFunction
+    // into its AggregateExpression at resolution, same as built-ins
+    ("top_k_rows", "top_k_rows(struct, k)", (args: Seq[Expression]) => {
+      require(args.length == 2, "top_k_rows(struct, k)")
+      TopKRows(args.head, intLit(args(1), "k"))
     }))
 
   /** Idempotently registers the native functions into an EXISTING

@@ -516,4 +516,8 @@ object HashFunctions {
   def hyperplane_bands(vec: Column, dim: Int, bands: Int, rowsPerBand: Int,
       seed: Long): Column =
     asCol(HyperplaneBands(asExpr(vec), dim, bands, rowsPerBand, seed))
+  /** Per-group bounded-heap top-k aggregate; `s` is a struct whose
+    * FIRST field is the LONG composite ordering key. */
+  def top_k_rows(s: Column, k: Int): Column =
+    asCol(TopKRows(asExpr(s), k).toAggregateExpression())
 }

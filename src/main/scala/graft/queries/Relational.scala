@@ -1709,11 +1709,48 @@ object Relational {
                        THEN '2024-13-40' ELSE '2024-01-15' END AS dv
               FROM orders)"""))
 
+  // Per-key top-k via the native bounded-heap aggregate
+  // (graft.functions.TopKRows) — q15's window formulation shuffles
+  // EVERY row to its key partition and sorts it; this one partially
+  // aggregates, so each map task ships at most k rows per key and no
+  // sort happens anywhere (the per-key generalization of q05's
+  // TakeOrderedAndProject). Ordering key is the q45/q59 composite —
+  // cents·10^7 − custkey — so balance descends and custkey breaks
+  // ties ascending with total-order determinism on both engines.
+  private val q62 = GraftQuery(
+    "q62_topk_per_key_agg",
+    (s, dir) => {
+      import graft.functions.HashFunctions.top_k_rows
+      val cust = t(s, dir, "customer")
+      val keyed = cust.join(
+          broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          struct(
+            (round(col("c_acctbal") * 100).cast("long") * 10000000L -
+              col("c_custkey")).as("ord"),
+            col("c_custkey").as("custkey"),
+            round(col("c_acctbal"), 2).cast("double").as("acctbal")).as("s"))
+      keyed.groupBy("n_name")
+        .agg(top_k_rows(col("s"), 3).as("top"))
+        .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("n_name"), (col("pos") + 1).as("rank"),
+          col("r.custkey").as("custkey"), col("r.acctbal").as("acctbal"))
+        .orderBy("n_name", "rank")
+    },
+    Some("""SELECT n_name, CAST(rnk AS INT) AS rank, custkey, acctbal FROM (
+              SELECT n.n_name, c.c_custkey AS custkey,
+                round(c.c_acctbal, 2)::DOUBLE AS acctbal,
+                row_number() OVER (PARTITION BY n.n_name
+                  ORDER BY round(c.c_acctbal * 100) DESC, c.c_custkey) AS rnk
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            WHERE rnk <= 3 ORDER BY n_name, rank"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61)
+    q61, q62)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.top_k_rows
+
+/** The bounded-heap per-key top-k aggregate must produce exactly the
+  * window formulation's answer — on multi-partition input, through
+  * partial/final merge and serialize/deserialize (exercised by the
+  * exchange), independent of row order. */
+class TopKRowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkRows(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (s"k${rnd.nextInt(7)}", i.toLong, rnd.nextInt(1000).toLong)
+    }
+  }
+
+  test("top_k_rows equals the window row_number formulation") {
+    val df = mkRows(11, 5000).toDF("key", "id", "score")
+      .repartition(16) // force partial aggregation + merge across tasks
+    // composite total order: score desc, id asc
+    val ord = (col("score") * 1000000L - col("id")).as("ord")
+    val viaAgg = df
+      .select(col("key"), struct(ord, col("id"), col("score")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 5).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("key"), (col("pos") + 1).as("rank"),
+        col("r.id").as("id"), col("r.score").as("score"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("key", "rank", "id", "score")
+    val a = viaAgg.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, s"agg-vs-window diff: ${(a diff b) ++ (b diff a)}")
+  }
+
+  test("groups smaller than k return all rows; result order is rank order") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      .toDF("key", "id", "score")
+    val out = df
+      .select(col("key"),
+        struct((col("score") * 1000000L - col("id")).as("ord"),
+          col("id"), col("score")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 5).as("top"))
+      .select(col("key"), col("top.id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == Seq(2L, 1L)) // score 20 before 10
+    assert(out("b") == Seq(3L))
+  }
+
+  test("top_k_rows is callable from SQL via the extensions registry") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    mkRows(12, 500).toDF("key", "id", "score")
+      .createOrReplaceTempView("tk_sql_input")
+    val rows = spark.sql(
+      """SELECT key, top_k_rows(struct(score * 1000000 - id AS ord, id), 3)
+           AS top
+         FROM tk_sql_input GROUP BY key""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Any](1).size <= 3))
+  }
+
+  test("plan partially aggregates (map-side top-k before the exchange)") {
+    val df = mkRows(13, 1000).toDF("key", "id", "score").repartition(8)
+    val plan = df
+      .select(col("key"),
+        struct((col("score") * 1000000L - col("id")).as("ord"),
+          col("id")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 5).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_top_k_rows") || plan.contains("partial"),
+      s"must partially aggregate map-side:\n$plan")
+  }
+}
