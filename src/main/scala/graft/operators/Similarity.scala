@@ -476,6 +476,30 @@ object Similarity {
       .select(col(idCol), col("rep_id"), col("keep"))
   }
 
+  /** Soft semantic dedup: instead of [[semDeDup]]'s keep/drop
+    * decision, every member of a near-duplicate cluster gets sampling
+    * weight 1/|cluster| — the corpus keeps its full support (no
+    * document vanishes) while each duplicated CONTENT contributes one
+    * unit of expected training mass. This is the mixture-preserving
+    * variant: hard dedup shifts the source mixture when duplication
+    * rates differ across sources; soft weights leave every marginal
+    * untouched.
+    *
+    * Scale shape: [[semDeDup]]'s IVF-bucketed pair generation +
+    * label propagation, then ONE rep-keyed count and a rep-keyed
+    * join-back — both shuffles on the (small) component id space.
+    * Weight arithmetic is exact (1/int, round-6). */
+  def softDedupWeights(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val labeled = semDeDup(emb, idCol, vecCol, threshold, nCells, nProbe)
+    val sizes = labeled.groupBy("rep_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "rep_id")
+      .select(col(idCol), col("rep_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Per-group embedding centroid + each vector's cosine to its own
     * group's centroid — the standard embedding-space outlier / label-
     * noise score (vectors far from their class centroid are candidate

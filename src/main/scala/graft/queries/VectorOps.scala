@@ -1192,7 +1192,55 @@ object VectorOps {
              SELECT query_id, nbr_id, round(c, 4) AS cosine, rank
              FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Soft semantic dedup — v21's clusters, but every member keeps
+  // sampling weight 1/|cluster| instead of a keep/drop bit: the
+  // mixture-preserving dedup (hard dedup shifts source marginals when
+  // duplication rates differ; weights leave them untouched). Same
+  // planted-cohort construction as v21, so clusters exist at sf scale
+  // and the oracle replays components + sizes exactly.
+  private val v30 = GraftQuery(
+    "v30_soft_dedup_weights",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def planted(off: Long, f: Float) = base.select(
+        (col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(f)).as("embedding"))
+      val cohort = base
+        .unionByName(planted(1000000L, 1.001f))
+        .unionByName(planted(2000000L, 1.002f))
+      Similarity.softDedupWeights(cohort, "vec_id", "embedding",
+          threshold = 0.85, nCells = 16, nProbe = 2)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl1 AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM base),
+             pl2 AS (SELECT vec_id + 2000000 AS vec_id,
+                 list_transform(v, x -> x * 1.002) AS v FROM base),
+             e AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+                   UNION ALL SELECT * FROM pl2),
+             prs AS (SELECT a.vec_id AS u, b.vec_id AS v
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85),
+             ed AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs),
+             cc AS (
+               SELECT u AS node, u AS label FROM ed
+               UNION
+               SELECT ed.v AS node, c.label FROM cc c JOIN ed ON c.node = ed.u
+             ),
+             comp AS (SELECT node AS vec_id, min(label) AS component_id
+               FROM cc GROUP BY node),
+             lab AS (SELECT e.vec_id,
+                 coalesce(comp.component_id, e.vec_id) AS rep_id
+               FROM e LEFT JOIN comp USING (vec_id)),
+             sz AS (SELECT rep_id, count(*) AS cluster_size
+               FROM lab GROUP BY rep_id)
+             SELECT vec_id, rep_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+               round(1::DOUBLE / cluster_size, 6) AS weight
+             FROM lab JOIN sz USING (rep_id)
+             ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29)
+    v25, v26, v27, v28, v29, v30)
 }
