@@ -35,9 +35,14 @@ object MultimodalOps {
              CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
              FROM documents GROUP BY 1 ORDER BY kind"""))
 
-  // Full decode output including the stubbed width/height/channels —
-  // not SQL-expressible → rows-only check; MultimodalSpec pins the
-  // kernel's determinism.
+  // Full decode output including the stub width/height/channels. The
+  // stub kernel is a mod-2⁶⁴ byte fold (h = h·31 + byte, seeded), so
+  // the oracle replays it exactly in DuckDB HUGEINT arithmetic (t05's
+  // technique; the corpus is pure ASCII so ord(char) == UTF-8 byte).
+  // floorMod(h, 1024) == m % 1024 on the unsigned residue because
+  // 1024 | 2⁶⁴, and floorMod(h >> 16, 1024) reads bits 16–25, which
+  // the arithmetic and logical shifts share — so (m // 65536) % 1024
+  // matches the signed-shift kernel bit-for-bit.
   private val m02 = GraftQuery(
     "m02_media_decode_meta",
     (s, dir) => {
@@ -45,7 +50,20 @@ object MultimodalOps {
         .select("media_id", "kind", "width", "height", "channels", "n_bytes")
         .orderBy("media_id")
     },
-    None)
+    Some(s"""WITH f AS (SELECT doc_id, strlen(text) AS len, list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                 list_transform(range(1, strlen(text) + 1),
+                   i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+               (h, b) -> (h * 31 + b) % 18446744073709551616) AS m
+             FROM documents)
+             SELECT doc_id AS media_id, $duckKind AS kind,
+               CASE WHEN len = 0 THEN 0
+                 ELSE CAST(64 + m % 1024 AS INT) END AS width,
+               CASE WHEN len = 0 THEN 0
+                 ELSE CAST(64 + (m // 65536) % 1024 AS INT) END AS height,
+               CASE WHEN len = 0 THEN 0 ELSE 3 END AS channels,
+               CAST(len AS BIGINT) AS n_bytes
+             FROM f ORDER BY media_id"""))
 
   // Frame sampling: content → n_frames (1 per 256 bytes) → every 2nd
   // frame exploded partition-locally. The oracle recomputes the
@@ -67,20 +85,46 @@ object MultimodalOps {
              FROM m GROUP BY kind ORDER BY kind"""))
 
   // Feature extraction feeding vector search: media bytes → stub
-  // embedding → exact top-k against the first 5 media embeddings.
-  // Deterministic but not SQL-expressible → rows-only.
+  // embedding → exact top-k against the first 5 media embeddings,
+  // oracle-checked via planted twins (v04's contract): the corpus
+  // gains a byte-identical copy of every query's media under
+  // media_id+1000000. Identical bytes → identical stub features →
+  // cosine exactly 1.0, so rank 1 is the LOWEST id whose content
+  // equals the query's — the planted twin, unless a natural text
+  // duplicate (the fixture plants those for the dedup family) has a
+  // smaller id. The oracle computes that same min over text equality,
+  // proving extract → ANN end-to-end without replaying the float
+  // fold in SQL.
   private val m04 = GraftQuery(
     "m04_media_feature_topk",
     (s, dir) => {
-      val feats = graft.operators.Multimodal.extractFeatures(media(s, dir), dim = 16)
+      val m = media(s, dir)
+      val planted = m.filter(col("media_id") < 5)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val feats = graft.operators.Multimodal.extractFeatures(
+        m.unionByName(planted), dim = 16)
       graft.operators.Similarity.bruteForceTopK(
           feats, feats.filter(col("media_id") < 5), "media_id", "embedding", k = 3)
-        .orderBy("query_id", "rank")
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nbr_id").as("dup_id"), col("cosine"))
+        .orderBy("query_id")
     },
-    None)
+    Some("""SELECT d.doc_id AS query_id,
+              least(coalesce(min(o.doc_id), d.doc_id + 1000000),
+                    d.doc_id + 1000000) AS dup_id,
+              CAST(1.0 AS DOUBLE) AS cosine
+            FROM documents d
+            LEFT JOIN documents o ON o.text = d.text AND o.doc_id <> d.doc_id
+            WHERE d.doc_id < 5
+            GROUP BY d.doc_id ORDER BY query_id"""))
 
-  // Resize pass: stub dims are not SQL-expressible → rows-only;
-  // MultimodalSpec asserts bounding-box + aspect-ratio invariants.
+  // Resize pass over the synthesized (text-byte) media: every row
+  // takes the non-image stub branch — (w, h) from m02's byte-fold
+  // kernel, `fitBox` bounding-box floor arithmetic, byte truncation
+  // by area ratio. All of it is IEEE-double arithmetic mirrored
+  // operation-for-operation in the oracle (min/floor/trunc match
+  // Java's math.min/floor/toInt; the integer products stay < 2⁵³ so
+  // every double is exact before the final divisions).
   private val m05 = GraftQuery(
     "m05_media_resize",
     (s, dir) => {
@@ -88,7 +132,30 @@ object MultimodalOps {
         .select("media_id", "kind", "out_width", "out_height", "out_bytes")
         .orderBy("media_id")
     },
-    None)
+    Some(s"""WITH f AS (SELECT doc_id, strlen(text) AS len, list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                 list_transform(range(1, strlen(text) + 1),
+                   i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+               (h, b) -> (h * 31 + b) % 18446744073709551616) AS m
+             FROM documents),
+             d AS (SELECT doc_id, len,
+               CAST(64 + m % 1024 AS INT) AS w,
+               CAST(64 + (m // 65536) % 1024 AS INT) AS h
+             FROM f),
+             sc AS (SELECT doc_id, len, w, h,
+               least(CAST(1.0 AS DOUBLE),
+                 least(128.0 / w, 128.0 / h)) AS scale
+             FROM d),
+             o AS (SELECT doc_id, len, w, h,
+               greatest(1, CAST(floor(w * scale) AS INT)) AS ow,
+               greatest(1, CAST(floor(h * scale) AS INT)) AS oh
+             FROM sc)
+             SELECT doc_id AS media_id, $duckKind AS kind,
+               ow AS out_width, oh AS out_height,
+               greatest(1, CAST(trunc(len *
+                 ((CAST(ow AS DOUBLE) * oh) / (CAST(w AS DOUBLE) * h)))
+                 AS INT)) AS out_bytes
+             FROM o ORDER BY media_id"""))
 
   // REAL codec end-to-end: synthesize actual PNGs whose dimensions are
   // an arithmetic function of the id, decode them with javax.imageio

@@ -444,14 +444,28 @@ object Relational {
   private val q19 = GraftQuery(
     "q19_approx_count_distinct",
     (s, dir) => {
+      // HLL sketches differ across engines, so the estimate itself can
+      // never hash-match an oracle. The gate instead emits the EXACT
+      // distinct count (hash-checked against DuckDB) plus a boolean
+      // asserting the rsd=0.01 HLL estimate landed within ±5% of it
+      // (a ~5σ bound: deterministic for Spark's seed-fixed HLL++, and
+      // a real regression gate — a broken sketch, wrong column, or
+      // rsd mis-plumb flips the boolean and fails the hash).
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+          (abs(col("approx") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).as("hll_within_5pct"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+              count(*) AS n_rows, TRUE AS hll_within_5pct
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   // --- q20: sliding (hopping) window aggregation — beyond the
   //     reference's tumbling-only ADR scope; Spark-native

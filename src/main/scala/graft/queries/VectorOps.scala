@@ -61,31 +61,62 @@ object VectorOps {
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
     headline = true)
 
-  // LSH-bucketed ANN — probabilistic recall, no SQL oracle; AnnSpec
-  // measures recall@5 against v03's exact results.
+  // LSH-bucketed ANN, oracle-checked via planted exact twins: the
+  // corpus gains a bit-identical copy of every query under
+  // vec_id+1000000. An identical vector produces identical sign bits →
+  // identical band values → a guaranteed bucket collision in EVERY
+  // band, and the exact-cosine verify ranks it first (cosine 1.0 beats
+  // any non-dup; rank ties break on nbr_id, and no natural vector
+  // duplicates a random-float embedding). The gate asserts rank-1 =
+  // the twin for all 10 queries — a deterministic end-to-end proof
+  // that banding, bucket join, dedup, and verify all fire (a vacuous
+  // bucket join or dropped band would lose the twin and fail the
+  // hash). Probabilistic recall on non-planted neighbors stays
+  // AnnSpec-measured; v29 hash-checks the full ranking with portable
+  // signatures.
   private val v04 = GraftQuery(
     "v04_ann_topk_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val base = emb.select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.lshTopK(
-          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, dim = 64)
-        .orderBy("query_id", "rank")
+          base.unionByName(planted), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dim = 64)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nbr_id").as("dup_id"), col("cosine"))
+        .orderBy("query_id")
     },
-    None)
+    Some("""SELECT vec_id AS query_id, vec_id + 1000000 AS dup_id,
+              CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 10 ORDER BY query_id"""))
 
-  // IVF coarse-quantizer ANN — the partition-pruning scale path; no SQL
-  // oracle (probabilistic recall), AnnSpec measures recall on clustered data.
+  // IVF coarse-quantizer ANN — the partition-pruning scale path —
+  // oracle-checked by the same planted-twin contract as v04: an
+  // identical vector has an identical (round-6) centroid-similarity
+  // array, so its assigned cell is exactly the query's first probe
+  // (both sides break argmax ties on the first maximal index). The
+  // twin therefore survives cell pruning deterministically and wins
+  // rank 1 in the exact verify. Cell-recall on non-planted data stays
+  // AnnSpec-measured (it depends on how clustered the corpus is).
   private val v05 = GraftQuery(
     "v05_ann_topk_ivf",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val base = emb.select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.ivfTopK(
-          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
+          base.unionByName(planted), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nbr_id").as("dup_id"), col("cosine"))
+        .orderBy("query_id")
     },
-    None)
+    Some("""SELECT vec_id AS query_id, vec_id + 1000000 AS dup_id,
+              CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings WHERE vec_id < 10 ORDER BY query_id"""))
 
   // All-pairs near-dup via hyperplane LSH — the scale path replacing
   // v02's O(n²) enumeration for HIGH thresholds (banding cannot prune
