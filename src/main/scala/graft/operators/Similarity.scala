@@ -1191,4 +1191,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
   }
+
+  /** PageRank centrality over the exact-cosine kNN graph — the
+    * graph-based data-selection signal (a document whose neighbors are
+    * themselves well-connected is "central" to a semantic region;
+    * low-centrality outliers and isolated near-duplicate clusters
+    * score low). Directed edges: each node → its k nearest neighbors;
+    * out-degree is uniformly k, so the damped update is
+    * pr' = (1-d) + d/k · Σ_in pr(u) (unnormalized 1-based PageRank).
+    *
+    * Determinism contract: every per-node in-neighbor sum folds over
+    * the contribution list SORTED BY SOURCE ID (sort_array +
+    * `aggregate`), so double addition order is fixed and the oracle's
+    * `list(... ORDER BY src)` fold is bit-identical — the v29/v15
+    * ascending-index rule applied to graph aggregation. Constants are
+    * computed, not literal: d/k and 1-d evaluate in IEEE double on
+    * both engines.
+    *
+    * Scale shape: the kNN build here is the exact [[bruteForceTopK]]
+    * (auditing baseline — the corpus×corpus scored join); at 100 TB
+    * swap it for [[ivfTopK]]'s pruned build — the PageRank loop
+    * itself is iters keyed shuffles over an O(n·k) edge list with
+    * map-side-combinable partial folds, the canonical distributed
+    * power iteration. */
+  def knnPagerank(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    val edges = bruteForceTopK(base, base, idCol, vecCol, k)
+      .select(col("query_id").as("src"), col("nbr_id").as("dst"))
+    val nodes = base.select(col(idCol).as("id"))
+    val w = d / k     // both engines evaluate this division in double
+    var pr = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(pr, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("pr")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("pr") * lit(w)).as("s"))
+      pr = nodes.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"), (lit(1 - d) + coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("id").as(idCol), round(col("pr"), 6).as("pagerank"))
+  }
 }

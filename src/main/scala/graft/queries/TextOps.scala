@@ -1942,9 +1942,7 @@ object TextOps {
   private val t52 = GraftQuery(
     "t52_bm25_topk",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val (k1, b) = (1.2, 0.75)
       val qt = Seq(
         (1, "spark"), (1, "join"), (1, "fast"),
         (2, "filter"), (2, "scan"),
@@ -1952,30 +1950,7 @@ object TextOps {
         .toDF("query_id", "term")
       val withToks = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val dl = withToks.select(col("doc_id"), size(col("toks")).as("dl"))
-      val corpus = dl.agg(
-        count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val tf = withToks
-        .select(col("doc_id"), explode(col("toks")).as("term"))
-        .join(broadcast(qt), "term")
-        .groupBy("query_id", "term", "doc_id").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.select("term", "doc_id").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("bm25").desc, col("doc_id"))
-      tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(corpus))
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum("s"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("query_id", "rank", "doc_id", "bm25", "n_terms_hit")
+      graft.operators.Retrieval.bm25TopK(withToks, qt, k = 5)
         .orderBy("query_id", "rank")
     },
     Some(s"""WITH qt AS (SELECT * FROM (VALUES
@@ -2944,10 +2919,91 @@ object TextOps {
                max_doc_tokens, mean_doc_tokens
              FROM ds CROSS JOIN vc"""))
 
+  // Hybrid retrieval: BM25 (sparse) and exact-cosine (dense) top-20
+  // lists fused by reciprocal-rank fusion — the standard
+  // two-retriever architecture for retrieval-augmented data curation.
+  // Query embeddings are the corpus vectors whose ids match the three
+  // BM25 query ids (the embeddings fixture carries no separate query
+  // set); what the gate proves is the fusion machinery: both
+  // rankings, the full-outer candidate join, the two-term 1/(60+r)
+  // score (a fixed expression — no aggregation, so bit-deterministic
+  // ordering), and absent-list rank-0 reporting, all replayed in one
+  // SQL oracle. Scale: fusion touches |queries|×20 rows per side
+  // regardless of corpus size; the retrievers carry the fan-out.
+  private val t73 = GraftQuery(
+    "t73_hybrid_rrf_fusion",
+    (s, dir) => {
+      import s.implicits._
+      val qt = Seq(
+        (1, "spark"), (1, "join"), (1, "fast"),
+        (2, "filter"), (2, "scan"),
+        (3, "window"), (3, "merge"), (3, "sort"))
+        .toDF("query_id", "term")
+      val withToks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val sparse = graft.operators.Retrieval.bm25TopK(withToks, qt, k = 20)
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id").isin(1, 2, 3)),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+          sparse.select("query_id", "doc_id", "rank"), dense, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH qt AS (SELECT * FROM (VALUES
+               (1, 'spark'), (1, 'join'), (1, 'fast'),
+               (2, 'filter'), (2, 'scan'),
+               (3, 'window'), (3, 'merge'), (3, 'sort')) v(query_id, term)),
+             tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+             corpus AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             post AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             tf AS (SELECT query_id, term, doc_id, count(*) AS tf
+               FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
+             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tf GROUP BY term),
+             sc AS (SELECT query_id, doc_id,
+                 round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+               FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN corpus
+               GROUP BY 1, 2),
+             fa AS (SELECT query_id, doc_id, rank_a FROM (
+                 SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank_a
+                 FROM sc) WHERE rank_a <= 20),
+             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             dq AS (SELECT vec_id AS query_id, v AS v_q FROM e
+               WHERE vec_id IN (1, 2, 3)),
+             dsc AS (SELECT query_id, e.vec_id AS doc_id,
+                 round(list_dot_product(v_q, e.v) /
+                   (sqrt(list_dot_product(v_q, v_q)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS c
+               FROM dq CROSS JOIN e WHERE e.vec_id != query_id),
+             fb AS (SELECT query_id, doc_id, rank_b FROM (
+                 SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY c DESC, doc_id) AS rank_b
+                 FROM dsc) WHERE rank_b <= 20),
+             fu AS (SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+                 coalesce(fa.doc_id, fb.doc_id) AS doc_id, rank_a, rank_b,
+                 coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), 0.0) +
+                 coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), 0.0) AS rrf_raw
+               FROM fa FULL OUTER JOIN fb
+                 ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id),
+             rk AS (SELECT query_id, doc_id, rrf_raw, rank_a, rank_b,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_raw DESC, doc_id) AS rank FROM fu)
+             SELECT query_id, rank, doc_id, round(rrf_raw, 6) AS rrf,
+               coalesce(rank_a, 0) AS rank_a, coalesce(rank_b, 0) AS rank_b
+             FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72)
+    t70, t71, t72, t73)
 }

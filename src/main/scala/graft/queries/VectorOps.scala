@@ -1271,7 +1271,54 @@ object VectorOps {
              FROM lab JOIN sz USING (rep_id)
              ORDER BY vec_id"""))
 
+  // PageRank centrality over the exact-cosine kNN graph (k=5, 3
+  // damped iterations) — graph-based data selection: central
+  // documents anchor semantic regions, low-pagerank rows are
+  // outliers/orphans. Oracle unrolls all three power iterations as
+  // chained CTEs; per-node sums fold in ascending-source order on
+  // both engines (see Similarity.knnPagerank's determinism contract),
+  // and the damping constants are computed expressions (0.85/5,
+  // 1-0.85) so both engines round them identically.
+  private val v31 = GraftQuery(
+    "v31_knn_pagerank",
+    (s, dir) => {
+      Similarity.knnPagerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, iters = 3)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 ${duckCos("a.v", "b.v", 6)} AS c
+               FROM e a JOIN e b ON a.vec_id != b.vec_id),
+             ed AS (SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (
+                   PARTITION BY src ORDER BY c DESC, dst) AS r FROM sc)
+               WHERE r <= 5),
+             con AS (SELECT CAST(0.85 AS DOUBLE) / 5 AS w,
+               1 - CAST(0.85 AS DOUBLE) AS base),
+             p0 AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) AS pr FROM e),
+             c1 AS (SELECT dst, list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(pr * w ORDER BY src)), (a, b) -> a + b) AS s
+               FROM ed JOIN p0 ON p0.id = ed.src CROSS JOIN con GROUP BY dst),
+             p1 AS (SELECT p0.id, base + coalesce(c1.s, 0) AS pr
+               FROM p0 LEFT JOIN c1 ON c1.dst = p0.id CROSS JOIN con),
+             c2 AS (SELECT dst, list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(pr * w ORDER BY src)), (a, b) -> a + b) AS s
+               FROM ed JOIN p1 ON p1.id = ed.src CROSS JOIN con GROUP BY dst),
+             p2 AS (SELECT p1.id, base + coalesce(c2.s, 0) AS pr
+               FROM p1 LEFT JOIN c2 ON c2.dst = p1.id CROSS JOIN con),
+             c3 AS (SELECT dst, list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(pr * w ORDER BY src)), (a, b) -> a + b) AS s
+               FROM ed JOIN p2 ON p2.id = ed.src CROSS JOIN con GROUP BY dst),
+             p3 AS (SELECT p2.id, base + coalesce(c3.s, 0) AS pr
+               FROM p2 LEFT JOIN c3 ON c3.dst = p2.id CROSS JOIN con)
+             SELECT id AS vec_id, round(pr, 6) AS pagerank
+             FROM p3 ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30)
+    v25, v26, v27, v28, v29, v30, v31)
 }
