@@ -1760,11 +1760,75 @@ object Relational {
               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
             WHERE rnk <= 3 ORDER BY n_name, rank"""))
 
+  // Correlated LATERAL subquery (per-customer top-2 orders) — the
+  // ANSI "for each row, run this parameterized subquery" grammar both
+  // engines parse natively, so the SAME text runs on both sides.
+  // Spark DECORRELATES the apparent per-row re-scan: the correlated
+  // LIMIT-under-LATERAL plans as one join + per-key window (no
+  // nested-loop re-execution), which is why the construct survives
+  // 100 TB — the naive reading (re-run the subquery per outer row)
+  // would not. Exact-cents ordering keys keep every rank portable.
+  private val q63 = GraftQuery(
+    "q63_lateral_topn_join",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders63")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, cents
+        FROM g_customer c, LATERAL (
+          SELECT o_orderkey,
+                 cast(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM g_orders63 WHERE o_custkey = c.c_custkey
+          ORDER BY cents DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 100
+        ORDER BY c_custkey, cents DESC, o_orderkey""")
+    },
+    Some("""SELECT c_custkey, o_orderkey, cents
+            FROM customer c, LATERAL (
+              SELECT o_orderkey,
+                     cast(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_custkey = c.c_custkey
+              ORDER BY cents DESC, o_orderkey LIMIT 2) t
+            WHERE c_custkey < 100
+            ORDER BY c_custkey, cents DESC, o_orderkey"""))
+
+  // GROUPING()/GROUPING_ID() disambiguation under ROLLUP — the only
+  // portable way to tell "NULL because subtotal row" from "NULL in
+  // the data"; both engines share the grammar (DuckDB's GROUPING_ID
+  // is Spark's bitmask form), so the same text runs unchanged.
+  // Exact-cents revenue keeps sums integer; one expand + hash agg,
+  // no extra pass per grouping set.
+  private val q64 = GraftQuery(
+    "q64_grouping_id_rollup",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem64")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM g_lineitem64
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+              CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+              CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              count(*) AS n_rows,
+              CAST(sum(cast(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62)
+    q61, q62, q63, q64)
 }
