@@ -409,6 +409,66 @@ object Multimodal {
       }(enc)
   }
 
+  /** Single-bin spectral energy (Goertzel 1958) over REAL decoded
+    * PCM — the cheapest "is there tonal content near frequency f"
+    * screen (dial-tone/beep/DTMF detection, hum screening) a speech
+    * ingest runs per frame without paying for a full FFT. One linear
+    * recurrence per frame (s₀ = x + coef·s₁ − s₂ with
+    * coef = 2cos(2πf/fs) passed as a ROUNDED literal, m18's
+    * rounded-basis rule) then power = s₁² + s₂² − coef·s₁·s₂.
+    *
+    * Verification: the recurrence is a fixed-order double fold, so
+    * the m20 oracle replays it exactly with a list_reduce over the
+    * arithmetically-regenerated samples — state rides in a 2-element
+    * LIST, not a struct: DuckDB 1.0's struct-pack lambda writes
+    * fields in order into the live accumulator, so a struct state
+    * that writes s1 then reads the OLD s1 into s2 sees the mutated
+    * value (measured); list construction copies. Pure map stage,
+    * zero shuffle. */
+  def frameGoertzel(media: DataFrame, frameSize: Int, coef: Double): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("power_raw", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              val bytes = ais.readAllBytes()
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                  !fmt.isBigEndian) Some(bytes)
+              else None
+            } catch { case _: Exception => None }
+          parsed match {
+            case None => Iterator.empty
+            case Some(bytes) =>
+              val n = bytes.length / 2
+              val nFrames = (n + frameSize - 1) / frameSize
+              Iterator.range(0, nFrames).map { f =>
+                val i0 = f * frameSize
+                val len = math.min(frameSize, n - i0)
+                var s1 = 0.0; var s2 = 0.0; var i = i0
+                while (i < i0 + len) {
+                  val x = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toDouble
+                  val s0 = x + coef * s1 - s2
+                  s2 = s1; s1 = s0
+                  i += 1
+                }
+                Row(id, f, len, s1 * s1 + s2 * s2 - coef * s1 * s2)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Audio decode pass: binary → (sample_rate, channels, n_frames)
     * via the real JDK WAV parser; non-WAV bytes yield nulls. Header
     * read only — pure map stage. */

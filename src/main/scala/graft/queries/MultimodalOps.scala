@@ -684,6 +684,67 @@ object MultimodalOps {
             FROM w LEFT JOIN comp ON w.media_id = comp.node
             ORDER BY w.media_id"""))
 
+  // Goertzel single-bin spectral energy per 160-sample frame over the
+  // REAL WAV decode — m14's proof pattern lifted from integer sums to
+  // a double linear recurrence: coef = 2cos(2π·0.1) ships as the
+  // rounded literal 1.618034 on both engines, the oracle regenerates
+  // the PCM arithmetically and replays the fold sample-by-sample
+  // (2-element LIST state; see frameGoertzel's Scaladoc for why not
+  // a struct), and the final quadratic form rounds to 6 on both
+  // sides. A hash match proves decode + frame split + the exact
+  // IEEE operation order of the filter.
+  private val m20 = GraftQuery(
+    "m20_audio_goertzel_power",
+    (s, dir) => {
+      Multimodal.frameGoertzel(
+          Multimodal.synthesizeAudio(
+            Tables.spread(t(s, dir, "documents")), "doc_id"),
+          frameSize = 160, coef = 1.618034)
+        .select(col("media_id"), col("frame_idx"), col("n_samples"),
+          // normalize by len² BEFORE rounding: raw power reaches 1e13,
+          // where a double ulp (~2e-3) exceeds the round-6 step and
+          // engine-specific round() implementations diverge; per-
+          // sample² units sit near 1e5, ulp ~1e-11 — any shared value
+          // rounds identically
+          round(col("power_raw") /
+            (col("n_samples").cast("double") * col("n_samples")), 6)
+            .as("power"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 400 + (doc_id * 13) % 800 AS nf
+               FROM documents),
+             smp AS (SELECT media_id, unnest(range(nf)) AS i FROM dims),
+             p0 AS (SELECT media_id, i,
+                 ((media_id::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM smp),
+             p1 AS (SELECT media_id, i,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, i,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             v AS (SELECT media_id, i,
+                 CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+               FROM p2),
+             fr AS (SELECT media_id, CAST(i // 160 AS INT) AS frame_idx, i,
+                 CAST(s AS DOUBLE) AS x FROM v),
+             g AS (SELECT media_id, frame_idx,
+                 CAST(count(*) AS INT) AS n_samples,
+                 list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                     list([x, CAST(0 AS DOUBLE)] ORDER BY i)),
+                   (acc, e) -> [e[1] + CAST(1.618034 AS DOUBLE) * acc[1]
+                     - acc[2], acc[1]]) AS st
+               FROM fr GROUP BY media_id, frame_idx)
+             SELECT media_id, frame_idx, n_samples,
+               round((st[1] * st[1] + st[2] * st[2]
+                 - CAST(1.618034 AS DOUBLE) * st[1] * st[2])
+                 / (CAST(n_samples AS DOUBLE) * n_samples), 6) AS power
+             FROM g ORDER BY media_id, frame_idx"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20)
 }
