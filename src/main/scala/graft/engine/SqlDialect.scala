@@ -79,6 +79,13 @@ object SqlDialect {
     s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s*\\(", "$1EXCEPT (")
     s = s.replaceAll("(?i)(\\*\\s*)EXCLUDE\\s+(\"?[\\w]+\"?)", "$1EXCEPT ($2)")
     s = rewriteStarReplace(s)
+    // DuckDB puts IGNORE/RESPECT NULLS INSIDE the window-function call
+    // (`last_value(x IGNORE NULLS)`); Spark's grammar is postfix
+    // (`last_value(x) IGNORE NULLS`). The modifier is only legal
+    // immediately before the call's closing paren, so transposing the
+    // paren across it is exactly the translation (argument lists with
+    // nested parens are untouched — the modifier still sits last).
+    s = s.replaceAll("(?i)\\s+(IGNORE|RESPECT)\\s+NULLS\\s*\\)", ") $1 NULLS")
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")

@@ -1824,11 +1824,71 @@ object Relational {
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY gid, l_returnflag, l_linestatus"""))
 
+  // IGNORE NULLS window grammar, run THROUGH the dialect layer: the
+  // Spark side executes the DuckDB text via SqlDialect.translate
+  // (which transposes DuckDB's in-paren modifier to Spark's postfix
+  // form) — the gate pins the translation on a live query, not just
+  // the spec's string equality. last-observation-carried-forward of
+  // the most recent high-value order per customer; the carried key is
+  // coalesced to -1 so no engine-specific NULL stringification
+  // reaches the driver comparator.
+  private val q65 = GraftQuery(
+    "q65_ignore_nulls_window",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders65")
+      s.sql(graft.engine.SqlDialect.translate("""
+        SELECT o_custkey, o_orderkey,
+               coalesce(last_value(CASE WHEN o_totalprice > 150000
+                   THEN o_orderkey END IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 -1) AS last_big_order
+        FROM g_orders65 WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey"""))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              coalesce(last_value(CASE WHEN o_totalprice > 150000
+                  THEN o_orderkey END IGNORE NULLS)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1) AS last_big_order
+            FROM orders WHERE o_custkey < 100
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // Null-safe equality join (`IS NOT DISTINCT FROM`) — the ANSI
+  // grammar both engines share for joining on NULLABLE keys (a plain
+  // equi-join silently drops every NULL row). The CASE NULLs out one
+  // priority class, so the pair set includes null–null matches that
+  // exist ONLY if null-safe semantics actually hold. Spark plans <=>
+  // as a hash-join key (EqualNullSafe), not a nested loop.
+  private val q66 = GraftQuery(
+    "q66_null_safe_join",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders66")
+      s.sql("""
+        WITH o AS (SELECT o_orderkey,
+                     CASE WHEN o_orderpriority LIKE '3%' THEN NULL
+                       ELSE o_orderpriority END AS pri
+                   FROM g_orders66 WHERE o_orderkey < 200)
+        SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        FROM o a JOIN o b
+          ON a.pri IS NOT DISTINCT FROM b.pri AND a.o_orderkey < b.o_orderkey
+        ORDER BY k1, k2""")
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+                  CASE WHEN o_orderpriority LIKE '3%' THEN NULL
+                    ELSE o_orderpriority END AS pri
+                FROM orders WHERE o_orderkey < 200)
+            SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+            FROM o a JOIN o b
+              ON a.pri IS NOT DISTINCT FROM b.pri AND a.o_orderkey < b.o_orderkey
+            ORDER BY k1, k2"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64)
+    q61, q62, q63, q64, q65, q66)
 }

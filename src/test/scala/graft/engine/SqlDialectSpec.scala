@@ -12,6 +12,19 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT named_struct('o', named_struct('i', y)) FROM t")
   }
 
+  test("in-paren IGNORE/RESPECT NULLS transposes to Spark's postfix form") {
+    assert(translate("SELECT last_value(x IGNORE NULLS) OVER w FROM t") ==
+      "SELECT last_value(x) IGNORE NULLS OVER w FROM t")
+    assert(translate("SELECT lag(x, 1 ignore nulls) OVER w FROM t") ==
+      "SELECT lag(x, 1) ignore NULLS OVER w FROM t")
+    assert(translate(
+      "SELECT first_value(CASE WHEN f(a) > 0 THEN b END RESPECT NULLS) OVER w FROM t") ==
+      "SELECT first_value(CASE WHEN f(a) > 0 THEN b END) RESPECT NULLS OVER w FROM t")
+    // idempotent: the postfix form has no "NULLS)" tail to rewrite
+    val once = translate("SELECT last_value(x IGNORE NULLS) OVER w FROM t")
+    assert(translate(once) == once)
+  }
+
   test("braces inside quoted strings are not struct literals") {
     assert(translate("""SELECT '{"k":1}' AS j FROM t""") ==
       """SELECT '{"k":1}' AS j FROM t""")
