@@ -3000,10 +3000,55 @@ object TextOps {
                coalesce(rank_a, 0) AS rank_a, coalesce(rank_b, 0) AS rank_b
              FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  // Per-source token-length percentile trim (keep the p05–p95 band):
+  // the robust outlier cut every curation pipeline applies per source
+  // (cross-source cutoffs are wrong when sources have different
+  // length regimes — web snippets vs books). Bounds are EXACT integer
+  // rank arithmetic (rank > ⌊5%·n⌋, rank ≤ ⌈95%·n⌉ over the total
+  // (len, id) order), so both engines agree bit-for-bit — no float
+  // quantile estimate in the gate. Cost: ONE source-keyed window
+  // (count + row_number share the shuffle). At 100 TB swap the exact
+  // rank for approxQuantile cutoffs + a map-only filter (t49's
+  // documented trade) — the exact form here is the auditing baseline.
+  private val t74 = GraftQuery(
+    "t74_length_percentile_trim",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lens = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_toks"), col("doc_id"))
+      val wc = Window.partitionBy("source")
+      lens
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("verdict",
+          // `div`, not `/`: Column./ is always double division in
+          // Spark; the bound must stay exact integer arithmetic
+          when(col("rnk") <= expr("cnt * 5 div 100"), "short")
+            .when(col("rnk") > expr("(cnt * 95 + 99) div 100"), "long")
+            .otherwise("keep"))
+        .select("doc_id", "source", "n_toks", "verdict")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, len($duckToks)::BIGINT AS n_toks
+               FROM documents),
+             r AS (SELECT doc_id, source, n_toks,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_toks, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM tk)
+             SELECT doc_id, source, n_toks,
+               CASE WHEN rnk <= cnt * 5 // 100 THEN 'short'
+                    WHEN rnk > (cnt * 95 + 99) // 100 THEN 'long'
+                    ELSE 'keep' END AS verdict
+             FROM r ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73)
+    t70, t71, t72, t73, t74)
 }
