@@ -424,4 +424,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
   }
+
+  test("q63 LATERAL decorrelates to WindowGroupLimit (no per-row re-scan)") {
+    val p = plan("q63_lateral_topn_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"correlated LIMIT must plan as a group-limit:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q66 null-safe equality stays a hash-join key, never a nested loop") {
+    val p = plan("q66_null_safe_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v31 pagerank reuses ONE persisted kNN edge list across iterations") {
+    val df = Registry.byName("v31_knn_pagerank").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // every iteration must read the cached edges, not re-run the kNN
+    // build: the scored corpus join appears as InMemoryTableScan ≥ 3
+    // times and the expensive join exists only INSIDE the cached plan
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 3, s"expected ≥3 cached-edge scans, got $scans:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("t73 rrf fusion never touches the corpus (candidate-list join only)") {
+    val p = plan("t73_hybrid_rrf_fusion")
+    // the fused join is top-20-per-query vs top-20-per-query; the only
+    // corpus-sized structures live inside the two retrievers
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t74 percentile trim is ONE source-keyed window (shared count+rank)") {
+    val p = plan("t74_length_percentile_trim")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"count+rank must share one source shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
