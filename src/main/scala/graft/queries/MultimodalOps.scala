@@ -685,30 +685,29 @@ object MultimodalOps {
             ORDER BY w.media_id"""))
 
   // Goertzel single-bin spectral energy per 160-sample frame over the
-  // REAL WAV decode — m14's proof pattern lifted from integer sums to
-  // a double linear recurrence: coef = 2cos(2π·0.1) ships as the
-  // rounded literal 1.618034 on both engines, the oracle regenerates
-  // the PCM arithmetically and replays the fold sample-by-sample
-  // (2-element LIST state; see frameGoertzel's Scaladoc for why not
-  // a struct), and the final quadratic form rounds to 6 on both
-  // sides. A hash match proves decode + frame split + the exact
-  // IEEE operation order of the filter.
+  // REAL WAV decode, at the fs/6 bin: coef = 2cos(π/3) = 1.0
+  // EXACTLY, so the recurrence over integer PCM samples stays
+  // integer-valued in doubles (|s| ≤ 160·32768 and power ≤ ~8e13,
+  // both far under 2⁵³) and the gate emits EXACT BIGINT power — no
+  // round() anywhere. That is the m14 integer-proof rule applied to
+  // a recursive filter: a rounded-double variant (any other bin)
+  // hits genuine engine round() divergence at half boundaries —
+  // measured at sf0.1, Spark's exact-decimal HALF_UP vs DuckDB's
+  // scaled rounding disagreed on one frame in 27k. The oracle
+  // regenerates the PCM arithmetically and replays the fold
+  // sample-by-sample (2-element LIST state; see frameGoertzel's
+  // Scaladoc for why not a struct). A hash match proves decode +
+  // frame split + the exact operation order of the filter.
   private val m20 = GraftQuery(
     "m20_audio_goertzel_power",
     (s, dir) => {
       Multimodal.frameGoertzel(
           Multimodal.synthesizeAudio(
             Tables.spread(t(s, dir, "documents")), "doc_id"),
-          frameSize = 160, coef = 1.618034)
+          frameSize = 160, coef = 1.0)
         .select(col("media_id"), col("frame_idx"), col("n_samples"),
-          // normalize by len² BEFORE rounding: raw power reaches 1e13,
-          // where a double ulp (~2e-3) exceeds the round-6 step and
-          // engine-specific round() implementations diverge; per-
-          // sample² units sit near 1e5, ulp ~1e-11 — any shared value
-          // rounds identically
-          round(col("power_raw") /
-            (col("n_samples").cast("double") * col("n_samples")), 6)
-            .as("power"))
+          // exact integer in a double → BIGINT cast is lossless
+          col("power_raw").cast("bigint").as("power"))
         .orderBy("media_id", "frame_idx")
     },
     Some("""WITH dims AS (SELECT doc_id AS media_id,
@@ -736,13 +735,11 @@ object MultimodalOps {
                  list_reduce(
                    list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
                      list([x, CAST(0 AS DOUBLE)] ORDER BY i)),
-                   (acc, e) -> [e[1] + CAST(1.618034 AS DOUBLE) * acc[1]
-                     - acc[2], acc[1]]) AS st
+                   (acc, e) -> [e[1] + acc[1] - acc[2], acc[1]]) AS st
                FROM fr GROUP BY media_id, frame_idx)
              SELECT media_id, frame_idx, n_samples,
-               round((st[1] * st[1] + st[2] * st[2]
-                 - CAST(1.618034 AS DOUBLE) * st[1] * st[2])
-                 / (CAST(n_samples AS DOUBLE) * n_samples), 6) AS power
+               CAST(st[1] * st[1] + st[2] * st[2]
+                 - st[1] * st[2] AS BIGINT) AS power
              FROM g ORDER BY media_id, frame_idx"""))
 
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
