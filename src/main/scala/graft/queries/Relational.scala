@@ -1884,11 +1884,63 @@ object Relational {
               ON a.pri IS NOT DISTINCT FROM b.pri AND a.o_orderkey < b.o_orderkey
             ORDER BY k1, k2"""))
 
+  // Point-in-time lookup over SCD2 intervals — "what state was each
+  // user in at instant T?", the bitemporal query every warehouse
+  // dimension exists to answer. Composes q54's interval build with a
+  // 4-instant probe VALUES dim. The probe side is a TINY broadcast
+  // literal, so containment evaluates map-side against each interval
+  // (cost = |probes| predicate evaluations per row, no shuffle
+  // beyond q54's own window); a large probe side without an equi-key
+  // would instead go through q57's bucketed range join. Open
+  // intervals (valid_to NULL) match every later instant.
+  private val q67 = GraftQuery(
+    "q67_scd2_point_in_time",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      val probes = s.sql("""SELECT to_timestamp(p) AS probe_ts FROM (VALUES
+        ('2024-01-08 00:00:00'), ('2024-01-15 00:00:00'),
+        ('2024-01-22 00:00:00'), ('2024-01-29 00:00:00')) v(p)""")
+      iv.join(broadcast(probes),
+          col("ts") <= col("probe_ts") &&
+            (col("valid_to_ts").isNull || col("valid_to_ts") > col("probe_ts")))
+        .filter(col("user_id") < 200)
+        .select(col("user_id"),
+          date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe"),
+          col("event_type").as("state_at_probe"))
+        .orderBy("user_id", "probe")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+             ch AS (SELECT user_id, event_type, ts, event_id FROM c
+               WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id, event_type, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to_ts
+               FROM ch),
+             p AS (SELECT CAST(v.p AS TIMESTAMP) AS probe_ts FROM (VALUES
+               ('2024-01-08 00:00:00'), ('2024-01-15 00:00:00'),
+               ('2024-01-22 00:00:00'), ('2024-01-29 00:00:00')) v(p))
+             SELECT user_id,
+               strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe,
+               event_type AS state_at_probe
+             FROM iv JOIN p ON ts <= probe_ts
+               AND (valid_to_ts IS NULL OR valid_to_ts > probe_ts)
+             WHERE user_id < 200
+             ORDER BY user_id, probe"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66)
+    q61, q62, q63, q64, q65, q66, q67)
 }

@@ -3045,10 +3045,54 @@ object TextOps {
                     ELSE 'keep' END AS verdict
              FROM r ORDER BY doc_id"""))
 
+  // Tokenizer cost report per (lang, source): fertility (BPE tokens
+  // per whitespace word) and bytes-per-token — the two numbers that
+  // price a corpus in training FLOPs and decide when a tokenizer is
+  // mismatched to a language slice (fertility spikes = the tokenizer
+  // shatters that language). All ratios derive from EXACT integer
+  // sums aggregated in ONE map-side-combinable pass (a distributed
+  // average-of-ratios would neither be deterministic nor correctly
+  // length-weighted); the division happens once, post-agg, on exact
+  // BIGINTs — both engines round the identical double.
+  private val t75 = GraftQuery(
+    "t75_tokenizer_cost_report",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          bpeTokenCount(col("text")).cast("long").as("bpe"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          length(col("text")).cast("long").as("bytes"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("bpe").as("sum_bpe"), sum("ws").as("sum_ws"),
+          sum("bytes").as("sum_bytes"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("sum_bpe"), col("sum_ws"),
+          round(col("sum_bpe").cast("double") / col("sum_ws"), 4)
+            .as("fertility"),
+          round(col("sum_bytes").cast("double") / col("sum_bpe"), 4)
+            .as("bytes_per_token"))
+        .orderBy("lang", "source")
+    },
+    Some(s"""WITH d AS (SELECT lang, source,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+               CAST(len($duckToks) AS BIGINT) AS ws,
+               CAST(length(text) AS BIGINT) AS bytes
+             FROM documents)
+             SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(bpe) AS BIGINT) AS sum_bpe,
+               CAST(sum(ws) AS BIGINT) AS sum_ws,
+               round(CAST(sum(bpe) AS BIGINT)::DOUBLE /
+                 CAST(sum(ws) AS BIGINT), 4) AS fertility,
+               round(CAST(sum(bytes) AS BIGINT)::DOUBLE /
+                 CAST(sum(bpe) AS BIGINT), 4) AS bytes_per_token
+             FROM d GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74)
+    t70, t71, t72, t73, t74, t75)
 }
