@@ -469,6 +469,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Energy-contour audio fingerprint over REAL decoded PCM — the
+    * audio analogue of [[imageAHash64]]: split the clip into
+    * `frameSize`-sample frames, take each frame's exact integer
+    * Σ|s|, and set bit f when energy RISES from frame f to f+1
+    * (Haitsma/Kalker-style sign-of-delta fingerprinting, the shape
+    * every near-dup audio system builds on). The contour survives
+    * gain changes poorly but byte-identical and lightly-edited
+    * re-encodes land within a few Hamming bits — the dedup target.
+    * Bits come from exact integer comparisons, so the fingerprint is
+    * bit-reproducible across engines and partitionings; output is
+    * two BIGINT words in [[imageAHash64]]'s (w0, w1) layout, so
+    * [[imageNearDupPairs]]'s banded blocking and
+    * [[Similarity.hammingTopK]] search audio fingerprints unchanged.
+    * Pure map stage; non-PCM16-mono bytes → null words (the decode
+    * DLQ contract). */
+  def audioFingerprint64(media: DataFrame, frameSize: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("w0", LongType, nullable = true),
+      StructField("w1", LongType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              val bytes = ais.readAllBytes()
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                  !fmt.isBigEndian) Some(bytes)
+              else None
+            } catch { case _: Exception => None }
+          parsed match {
+            case None => Row(id, null, null, null)
+            case Some(bytes) =>
+              val n = bytes.length / 2
+              val nFrames = (n + frameSize - 1) / frameSize
+              val en = new Array[Long](nFrames)
+              var i = 0
+              while (i < n) {
+                val s = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+                en(i / frameSize) += math.abs(s)
+                i += 1
+              }
+              var w0 = 0L; var w1 = 0L; var f = 0
+              while (f < math.min(63, nFrames - 1)) {
+                if (en(f + 1) > en(f)) {
+                  if (f < 32) w0 |= 1L << f else w1 |= 1L << (f - 32)
+                }
+                f += 1
+              }
+              Row(id, w0, w1, nFrames)
+          }
+        }
+      }(enc)
+  }
+
   /** Audio decode pass: binary → (sample_rate, channels, n_frames)
     * via the real JDK WAV parser; non-WAV bytes yield nulls. Header
     * read only — pure map stage. */

@@ -742,6 +742,73 @@ object MultimodalOps {
                  - st[1] * st[2] AS BIGINT) AS power
              FROM g ORDER BY media_id, frame_idx"""))
 
+  // Banded-Hamming near-duplicate AUDIO pairs over energy-contour
+  // fingerprints — m12's image-dedup shape transplanted to the audio
+  // domain (the blocking operator is fingerprint-agnostic: any
+  // (media_id, w0, w1) layout feeds it). Planted byte-identical
+  // clips under id+10000000 guarantee Hamming-0 pairs; the oracle
+  // regenerates every clip's PCM arithmetically (seeded by the BASE
+  // id — planted copies share bytes, hence samples), rebuilds the
+  // sign-of-delta fingerprint in exact integer SQL, and scans ALL
+  // pairs — 4×16-bit banding recall ≤ 3 bits is pigeonhole-exact, so
+  // banded Spark ≡ exhaustive SQL.
+  private val m21 = GraftQuery(
+    "m21_audio_neardup_pairs",
+    (s, dir) => {
+      val orig = Multimodal.synthesizeAudio(
+        Tables.spread(t(s, dir, "documents")), "doc_id")
+      val planted = orig.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 10000000L)
+      Multimodal.imageNearDupPairs(
+          Multimodal.audioFingerprint64(orig.unionByName(planted),
+            frameSize = 16),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS media_id, doc_id AS pat FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, doc_id FROM documents
+              WHERE doc_id < 50),
+            dims AS (SELECT media_id, pat,
+                400 + (pat * 13) % 800 AS nf FROM ids),
+            smp AS (SELECT media_id, pat, unnest(range(nf)) AS i FROM dims),
+            p0 AS (SELECT media_id, i,
+                ((pat::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                % 18446744073709551616 AS u
+              FROM smp),
+            p1 AS (SELECT media_id, i,
+                xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+            p2 AS (SELECT media_id, i,
+                ((u * 484763065) % 18446744073709551616 +
+                 (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS u
+              FROM p1),
+            v AS (SELECT media_id, i,
+                CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+              FROM p2),
+            e AS (SELECT media_id, CAST(i // 16 AS INT) AS f,
+                CAST(sum(abs(s)) AS BIGINT) AS en
+              FROM v GROUP BY 1, 2),
+            d AS (SELECT media_id, f, en,
+                lead(en) OVER (PARTITION BY media_id ORDER BY f) AS nen
+              FROM e),
+            bits AS (SELECT media_id, f AS j,
+                CASE WHEN nen > en THEN 1 ELSE 0 END AS bit
+              FROM d WHERE f < 63 AND nen IS NOT NULL),
+            w AS (SELECT media_id,
+                CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                  ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                  ELSE 0 END) AS BIGINT) AS w1
+              FROM bits GROUP BY media_id)
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+              CAST(bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1))
+                AS INT) AS hamming
+            FROM w a JOIN w c ON a.media_id < c.media_id
+            WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 3
+            ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
 }
