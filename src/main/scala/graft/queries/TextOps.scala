@@ -3089,10 +3089,129 @@ object TextOps {
                  CAST(sum(bpe) AS BIGINT), 4) AS bytes_per_token
              FROM d GROUP BY lang, source ORDER BY lang, source"""))
 
+  // Contamination SPAN localization — t19 tells you WHICH corpus docs
+  // overlap the benchmark cohort; this tells you WHERE, as merged
+  // token ranges (two matched 5-gram positions join one span when
+  // their token windows touch: gap ≤ 5), which is what a surgical
+  // strip-the-span decontamination pass actually consumes. Benchmark
+  // grams broadcast (an eval set is small by nature — that asymmetry
+  // IS the scale story); matched positions then merge via one
+  // doc-keyed window (lag → run-start flags → running-sum span ids,
+  // the islands-and-gaps shape). 0-based token offsets both sides.
+  private val t76 = GraftQuery(
+    "t76_contamination_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val corpusGrams = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), posexplode(ngramList(col("toks"), 5))
+          .as(Seq("p", "g")))
+      val benchGrams = d.filter(col("doc_id") % 50 === 0)
+        .select(explode(ngramList(col("toks"), 5)).as("g")).distinct()
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val wRun = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      corpusGrams.join(broadcast(benchGrams), "g")
+        .select("doc_id", "p")
+        .withColumn("prev", lag(col("p"), 1).over(w))
+        .withColumn("ns",
+          when(col("prev").isNull || col("p") - col("prev") > 5, 1)
+            .otherwise(0))
+        .withColumn("span_idx", sum("ns").over(wRun))
+        .groupBy("doc_id", "span_idx")
+        .agg(min("p").as("start_tok"), (max("p") + 4).as("end_tok"),
+          count(lit(1)).as("n_matched_grams"))
+        .orderBy("doc_id", "start_tok")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             tk5 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 5),
+             cg AS (SELECT doc_id, unnest(
+                 [{'p': i - 1, 'g': toks[i] || ' ' || toks[i+1] || ' ' ||
+                   toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]}
+                  FOR i IN range(1, len(toks) - 3)], recursive := true)
+               FROM tk5 WHERE doc_id % 50 != 0),
+             bg AS (SELECT DISTINCT unnest(
+                 [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]
+                  FOR i IN range(1, len(toks) - 3)]) AS g
+               FROM tk5 WHERE doc_id % 50 = 0),
+             m AS (SELECT cg.doc_id, cg.p FROM cg JOIN bg USING (g)),
+             f AS (SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER w IS NULL
+                        OR p - lag(p) OVER w > 5 THEN 1 ELSE 0 END AS ns
+               FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+             sp AS (SELECT doc_id, p, sum(ns) OVER (PARTITION BY doc_id
+                 ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_idx
+               FROM f)
+             SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+               CAST(min(p) AS BIGINT) AS start_tok,
+               CAST(max(p) + 4 AS BIGINT) AS end_tok,
+               count(*) AS n_matched_grams
+             FROM sp GROUP BY doc_id, span_idx
+             ORDER BY doc_id, start_tok"""))
+
+  // Cross-source duplication matrix — the provenance report behind
+  // every dedup decision: how many exact-duplicate PAIRS bridge each
+  // source pair (mirror sites, syndication, re-crawls), vs intra-
+  // source duplication. One content-hash agg (map-side combinable)
+  // collapses the corpus to (hash, source, count) — tiny — then a
+  // per-hash self-join forms the source-pair counts. No corpus-sized
+  // join anywhere: the matrix join runs on the collapsed group table.
+  // The fixture has no exact duplicates below sf0.1, so the gate
+  // PLANTS a 'mirror' source re-hosting every 25th doc (the v06
+  // non-vacuity rule: a gate that exercises nothing proves nothing);
+  // natural cross-source groups still surface where they exist.
+  private val t77 = GraftQuery(
+    "t77_cross_source_dup_matrix",
+    (s, dir) => {
+      val base = docs(s, dir)
+      val mirrored = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("source", lit("mirror"))
+      val g = base.unionByName(mirrored)
+        .select(md5(normalizeText(col("text"))).as("h"), col("source"))
+        .groupBy("h", "source").agg(count(lit(1)).as("cnt"))
+      val a = g.select(col("h"), col("source").as("source_a"),
+        col("cnt").as("cnt_a"))
+      val b = g.select(col("h"), col("source").as("source_b"),
+        col("cnt").as("cnt_b"))
+      a.join(b, "h")
+        .filter(col("source_a") < col("source_b") ||
+          (col("source_a") === col("source_b") && col("cnt_a") > 1))
+        .select(col("h"), col("source_a"), col("source_b"),
+          when(col("source_a") === col("source_b"),
+            expr("cnt_a * (cnt_a - 1) div 2"))  // div: Column./ is double
+            .otherwise(col("cnt_a") * col("cnt_b")).cast("long").as("pairs"))
+        .groupBy("source_a", "source_b")
+        .agg(sum("pairs").as("n_dup_pairs"),
+          countDistinct("h").as("n_contents"))
+        .filter(col("n_dup_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH d AS (SELECT text, source FROM documents
+               UNION ALL
+               SELECT text, 'mirror' FROM documents WHERE doc_id % 25 = 0),
+             g AS (SELECT md5(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g'))) AS h, source, count(*) AS cnt
+               FROM d GROUP BY 1, 2),
+             p AS (SELECT a.h, a.source AS source_a, b.source AS source_b,
+                 CASE WHEN a.source = b.source
+                   THEN a.cnt * (a.cnt - 1) // 2
+                   ELSE a.cnt * b.cnt END AS pairs
+               FROM g a JOIN g b ON a.h = b.h
+               WHERE a.source < b.source
+                  OR (a.source = b.source AND a.cnt > 1))
+             SELECT source_a, source_b,
+               CAST(sum(pairs) AS BIGINT) AS n_dup_pairs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_contents
+             FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0
+             ORDER BY source_a, source_b"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75)
+    t70, t71, t72, t73, t74, t75, t76, t77)
 }
