@@ -146,4 +146,57 @@ object Sketch {
       .filter(col("cnt") >= threshold)
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** Log₂-histogram quantile sketch — bounded-state percentiles for
+    * streaming dashboards and corpus-scale profiling.
+    *
+    * The 100-TB / streaming problem: exact percentiles need a
+    * per-key sort (batch) or unbounded per-key state (streaming). A
+    * log₂ histogram needs ≤ 64 counters per key, is mergeable by
+    * simple addition (map-side combinable; the SAME aggregation runs
+    * under a streaming `groupBy(window, key, bin).count` with
+    * bounded state), and answers any quantile within one power-of-two
+    * bucket — the right contract for latency/value dashboards.
+    *
+    * Determinism: the bin of an integer `cents` value is
+    * `length(bin(cents))` = ⌊log₂⌋+1 — STRING length of the binary
+    * representation, exact in any engine. A float `log2()` would not
+    * be: Spark computes log(x)/log(2), which can land on either side
+    * of an integer at exact powers of two. The quantile walk compares
+    * exact integer products (`cum·100 ≥ q·total`), so the selected
+    * bin is bit-reproducible. */
+  def logBin(cents: Column): Column = length(bin(cents))
+
+  /** Per-key quantile bins from one histogram pass: for each
+    * percentage q in `qs`, the smallest bin whose cumulative count
+    * reaches q% of the key's total, plus that bin's inclusive upper
+    * bound in value units (2^bin − 1). Cost: ONE keyed aggregation
+    * (≤ 64 rows per key) + windows over those tiny per-key
+    * histograms — the corpus-sized input is touched exactly once. */
+  def logHistQuantiles(
+      df: DataFrame, keyCols: Seq[String], centsCol: String,
+      qs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100))
+    val keys = keyCols.map(col)
+    val h = df.select((keys :+ logBin(col(centsCol)).as("bin")): _*)
+      .groupBy((keys :+ col("bin")): _*).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCols.map(col): _*)
+    val cum = h
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wTot))
+    val aggs = qs.flatMap { q =>
+      val b = min(when(col("cum") * 100 >= col("total") * q, col("bin")))
+        .as(s"p${q}_bin")
+      Seq(b)
+    } :+ max("total").as("n")
+    val out = cum.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    qs.foldLeft(out) { (d, q) =>
+      d.withColumn(s"p${q}_hi_cents",
+        expr(s"shiftleft(CAST(1 AS BIGINT), p${q}_bin) - 1"))
+    }
+  }
 }

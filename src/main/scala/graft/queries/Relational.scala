@@ -1936,11 +1936,47 @@ object Relational {
              WHERE user_id < 200
              ORDER BY user_id, probe"""))
 
+  // Log₂-histogram quantile sketch over event values — bounded-state
+  // percentiles: ≤ 64 counters per key instead of a per-key sort,
+  // mergeable by addition, and the SAME aggregation runs under a
+  // streaming groupBy(window, key, bin).count with bounded state
+  // (SketchSpec proves streaming ≡ batch). Binning is the STRING
+  // length of the binary representation — exact in any engine, where
+  // a float log2() (Spark: log(x)/log 2) can land on either side of
+  // an integer at exact powers of two. The quantile walk compares
+  // exact integer products, so the selected bin is bit-reproducible.
+  private val q68 = GraftQuery(
+    "q68_log_histogram_quantiles",
+    (s, dir) => {
+      val c = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Sketch.logHistQuantiles(
+          c, Seq("event_type"), "cents", qs = Seq(50, 95))
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             h AS (SELECT event_type, length(bin(cents)) AS bin,
+                 count(*) AS cnt FROM c GROUP BY 1, 2),
+             w AS (SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total FROM h),
+             a AS (SELECT event_type,
+                 min(CASE WHEN cum * 100 >= total * 50 THEN bin END) AS p50_bin,
+                 min(CASE WHEN cum * 100 >= total * 95 THEN bin END) AS p95_bin,
+                 CAST(max(total) AS BIGINT) AS n
+               FROM w GROUP BY 1)
+             SELECT event_type, p50_bin, p95_bin, n,
+               (1::BIGINT << p50_bin) - 1 AS p50_hi_cents,
+               (1::BIGINT << p95_bin) - 1 AS p95_hi_cents
+             FROM a ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67)
+    q61, q62, q63, q64, q65, q66, q67, q68)
 }

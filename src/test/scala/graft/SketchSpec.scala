@@ -94,4 +94,54 @@ class SketchSpec extends SparkTestBase {
       .select(Html.extractText(col("h")).as("t")).as[String].head()
     assert(out == "a b")
   }
+
+  test("logHistQuantiles: bins are exact, quantile walk hits the right bin") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),      // bins 1, 2, 2
+      ("a", 100L), ("a", 1000L),            // bins 7, 10
+      ("b", 7L), ("b", 8L))                 // bins 3, 4
+      .toDF("k", "cents")
+    val out = graft.operators.Sketch
+      .logHistQuantiles(df, Seq("k"), "cents", qs = Seq(50, 95))
+      .collect().map(r => (r.getString(0),
+        r.getInt(1), r.getInt(2), r.getLong(3))).toSeq.sortBy(_._1)
+    // key a: 5 values in bins [1,2,2,7,10] → p50 = 3rd value (bin 2),
+    // p95 needs cum ≥ 4.75 → the 5th value (bin 10)
+    // key b: p50 = 1st of 2 (bin 3), p95 = 2nd (bin 4)
+    assert(out == Seq(("a", 2, 10, 5L), ("b", 3, 4, 2L)))
+  }
+
+  test("logHistQuantiles: power-of-two boundaries bin exactly (no float log2)") {
+    val df = Seq(("k", 1L), ("k", 2L), ("k", 4L), ("k", 1024L), ("k", 1023L))
+      .toDF("k", "cents")
+    val bins = df.select(graft.operators.Sketch.logBin(col("cents")).as("b"))
+      .as[Int].collect().toSeq
+    assert(bins == Seq(1, 2, 3, 11, 10)) // 2^k opens bin k+1, 2^k−1 closes bin k
+  }
+
+  test("log-histogram streaming aggregation equals the batch histogram") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val data = (1 to 500).map(i => ("k" + (i % 3), (i * 7 % 997 + 1).toLong))
+    val batch = data.toDF("k", "cents")
+      .select(col("k"), graft.operators.Sketch.logBin(col("cents")).as("bin"))
+      .groupBy("k", "bin").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("k", "cents")
+      .select(col("k"), graft.operators.Sketch.logBin(col("cents")).as("bin"))
+      .groupBy("k", "bin").count()
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("loghist_stream").start()
+    try {
+      // two batches: the histogram must accumulate across them
+      mem.addData(data.take(200): _*); q.processAllAvailable()
+      mem.addData(data.drop(200): _*); q.processAllAvailable()
+      val streamed = spark.table("loghist_stream")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
