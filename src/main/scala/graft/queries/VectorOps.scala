@@ -1318,7 +1318,66 @@ object VectorOps {
              SELECT id AS vec_id, round(pr, 6) AS pagerank
              FROM p3 ORDER BY vec_id"""))
 
+  // Embedding drift between sources: per-source centroid vectors and
+  // their pairwise cosines — the observability report that catches a
+  // new crawl/encoder shifting the embedding distribution before it
+  // poisons dedup thresholds and ANN recall. Determinism: each
+  // (source, dim) mean folds its values in ascending vec_id order
+  // (v31's graph-sum rule applied to centroids — a distributed
+  // float sum would be order-nondeterministic), each centroid
+  // assembles in ascending dim order, and the pairwise cosine is the
+  // ascending-index dot product both engines share. Scale: one
+  // (source, dim)-keyed shuffle over the exploded corpus, then the
+  // matrix join runs on |sources| rows.
+  private val v32 = GraftQuery(
+    "v32_source_centroid_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = t(s, dir, "documents").select(
+        col("doc_id").as("vec_id"), col("source"))
+      val e = t(s, dir, "embeddings").join(src, "vec_id")
+        .select(col("vec_id"), col("source"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "x")))
+      val cent = e.groupBy("source", "pos")
+        .agg((aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("x")))),
+            lit(0.0), (acc, v) => acc + v.getField("x"))
+          / count(lit(1))).as("m"))
+      val vecs = cent.groupBy("source")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          v => v.getField("m")).as("cv"))
+      val a = vecs.select(col("source").as("source_a"), col("cv").as("va"))
+      val b = vecs.select(col("source").as("source_b"), col("cv").as("vb"))
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(dot(col("va"), col("vb")) /
+            (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))),
+            6).as("centroid_cosine"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH e AS (SELECT d.source, em.vec_id,
+                 unnest(em.embedding::DOUBLE[]) AS x,
+                 generate_subscripts(em.embedding, 1) - 1 AS pos
+               FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+             cent AS (SELECT source, pos,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(x ORDER BY vec_id)), (a, b) -> a + b)
+                 / count(*) AS m
+               FROM e GROUP BY source, pos),
+             vecs AS (SELECT source, list(m ORDER BY pos) AS cv
+               FROM cent GROUP BY source)
+             SELECT a.source AS source_a, b.source AS source_b,
+               round(list_dot_product(a.cv, b.cv) /
+                 (sqrt(list_dot_product(a.cv, a.cv)) *
+                  sqrt(list_dot_product(b.cv, b.cv))), 6) AS centroid_cosine
+             FROM vecs a JOIN vecs b ON a.source < b.source
+             ORDER BY source_a, source_b"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31)
+    v25, v26, v27, v28, v29, v30, v31, v32)
 }
