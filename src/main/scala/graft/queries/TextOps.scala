@@ -3208,10 +3208,75 @@ object TextOps {
              FROM p GROUP BY 1, 2 HAVING sum(pairs) > 0
              ORDER BY source_a, source_b"""))
 
+  // Median/MAD robust outlier report per source — the
+  // heavy-tail-safe companion to t74's percentile trim (mean/stddev
+  // cutoffs are wrecked by the very outliers they hunt; median ± MAD
+  // is the standard robust alternative). Medians are EXACT lower
+  // medians at rank ⌈n/2⌉ over total (value, doc_id) orders — two
+  // source-keyed windows, all-integer arithmetic end to end (the
+  // 3·MAD flag compares exact BIGINTs), so the report is
+  // bit-reproducible and fully hash-checked. 100-TB swap: approx
+  // quantiles for both medians + a map-only flag pass (t74's trade).
+  private val t78 = GraftQuery(
+    "t78_median_mad_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lens = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      val w1 = Window.partitionBy("source").orderBy(col("n"), col("doc_id"))
+      val wc = Window.partitionBy("source")
+      val ranked = lens
+        .withColumn("rnk", row_number().over(w1))
+        .withColumn("cnt", count(lit(1)).over(wc))
+      val med = ranked.filter(col("rnk") === expr("(cnt + 1) div 2"))
+        .select(col("source"), col("n").as("med"))
+      val dev = lens.join(med, "source")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val w2 = Window.partitionBy("source").orderBy(col("dev"), col("doc_id"))
+      val mad = dev
+        .withColumn("rnk", row_number().over(w2))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rnk") === expr("(cnt + 1) div 2"))
+        .select(col("source"), col("dev").as("mad"))
+      dev.join(mad, "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max("med").as("med_toks"), max("mad").as("mad_toks"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("source")
+    },
+    Some(s"""WITH lens AS (SELECT doc_id, source,
+                 CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+             r1 AS (SELECT doc_id, source, n,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM lens),
+             med AS (SELECT source, n AS med FROM r1
+               WHERE rnk = (cnt + 1) // 2),
+             dev AS (SELECT l.doc_id, l.source, l.n, med.med,
+                 abs(l.n - med.med) AS dev
+               FROM lens l JOIN med USING (source)),
+             r2 AS (SELECT doc_id, source, dev,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY dev, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM dev),
+             mad AS (SELECT source, dev AS mad FROM r2
+               WHERE rnk = (cnt + 1) // 2)
+             SELECT source, count(*) AS n_docs,
+               CAST(max(d.med) AS BIGINT) AS med_toks,
+               CAST(max(m.mad) AS BIGINT) AS mad_toks,
+               CAST(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+             FROM dev d JOIN mad m USING (source)
+             GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78)
 }
