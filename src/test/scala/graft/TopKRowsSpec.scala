@@ -80,4 +80,36 @@ class TopKRowsSpec extends SparkTestBase {
     assert(plan.contains("partial_top_k_rows") || plan.contains("partial"),
       s"must partially aggregate map-side:\n$plan")
   }
+
+  test("top_k_rows runs under streaming aggregation with bounded state") {
+    // The point of a partially-aggregating top-k in streaming: per-key
+    // state is the k-row heap buffer, not the full row history. Two
+    // micro-batches must accumulate (batch-2 rows can displace batch-1
+    // rows in the heap) and match the batch answer over the union.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = (1 to 40).map(i => ("k" + (i % 2), (i * 37 % 100).toLong, i))
+    val b2 = (41 to 80).map(i => ("k" + (i % 2), (i * 37 % 100).toLong, i))
+
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"),
+        struct(col("ord"), col("payload")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 3).as("top"))
+
+    val batch = shaped((b1 ++ b2).toDF("key", "ord", "payload"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1).toList).toMap
+
+    val mem = MemoryStream[(String, Long, Int)]
+    val q = shaped(mem.toDF().toDF("key", "ord", "payload"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("topk_stream").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("topk_stream")
+        .collect().map(r => r.getString(0) -> r.getSeq[Any](1).toList).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
