@@ -364,6 +364,24 @@ object Multimodal {
     * handling — not just the header fields m08 checks. Pure map
     * stage; a VAD / silence-trim pass at 100 TB is this exact shape
     * plus a threshold filter. */
+
+  /** Shared PCM decode contract for the per-sample audio passes
+    * (frameEnergy / audioQcStats / frameGoertzel / audioFingerprint64):
+    * parse through the JDK codec and accept only 16-bit mono
+    * little-endian PCM; anything else → None (the decode DLQ
+    * behavior). One definition so a contract change cannot silently
+    * diverge between passes. */
+  private def decodePcm16Mono(content: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val bytes = ais.readAllBytes()
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian) Some(bytes)
+      else None
+    } catch { case _: Exception => None }
+
   def frameEnergy(media: DataFrame, frameSize: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -377,16 +395,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val parsed =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-              val bytes = ais.readAllBytes()
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-                  !fmt.isBigEndian) Some(bytes)
-              else None
-            } catch { case _: Exception => None }
+          val parsed = decodePcm16Mono(r.getAs[Array[Byte]](1))
           parsed match {
             case None => Iterator.empty
             case Some(bytes) =>
@@ -437,16 +446,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val parsed =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-              val bytes = ais.readAllBytes()
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-                  !fmt.isBigEndian) Some(bytes)
-              else None
-            } catch { case _: Exception => None }
+          val parsed = decodePcm16Mono(r.getAs[Array[Byte]](1))
           parsed match {
             case None => Iterator.empty
             case Some(bytes) =>
@@ -496,16 +496,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val parsed =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-              val bytes = ais.readAllBytes()
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-                  !fmt.isBigEndian) Some(bytes)
-              else None
-            } catch { case _: Exception => None }
+          val parsed = decodePcm16Mono(r.getAs[Array[Byte]](1))
           parsed match {
             case None => Row(id, null, null, null)
             case Some(bytes) =>
@@ -1006,16 +997,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val parsed =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-              val bytes = ais.readAllBytes()
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-                  !fmt.isBigEndian) Some(bytes)
-              else None
-            } catch { case _: Exception => None }
+          val parsed = decodePcm16Mono(r.getAs[Array[Byte]](1))
           parsed.map { bytes =>
             val n = bytes.length / 2
             var clipped = 0; var dc = 0L; var peak = 0; var i = 0

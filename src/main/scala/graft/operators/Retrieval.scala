@@ -51,7 +51,14 @@ object Retrieval {
       .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum("s"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      // fold per-term scores in ascending-term order: a distributed
+      // sum("s") merges partials in shuffle-arrival order, and a
+      // round-4 boundary case would make the gate hash flaky across
+      // runs/engines (the v31/v32 deterministic-sum rule)
+      .agg(round(aggregate(
+          sort_array(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "bm25", "n_terms_hit")

@@ -1218,18 +1218,19 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, iters: Int = 3, d: Double = 0.85): DataFrame = {
     val base = emb.select(col(idCol), col(vecCol))
-    // The O(n·k) edge list feeds EVERY iteration; without persistence
-    // each one re-runs the kNN build (the corpus-sized scored join —
-    // by far the dominant stage), tripling the whole job. Persisting
-    // it is the standard iterative-algorithm contract (what production
-    // PageRank does between supersteps); MEMORY_AND_DISK so a 100-TB
-    // edge list spills instead of OOMing. Lifecycle: one bounded
-    // entry per call, dropped with the session (or unpersist the
-    // plan's cached edges explicitly when embedding this in a larger
-    // job).
+    // The O(n·k) edge list feeds EVERY iteration; without
+    // materialization each one lazily re-runs the kNN build (the
+    // corpus-sized scored join — by far the dominant stage), tripling
+    // the whole job. An EAGER localCheckpoint (disk-backed, lineage
+    // truncated) runs the build exactly once — even across repeated
+    // evaluations of the returned plan — and its blocks are released
+    // by the ContextCleaner when the plan is garbage-collected, so
+    // repeated calls cannot accumulate cache entries the way an
+    // explicit persist() with no unpersist() would (a real leak this
+    // code shipped with first).
     val edges = bruteForceTopK(base, base, idCol, vecCol, k)
       .select(col("query_id").as("src"), col("nbr_id").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nodes = base.select(col(idCol).as("id"))
     val w = d / k     // both engines evaluate this division in double
     var pr = nodes.withColumn("pr", lit(1.0))

@@ -164,7 +164,13 @@ object Sketch {
     * be: Spark computes log(x)/log(2), which can land on either side
     * of an integer at exact powers of two. The quantile walk compares
     * exact integer products (`cum·100 ≥ q·total`), so the selected
-    * bin is bit-reproducible. */
+    * bin is bit-reproducible.
+    *
+    * Contract: values must be ≥ 1 (clamp with greatest(x, 1) at the
+    * call site). A negative value's 64-char two's-complement binary
+    * string gives bin 64, where the 2^bin−1 upper bound hits
+    * engine-divergent shift semantics (Spark wraps the shift count
+    * mod 64; DuckDB saturates to 0). */
   def logBin(cents: Column): Column = length(bin(cents))
 
   /** Per-key quantile bins from one histogram pass: for each

@@ -151,10 +151,12 @@ object MultimodalOps {
                greatest(1, CAST(floor(h * scale) AS INT)) AS oh
              FROM sc)
              SELECT doc_id AS media_id, $duckKind AS kind,
-               ow AS out_width, oh AS out_height,
-               greatest(1, CAST(trunc(len *
-                 ((CAST(ow AS DOUBLE) * oh) / (CAST(w AS DOUBLE) * h)))
-                 AS INT)) AS out_bytes
+               CASE WHEN len = 0 THEN 1 ELSE ow END AS out_width,
+               CASE WHEN len = 0 THEN 1 ELSE oh END AS out_height,
+               CASE WHEN len = 0 THEN 0
+                 ELSE greatest(1, CAST(trunc(len *
+                   ((CAST(ow AS DOUBLE) * oh) / (CAST(w AS DOUBLE) * h)))
+                   AS INT)) END AS out_bytes
              FROM o ORDER BY media_id"""))
 
   // REAL codec end-to-end: synthesize actual PNGs whose dimensions are

@@ -1948,14 +1948,18 @@ object Relational {
   private val q68 = GraftQuery(
     "q68_log_histogram_quantiles",
     (s, dir) => {
+      // clamp to ≥1: bin 64 (negative two's complement) would hit
+      // engine-divergent shift semantics (Spark wraps the shift count
+      // mod 64, DuckDB saturates) in the 2^bin−1 upper bound
       val c = t(s, dir, "events").select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
+        greatest(round(col("value") * 100).cast("long"), lit(1L)).as("cents"))
       graft.operators.Sketch.logHistQuantiles(
           c, Seq("event_type"), "cents", qs = Seq(50, 95))
         .orderBy("event_type")
     },
     Some("""WITH c AS (SELECT event_type,
-                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+                 greatest(CAST(round(value * 100) AS BIGINT), 1) AS cents
+               FROM events),
              h AS (SELECT event_type, length(bin(cents)) AS bin,
                  count(*) AS cnt FROM c GROUP BY 1, 2),
              w AS (SELECT event_type, bin, cnt,

@@ -1966,14 +1966,16 @@ object TextOps {
                FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
              dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
                FROM tf GROUP BY term),
-             sc AS (SELECT query_id, doc_id,
-                 round(sum(
-                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-                   tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
-                 count(*) AS n_terms_hit
+             st AS (SELECT query_id, doc_id, term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sv
                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
-                 CROSS JOIN corpus
-               GROUP BY 1, 2),
+                 CROSS JOIN corpus),
+             sc AS (SELECT query_id, doc_id,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(sv ORDER BY term)), (a, b) -> a + b), 4) AS bm25,
+                 count(*) AS n_terms_hit
+               FROM st GROUP BY 1, 2),
              r AS (SELECT query_id, doc_id, bm25, n_terms_hit,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY bm25 DESC, doc_id) AS rank FROM sc)
@@ -2964,13 +2966,15 @@ object TextOps {
                FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
              dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
                FROM tf GROUP BY term),
-             sc AS (SELECT query_id, doc_id,
-                 round(sum(
-                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-                   tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+             st AS (SELECT query_id, doc_id, term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sv
                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
-                 CROSS JOIN corpus
-               GROUP BY 1, 2),
+                 CROSS JOIN corpus),
+             sc AS (SELECT query_id, doc_id,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(sv ORDER BY term)), (a, b) -> a + b), 4) AS bm25
+               FROM st GROUP BY 1, 2),
              fa AS (SELECT query_id, doc_id, rank_a FROM (
                  SELECT query_id, doc_id, row_number() OVER (
                    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank_a

@@ -440,15 +440,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("v31 pagerank reuses ONE persisted kNN edge list across iterations") {
+  test("v31 pagerank materializes the kNN edge list ONCE across iterations") {
     val df = Registry.byName("v31_knn_pagerank").run(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // every iteration must read the cached edges, not re-run the kNN
-    // build: the scored corpus join appears as InMemoryTableScan ≥ 3
-    // times and the expensive join exists only INSIDE the cached plan
-    val scans = "InMemoryTableScan".r.findAllIn(p).length
-    assert(scans >= 3, s"expected ≥3 cached-edge scans, got $scans:\n$p")
-    spark.sharedState.cacheManager.clearCache()
+    // every iteration must read the checkpointed edges, not re-run the
+    // kNN build: the plan scans the materialized RDD ≥ 3 times and the
+    // corpus-sized scored join appears nowhere (it ran eagerly, once,
+    // inside localCheckpoint)
+    val scans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(scans >= 3, s"expected ≥3 checkpointed-edge scans, got $scans:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"kNN build must not re-run inside the iteration plan:\n$p")
   }
 
   test("t73 rrf fusion never touches the corpus (candidate-list join only)") {
