@@ -3277,10 +3277,68 @@ object TextOps {
              FROM dev d JOIN mad m USING (source)
              GROUP BY source ORDER BY source"""))
 
+  // Decontamination EXECUTION — t76 locates the benchmark-overlap
+  // spans; this strips them and re-emits the cleaned text (the t51
+  // locate→drop→rebuild discipline applied to contamination): every
+  // token covered by any matched 5-gram is removed, survivors rejoin
+  // in original order. Only affected docs are emitted — the untouched
+  // corpus streams through unmodified in production (map-only), so
+  // the rewrite cost scales with contamination, not corpus size.
+  // Covered-index sets are bounded by 5× the match count per doc.
+  private val t79 = GraftQuery(
+    "t79_decontaminate_rebuild",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val corpusGrams = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), posexplode(ngramList(col("toks"), 5))
+          .as(Seq("p", "g")))
+      val benchGrams = d.filter(col("doc_id") % 50 === 0)
+        .select(explode(ngramList(col("toks"), 5)).as("g")).distinct()
+      val covered = corpusGrams.join(broadcast(benchGrams), "g")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4))
+          .as("t"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_set(col("t"))).as("bad"))
+      d.join(covered, "doc_id")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_before"),
+          size(col("bad")).cast("long").as("n_removed"),
+          concat_ws(" ", filter(col("toks"),
+            (_, i) => !array_contains(col("bad"), i))).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             tk5 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 5),
+             cg AS (SELECT doc_id, unnest(
+                 [{'p': i - 1, 'g': toks[i] || ' ' || toks[i+1] || ' ' ||
+                   toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]}
+                  FOR i IN range(1, len(toks) - 3)], recursive := true)
+               FROM tk5 WHERE doc_id % 50 != 0),
+             bg AS (SELECT DISTINCT unnest(
+                 [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]
+                  FOR i IN range(1, len(toks) - 3)]) AS g
+               FROM tk5 WHERE doc_id % 50 = 0),
+             cov AS (SELECT DISTINCT cg.doc_id, unnest(range(p, p + 5)) AS t
+               FROM cg JOIN bg USING (g)),
+             bad AS (SELECT doc_id, list(t ORDER BY t) AS bad
+               FROM cov GROUP BY doc_id)
+             SELECT k.doc_id AS doc_id,
+               CAST(len(k.toks) AS BIGINT) AS n_before,
+               CAST(len(b.bad) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(
+                 [k.toks[i] FOR i IN range(1, len(k.toks) + 1)
+                  IF NOT list_contains(b.bad, i - 1)], ' '), '')
+                 AS clean_text
+             FROM tk5 k JOIN bad b ON b.doc_id = k.doc_id
+             ORDER BY k.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79)
 }
