@@ -36,6 +36,7 @@ object SqlDialect {
     s = rewriteStrftime(s)
     s = rewriteTimeBucket(s)
     s = rewriteDoubleColonCasts(s)
+    s = rewriteListBrackets(s)
     s = rewriteDistinctOn(s)
     s = rewriteQualify(s)
     // DuckDB SELECT-list unnest(arr) ≡ Spark explode(arr) (one output
@@ -89,6 +90,106 @@ object SqlDialect {
     s = s.replaceAll("(?i)\\bnow\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bto_timestamp\\s*\\(", "timestamp_seconds(")
     s = s.replaceAll("(?i)\\s+at\\s+time\\s+zone\\s+'utc'", "")
+    s
+  }
+
+  /** DuckDB bracket syntax → Spark:
+    *   - list literal  `[a, b, c]`            → `array(a, b, c)`
+    *   - comprehension `[e FOR x IN xs]`      → `transform(xs, x -> e)`
+    *   - filtered      `[e FOR x IN xs IF c]` →
+    *     `transform(filter(xs, x -> c), x -> e)`
+    *
+    * A bracket directly following an identifier / `)` / `]` is
+    * INDEXING (`arr[i]` — Spark-native) and passes through untouched;
+    * slice brackets only occur in that indexing position, so they are
+    * never rewritten. Nested literals/comprehensions rewrite
+    * recursively; quoted strings are opaque. Known limitation: an
+    * `if(...)` FUNCTION call inside the iterable expression would be
+    * mis-read as the comprehension filter keyword — write `CASE WHEN`
+    * there (DuckDB comprehensions in the wild use bare IF only as the
+    * filter clause). */
+  private[engine] def rewriteListBrackets(s: String): String = {
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = 0; var inS = false; var inD = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '[' =>
+          var j = i - 1
+          while (j >= 0 && s(j).isWhitespace) j -= 1
+          // indexing = bracket follows an EXPRESSION tail; a bracket
+          // after a keyword (SELECT [1,2], THEN [...], IN [..]) is a
+          // literal even though a keyword is also identifier-shaped
+          val keywords = Set("SELECT", "FROM", "WHERE", "WHEN", "THEN",
+            "ELSE", "AND", "OR", "NOT", "IN", "ON", "BY", "HAVING",
+            "RETURN", "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT",
+            "VALUES", "AS", "IF", "FOR", "BETWEEN", "LIKE", "CASE")
+          val indexing = j >= 0 && {
+            if (s(j) == ')' || s(j) == ']') true
+            else if (isIdent(s(j))) {
+              var w0 = j
+              while (w0 >= 0 && isIdent(s(w0))) w0 -= 1
+              !keywords.contains(s.substring(w0 + 1, j + 1).toUpperCase)
+            } else false
+          }
+          if (!indexing) {
+            var depthB = 1; var dp = 0; var k = i + 1
+            var qs = false; var qd = false
+            var forPos = -1; var inPos = -1; var ifPos = -1
+            while (k < s.length && depthB > 0) {
+              val ck = s(k)
+              if (qs) { if (ck == '\'') qs = false }
+              else if (qd) { if (ck == '"') qd = false }
+              else ck match {
+                case '\'' => qs = true
+                case '"' => qd = true
+                case '[' => depthB += 1
+                case ']' => depthB -= 1
+                case '(' => dp += 1
+                case ')' => dp -= 1
+                case _ =>
+                  if (depthB == 1 && dp == 0 && (k == 0 || !isIdent(s(k - 1)))) {
+                    def kw(w: String) =
+                      s.regionMatches(true, k, w, 0, w.length) &&
+                        k + w.length < s.length && !isIdent(s(k + w.length))
+                    if (forPos < 0 && kw("FOR")) forPos = k
+                    else if (forPos >= 0 && inPos < 0 && kw("IN")) inPos = k
+                    else if (inPos >= 0 && ifPos < 0 && kw("IF")) ifPos = k
+                  }
+              }
+              k += 1
+            }
+            require(depthB == 0, s"unbalanced [ in: $s")
+            val close = k - 1
+            val replaced =
+              if (forPos < 0)
+                s"array(${rewriteListBrackets(s.substring(i + 1, close))})"
+              else {
+                val e = rewriteListBrackets(s.substring(i + 1, forPos).trim)
+                val v0 = s.substring(forPos + 3, inPos).trim
+                val v = if (v0.contains(",")) s"($v0)" else v0
+                val (xs, cond) =
+                  if (ifPos < 0) (s.substring(inPos + 2, close).trim, None)
+                  else (s.substring(inPos + 2, ifPos).trim,
+                    Some(s.substring(ifPos + 2, close).trim))
+                val xsR = rewriteListBrackets(xs)
+                cond match {
+                  case None => s"transform($xsR, $v -> $e)"
+                  case Some(c0) =>
+                    s"transform(filter($xsR, $v -> ${rewriteListBrackets(c0)}), $v -> $e)"
+                }
+              }
+            return s.substring(0, i) + replaced +
+              rewriteListBrackets(s.substring(close + 1))
+          }
+        case _ =>
+      }
+      i += 1
+    }
     s
   }
 

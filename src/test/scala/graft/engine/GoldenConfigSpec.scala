@@ -96,6 +96,30 @@ class GoldenConfigSpec extends SparkTestBase {
       """{"city":"New York","uid":"u1"}"""))
   }
 
+  test("list literals and comprehensions in handler SQL execute end-to-end") {
+    val fixture = write("listcomp.jsonl",
+      """{"event":"a","tags":["x","yy","zzz"]}
+        |{"event":"b","tags":["q","rrrr"]}
+        |""".stripMargin)
+    val cfg = write("listcomp.yml",
+      """pipeline:
+        |  batch_size: 1000
+        |  source: {type: kafka, kafka: {brokers: [localhost:9092], group_id: t, topics: [in]}}
+        |  handler:
+        |    type: 'handlers.InferredMemBatch'
+        |    sql: |
+        |      SELECT event,
+        |             [upper(t) FOR t IN tags IF length(t) >= 2] AS big_tags,
+        |             ['k', event] AS keyed
+        |      FROM batch ORDER BY event
+        |  sink: {type: noop}
+        |""".stripMargin)
+    val got = Invoke.invoke(spark, cfg, fixture).toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"event":"a","big_tags":["YY","ZZZ"],"keyed":["k","a"]}""",
+      """{"event":"b","big_tags":["RRRR"],"keyed":["k","b"]}"""))
+  }
+
   test("DISTINCT ON handler SQL executes end-to-end (keep-first-per-key)") {
     val fixture = write("don.jsonl",
       """{"user":"u1","city":"Austin","n":3}

@@ -12,6 +12,32 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT named_struct('o', named_struct('i', y)) FROM t")
   }
 
+  test("list literals rewrite to array(); indexing brackets untouched") {
+    assert(translate("SELECT [1, 2, 3] AS xs FROM t") ==
+      "SELECT array(1, 2, 3) AS xs FROM t")
+    assert(translate("SELECT xs[1] FROM t") == "SELECT xs[1] FROM t")
+    assert(translate("SELECT [a, [b, c]] FROM t") ==
+      "SELECT array(a, array(b, c)) FROM t")
+    // string content is opaque
+    assert(translate("SELECT '[not a list]' FROM t") ==
+      "SELECT '[not a list]' FROM t")
+  }
+
+  test("list comprehensions rewrite to transform/filter") {
+    assert(translate("SELECT [x * 2 FOR x IN xs] FROM t") ==
+      "SELECT transform(xs, x -> x * 2) FROM t")
+    assert(translate("SELECT [x FOR x IN xs IF x > 0] FROM t") ==
+      "SELECT transform(filter(xs, x -> x > 0), x -> x) FROM t")
+    // nested: literal inside a comprehension body
+    assert(translate("SELECT [[x, 1] FOR x IN xs] FROM t") ==
+      "SELECT transform(xs, x -> array(x, 1)) FROM t")
+    // keywords inside strings or identifiers do not trigger
+    assert(translate("SELECT ['FOR x IN y'] FROM t") ==
+      "SELECT array('FOR x IN y') FROM t")
+    assert(translate("SELECT [fmt(x) FOR x IN informed] FROM t") ==
+      "SELECT transform(informed, x -> fmt(x)) FROM t")
+  }
+
   test("in-paren IGNORE/RESPECT NULLS transposes to Spark's postfix form") {
     assert(translate("SELECT last_value(x IGNORE NULLS) OVER w FROM t") ==
       "SELECT last_value(x) IGNORE NULLS OVER w FROM t")
