@@ -32,14 +32,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val queryTimes = benchQueries(spark, sfDir)
-    val pipeline = benchPipelines(spark)
+    // One failing query must degrade, not destroy, the round's bench
+    // artifact (round 4 lost ALL numbers to a single AnalysisException
+    // crashing the JVM before the JSON line printed). Each failure is
+    // recorded by name and the process still exits 0 with a JSON line.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val queryTimes = benchQueries(spark, sfDir, errors)
+    val pipeline =
+      try benchPipelines(spark)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += s"pipeline:${e.getClass.getSimpleName}"
+          Seq.empty[(String, Double)]
+      }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val ps = pipeline.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val es = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$ps,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -52,19 +64,26 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def benchQueries(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  private def benchQueries(spark: SparkSession, sfDir: String,
+      errors: scala.collection.mutable.ArrayBuffer[String]): Seq[(String, Double)] = {
     val headline = Registry.all.filter(_.headline)
-    headline.map { q =>
+    headline.flatMap { q =>
       // warmup run per query: absorb codegen (Janino) compilation and
       // JIT so the measurement is steady-state execution. Two timed
       // runs, best kept: this host shows multi-second scheduling
       // stalls (measured 3–11s spread on an unchanged query), and the
       // minimum is the standard steady-state estimator under
       // one-sided noise.
-      materialize(q.run(spark, sfDir))
-      q.name -> math.min(
-        time(materialize(q.run(spark, sfDir))),
-        time(materialize(q.run(spark, sfDir))))
+      try {
+        materialize(q.run(spark, sfDir))
+        Some(q.name -> math.min(
+          time(materialize(q.run(spark, sfDir))),
+          time(materialize(q.run(spark, sfDir)))))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += s"${q.name}:${e.getClass.getSimpleName}"
+          None
+      }
     }
   }
 

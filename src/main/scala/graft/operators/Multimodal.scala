@@ -613,6 +613,132 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** PCM-16 mono → WAV bytes through the JDK encoder (shared by the
+    * padded synthesizer and the silence trimmer). */
+  private def encodePcm16Wav(
+      data: Array[Byte], frames: Int, sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Render [lead zeros | payload | trail zeros] PCM-16 mono WAV.
+    * Payload samples use [[renderWav]]'s splitmix derivation; the two
+    * EDGE samples are forced nonzero so a threshold-0 trim removes
+    * exactly the padding (a pseudo-random edge sample is 0 with
+    * p=1/65536 — enough to make a 500-doc gate flaky once fixtures
+    * regenerate, so it is pinned instead of hoped against). */
+  private[graft] def renderWavPadded(lead: Int, payload: Int, trail: Int,
+      sampleRate: Int, seed: Long): Array[Byte] = {
+    val n = lead + payload + trail
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < payload) {
+      var p = seed * 0x9E3779B97F4A7C15L + i
+      p ^= p >>> 29; p *= 0xBF58476D1CE4E5B9L; p ^= p >>> 32
+      var s = (p & 0xFFFF).toInt - 32768
+      if ((i == 0 || i == payload - 1) && s == 0) s = 1
+      val j = lead + i
+      data(2 * j) = (s & 0xFF).toByte
+      data(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    encodePcm16Wav(data, n, sampleRate)
+  }
+
+  /** Synthesize REAL WAV clips with id-derived leading/trailing
+    * silence around the m08 payload: lead = id % 50, payload = 400 +
+    * (id·13) % 800, trail = (id·7) % 60 frames at the m08 rate. The
+    * m22 oracle recomputes the POST-TRIM frame count (= payload) from
+    * the id alone, so a hash match proves [[trimSilence]] removed
+    * exactly the silent frames from real codec bytes. */
+  def synthesizeAudioPadded(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = 8000 + math.floorMod(id, 8).toInt * 1000
+          val lead = math.floorMod(id, 50).toInt
+          val payload = 400 + math.floorMod(id * 13, 800).toInt
+          val trail = math.floorMod(id * 7, 60).toInt
+          Row(id, "audio", renderWavPadded(lead, payload, trail, rate, id),
+            "synthetic-wav-padded")
+        }
+      }(enc)
+  }
+
+  /** Silence trim (the first pass of any audio curation pipeline):
+    * strip leading/trailing frames with |sample| ≤ threshold and
+    * re-encode — real decode → scan → re-encode byte surgery, same
+    * contract as [[resampleAudio]]. Pure map stage; lead/trail
+    * trimmed-frame counts ride along for QC reporting. All-silent
+    * clips become 0-frame WAVs (kept, not nulled: they decoded fine —
+    * dropping them is the caller's filter). Non-WAV/non-PCM16-mono →
+    * null content (decode-DLQ contract). */
+  def trimSilence(media: DataFrame, threshold: Int): DataFrame = {
+    require(threshold >= 0, "threshold must be >= 0")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("lead_trimmed", IntegerType),
+      StructField("trail_trimmed", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          trimWavSilence(r.getAs[Array[Byte]](1), threshold) match {
+            case Some((bytes, lead, trail)) =>
+              Row(id, "audio", bytes, "silence-trimmed", lead, trail)
+            case None => Row(id, "audio", null, "trim-failed", null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Per-clip kernel of [[trimSilence]]: (trimmed bytes, leading
+    * frames removed, trailing frames removed). */
+  private[graft] def trimWavSilence(content: Array[Byte],
+      threshold: Int): Option[(Array[Byte], Int, Int)] = {
+    if (!looksLikeWav(content)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+        fmt.isBigEndian) return None
+      val n = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      if (pcm.length < n * 2) return None
+      def amp(i: Int): Int =
+        math.abs((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF))
+      var lo = 0
+      while (lo < n && amp(lo) <= threshold) lo += 1
+      var hi = n - 1
+      while (hi >= lo && amp(hi) <= threshold) hi -= 1
+      val outN = hi - lo + 1
+      val out = new Array[Byte](outN * 2)
+      System.arraycopy(pcm, lo * 2, out, 0, outN * 2)
+      Some((encodePcm16Wav(out, outN, fmt.getSampleRate.toInt),
+        lo, n - 1 - hi))
+    } catch { case _: Exception => None }
+  }
+
   /** Synthesize REAL 64×64 grayscale PNGs whose 8×8 block pattern
     * derives from md5 — block (bx, by)'s 64 pixels all take the FIRST
     * BYTE of md5("id_bx_by") as their gray value. The same seed-free

@@ -51,4 +51,41 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** Interval×interval overlap join ([lLo,lHi] ∩ [rLo,rHi] ≠ ∅),
+    * bucketed the same way. Both sides register under every bucket
+    * they cover, which would surface an overlapping pair once per
+    * SHARED bucket — instead of a post-join `distinct` (a second
+    * shuffle over the full pair set), each pair is emitted only in
+    * the bucket containing `max(lLo, rLo)`, the overlap's start.
+    * Overlap guarantees both intervals cover that bucket, and it is
+    * unique per pair, so the output is exactly-once by construction.
+    *
+    * Scale: identical to [[pointInInterval]] — one bucket-keyed
+    * shuffle per side, per-bucket local density instead of the
+    * global cross product Spark's BroadcastNestedLoopJoin would
+    * evaluate for a bare overlap predicate. `bucketWidth` ≈ typical
+    * interval width keeps the explode factor ≤2. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, clashing: $overlap")
+    require(!left.columns.contains("__bkt") &&
+      !right.columns.contains("__bkt"),
+      "__bkt is reserved by intervalOverlap")
+    def spread(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bkt", explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    spread(left, lLo, lHi).join(spread(right, rLo, rHi), Seq("__bkt"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bkt") ===
+        floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long"))
+      .drop("__bkt")
+  }
 }

@@ -811,6 +811,36 @@ object MultimodalOps {
             WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 3
             ORDER BY id_a, id_b"""))
 
+  // REAL silence-trim end-to-end: id-padded WAVs (lead = id % 50,
+  // trail = (id·7) % 60 silent frames around the m08 payload) go
+  // through decode → edge-scan → re-encode, and the OUTPUT bytes are
+  // re-decoded by the same header reader m08 uses. The oracle
+  // recomputes the post-trim frame count (= payload length) from the
+  // id alone — an untrimmed clip would carry lead+payload+trail
+  // frames and hash-mismatch, so the match proves genuine payload
+  // surgery. The trim pass itself is map-only; attaching the re-decoded
+  // meta to the trim counts is a tiny id-keyed join (AQE broadcasts
+  // it), gate-side composition only.
+  private val m22 = GraftQuery(
+    "m22_audio_silence_trim",
+    (s, dir) => {
+      val trimmed = Multimodal.trimSilence(
+        Multimodal.synthesizeAudioPadded(
+          Tables.spread(t(s, dir, "documents")), "doc_id"),
+        threshold = 0)
+      Multimodal.decodeAudioMeta(trimmed)
+        .join(trimmed.select(col("media_id"),
+          col("lead_trimmed"), col("trail_trimmed")), Seq("media_id"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(400 + (doc_id * 13) % 800 AS BIGINT) AS n_frames,
+              CAST(doc_id % 50 AS INT) AS lead_trimmed,
+              CAST((doc_id * 7) % 60 AS INT) AS trail_trimmed
+            FROM documents ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
 }

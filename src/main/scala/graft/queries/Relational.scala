@@ -1976,11 +1976,151 @@ object Relational {
                (1::BIGINT << p95_bin) - 1 AS p95_hi_cents
              FROM a ORDER BY event_type"""))
 
+  // Interval×interval overlap join, bucketed — the missing Spark
+  // range-join shape q10/q57 don't cover (both sides are INTERVALS).
+  // A bare overlap predicate plans as BroadcastNestedLoopJoin
+  // (O(|L|·|R|)); RangeJoin.intervalOverlap manufactures the bucket
+  // equi-key and emits each pair exactly once in the bucket holding
+  // max(lo, lo') — no post-join distinct shuffle. One month of order
+  // fulfilment windows × one month of lineitem ship→receipt windows,
+  // pair counts per priority class.
+  private val q69 = GraftQuery(
+    "q69_interval_overlap_join",
+    (s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-03-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderpriority"),
+          datediff(col("o_orderdate"), epoch).cast("double").as("o_lo"),
+          (datediff(col("o_orderdate"), epoch) + 7).cast("double")
+            .as("o_hi"))
+      // delivery window length derived from quantity (the fixture has
+      // no receipt date): [ship, ship + qty % 14] days
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-03-01") &&
+          col("l_shipdate") < lit("1995-04-01"))
+        .select(datediff(col("l_shipdate"), epoch).cast("double").as("l_lo"),
+          (datediff(col("l_shipdate"), epoch) +
+            col("l_quantity").cast("int") % 14).cast("double").as("l_hi"))
+      // bucketWidth ≈ the 7-day order window: ≤2 bucket copies/side
+      graft.operators.RangeJoin.intervalOverlap(
+          o, l, "o_lo", "o_hi", "l_lo", "l_hi", bucketWidth = 8.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority,
+                 datediff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS o_lo,
+                 datediff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) + 7 AS o_hi
+               FROM orders
+               WHERE o_orderdate >= DATE '1995-03-01'
+                 AND o_orderdate < DATE '1995-04-01'),
+             l AS (SELECT
+                 datediff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE)) AS l_lo,
+                 datediff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE))
+                   + CAST(l_quantity AS INT) % 14 AS l_hi
+               FROM lineitem
+               WHERE l_shipdate >= DATE '1995-03-01'
+                 AND l_shipdate < DATE '1995-04-01')
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM o JOIN l ON o_lo <= l_hi AND l_lo <= o_hi
+            GROUP BY 1 ORDER BY 1"""))
+
+  // GROUPS-mode window frame (ANSI/DuckDB; Spark plans only
+  // ROWS/RANGE) — trailing-3-month revenue attached to every order
+  // row, where months are PEER GROUPS of the ORDER BY key.
+  // WindowFrames.groupsSum re-expresses it as a group-level ROWS
+  // frame + broadcast join back; sums run in exact integer cents so
+  // the cross-engine hash is order-free.
+  private val q70 = GraftQuery(
+    "q70_groups_window_frame",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.WindowFrames.groupsSum(
+          base, Seq("o_orderpriority"), "mon", "cents",
+          nPreceding = 2, out = "gsum")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("mon"),
+          col("gsum"))
+        .orderBy("o_orderkey")
+    },
+    // DuckDB (1.x) does not implement GROUPS mode either ("not
+    // implemented yet"), so the oracle is the frame's relational
+    // DEFINITION — per-group sums under a group-level ROWS frame,
+    // joined back to member rows — i.e. exactly what the ANSI GROUPS
+    // clause specifies.
+    Some("""WITH base AS (SELECT o_orderkey, o_orderpriority,
+                 strftime(o_orderdate, '%Y-%m') AS mon,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_custkey < 100),
+             g AS (SELECT o_orderpriority, mon,
+                 CAST(sum(cents) AS BIGINT) AS gsum0
+               FROM base GROUP BY 1, 2),
+             gw AS (SELECT o_orderpriority, mon,
+                 CAST(sum(gsum0) OVER (PARTITION BY o_orderpriority
+                   ORDER BY mon
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS gsum
+               FROM g)
+            SELECT b.o_orderkey, b.o_orderpriority, b.mon, gw.gsum
+            FROM base b JOIN gw USING (o_orderpriority, mon)
+            ORDER BY b.o_orderkey"""))
+
+  // Window-frame EXCLUDE clauses (ANSI/DuckDB; Spark has none):
+  // EXCLUDE CURRENT ROW over the whole partition ("everyone else's
+  // revenue in my class") and EXCLUDE GROUP over a running RANGE
+  // frame ("revenue of strictly-earlier days"). Both re-expressed as
+  // inclusive-frame arithmetic (WindowFrames) — map-side, no extra
+  // shuffle. NULL (empty excluded frame) → -1 sentinel on both
+  // engines so no NULL stringification reaches the comparator.
+  private val q71 = GraftQuery(
+    "q71_window_exclude",
+    (s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val base = t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val a = graft.operators.WindowFrames.sumExcludeCurrentRow(
+        base, Seq("o_orderpriority"), "cents", "others_cents")
+      val b = graft.operators.WindowFrames.runningSumExcludeGroup(
+        a, Seq("o_orderpriority"), "day", "cents", "earlier_cents")
+      b.select(col("o_orderkey"), col("o_orderpriority"),
+          coalesce(col("others_cents"), lit(-1L)).as("others_cents"),
+          coalesce(col("earlier_cents"), lit(-1L)).as("earlier_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+              coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderpriority
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW) AS BIGINT), -1)
+                AS others_cents,
+              coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderpriority
+                      ORDER BY datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE GROUP) AS BIGINT), -1)
+                AS earlier_cents
+            FROM orders WHERE o_custkey < 100
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

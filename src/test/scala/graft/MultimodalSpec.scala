@@ -178,6 +178,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decimateWav(wav, 4).nonEmpty) // 10000/4 = 2500 exact
   }
 
+  test("trimWavSilence strips exactly the padding, re-encoding real WAV") {
+    val wav = Multimodal.renderWavPadded(
+      lead = 7, payload = 50, trail = 3, sampleRate = 9000, seed = 42L)
+    assert(Multimodal.wavHeader(wav).contains((9000, 1, 60L)))
+    val (out, lead, trail) = Multimodal.trimWavSilence(wav, 0).get
+    assert((lead, trail) == (7, 3))
+    assert(Multimodal.wavHeader(out).contains((9000, 1, 50L)))
+    // trimmed payload is byte-identical to the un-padded render
+    val bare = Multimodal.renderWavPadded(0, 50, 0, 9000, 42L)
+    def pcm(bytes: Array[Byte]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      ais.readAllBytes().toSeq
+    }
+    assert(pcm(out) == pcm(bare))
+    // no padding → identity; all-silent → empty clip, counts split
+    val (same, l0, t0) = Multimodal.trimWavSilence(bare, 0).get
+    assert((l0, t0) == (0, 0) && pcm(same) == pcm(bare))
+    val silent = Multimodal.renderWavPadded(5, 0, 5, 8000, 1L)
+    val (empty, l1, t1) = Multimodal.trimWavSilence(silent, 0).get
+    assert(l1 + t1 == 10 && Multimodal.wavHeader(empty).exists(_._3 == 0L))
+    // decode-DLQ contract on garbage
+    assert(Multimodal.trimWavSilence("not audio".getBytes, 0).isEmpty)
+    assert(Multimodal.trimWavSilence(null, 0).isEmpty)
+  }
+
   test("imageAHash64 survives resize (near-dup) but separates images") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")

@@ -466,4 +466,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 1, s"count+rank must share one source shuffle:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q69 interval overlap is a bucket equi-join, never a nested loop") {
+    val p = plan("q69_interval_overlap_join")
+    // the whole point of the bucketing: a bare overlap predicate would
+    // plan as BroadcastNestedLoopJoin over the full cross product
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket key must drive an equi-join:\n$p")
+  }
+
+  test("q70 GROUPS frame: group table broadcasts back (no row-level shuffle join)") {
+    val p = plan("q70_groups_window_frame")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-frame table must broadcast to member rows:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q71 EXCLUDE emulation is window arithmetic (no join, no self-shuffle)") {
+    val p = plan("q71_window_exclude")
+    assert(!p.contains("Join"), s"EXCLUDE must not self-join:\n$p")
+  }
 }

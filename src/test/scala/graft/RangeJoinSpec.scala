@@ -29,4 +29,36 @@ class RangeJoinSpec extends SparkTestBase {
     val ivs = Seq((1L, 10.0, 0.0)).toDF("iid", "lo", "hi")
     assert(RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 5.0).count() == 0)
   }
+
+  test("intervalOverlap matches cross-join reference, exactly once per pair") {
+    // spans crossing 0..5 bucket boundaries at width 5, touching
+    // endpoints (overlap at a single shared point), negatives, and
+    // disjoint pairs
+    val a = Seq((1L, 0.0, 10.0), (2L, 4.999, 5.0), (3L, -8.0, -1.0),
+      (4L, 12.0, 30.0), (5L, 30.0, 30.0))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 10.0, 12.0), (11L, -20.0, 100.0), (12L, 5.0, 5.0),
+      (13L, 31.0, 40.0), (14L, -3.0, 2.5))
+      .toDF("bid", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 5.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = a.crossJoin(b)
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.toSet == want, s"got=${got.toSet} want=$want")
+    // the multi-shared-bucket pairs ((1,11) shares buckets -4..2, etc.)
+    // must appear ONCE — the max(lo,lo')-bucket rule, not a distinct
+    assert(got.length == got.toSet.size, s"duplicated pairs in ${got.toList}")
+    assert(want.contains((2L, 12L)), "single-point endpoint overlap exercised")
+  }
+
+  test("intervalOverlap: inverted intervals on either side match nothing") {
+    val a = Seq((1L, 10.0, 0.0)).toDF("aid", "alo", "ahi")
+    val b = Seq((2L, 0.0, 100.0)).toDF("bid", "blo", "bhi")
+    assert(RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 5.0)
+      .count() == 0)
+    assert(RangeJoin.intervalOverlap(b, a, "blo", "bhi", "alo", "ahi", 5.0)
+      .count() == 0)
+  }
 }
