@@ -3335,10 +3335,38 @@ object TextOps {
              FROM tk5 k JOIN bad b ON b.doc_id = k.doc_id
              ORDER BY k.doc_id"""))
 
+  // Distributed corpus suffix array (prefix doubling) — the EXACT
+  // substring-dedup backbone (Lee et al. 2021): t42/t71 bound their
+  // n-gram length, a suffix array ranks every suffix in full. Each of
+  // the ⌈log₂ maxDocLen⌉ rounds is a constant number of keyed shuffles
+  // over the n=|chars| positions (O(n log L) total shuffle volume);
+  // dense ranking is range-partition + sort + zipWithIndex, never a
+  // single-partition window. The gate emits the first 200 suffix-array
+  // entries; the oracle materializes every suffix string and sorts —
+  // tractable at sf0.01, impossible at scale, which is the point: the
+  // doubling path never materializes a suffix. Ties (identical
+  // document tails) and prefix-of-longer ordering are exercised by
+  // the fixture's repeated vocabulary.
+  private val t80 = GraftQuery(
+    "t80_suffix_array",
+    (s, dir) => {
+      graft.operators.SuffixArray.suffixRanks(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("rank"), col("doc"), col("off"))
+        .limit(200)
+        .select(col("doc").as("doc_id"), col("off").cast("int").as("off"))
+    },
+    Some("""WITH g AS (SELECT doc_id, text,
+                 CAST(unnest(range(length(text))) AS INT) AS off
+               FROM documents),
+             s AS (SELECT doc_id, off, substr(text, off + 1) AS suf FROM g)
+            SELECT doc_id, off FROM s
+            ORDER BY suf, doc_id, off LIMIT 200"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80)
 }
