@@ -39,7 +39,63 @@ object SuffixArray {
   /** (doc, off, rank): the rank of the suffix of document `doc`
     * starting at 0-based char offset `off`, dense over distinct
     * suffix contents and ordered lexicographically. */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ranksImpl(docs, idCol, textCol, targetWidth = None)
+
+  /** Ranks by the first `width` characters only (width a power of
+    * two): suffixes sharing a rank share their first `width` chars.
+    * Runs ⌈log₂ width⌉ doubling rounds instead of ⌈log₂ maxLen⌉ —
+    * the cheap entry point for fixed-length duplicated-span
+    * detection ([[exactDupSpans]]). Early convergence (all ranks
+    * distinct at a smaller width) is sound: distinct first-v-chars
+    * implies distinct first-w-chars for every w ≥ v. */
+  def ranksByPrefix(docs: DataFrame, idCol: String, textCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    ranksImpl(docs, idCol, textCol, targetWidth = Some(width))
+  }
+
+  /** Exact duplicated-span detection (the ExactSubstr semantics of
+    * Lee et al. 2021): every maximal per-document span covered by
+    * length-`minLen` windows that occur ≥ 2 times anywhere in the
+    * corpus (other documents or elsewhere in the same one). Built on
+    * [[ranksByPrefix]], so no substring is ever materialized or
+    * hashed — two positions share a rank iff their first `minLen`
+    * chars are byte-equal (no collision risk, unlike fingerprint
+    * approaches; t42/t34 are the hashed alternatives). Shuffle
+    * story: doubling rounds + ONE rank-keyed window for occurrence
+    * counts + ONE doc-keyed window for island merging.
+    * Output: (doc, span_start, span_end half-open). */
+  def exactDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ranksByPrefix(docs, idCol, textCol, minLen.toLong)
+    val lens = docs.select(col(idCol).cast("long").as("doc"),
+      length(col(textCol)).cast("long").as("len"))
+    // only positions with a full window can anchor a duplicated span
+    val eligible = r.join(lens, Seq("doc"))
+      .filter(col("off") <= col("len") - minLen)
+    val marked = eligible
+      .withColumn("nocc", count(lit(1)).over(Window.partitionBy("rank")))
+      .filter(col("nocc") >= 2)
+    val byDoc = Window.partitionBy("doc").orderBy("off")
+    marked
+      .withColumn("prev_end",
+        max(col("off") + minLen).over(byDoc.rowsBetween(
+          Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("off") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("off")).as("span_start"),
+        (max(col("off")) + minLen).as("span_end"))
+      .drop("island")
+  }
+
+  private def ranksImpl(docs: DataFrame, idCol: String, textCol: String,
+      targetWidth: Option[Long]): DataFrame = {
     val spark = docs.sparkSession
     val base = docs
       .filter(length(col(textCol)) > 0)
@@ -64,7 +120,7 @@ object SuffixArray {
 
     var w = 1L
     var converged = p.agg(max(col("rank"))).head.getLong(0) == n - 1
-    while (!converged && w < maxLen) {
+    while (!converged && w < maxLen && targetWidth.forall(w < _)) {
       // rank of the suffix 2^k positions later (−1 past the doc end)
       val shifted = p.select(col("doc"), (col("off") - w).as("off"),
         col("rank").as("rnext"))

@@ -3363,10 +3363,53 @@ object TextOps {
             SELECT doc_id, off FROM s
             ORDER BY suf, doc_id, off LIMIT 200"""))
 
+  // Exact duplicated-span detection (ExactSubstr, Lee et al. 2021):
+  // maximal per-doc spans covered by 64-char windows occurring ≥ 2
+  // times anywhere in the corpus — byte-equality via shared suffix
+  // ranks (SuffixArray.ranksByPrefix at width 64, 6 doubling rounds),
+  // so no substring is materialized or hashed and there is NO
+  // collision risk (t42/t34 are the fingerprinted approximations this
+  // exact pass audits). The oracle materializes and groups every
+  // 64-gram — the quadratic-ish shape the rank path avoids.
+  private val t81 = GraftQuery(
+    "t81_exact_dup_spans",
+    (s, dir) => {
+      graft.operators.SuffixArray.exactDupSpans(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          minLen = 64)
+        .select(col("doc").as("doc_id"),
+          col("span_start").cast("int").as("span_start"),
+          col("span_end").cast("int").as("span_end"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+               FROM documents),
+             g AS (SELECT doc_id, text,
+                 CAST(unnest(range(greatest(len - 63, 0))) AS INT) AS off
+               FROM d),
+             k AS (SELECT doc_id, off, substr(text, off + 1, 64) AS gram
+               FROM g),
+             c AS (SELECT gram FROM k GROUP BY gram HAVING count(*) >= 2),
+             m AS (SELECT doc_id, off FROM k JOIN c USING (gram)),
+             w AS (SELECT doc_id, off,
+                 max(off + 64) OVER (PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+               FROM m),
+             f AS (SELECT doc_id, off, CASE WHEN prev_end IS NULL
+                 OR off > prev_end THEN 1 ELSE 0 END AS ni FROM w),
+             i AS (SELECT doc_id, off,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS island
+               FROM f)
+            SELECT doc_id, CAST(min(off) AS INT) AS span_start,
+              CAST(max(off) + 64 AS INT) AS span_end
+            FROM i GROUP BY doc_id, island
+            ORDER BY doc_id, span_start"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81)
 }

@@ -40,6 +40,48 @@ class SuffixArraySpec extends SparkTestBase {
     }
   }
 
+  private def bruteSpans(docs: Seq[(Long, String)],
+      minLen: Int): Set[(Long, Long, Long)] = {
+    val grams = for {
+      (id, t) <- docs
+      off <- 0 to t.length - minLen
+    } yield ((id, off.toLong), t.substring(off, off + minLen))
+    val counts = grams.groupBy(_._2).map { case (g, v) => g -> v.size }
+    val marked = grams.filter(g => counts(g._2) >= 2).map(_._1)
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).sorted }
+    marked.flatMap { case (id, offs) =>
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      offs.foreach { o =>
+        if (spans.nonEmpty && o <= spans.last._2)
+          spans(spans.length - 1) = (spans.last._1, o + minLen)
+        else spans += ((o, o + minLen))
+      }
+      spans.map(s => (id, s._1, s._2))
+    }.toSet
+  }
+
+  test("exactDupSpans equals brute-force gram marking + island merge") {
+    // doc 1/2 share "shared phrase one" (17 chars); doc 1 repeats
+    // "echo echo " internally; doc 3 is clean
+    val docs = Seq(
+      (1L, "AA shared phrase one BB echo echo echo echo CC"),
+      (2L, "xx shared phrase one yy"),
+      (3L, "completely unrelated text here"))
+    val g = SuffixArray.exactDupSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteSpans(docs, 8)
+    assert(g == want, s"got=$g want=$want")
+    assert(g.exists(_._1 == 1L) && g.exists(_._1 == 2L))
+    assert(!g.exists(_._1 == 3L), "clean doc must have no spans")
+  }
+
+  test("exactDupSpans: no duplicates → empty output") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "ijklmnop"))
+    assert(SuffixArray.exactDupSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 4).count() == 0)
+  }
+
   test("suffixes never cross document boundaries") {
     // if suffixes crossed, doc 1's tail "b"+doc2 text would out-rank "b"
     val docs = Seq((1L, "ab"), (2L, "aa"))
