@@ -24,6 +24,53 @@ import org.apache.spark.sql.functions._
   * distributed TakeOrdered — no global sort materialization. */
 object Mixture {
 
+  /** Weighted sampling WITHOUT replacement, one pass, no RNG — the
+    * Efraimidis–Spirakis A-ES reservoir (Inf. Proc. Letters 2006):
+    * each row draws a deterministic uniform u from the md5 of its id
+    * and competes on key = ln(u) / w; the k largest keys per stratum
+    * ARE a weighted-without-replacement sample (P(i first) = wᵢ/Σw,
+    * recursively). Replaces the two-pass "compute Σw, then
+    * rate-sample" scheme AND the full per-stratum sort.
+    *
+    * Scale shape: the per-stratum top-k runs on the bounded-heap
+    * `top_k_rows` aggregate, so every map task ships AT MOST k rows
+    * per stratum it saw (partial aggregation) — selection over 100 TB
+    * moves O(strata × k × mappers) rows through one exchange and
+    * sorts nothing. The window/row_number formulation this replaces
+    * shuffles the ENTIRE corpus to its stratum partition first; the
+    * oracle replays exactly that formulation in DuckDB, which is the
+    * point — same answer, quadratically different movement.
+    *
+    * Determinism: u = (52-bit md5 prefix + 0.5) / 2⁵² ∈ (0,1) — both
+    * engines evaluate the identical IEEE-double expression (same
+    * libm), and the ordering key is quantized to a LONG (×10¹⁰,
+    * doc-id tiebreak) so the cross-engine total order is exact.
+    *
+    * @param weight strictly-positive sampling weight column (e.g.
+    *               document length, a quality score) */
+  def weightedReservoir(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "weightedReservoir: k must be positive")
+    import graft.functions.HashFunctions.top_k_rows
+    val u = (expr(s"cast(conv(substr(md5(cast($idCol as string)), 1, 13), 16, 10) as bigint)")
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val key = log(u) / weight.cast("double")
+    val ord = round(key * lit(1e10)).cast("long") * lit(1000000L) -
+      col(idCol).cast("long")
+    df.select(col(stratumCol).as("stratum"),
+        struct(ord.as("ord"), col(idCol).cast("long").as("id"),
+          round(key, 6).as("key6")).as("s"))
+      .groupBy("stratum")
+      .agg(top_k_rows(col("s"), k).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("r.id").as("id"), col("r.key6").as("key6"))
+  }
+
   def interleave(
       df: DataFrame,
       sourceCol: String,

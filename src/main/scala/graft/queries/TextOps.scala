@@ -3406,10 +3406,40 @@ object TextOps {
             FROM i GROUP BY doc_id, island
             ORDER BY doc_id, span_start"""))
 
+  // Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+  // per source, weight = document length — selection runs on the
+  // bounded-heap top_k_rows aggregate (≤ k rows per source per map
+  // task cross one exchange, no sort), while the oracle replays the
+  // full-shuffle window formulation the aggregate replaces. The
+  // md5-derived uniform and the ×10¹⁰ LONG quantization of
+  // ln(u)/w make the cross-engine order exact (same libm doubles).
+  private val t82 = GraftQuery(
+    "t82_weighted_reservoir",
+    (s, dir) => {
+      graft.operators.Mixture.weightedReservoir(
+          docs(s, dir), "doc_id", "source",
+          weight = greatest(length(col("text")), lit(1)), k = 5)
+        .select(col("stratum").as("source"), col("rank"),
+          col("id").as("doc_id"), col("key6"))
+        .orderBy("source", "rank")
+    },
+    Some("""WITH u AS (SELECT doc_id, source,
+                 (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) + 0.5) / 4503599627370496.0 AS u,
+                 greatest(length(text), 1) AS w FROM documents),
+             kx AS (SELECT doc_id, source, ln(u) / w AS key,
+                 CAST(round(ln(u) / w * 1e10) AS BIGINT) * 1000000 - doc_id
+                   AS ord FROM u)
+            SELECT source, CAST(rnk AS INT) AS rank, doc_id,
+              round(key, 6) AS key6
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY ord DESC) AS rnk FROM kx)
+            WHERE rnk <= 5 ORDER BY source, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82)
 }

@@ -53,4 +53,54 @@ class MixtureSpec extends SparkTestBase {
     // uniform share 0.5 of 50 docs = 25 wanted from a 10-doc source → capped
     assert(t100("small")._2 == 1.0, s"oversubscribed source must cap at 1.0: $t100")
   }
+
+  private def mkWeighted = (1 to 200).map { i =>
+    // one heavy item per stratum (weight 10000 vs 1) — A-ES must
+    // essentially always select it
+    val w = if (i % 100 == 7) 10000.0 else 1.0
+    (i.toLong, if (i % 2 == 0) "a" else "b", w)
+  }.toDF("doc_id", "src", "w")
+
+  test("weightedReservoir matches the window/row_number formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = mkWeighted
+    val fast = Mixture.weightedReservoir(df, "doc_id", "src", col("w"), k = 7)
+      .orderBy("stratum", "rank").collect().map(_.toSeq).toSeq
+    val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val ord = (round(log(u) / col("w") * lit(1e10)).cast("long") * 1000000L -
+      col("doc_id"))
+    val slow = df
+      .withColumn("key6", round(log(u) / col("w"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(ord.desc)))
+      .filter(col("rank") <= 7)
+      .select(col("src"), col("rank"), col("doc_id"), col("key6"))
+      .orderBy("src", "rank").collect().map(_.toSeq).toSeq
+    assert(fast == slow)
+  }
+
+  test("weightedReservoir favors heavy weights and samples without replacement") {
+    val picked = Mixture.weightedReservoir(
+        mkWeighted, "doc_id", "src", org.apache.spark.sql.functions.col("w"),
+        k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    // without replacement: no id twice
+    assert(picked.map(_._2).distinct.length == picked.length)
+    assert(picked.length == 10) // 5 per stratum
+    // the weight-10000 item of each stratum (ids 7 and 107... 7 is odd → "b",
+    // 107 odd → "b"; both heavies land in "b") must be selected
+    val heavies = Seq(7L, 107L)
+    heavies.foreach { id =>
+      assert(picked.contains(("b", id)), s"heavy item $id not selected: $picked")
+    }
+  }
+
+  test("weightedReservoir rejects non-positive k") {
+    intercept[IllegalArgumentException] {
+      Mixture.weightedReservoir(mkWeighted, "doc_id", "src",
+        org.apache.spark.sql.functions.col("w"), k = 0)
+    }
+  }
 }
