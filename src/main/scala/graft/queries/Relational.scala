@@ -2116,11 +2116,40 @@ object Relational {
             FROM orders WHERE o_custkey < 100
             ORDER BY o_orderkey"""))
 
+  // Persisted-sketch incremental rollup (DataSketches HLL): per-day
+  // distinct-customer sketches union into months WITHOUT rescanning
+  // orders — the mergeable-summary discipline that answers any
+  // trailing window at 100 TB from KB-sized persisted rows. The
+  // month's exact distinct count is fully oracle-checked; the merged
+  // estimate is asserted into the HLL error envelope (±5%, lgK=14 ⇒
+  // ~0.8% RSE — and at these group sizes the sketch is still in its
+  // exact sparse mode) as a gate-fails-if-false boolean, since DuckDB
+  // cannot replay DataSketches binaries.
+  private val q72 = GraftQuery(
+    "q72_hll_sketch_rollup",
+    (s, dir) => {
+      import graft.operators.Sketch
+      val orders = t(s, dir, "orders")
+      val daily = Sketch.hllDailySketches(orders, col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyy-MM"), col("o_custkey"))
+      val exact = orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("rollup"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      Sketch.hllRollupEstimate(daily).join(exact, "rollup")
+        .select(col("rollup").as("month"), col("n_exact"),
+          (abs(col("est_distinct").cast("double") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("within_5pct"))
+        .orderBy("month")
+    },
+    Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+              count(DISTINCT o_custkey) AS n_exact, TRUE AS within_5pct
+            FROM orders GROUP BY month ORDER BY month"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

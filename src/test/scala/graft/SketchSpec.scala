@@ -144,4 +144,46 @@ class SketchSpec extends SparkTestBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  // ~40 days × 3 groups, user ids overlapping across days so the
+  // rollup distinct < sum of daily distincts (the case where a naive
+  // sum-of-counts rollup is WRONG and sketches earn their keep)
+  private def mkEvents = (1 to 4000).map { i =>
+    (i % 40, s"g${i % 3}", s"user_${i % 700}")
+  }.toDF("day", "grp", "user")
+
+  test("hll sketches survive parquet persistence: rollup from disk == in-plan rollup") {
+    val daily = Sketch.hllDailySketches(mkEvents,
+      col("day"), col("grp"), col("user"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val inPlan = Sketch.hllRollupEstimate(daily)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val fromDisk = Sketch.hllRollupEstimate(spark.read.parquet(dir))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inPlan == fromDisk,
+      s"persisted sketches must merge identically: $inPlan vs $fromDisk")
+  }
+
+  test("hll rollup estimate lands within the error envelope of the exact distinct") {
+    val events = mkEvents
+    val est = Sketch.hllRollupEstimate(Sketch.hllDailySketches(events,
+        col("day"), col("grp"), col("user")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = events.groupBy("grp")
+      .agg(countDistinct("user").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $g: est ${est(g)} vs exact $n")
+    }
+    // daily distincts overlap across days — the rollup must NOT be
+    // their sum (that's the bug mergeable sketches exist to prevent)
+    val naiveSum = Sketch.hllDailySketches(events,
+        col("day"), col("grp"), col("user"))
+      .groupBy("rollup").agg(sum("n_exact_grain").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (g, n) => assert(naiveSum(g) > n) }
+  }
 }
