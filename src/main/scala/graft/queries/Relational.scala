@@ -2145,11 +2145,52 @@ object Relational {
               count(DISTINCT o_custkey) AS n_exact, TRUE AS within_5pct
             FROM orders GROUP BY month ORDER BY month"""))
 
+  // k-hop reachability over the customer↔supplier co-purchase graph
+  // (nodes: custkey·2 / suppkey·2+1; undirected) — semi-naive BFS as
+  // a driver loop of frontier-only joins with per-hop lineage
+  // truncation (operators/Graph), the general recursive-graph-query
+  // execution shape. The oracle replays it as a DuckDB WITH RECURSIVE
+  // closure — same answer, but the recursive CTE re-derives the full
+  // reached set each round, which is exactly what the frontier/delta
+  // discipline avoids at scale.
+  private val q73 = GraftQuery(
+    "q73_khop_reachability",
+    (s, dir) => {
+      val e = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val undirected = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer").filter(col("c_custkey") < 3)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Graph.khopDistances(
+          undirected, "src", "dst", seeds, "node", maxHops = 3)
+        .select(col("node"), col("hops").cast("int").as("hops"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE
+            e AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+                    l.l_suppkey * 2 + 1 AS dst
+                  FROM orders o JOIN lineitem l
+                    ON l.l_orderkey = o.o_orderkey),
+            eb AS (SELECT src, dst FROM e
+                   UNION ALL SELECT dst, src FROM e),
+            r(node, d) AS (
+              SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey < 3
+              UNION
+              SELECT eb.dst, r.d + 1 FROM r JOIN eb ON eb.src = r.node
+              WHERE r.d < 3)
+            SELECT node, CAST(min(d) AS INT) AS hops
+            FROM r GROUP BY node ORDER BY node"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }
