@@ -39,6 +39,7 @@ object SqlDialect {
     s = rewriteListBrackets(s)
     s = rewriteDistinctOn(s)
     s = rewriteQualify(s)
+    s = rewriteDistinctWindowCount(s)
     // DuckDB SELECT-list unnest(arr) ≡ Spark explode(arr) (one output
     // row per element). The rename is position-blind: a simple
     // FROM-clause `unnest(array)` also becomes `explode(array)`, which
@@ -799,6 +800,67 @@ object SqlDialect {
 
   private def rewriteQualify(s: String): String =
     recurseParens(s)(qualifyTopLevel)
+
+  /** Quote-aware index of the ')' balancing the '(' at `open`. */
+  private def balancedClose(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var q = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) { if (c == '\'') q = false }
+      else if (c == '\'') q = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** DuckDB `count(DISTINCT e) OVER w` — Spark rejects DISTINCT in
+    * window aggregates outright — becomes `size(collect_set(e) OVER
+    * w)`: collect_set IS the distinct state per frame, so the
+    * semantics (including running ROWS frames) match exactly; NULLs
+    * are excluded by both, matching count(DISTINCT)'s contract. Only
+    * COUNT is transposed: sum/avg DISTINCT OVER have no
+    * set-arithmetic equivalent with portable types, and Spark's
+    * analysis error on those is the honest failure mode. Plain
+    * (non-window) count(DISTINCT …) is left alone — Spark handles it.
+    * Cost note: the rewrite carries the frame's distinct SET per row,
+    * the same state DuckDB maintains internally for the construct. */
+  private def rewriteDistinctWindowCount(s: String): String = {
+    val re = "(?is)\\bcount\\s*\\(\\s*distinct\\s".r
+    re.findAllMatchIn(s).toList.reverse.foldLeft(s) { (acc, m) =>
+      val open = acc.indexOf('(', m.start)
+      val close = balancedClose(acc, open)
+      if (close < 0) acc
+      else {
+        val expr = acc.substring(open + 1, close).trim
+          .replaceFirst("(?is)^distinct\\s+", "")
+        var j = close + 1
+        while (j < acc.length && acc.charAt(j).isWhitespace) j += 1
+        if (j + 4 > acc.length ||
+            !acc.substring(j, j + 4).equalsIgnoreCase("over")) acc
+        else {
+          var k = j + 4
+          while (k < acc.length && acc.charAt(k).isWhitespace) k += 1
+          val winEnd =
+            if (k < acc.length && acc.charAt(k) == '(') {
+              val wc = balancedClose(acc, k)
+              require(wc > 0, s"unbalanced OVER parens in: $acc")
+              wc + 1
+            } else {
+              var e = k
+              while (e < acc.length &&
+                (acc.charAt(e).isLetterOrDigit || acc.charAt(e) == '_')) e += 1
+              e
+            }
+          val win = acc.substring(k, winEnd)
+          acc.substring(0, m.start) +
+            s"size(collect_set($expr) OVER $win)" +
+            acc.substring(winEnd)
+        }
+      }
+    }
+  }
 
   /** DuckDB/Postgres `SELECT DISTINCT ON (k, …) cols FROM … ORDER BY
     * k, o` (keep the first row per key group under the query ordering)

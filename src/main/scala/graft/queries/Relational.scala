@@ -2186,11 +2186,38 @@ object Relational {
             SELECT node, CAST(min(d) AS INT) AS hops
             FROM r GROUP BY node ORDER BY node"""))
 
+  // DISTINCT window aggregate (`count(DISTINCT x) OVER …`) — DuckDB
+  // grammar Spark rejects outright; the dialect shim transposes it to
+  // `size(collect_set(x) OVER …)`, whose per-frame set state is the
+  // construct's own cost on any engine. Both the whole-partition and
+  // the running-frame form are exercised; the oracle runs the
+  // IDENTICAL untranslated text natively in DuckDB.
+  private val q74 = GraftQuery(
+    "q74_distinct_window_count",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders74")
+      s.sql(graft.engine.SqlDialect.translate(distinctOverSql
+        .replace("FROM orders", "FROM g_orders74")))
+    },
+    Some(distinctOverSql))
+
+  private lazy val distinctOverSql =
+    """SELECT o_custkey, o_orderkey,
+         CAST(count(DISTINCT o_orderpriority) OVER
+           (PARTITION BY o_custkey) AS BIGINT) AS n_pri_all,
+         CAST(count(DISTINCT o_orderpriority) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_pri_sofar
+       FROM orders WHERE o_custkey < 200
+       ORDER BY o_custkey, o_orderkey"""
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74)
 }

@@ -364,4 +364,33 @@ class SqlDialectSpec extends AnyFunSuite {
     val rr = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND r.a = r.b AND l.ts >= r.ts"
     assert(translate(rr).contains("ASOF"), translate(rr))
   }
+
+  test("count(DISTINCT) OVER becomes size(collect_set() OVER)") {
+    assert(translate(
+      "SELECT count(DISTINCT x) OVER (PARTITION BY g) FROM t") ==
+      "SELECT size(collect_set(x) OVER (PARTITION BY g)) FROM t")
+    // framed form, nested parens in the expression, CAST wrapper
+    assert(translate(
+      """SELECT CAST(count(DISTINCT coalesce(a, b)) OVER (PARTITION BY g
+        |ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) FROM t"""
+        .stripMargin).contains(
+      "CAST(size(collect_set(coalesce(a, b)) OVER (PARTITION BY g"))
+    // named window reference
+    assert(translate(
+      "SELECT count(DISTINCT x) OVER w FROM t WINDOW w AS (PARTITION BY g)")
+      .startsWith("SELECT size(collect_set(x) OVER w) FROM t"))
+    // two occurrences in one select list both rewrite
+    val two = translate(
+      "SELECT count(DISTINCT a) OVER (PARTITION BY g), count(DISTINCT b) OVER (PARTITION BY h) FROM t")
+    assert(two == "SELECT size(collect_set(a) OVER (PARTITION BY g)), " +
+      "size(collect_set(b) OVER (PARTITION BY h)) FROM t", two)
+  }
+
+  test("plain count(DISTINCT) without OVER is untouched") {
+    assert(translate("SELECT count(DISTINCT x) FROM t GROUP BY g") ==
+      "SELECT count(DISTINCT x) FROM t GROUP BY g")
+    // sum(DISTINCT) OVER is NOT transposed — Spark must fail loudly
+    assert(translate("SELECT sum(DISTINCT x) OVER (PARTITION BY g) FROM t")
+      .contains("sum(DISTINCT x) OVER"))
+  }
 }
