@@ -1014,6 +1014,76 @@ object Similarity {
         col("__t.unit_csv").as("unit_csv"))
   }
 
+  /** Per-dimension percentile-calibrated scalar quantization (the
+    * FAISS `ScalarQuantizer` QT_8bit discipline): ONE corpus pass
+    * learns each dimension's [p_lo, p_hi] envelope (exact
+    * percentiles), then every coordinate maps to
+    * `clamp(round((x−lo)/(hi−lo)·255), 0, 255)` — 1 byte/dim, 4×
+    * smaller than float32, robust to the per-dim outliers that blow
+    * up [[binarySignBits]]-style global scaling. Contrast with v07's
+    * per-VECTOR max-abs scale: calibration here is a per-CORPUS
+    * model, so codes are comparable ACROSS vectors (the property ADC
+    * scoring needs) and a single wild coordinate saturates instead of
+    * crushing the whole vector's resolution.
+    *
+    * Scale shape: the calibration aggregate is 64 tiny groups
+    * (posexplode → per-dim percentile — at 100 TB swap the exact
+    * percentile for t78's median/MAD or q68's histogram sketch, same
+    * plan shape); the calibrated bounds ride as ONE broadcast row and
+    * encoding is pure map. Determinism: bounds round to 6 decimals
+    * BEFORE encoding on both engines, so the quantization grid —
+    * not just the emitted bounds — is cross-engine exact; the
+    * remaining arithmetic is reproducible IEEE ops (÷, ×, round-half-
+    * away on non-negative values). */
+  def sq8Calibrated(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(dim >= 1 && pLo >= 0 && pHi <= 1 && pLo < pHi,
+      "sq8Calibrated: need 0 <= pLo < pHi <= 1")
+    val e = graft.queries.Tables.spread(emb).select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cal = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(expr(s"percentile(x, $pLo)"), 6).as("lo"),
+        round(expr(s"percentile(x, $pHi)"), 6).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          s => s("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          s => s("hi")).as("his"))
+    import graft.functions.TextFunctions.bound
+    e.crossJoin(broadcast(cal))
+      .select(col("vec_id"),
+        bound(transform(col("v"), (x, i) =>
+          bound(element_at(col("los"), i + 1)) { lo =>
+            bound(greatest(element_at(col("his"), i + 1) - lo, lit(1e-9))) {
+              w =>
+                least(greatest(round((x - lo) / w * 255.0, 0), lit(0.0)),
+                  lit(255.0)).cast("int")
+            }
+          })) { codes =>
+          struct(
+            array_join(codes, ",").as("code_csv"),
+            round(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+              (acc, ix) => {
+                val lo = element_at(col("los"), ix + 1)
+                val w = greatest(element_at(col("his"), ix + 1) - lo,
+                  lit(1e-9))
+                val rec = lo + element_at(codes, ix + 1).cast("double") /
+                  255.0 * w
+                acc + (rec - element_at(col("v"), ix + 1)) *
+                  (rec - element_at(col("v"), ix + 1))
+              }), 6).as("recon_err"))
+        }.as("__t"))
+      .select(col("vec_id"), col("__t.code_csv").as("code_csv"),
+        col("__t.recon_err").as("recon_err"))
+  }
+
   /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
     * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
     * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float

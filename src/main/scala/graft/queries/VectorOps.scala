@@ -1377,7 +1377,43 @@ object VectorOps {
              FROM vecs a JOIN vecs b ON a.source < b.source
              ORDER BY source_a, source_b"""))
 
+  // Per-dimension percentile-calibrated SQ8 (FAISS ScalarQuantizer
+  // QT_8bit): corpus-level [p01,p99] envelope per dimension → 1-byte
+  // codes comparable ACROSS vectors (v07's per-vector scale is not).
+  // Bounds round to 6dp BEFORE encoding on both engines, so the
+  // quantization grid itself is cross-engine exact; the oracle
+  // replays calibration + encode + reconstruction-error fold in SQL.
+  private val v33 = GraftQuery(
+    "v33_sq8_calibrated",
+    (s, dir) => {
+      Similarity.sq8Calibrated(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT i, round(quantile_cont(x, 0.01), 6) AS lo,
+                    round(quantile_cont(x, 0.99), 6) AS hi
+                  FROM (SELECT CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
+                          unnest(v) AS x FROM e)
+                  GROUP BY i),
+            cal AS (SELECT list(lo ORDER BY i) AS los,
+                      list(hi ORDER BY i) AS his FROM d),
+            q AS (SELECT vec_id, v, los, his,
+                    [CAST(least(greatest(round((v[i+1] - los[i+1]) /
+                       greatest(his[i+1] - los[i+1], 1e-9) * 255), 0), 255)
+                       AS INT) FOR i IN range(64)] AS codes
+                  FROM e CROSS JOIN cal),
+            r AS (SELECT vec_id, codes,
+                    [los[i+1] + codes[i+1] / 255.0 *
+                       greatest(his[i+1] - los[i+1], 1e-9) - v[i+1]
+                     FOR i IN range(64)] AS errs
+                  FROM q)
+            SELECT vec_id, array_to_string(codes, ',') AS code_csv,
+              round(list_sum(list_transform(errs, y -> y * y)), 6)
+                AS recon_err
+            FROM r ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33)
 }

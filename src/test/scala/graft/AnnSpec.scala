@@ -418,4 +418,34 @@ class AnnSpec extends SparkTestBase {
         s"query $q rank-1 should be its own exact match")
     }
   }
+
+  test("sq8Calibrated: codes bounded, outlier saturates without crushing other dims") {
+    import org.apache.spark.sql.functions._
+    // 40 well-behaved vectors in [-1,1]^4, plus one with a wild dim-0
+    val rnd = new scala.util.Random(7)
+    // enough mass that p99 excludes the single planted outlier
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val wild = (999L, Array(1e6.toFloat, 0.1f, 0.2f, 0.3f))
+    val df = (base :+ wild).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .sq8Calibrated(df, "vec_id", "embedding", dim = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val codes = out.map { case (id, csv, _) => id -> csv.split(",").map(_.toInt) }.toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // the wild coordinate clamps to the top code...
+    assert(codes(999L)(0) == 255)
+    // ...and the outlier vector's OTHER dims still quantize mid-range
+    // (per-vector max-abs scaling would have crushed them to ~0)
+    assert(codes(999L).drop(1).forall(c => c > 10 && c < 245),
+      s"non-outlier dims crushed: ${codes(999L).toSeq}")
+    // calibrated reconstruction stays tight inside the envelope; the
+    // few base vectors between p99 and the max clamp, so bound the
+    // 90th percentile rather than the max
+    val errs = out.filter(_._1 != 999L).map(_._3).sorted
+    assert(errs(errs.length * 9 / 10) < 0.01,
+      s"p90 recon err ${errs(errs.length * 9 / 10)}")
+  }
 }
