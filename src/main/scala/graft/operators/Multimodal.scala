@@ -851,6 +851,45 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate VIDEOS from shared keyframe signatures — the
+    * re-upload/re-encode screen of a video-corpus ingest: two videos
+    * are candidate duplicates when ≥ `minShared` of their sampled
+    * keyframes carry the same content signature (positional — the
+    * signature should bind frame content to its schedule slot, so
+    * shuffled re-edits don't alias).
+    *
+    * Scale shape: an inverted index keyed by frame signature — the
+    * t07 discipline applied to frames: one exchange of (sig,
+    * media_id), pairs generated only WITHIN a signature bucket, never
+    * all-pairs across videos. `maxSigFreq` drops signatures shared by
+    * more than that many videos (intro cards, logo stings, black
+    * frames — the boilerplate collapse that makes a signature bucket
+    * quadratic); dropped frames can't vote, so treat it as the same
+    * recall dial as t07's shingle cap.
+    *
+    * @param frames (media_id, frame_sig) — one row per sampled frame
+    * @return (id_a < id_b, n_shared) with n_shared ≥ minShared */
+  def keyframeNearDupPairs(
+      frames: DataFrame, minShared: Int,
+      maxSigFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    val f = frames.select(col("media_id"), col("frame_sig")).distinct()
+    val pruned = maxSigFreq match {
+      case Some(cap) =>
+        require(cap >= 2, "maxSigFreq < 2 would drop every shared frame")
+        f.withColumn("__n",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("frame_sig")))
+          .filter(col("__n") <= cap).drop("__n")
+      case None => f
+    }
+    pruned.as("x").join(pruned.as("y"), Seq("frame_sig"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Average-hash (aHash) perceptual fingerprint over REAL image
     * bytes: decode, downsample to an 8×8 grid of block means, set bit
     * j when block j's mean exceeds the global mean — the standard

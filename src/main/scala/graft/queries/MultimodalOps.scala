@@ -841,6 +841,63 @@ object MultimodalOps {
               CAST((doc_id * 7) % 60 AS INT) AS trail_trimmed
             FROM documents ORDER BY media_id"""))
 
+  // Video near-dup via shared keyframe signatures: 50 re-encoded
+  // copies (same REAL parsed MP4 container → same sample schedule;
+  // one frame perturbed) must pair with their originals at 7/8 shared
+  // signatures through the inverted-index join — never all-pairs.
+  // Frame CONTENT is the declared stub (the container carries no
+  // codec stream); the container parse, schedule arithmetic, and
+  // signature-bucket join are real and replayed exactly by the
+  // oracle.
+  private val m23 = GraftQuery(
+    "m23_video_keyframe_neardup",
+    (s, dir) => {
+      val base = Tables.spread(t(s, dir, "documents"))
+      val orig = Multimodal.synthesizeVideo(base, "doc_id")
+      val copies = Multimodal.synthesizeVideo(
+          base.filter(col("doc_id") < 50), "doc_id")
+        .withColumn("media_id", col("media_id") + lit(10000000L))
+      val meta = Multimodal.decodeVideoMeta(orig.unionByName(copies))
+      val frames = meta
+        .select(col("media_id"), col("duration_units"),
+          explode(sequence(lit(0), lit(7))).as("idx"))
+        .withColumn("su", expr("CAST(idx * duration_units DIV 8 AS BIGINT)"))
+        .withColumn("pat", when(col("media_id") >= 10000000L,
+          col("media_id") - 10000000L).otherwise(col("media_id")))
+        .withColumn("fv", when(
+          col("media_id") >= 10000000L && col("idx") === 0, lit(255))
+          .otherwise(expr("CAST(conv(substr(md5(concat(cast(pat AS string)," +
+            " '_f_', cast(idx AS string))), 1, 2), 16, 10) AS INT)")))
+        .select(col("media_id"), md5(concat_ws(":",
+          col("duration_units"), col("su"), col("fv"))).as("frame_sig"))
+      Multimodal.keyframeNearDupPairs(frames, minShared = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS media_id, doc_id AS pat,
+                FALSE AS perturbed FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+              WHERE doc_id < 50),
+            dims AS (SELECT media_id, pat, perturbed,
+                240 + (pat * 17) % 2400 AS dur FROM ids),
+            fr AS (SELECT media_id, pat, perturbed, dur,
+                CAST(gs.i AS INT) AS idx,
+                CAST(CAST(gs.i AS INT) * dur // 8 AS BIGINT) AS su
+              FROM dims, generate_series(0, 7) AS gs(i)),
+            fv AS (SELECT media_id, dur, su,
+                CASE WHEN perturbed AND idx = 0 THEN 255
+                  ELSE CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) ||
+                    '_f_' || CAST(idx AS VARCHAR)), 1, 2)) AS INT) END AS v
+              FROM fr),
+            sig AS (SELECT media_id,
+                md5(CAST(dur AS VARCHAR) || ':' || CAST(su AS VARCHAR) ||
+                  ':' || CAST(v AS VARCHAR)) AS fs FROM fv)
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+              count(*) AS n_shared
+            FROM sig a JOIN sig b
+              ON a.fs = b.fs AND a.media_id < b.media_id
+            GROUP BY 1, 2 HAVING count(*) >= 6 ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
 }

@@ -285,4 +285,34 @@ class MultimodalSpec extends SparkTestBase {
       .toDF("media_id", "kind", "content", "source")
     assert(Multimodal.borderStats(bad).count() == 0)
   }
+
+  test("keyframeNearDupPairs: shared-signature voting, boilerplate cap") {
+    import spark.implicits._
+    // video 1 & 2: 8 frames, 7 shared; video 3 disjoint except one
+    // "intro card" signature shared by ALL videos
+    def frames(id: Long, sigs: Seq[String]) = sigs.map(s => (id, s))
+    val data = (
+      frames(1L, (0 to 6).map(i => s"s$i") :+ "only1") ++
+      frames(2L, (0 to 6).map(i => s"s$i") :+ "only2") ++
+      frames(3L, (0 to 7).map(i => s"x$i"))
+    ).map { case (id, s) => (id, s) } ++
+      Seq((1L, "intro"), (2L, "intro"), (3L, "intro"))
+    val df = data.toDF("media_id", "frame_sig")
+
+    val pairs = Multimodal.keyframeNearDupPairs(df, minShared = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 8L))) // 7 content + shared intro
+
+    // capping the intro signature (freq 3 > cap 2) removes its vote
+    val capped = Multimodal.keyframeNearDupPairs(df, minShared = 6,
+        maxSigFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L, 7L)))
+
+    // duplicate frame rows never double-vote
+    val doubled = df.unionByName(df)
+    val dd = Multimodal.keyframeNearDupPairs(doubled, minShared = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dd == Set((1L, 2L, 8L)))
+  }
 }
