@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable corpus profiling — the algebraic-moments discipline that
+  * makes 100 TB statistics incremental: each shard/ingest batch
+  * reduces to one tiny row of EXACT integer moments (n, Σx, Σx²,
+  * min, max) per group, the rows persist, and any union of shards —
+  * a day, a source, the whole corpus — aggregates by simple addition
+  * without rescanning documents. The same contract as q72's HLL
+  * rollup, but for moments the merge is LOSSLESS: integer sums
+  * commute exactly, so merged mean/variance is bit-identical to a
+  * direct pass (the t83 gate proves it against an unsharded oracle).
+  *
+  * Floating point enters only in the last mile (two divisions per
+  * group), never in the mergeable state — the standard trick for
+  * cross-engine and cross-partitioning determinism. */
+object Profile {
+
+  /** One row of exact integer moments per (group, shard): the
+    * persistable partial state. `value` must be integral (cast first;
+    * lengths, token counts, cents). */
+  def momentShards(
+      df: DataFrame, groupCol: String, shard: Column,
+      value: Column): DataFrame =
+    df.select(col(groupCol).as("grp"), shard.as("shard"),
+        value.cast("long").as("x"))
+      .groupBy("grp", "shard")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        min("x").as("mn"), max("x").as("mx"))
+
+  /** Final per-group statistics from persisted partials: addition +
+    * two divisions. Population variance: (Σx² − (Σx)²/n)/n. */
+  def mergeMoments(partials: DataFrame): DataFrame =
+    partials.groupBy("grp")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+        min("mn").as("mn"), max("mx").as("mx"))
+      .select(col("grp"), col("n"), col("mn"), col("mx"),
+        round(col("s1").cast("double") / col("n"), 6).as("mean"),
+        round((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) / col("n"), 6)
+          .as("variance"))
+}

@@ -2212,6 +2212,49 @@ object Relational {
        FROM orders WHERE o_custkey < 200
        ORDER BY o_custkey, o_orderkey"""
 
+  // CDC apply: an I/U/D change feed (synthesized from orders — op by
+  // orderkey mod, payload from the order, orderkey as the total
+  // order) replayed onto the customer snapshot. Latest-change-wins,
+  // deletes drop keys, untouched keys pass through — the lakehouse
+  // "apply changes into" op. The window shuffles only the DELTA; the
+  // snapshot sees one anti-join + union (bucket the snapshot on the
+  // key and the big side stays exchange-free).
+  private val q75 = GraftQuery(
+    "q75_cdc_apply",
+    (s, dir) => {
+      val snapshot = t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val changes = t(s, dir, "orders").filter(col("o_orderkey") % 10 < 3)
+        .select(col("o_custkey").as("custkey"),
+          element_at(typedLit(Seq("U", "I", "D")),
+            (col("o_orderkey") % 3).cast("int") + 1).as("op"),
+          col("o_orderkey").as("seq"),
+          concat(lit("upd_"), col("o_orderkey")).as("name"),
+          round(col("o_totalprice"), 2).cast("double").as("bal"))
+      graft.operators.Cdc.applyChanges(snapshot, changes,
+          "custkey", "op", Seq("seq"))
+        .orderBy("custkey")
+    },
+    Some("""WITH ch AS (SELECT o_custkey AS custkey,
+                CASE o_orderkey % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'I'
+                  ELSE 'D' END AS op,
+                o_orderkey AS seq,
+                'upd_' || CAST(o_orderkey AS VARCHAR) AS name,
+                round(o_totalprice, 2)::DOUBLE AS bal
+              FROM orders WHERE o_orderkey % 10 < 3),
+            latest AS (SELECT * FROM (SELECT *, row_number()
+                OVER (PARTITION BY custkey ORDER BY seq DESC) AS rn
+              FROM ch) WHERE rn = 1)
+            SELECT custkey, name, bal FROM (
+              SELECT c.c_custkey AS custkey, c.c_name AS name,
+                round(c.c_acctbal, 2)::DOUBLE AS bal
+              FROM customer c LEFT JOIN latest l ON c.c_custkey = l.custkey
+              WHERE l.custkey IS NULL
+              UNION ALL
+              SELECT custkey, name, bal FROM latest WHERE op <> 'D')
+            ORDER BY custkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2219,5 +2262,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74)
+    q74, q75)
 }

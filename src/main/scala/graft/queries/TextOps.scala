@@ -3436,10 +3436,39 @@ object TextOps {
                     ORDER BY ord DESC) AS rnk FROM kx)
             WHERE rnk <= 5 ORDER BY source, rank"""))
 
+  // Mergeable corpus profile (exact integer moments per shard,
+  // merged by addition) — the Spark side shards doc lengths 4 ways,
+  // persval-style partials merge to per-source mean/variance; the
+  // oracle computes the UNSHARDED direct statistics. Equality IS the
+  // mergeability proof: integer moment sums commute exactly, so
+  // incremental profiling at 100 TB loses nothing (contrast q72,
+  // where the HLL merge is only estimate-stable).
+  private val t83 = GraftQuery(
+    "t83_mergeable_profile",
+    (s, dir) => {
+      graft.operators.Profile.mergeMoments(
+          graft.operators.Profile.momentShards(
+            docs(s, dir), "source",
+            pmod(col("doc_id"), lit(4)), length(col("text"))))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+    Some("""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(length(text)) AS BIGINT) AS s1,
+                CAST(sum(CAST(length(text) AS BIGINT) * length(text))
+                  AS BIGINT) AS s2,
+                min(length(text)) AS mn, max(length(text)) AS mx
+              FROM documents GROUP BY source)
+            SELECT source, n, mn, mx,
+              round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+              round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n, 6)
+                AS variance
+            FROM m ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83)
 }
