@@ -39,25 +39,33 @@ object Graph {
       seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "khopDistances: maxHops must be >= 0")
+    // pay the edge exchange ONCE: the cached relation's hash
+    // partitioning on src satisfies every hop's join requirement, so
+    // only the (small) frontier moves per iteration — without this
+    // the full edge table re-shuffles maxHops times
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    var reached = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct()
-      .withColumn("hops", lit(0))
-      .localCheckpoint()
-    var frontier = reached
-    var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
-      hop += 1
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(reached.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop))
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .persist()
+    try {
+      var reached = seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct()
+        .withColumn("hops", lit(0))
         .localCheckpoint()
-      reached = reached.unionByName(next).localCheckpoint()
-      frontier = next
-    }
-    reached
+      var frontier = reached
+      var hop = 0
+      while (hop < maxHops && !frontier.isEmpty) {
+        hop += 1
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select("node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(hop))
+          .localCheckpoint()
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      reached
+    } finally e.unpersist(blocking = false)
   }
 }
