@@ -45,4 +45,40 @@ object Redact {
       col(idCol),
       redactText(col(textCol)).as("redacted"),
       redactionCount(col(textCol)).as("n_redactions"))
+
+  /** 16-digit payment-card candidates. */
+  val CardCandPat = "\\b\\d{16}\\b"
+
+  /** Luhn checksum over a 16-digit string — the checksum-validation
+    * layer a bare regex lacks: any invoice/tracking/order number is a
+    * 16-digit run, but only ~1 in 10 passes Luhn, so validating
+    * candidates cuts the false-redaction rate by ~10× (redacting
+    * non-PII corrupts training text just like missing PII leaks it).
+    * For length 16 the doubled digits sit at even 0-based offsets;
+    * `2d − 9` folds the two-digit products. Pure integer fold —
+    * bit-identical in any engine. */
+  def luhnValid16(c: Column): Column =
+    aggregate(sequence(lit(0), lit(15)), lit(0),
+      (acc, i) => {
+        val d = c.substr(i + 1, lit(1)).cast("int")
+        acc + when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }) % 10 === 0
+
+  /** Replace every Luhn-VALID 16-digit candidate with `<CC>`; invalid
+    * candidates stay (they are not card numbers). Fold-of-replaces
+    * over the validated candidate list — still a pure map stage. */
+  def redactValidCards(text: Column): Column = {
+    import graft.functions.TextFunctions.bound
+    bound(filter(regexp_extract_all(text, lit(CardCandPat), lit(0)),
+        luhnValid16 _)) { valids =>
+      aggregate(valids, text, (acc, c) => replace(acc, c, lit("<CC>")))
+    }
+  }
+
+  /** Count of Luhn-valid candidates (the number of redactions
+    * [[redactValidCards]] performs, counting duplicates once each). */
+  def validCardCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CardCandPat), lit(0)),
+      luhnValid16 _))
 }

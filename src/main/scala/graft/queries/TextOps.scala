@@ -3465,10 +3465,70 @@ object TextOps {
                 AS variance
             FROM m ORDER BY source"""))
 
+  // Checksum-validated payment-card redaction: 16-digit candidates
+  // must pass the Luhn fold before they redact — planted VALID cards
+  // (one of four test PANs by doc_id) are replaced, planted
+  // last-digit-corrupted twins (checksum ≠ 0) survive untouched.
+  // This is the precision layer t13's pattern-only pass lacks: a
+  // false redaction corrupts training text just like a leak exposes
+  // it. Pure map stage; the oracle replays plant → extract → Luhn →
+  // fold-of-replaces in SQL.
+  private val t84 = GraftQuery(
+    "t84_luhn_card_redaction",
+    (s, dir) => {
+      val pans = array(lit("4532015112830366"), lit("4556737586899855"),
+        lit("5425233430109903"), lit("4916338506082832"))
+      val pan = element_at(pans, pmod(col("doc_id"), lit(4)).cast("int") + 1)
+      val inv = concat(substring(pan, 1, 15),
+        pmod(substring(pan, 16, 1).cast("int") + 1, lit(10)).cast("string"))
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" pay card "), pan))
+          .when(pmod(col("doc_id"), lit(11)) === 1,
+            concat(col("text"), lit(" order id "), inv))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          md5(graft.operators.Redact.redactValidCards(col("text"))
+            .cast("binary")).as("redacted_md5"),
+          graft.operators.Redact.validCardCount(col("text")).as("n_cc"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, text,
+                (['4532015112830366', '4556737586899855',
+                  '5425233430109903', '4916338506082832'])[doc_id % 4 + 1]
+                  AS pan FROM documents),
+            pl AS (SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN text || ' pay card ' || pan
+                  WHEN doc_id % 11 = 1 THEN text || ' order id ' ||
+                    substr(pan, 1, 15) ||
+                    CAST((CAST(substr(pan, 16, 1) AS INT) + 1) % 10 AS VARCHAR)
+                  ELSE text END AS text FROM p),
+            cand AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                '\b\d{16}\b')) AS c FROM pl),
+            lv AS (SELECT doc_id, c FROM cand
+              WHERE list_sum([CASE WHEN i % 2 = 0 THEN
+                  CASE WHEN CAST(substr(c, i + 1, 1) AS INT) * 2 > 9
+                    THEN CAST(substr(c, i + 1, 1) AS INT) * 2 - 9
+                    ELSE CAST(substr(c, i + 1, 1) AS INT) * 2 END
+                  ELSE CAST(substr(c, i + 1, 1) AS INT) END
+                FOR i IN range(16)]) % 10 = 0),
+            g AS (SELECT doc_id, list(c) AS valids, count(*) AS n_cc
+              FROM lv GROUP BY doc_id),
+            red AS (SELECT pl.doc_id,
+                list_reduce(list_prepend(pl.text,
+                  coalesce(g.valids, []::VARCHAR[])),
+                  (a, c) -> replace(a, c, '<CC>')) AS r,
+                coalesce(g.n_cc, 0) AS n_cc
+              FROM pl LEFT JOIN g USING (doc_id))
+            SELECT doc_id, md5(r) AS redacted_md5,
+              CAST(n_cc AS INT) AS n_cc
+            FROM red ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
-    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83)
+    t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
+    t84)
 }
