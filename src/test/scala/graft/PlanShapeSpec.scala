@@ -488,4 +488,43 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q71_window_exclude")
     assert(!p.contains("Join"), s"EXCLUDE must not self-join:\n$p")
   }
+
+  test("t82 weighted reservoir partially aggregates (no Window, no full sort)") {
+    val p = plan("t82_weighted_reservoir")
+    // the whole point vs the row_number formulation: selection happens
+    // in the bounded-heap aggregate with map-side combining
+    assert(p.contains("top_k_rows"), p)
+    assert(!p.contains("Window"), s"reservoir must not window-shuffle all rows:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q74 DISTINCT window transposition plans as collect_set windows") {
+    val p = plan("q74_distinct_window_count")
+    assert(p.contains("collect_set"), s"rewrite must reach the plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q75 CDC apply windows only the delta (window input is the change feed)") {
+    val p = plan("q75_cdc_apply")
+    // the latest-change window appears once per consuming branch
+    // (anti-join keys + upserts — both over the filtered ORDERS delta,
+    // each with a WindowGroupLimit top-1 prefilter); the CUSTOMER
+    // snapshot scan must never sit under a Window
+    assert("Window \\[row_number".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("WindowGroupLimit"), s"top-1 prefilter missing:\n$p")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("m23 keyframe near-dup joins on the signature bucket, never all-pairs") {
+    val p = plan("m23_video_keyframe_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v33 SQ8 calibration broadcasts the envelope (encode stays map-side)") {
+    val p = plan("v33_sq8_calibrated")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"calibration row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
