@@ -2255,6 +2255,46 @@ object Relational {
               SELECT custkey, name, bal FROM latest WHERE op <> 'D')
             ORDER BY custkey"""))
 
+  // Exponentially-weighted moving average per key — the ordered-fold
+  // time-series smoother (alerting baselines, trend dashboards).
+  // Implementation: ONE grouped aggregation collects each key's
+  // (day, cents) series, sort_array pins the fold order, and
+  // `aggregate` runs the α-recurrence — no per-row window state, one
+  // shuffle of pre-aggregated daily rows. α = 1/4 is exactly
+  // representable, cents are exact integers, and the fold order is
+  // total, so the double recurrence is bit-identical cross-engine.
+  // Series length per key is bounded (days), so the collected array
+  // is small by construction — this is NOT a collect of raw rows.
+  private val q76 = GraftQuery(
+    "q76_ewma_daily",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      daily.groupBy("pri")
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("series"))
+        .select(col("pri"), size(col("series")).as("n_days"),
+          round(aggregate(col("series"), lit(-1.0),
+            (acc, e) => when(acc === -1.0, e("cents").cast("double"))
+              .otherwise(e("cents").cast("double") * 0.25 + acc * 0.75)), 4)
+            .as("ewma_cents"))
+        .orderBy("pri")
+    },
+    Some("""WITH d AS (SELECT o_orderpriority AS pri,
+                CAST(o_orderdate AS DATE) AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY pri, day),
+            srt AS (SELECT pri, list(cents ORDER BY day) AS series
+              FROM d GROUP BY pri)
+            SELECT pri, CAST(len(series) AS INT) AS n_days,
+              round(list_reduce(list_transform(series,
+                  x -> CAST(x AS DOUBLE)),
+                (acc, x) -> x * 0.25 + acc * 0.75), 4) AS ewma_cents
+            FROM srt ORDER BY pri"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2262,5 +2302,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75)
+    q74, q75, q76)
 }
