@@ -2295,6 +2295,37 @@ object Relational {
                 (acc, x) -> x * 0.25 + acc * 0.75), 4) AS ewma_cents
             FROM srt ORDER BY pri"""))
 
+  // Incremental view maintenance: the orders⋈customer view is built
+  // as base-join ∪ the three delta terms (ΔL⋈R, L⋈ΔR, ΔL⋈ΔR — deltas
+  // broadcast, bases scanned once, base×base NEVER re-joined) and
+  // must equal the oracle's direct join of the full tables. The
+  // identity is what keeps a 100 TB materialized join current at
+  // ingest cost ∝ |Δ|, not |base|.
+  private val q77 = GraftQuery(
+    "q77_ivm_join_delta",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"))
+      val (lBase, lDelta) =
+        (o.filter(col("orderkey") % 5 =!= 4), o.filter(col("orderkey") % 5 === 4))
+      val (rBase, rDelta) =
+        (c.filter(col("custkey") % 7 =!= 6), c.filter(col("custkey") % 7 === 6))
+      graft.operators.Ivm.applyDelta(
+          lBase.join(rBase, Seq("custkey")),
+          graft.operators.Ivm.joinDelta(
+            lBase, lDelta, rBase, rDelta, Seq("custkey")))
+        .select(col("orderkey"), col("custkey"), col("name"), col("cents"))
+        .orderBy("orderkey")
+    },
+    Some("""SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              c_name AS name,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2302,5 +2333,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76)
+    q74, q75, q76, q77)
 }

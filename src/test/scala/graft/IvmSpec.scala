@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ivm
+
+class IvmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def l = (1 to 200).map(i => (i.toLong, i.toLong % 40)).toDF("id", "k")
+  private def r = (0 to 39).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "k", "v").collect().map(_.toSeq).toSet
+
+  test("delta identity: base join + joinDelta == direct join of updated tables, any split") {
+    val direct = rows(l.join(r, Seq("k")))
+    for (seed <- Seq(1, 7)) {
+      val lSplit = l.withColumn("d", pmod(hash(col("id") + seed), lit(3)) === 0)
+      val rSplit = r.withColumn("d", pmod(hash(col("k") * 31 + seed), lit(4)) === 0)
+      val (lb, ld) = (lSplit.filter(!col("d")).drop("d"),
+        lSplit.filter(col("d")).drop("d"))
+      val (rb, rd) = (rSplit.filter(!col("d")).drop("d"),
+        rSplit.filter(col("d")).drop("d"))
+      val got = rows(Ivm.applyDelta(lb.join(rb, Seq("k")),
+        Ivm.joinDelta(lb, ld, rb, rd, Seq("k"))))
+      assert(got == direct, s"seed=$seed")
+    }
+  }
+
+  test("empty deltas produce an empty view delta") {
+    val empty = l.limit(0)
+    val emptyR = r.limit(0)
+    assert(Ivm.joinDelta(l, empty, r, emptyR, Seq("k")).count() == 0)
+  }
+
+  test("delta terms broadcast (bases are never shuffled)") {
+    val ld = l.filter(col("id") < 5)
+    val rd = r.filter(col("k") < 2)
+    val p = Ivm.joinDelta(l, ld, r, rd, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"base side must not shuffle for a delta join:\n$p")
+  }
+}
