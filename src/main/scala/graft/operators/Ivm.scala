@@ -36,4 +36,35 @@ object Ivm {
   /** The maintained view after one cycle: previous view + delta. */
   def applyDelta(view: DataFrame, delta: DataFrame): DataFrame =
     view.unionByName(delta)
+
+  /** Grouped count/sum aggregate delta with RETRACTIONS: the change
+    * feed carries a multiplicity (+1 insert, −1 delete), so deletes
+    * subtract without ever touching base rows — the streaming-SQL
+    * retraction model in batch form. One aggregation of the DELTA
+    * only. */
+  def countSumDelta(
+      delta: DataFrame, keys: Seq[String],
+      multCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    delta.groupBy(keys.map(col): _*)
+      .agg(sum(col(multCol)).as("dn"),
+        sum(col(multCol) * col(valueCol)).as("dsum"))
+  }
+
+  /** Merge an aggregate view (keys, n, total) with a
+    * [[countSumDelta]] result. Groups whose count reaches zero
+    * DISAPPEAR (full retraction), and delta-only groups appear — a
+    * full-outer merge of two pre-aggregated (small) tables; the
+    * corpus-sized input was touched only by the delta aggregation. */
+  def applyCountSumDelta(view: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    view.join(deltaAgg, keys, "full_outer")
+      .select(
+        keys.map(col) ++ Seq(
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("total"), lit(0L)) +
+            coalesce(col("dsum"), lit(0L))).as("total")): _*)
+      .filter(col("n") > 0)
+  }
 }

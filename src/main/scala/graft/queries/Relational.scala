@@ -2326,6 +2326,93 @@ object Relational {
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY orderkey"""))
 
+  // Aggregate IVM with RETRACTIONS: the revenue-per-priority view is
+  // maintained by merging a ±1-multiplicity change feed's aggregate
+  // into the base aggregate — deletes subtract, fully-retracted
+  // groups vanish, and the base table is never re-aggregated. The
+  // oracle aggregates the FINAL multiset directly (base − deletes +
+  // inserts); equality proves the retraction algebra.
+  private val q78 = GraftQuery(
+    "q78_ivm_agg_retract",
+    (s, dir) => {
+      import graft.operators.Ivm
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("k") % 5 =!= 4)
+      val inserts = o.filter(col("k") % 5 === 4).withColumn("mult", lit(1L))
+      val deletes = base.filter(col("k") % 7 === 0).withColumn("mult", lit(-1L))
+      val view = base.groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+      Ivm.applyCountSumDelta(view,
+          Ivm.countSumDelta(inserts.unionByName(deletes),
+            Seq("pri"), "mult", "cents"),
+          Seq("pri"))
+        .orderBy("pri")
+    },
+    Some("""SELECT o_orderpriority AS pri,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total
+            FROM orders
+            WHERE NOT (o_orderkey % 5 <> 4 AND o_orderkey % 7 = 0)
+            GROUP BY pri ORDER BY pri"""))
+
+  // Referential-integrity audit over the declared FK edges — the
+  // data-quality constraint scan a lakehouse runs per ingest: orphan
+  // counts via anti-joins (each one shuffle on the FK, or
+  // broadcast when the parent key set is small), child/parent
+  // cardinality per edge. Zero orphans on consistent fixtures is the
+  // point: the gate FAILS if regeneration ever breaks integrity.
+  private val q79 = GraftQuery(
+    "q79_fk_integrity_audit",
+    (s, dir) => {
+      def audit(edge: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = child.select(col(fk).as("__k"))
+          .join(parent.select(col(pk).as("__k")), Seq("__k"), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(edge).as("edge"), col("n_child"), col("n_orphans"))
+      }
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      audit("lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("lineitem.suppkey->supplier", l, "l_suppkey",
+          su, "s_suppkey"))
+        .unionByName(audit("orders.custkey->customer", o, "o_custkey",
+          c, "c_custkey"))
+        .unionByName(audit("customer.nationkey->nation", c, "c_nationkey",
+          n, "n_nationkey"))
+        .orderBy("edge")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'lineitem.orderkey->orders' AS edge,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+              UNION ALL
+              SELECT 'lineitem.suppkey->supplier',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = l.l_suppkey))
+              UNION ALL
+              SELECT 'orders.custkey->customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'customer.nationkey->nation',
+                (SELECT count(*) FROM customer),
+                (SELECT count(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                    WHERE n.n_nationkey = c.c_nationkey)))
+            ORDER BY edge"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2333,5 +2420,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77)
+    q74, q75, q76, q77, q78, q79)
 }

@@ -3524,11 +3524,46 @@ object TextOps {
               CAST(n_cc AS INT) AS n_cc
             FROM red ORDER BY doc_id"""))
 
+  // Snapshot diff between two synthesized corpus versions (v2 drops
+  // the 7-mod-9 docs, adds the 8-mod-9 docs, edits the 0-mod-9 docs):
+  // digest-compare under a full-outer id join, unchanged majority
+  // filtered out. The added/changed/removed report is the feed for
+  // incremental reprocessing (q77/q78's Δ and q75's change feed).
+  private val t85 = GraftQuery(
+    "t85_snapshot_diff",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val before = d.filter(pmod(col("doc_id"), lit(9)) =!= 8)
+        .select(col("doc_id"), col("text"))
+      val after = d.filter(pmod(col("doc_id"), lit(9)) =!= 7)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.SnapshotDiff.diff(before, after, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
+              WHERE doc_id % 9 <> 8),
+            a AS (SELECT doc_id, md5(CASE WHEN doc_id % 9 = 0
+                THEN text || ' [edited]' ELSE text END) AS h
+              FROM documents WHERE doc_id % 9 <> 7)
+            SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+              CASE WHEN b.doc_id IS NULL THEN 'added'
+                WHEN a.doc_id IS NULL THEN 'removed'
+                WHEN b.h <> a.h THEN 'changed' END AS status
+            FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+            WHERE CASE WHEN b.doc_id IS NULL THEN 'added'
+                WHEN a.doc_id IS NULL THEN 'removed'
+                WHEN b.h <> a.h THEN 'changed' END IS NOT NULL
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84)
+    t84, t85)
 }

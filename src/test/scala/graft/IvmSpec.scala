@@ -33,6 +33,28 @@ class IvmSpec extends SparkTestBase {
     assert(Ivm.joinDelta(l, empty, r, emptyR, Seq("k")).count() == 0)
   }
 
+  test("aggregate retraction: deletes subtract, zeroed groups vanish, new groups appear") {
+    val view = Seq(("a", 3L, 30L), ("b", 1L, 10L)).toDF("k", "n", "total")
+    val feed = Seq(
+      ("a", -1L, 10L),  // delete one a-row worth 10
+      ("b", -1L, 10L),  // fully retract b
+      ("c", 1L, 7L), ("c", 1L, 8L) // brand-new group
+    ).toDF("k", "mult", "v")
+    val got = Ivm.applyCountSumDelta(view,
+        Ivm.countSumDelta(feed, Seq("k"), "mult", "v"), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 20L), ("c", 2L, 15L)))
+  }
+
+  test("snapshot diff reports added/removed/changed only") {
+    import graft.operators.SnapshotDiff
+    val before = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val after = Seq((1L, "x"), (2L, "Y!"), (4L, "w")).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(before, after, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
   test("delta terms broadcast (bases are never shuffled)") {
     val ld = l.filter(col("id") < 5)
     val rd = r.filter(col("k") < 2)
