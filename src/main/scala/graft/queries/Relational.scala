@@ -2413,6 +2413,57 @@ object Relational {
                     WHERE n.n_nationkey = c.c_nationkey)))
             ORDER BY edge"""))
 
+  // Incremental sessionization: a PERSISTED session table (built from
+  // two-thirds of the events) absorbs the remaining third as a
+  // late/backfill batch — new events extend sessions, bridge formerly
+  // separate sessions, or stand alone, all through one islands merge
+  // over session INTERVALS (one row per session, not per event).
+  // Gap-sessionization is an associative interval closure, so the
+  // result must equal the oracle's direct pass over the full log —
+  // which is exactly what the gate checks. Aggregates merge in exact
+  // integer cents (no float re-association).
+  private val q80 = GraftQuery(
+    "q80_incremental_sessionize",
+    (s, dir) => {
+      import graft.operators.IncrementalSessions
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      val existing = IncrementalSessions.sessionsOf(
+        ev.filter(col("event_id") % 3 =!= 0), "user_id", "ts", "cents", 1800L)
+      IncrementalSessions.incremental(existing,
+          ev.filter(col("event_id") % 3 === 0), "user_id", "ts", "cents",
+          1800L)
+        .select(col("key").as("user_id"), col("sess_id"), col("n_events"),
+          date_format(col("start_s").cast("timestamp"),
+            "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("end_s").cast("timestamp"),
+            "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("cents").as("sess_cents"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(floor(epoch(ts)) AS BIGINT) -
+                 CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+               FROM events),
+             f AS (SELECT user_id, event_id, ts, cents,
+                 CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+                   AS new_sess
+               FROM g),
+             sn AS (SELECT user_id, ts, cents,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess_id
+               FROM f)
+             SELECT user_id, sess_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+               CAST(sum(cents) AS BIGINT) AS sess_cents
+             FROM sn GROUP BY user_id, sess_id
+             ORDER BY user_id, sess_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2420,5 +2471,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79)
+    q74, q75, q76, q77, q78, q79, q80)
 }
