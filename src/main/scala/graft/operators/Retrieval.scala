@@ -64,6 +64,49 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "bm25", "n_terms_hit")
   }
 
+  /** Rocchio-style pseudo-relevance feedback: run BM25, treat the
+    * top `kFeedback` docs per query as relevant, mine their
+    * highest-tf·idf terms (minus the original query terms) as
+    * expansion terms, and re-run BM25 with the expanded query — the
+    * classic two-pass recall lever for sparse retrieval (Rocchio
+    * 1971 / RM3's deterministic core).
+    *
+    * Scale shape: the feedback set is |queries|×kFeedback doc ids
+    * (broadcast); candidate-term stats touch the corpus through ONE
+    * posting join keyed by the candidate vocabulary (broadcast — the
+    * union of a few docs' vocabularies), never a full-vocab
+    * aggregation. Both retrieval passes are [[bm25TopK]]'s bounded
+    * plan. Determinism: expansion scores round to 6 before the
+    * (score desc, term) selection, so the expanded query — and hence
+    * the whole second pass — is cross-engine exact. */
+  def rocchioBm25(
+      docsToks: DataFrame, queryTerms: DataFrame,
+      kFeedback: Int, nExpand: Int, k: Int): DataFrame = {
+    require(kFeedback >= 1 && nExpand >= 1 && k >= 1)
+    val fb = bm25TopK(docsToks, queryTerms, kFeedback)
+      .select("query_id", "doc_id")
+    val post = docsToks.select(col("doc_id"), explode(col("toks")).as("term"))
+    val cand = post.join(broadcast(fb), "doc_id")
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf_fb"))
+      .join(queryTerms, Seq("query_id", "term"), "left_anti")
+    val termSet = cand.select("term").distinct()
+    val dfreq = post.join(broadcast(termSet), "term")
+      .select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docsToks.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("escore").desc, col("term"))
+    val expansion = cand.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("escore", round(col("tf_fb") * log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nExpand)
+      .select("query_id", "term")
+    bm25TopK(docsToks,
+      queryTerms.select("query_id", "term").unionByName(expansion), k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
     * per-query rankings: score = Σ 1/(c + rank) over the lists a doc
     * appears in, re-ranked per query.

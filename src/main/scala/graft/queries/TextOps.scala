@@ -3559,11 +3559,93 @@ object TextOps {
                 WHEN b.h <> a.h THEN 'changed' END IS NOT NULL
             ORDER BY doc_id"""))
 
+  // Rocchio pseudo-relevance feedback: BM25 top-3 per query → mine
+  // the feedback docs' top-2 tf·idf terms (original terms excluded,
+  // scores rounded BEFORE selection) → re-run BM25 with the expanded
+  // query. The oracle replays BOTH retrieval passes and the expansion
+  // mining in SQL — the full two-pass chain is hash-checked.
+  private val t86 = GraftQuery(
+    "t86_rocchio_prf",
+    (s, dir) => {
+      import s.implicits._
+      val qt = Seq(
+        (1, "spark"), (1, "join"), (1, "fast"),
+        (2, "filter"), (2, "scan"),
+        (3, "window"), (3, "merge"), (3, "sort"))
+        .toDF("query_id", "term")
+      val withToks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      graft.operators.Retrieval.rocchioBm25(withToks, qt,
+          kFeedback = 3, nExpand = 2, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH qt AS (SELECT * FROM (VALUES
+               (1, 'spark'), (1, 'join'), (1, 'fast'),
+               (2, 'filter'), (2, 'scan'),
+               (3, 'window'), (3, 'merge'), (3, 'sort')) v(query_id, term)),
+             tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+             corpus AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             post AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             tf1 AS (SELECT query_id, term, doc_id, count(*) AS tf
+               FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
+             df1 AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tf1 GROUP BY term),
+             st1 AS (SELECT query_id, doc_id, term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sv
+               FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN corpus),
+             sc1 AS (SELECT query_id, doc_id,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(sv ORDER BY term)), (a, b) -> a + b), 4) AS bm25
+               FROM st1 GROUP BY 1, 2),
+             fb AS (SELECT query_id, doc_id FROM (
+                 SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+                 FROM sc1) WHERE rank <= 3),
+             candtf AS (SELECT query_id, term, count(*) AS tf_fb
+               FROM post JOIN fb USING (doc_id) GROUP BY 1, 2),
+             cand AS (SELECT c.query_id, c.term, c.tf_fb FROM candtf c
+               WHERE NOT EXISTS (SELECT 1 FROM qt
+                 WHERE qt.query_id = c.query_id AND qt.term = c.term)),
+             cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+               WHERE term IN (SELECT term FROM cand) GROUP BY term),
+             esc AS (SELECT query_id, cand.term,
+                 round(tf_fb * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                   AS escore
+               FROM cand JOIN cdf USING (term) CROSS JOIN corpus),
+             ex AS (SELECT query_id, term FROM (SELECT query_id, term,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY escore DESC, term) AS r FROM esc) WHERE r <= 2),
+             qx AS (SELECT query_id, term FROM qt
+               UNION ALL SELECT query_id, term FROM ex),
+             tf2 AS (SELECT query_id, term, doc_id, count(*) AS tf
+               FROM post JOIN qx USING (term) GROUP BY 1, 2, 3),
+             df2 AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tf2 GROUP BY term),
+             st2 AS (SELECT query_id, doc_id, term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sv
+               FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN corpus),
+             sc2 AS (SELECT query_id, doc_id,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(sv ORDER BY term)), (a, b) -> a + b), 4) AS bm25,
+                 count(*) AS n_terms_hit
+               FROM st2 GROUP BY 1, 2),
+             r2 AS (SELECT query_id, doc_id, bm25, n_terms_hit,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS rank FROM sc2)
+             SELECT query_id, rank, doc_id, bm25, n_terms_hit
+             FROM r2 WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85)
+    t84, t85, t86)
 }

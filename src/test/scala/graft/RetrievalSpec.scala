@@ -88,4 +88,30 @@ class RetrievalSpec extends SparkTestBase {
     // cluster nodes absorb the outlier's outbound mass → all above 1's floor
     assert(Seq(0L, 1L, 2L).forall(id => pr(id) > 0.15))
   }
+
+  test("rocchioBm25 recalls a synonym-only doc the literal query misses") {
+    import graft.operators.Retrieval
+    // docs about "spark": feedback docs pair the query term with
+    // "cluster"; doc 4 says only "cluster" — invisible to the literal
+    // query, reachable after expansion
+    val docsToks = Seq(
+      (1L, Seq("spark", "cluster", "cluster", "cluster", "engine")),
+      (2L, Seq("spark", "cluster", "cluster", "cluster", "jobs")),
+      (3L, Seq("spark", "cluster", "cluster", "cluster", "fast")),
+      (4L, Seq("cluster", "cluster", "compute")),
+      (5L, Seq("database", "rows", "tables")),
+      (6L, Seq("weather", "rain", "sun"))
+    ).toDF("doc_id", "toks")
+    val qt = Seq((1, "spark")).toDF("query_id", "term")
+    val literal = Retrieval.bm25TopK(docsToks, qt, 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(!literal.contains(4L))
+    val prf = Retrieval.rocchioBm25(docsToks, qt,
+        kFeedback = 3, nExpand = 1, k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(prf.contains(4L), s"expansion must recall doc 4: $prf")
+    // original query terms are never chosen as expansion terms, so
+    // the literal hits stay in the result
+    assert(literal.subsetOf(prf))
+  }
 }
