@@ -58,6 +58,61 @@ case class RollingHash64(child: Expression)
   * b set. Near-duplicate texts differ in few tokens → simhashes within
   * small Hamming distance. Single pass over the array, 64 counters on
   * the stack. */
+/** Content-defined chunk boundaries (the FastCDC/rsync discipline):
+  * cut wherever the rolling hash of the trailing `window` codepoints
+  * has its low `maskBits` bits zero — so boundaries derive from
+  * CONTENT, not offsets, and an edit only re-chunks its own
+  * neighborhood (every chunk before the edit keeps its hash — the
+  * property that makes chunk-level dedup/storage incremental, vs
+  * fixed windows where one inserted byte shifts every later chunk).
+  * Expected chunk length ≈ 2^maskBits codepoints.
+  *
+  * Returns the 1-based END offsets of each chunk (final offset =
+  * text length always included). Codepoint units and the t05 wrapping
+  * 64-bit polynomial keep the oracle replayable in DuckDB HUGEINT SQL
+  * (`ord(substr(…))` is codepoint-based, as is Spark's substring).
+  * Size bounds, when needed, compose downstream: post-split long
+  * chunks with fixed windows (t25), merge runts — both deterministic.
+  * Pure map stage. */
+case class CdcChunks(child: Expression, maskBits: Int, window: Int)
+    extends UnaryExpression with codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  require(maskBits >= 1 && maskBits <= 32, "maskBits in [1,32]")
+  require(window >= 2, "window must be >= 2")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  private val mask: Long = (1L << maskBits) - 1L
+  // 31^window mod 2^64 — Long multiplication wraps, matching the
+  // oracle's HUGEINT "% 2^64" reduction
+  private val powW: Long = {
+    var p = 1L; var i = 0
+    while (i < window) { p *= 31L; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = h * 31L + cps(i)
+      if (i >= window) h -= cps(i - window) * powW
+      // full window and masked bits zero → cut AFTER codepoint i
+      if (i >= window - 1 && (h & mask) == 0L && i + 1 < n) ends += (i + 1)
+      i += 1
+    }
+    if (n > 0) ends += n
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ends.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -503,6 +558,8 @@ case class NfcNormalize(child: Expression)
 object HashFunctions {
   import Bridge.{column => asCol, expression => asExpr}
   def rolling_hash64(c: Column): Column = asCol(RollingHash64(asExpr(c)))
+  def cdc_chunks(c: Column, maskBits: Int, window: Int): Column =
+    asCol(CdcChunks(asExpr(c), maskBits, window))
   def nfc_normalize(c: Column): Column = asCol(NfcNormalize(asExpr(c)))
   def simhash64(hashedTokens: Column): Column = asCol(SimHash64(asExpr(hashedTokens)))
   def vec_dot(a: Column, b: Column): Column = asCol(VecDot(asExpr(a), asExpr(b)))

@@ -3641,11 +3641,70 @@ object TextOps {
              SELECT query_id, rank, doc_id, bm25, n_terms_hit
              FROM r2 WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Content-defined chunking (FastCDC/rsync discipline, native
+  // `CdcChunks` expression): cut where the trailing-16-codepoint
+  // rolling hash has its low 6 bits zero (~64-char expected chunks) —
+  // boundaries derive from content, so an edit re-chunks only its own
+  // neighborhood (CdcSpec-class stability proven in
+  // HashExpressionsSpec). The oracle recomputes every window hash in
+  // HUGEINT SQL (t05's wrapping 64-bit polynomial, codepoint units)
+  // and replays cut selection + chunk digests exactly.
+  private val t87 = GraftQuery(
+    "t87_cdc_chunking",
+    (s, dir) => {
+      import graft.functions.HashFunctions.cdc_chunks
+      docs(s, dir)
+        .select(col("doc_id"), normalizeText(col("text")).as("t"))
+        .withColumn("ends", cdc_chunks(col("t"), 6, 16))
+        .select(col("doc_id"), col("t"), col("ends"),
+          posexplode(col("ends")).as(Seq("i0", "end")))
+        .select(col("doc_id"), (col("i0") + 1).cast("int").as("idx"),
+          when(col("i0") === 0, lit(1))
+            .otherwise(element_at(col("ends"), col("i0")) + 1).as("start"),
+          col("end"), col("t"))
+        .select(col("doc_id"), col("idx"), col("start"), col("end"),
+          md5(expr("substring(t, start, end - start + 1)").cast("binary"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "idx")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+            pw AS (SELECT [1, 31, 961, 29791, 923521, 28629151,
+                887503681, 27512614111, 852891037441, 26439622160671,
+                819628286980801, 25408476896404831, 787662783788549761,
+                5970802223735490975, 627428198704704065,
+                1003530086136274399]::HUGEINT[] AS p),
+            c AS (SELECT doc_id, t, length(t) AS len,
+                [CAST(i AS INT) FOR i IN range(16, length(t) + 1)
+                 IF i < length(t) AND
+                   list_sum([(CAST(ord(substr(t, CAST(i - k AS INT), 1))
+                       AS HUGEINT) * p[k + 1]) % 18446744073709551616
+                     FOR k IN range(16)]) % 64 = 0] AS cuts
+              FROM d CROSS JOIN pw),
+            en AS (SELECT doc_id, t,
+                CASE WHEN len > 0
+                  THEN list_append(cuts, CAST(len AS INT))
+                  ELSE []::INT[] END AS ends
+              FROM c),
+            ex AS (SELECT doc_id, t, ends,
+                CAST(generate_subscripts(ends, 1) AS INT) AS idx,
+                unnest(ends) AS e
+              FROM en)
+            SELECT doc_id, idx,
+              CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END AS start,
+              e AS "end",
+              md5(substr(t, CASE WHEN idx = 1 THEN 1
+                ELSE ends[idx - 1] + 1 END,
+                e - (CASE WHEN idx = 1 THEN 1
+                  ELSE ends[idx - 1] + 1 END) + 1)) AS chunk_md5
+            FROM ex ORDER BY doc_id, idx"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86)
+    t84, t85, t86, t87)
 }

@@ -91,4 +91,52 @@ class HashExpressionsSpec extends SparkTestBase {
       .eval(null).toString
     assert(interp == composed)
   }
+
+  private def chunksOf(s: String): Seq[(Int, Int, String)] = {
+    val ends = Seq(s).toDF("t")
+      .select(cdc_chunks(col("t"), 6, 16).as("e"))
+      .collect()(0).getSeq[Int](0)
+    ends.scanLeft(0)((_, e) => e).zip(ends).map { case (st, e) =>
+      (st + 1, e, s.substring(st, e))
+    }
+  }
+
+  test("cdc_chunks: ends are increasing, cover the text, ~2^6 expected length") {
+    val rnd = new scala.util.Random(17)
+    val text = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val ch = chunksOf(text)
+    assert(ch.map(_._2) == ch.map(_._2).sorted.distinct)
+    assert(ch.last._2 == text.length)
+    assert(ch.map(_._3).mkString == text)
+    val avg = text.length.toDouble / ch.length
+    assert(avg > 16 && avg < 256, s"avg chunk $avg")
+  }
+
+  test("cdc_chunks: a tail edit leaves every earlier chunk digest unchanged") {
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base + " trailing edit appended here"
+    val (a, b) = (chunksOf(base).map(_._3), chunksOf(edited).map(_._3))
+    // all but the last base chunk survive the edit byte-for-byte —
+    // the property fixed-size windows cannot have
+    assert(a.dropRight(1) == b.take(a.length - 1),
+      s"${a.length} vs ${b.length} chunks")
+  }
+
+  test("cdc_chunks: a HEAD edit re-syncs after a bounded neighborhood") {
+    val rnd = new scala.util.Random(29)
+    val base = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "inserted-prefix " + base
+    val (a, b) = (chunksOf(base).map(_._3).toSet, chunksOf(edited).map(_._3).toSet)
+    // boundaries are content-local: the vast majority of chunks are
+    // shared even though every offset shifted
+    val shared = (a & b).size.toDouble / a.size
+    assert(shared > 0.8, s"shared=$shared (${a.size} base chunks)")
+  }
+
+  test("cdc_chunks edge cases: empty, shorter than window, no cut points") {
+    assert(chunksOf("").isEmpty)
+    val tiny = chunksOf("abc")
+    assert(tiny == Seq((1, 3, "abc")))
+  }
 }
