@@ -24,7 +24,7 @@ import graft.functions._
   * regardless of how the session was constructed.
   *
   * Registered: word_shingles(text, n), minhash_sig(shingles, k, seed),
-  * simhash64(hashedTokens), rolling_hash64(text), nfc_normalize(text),
+  * simhash64(hashedTokens), rolling_hash64(text), cdc_chunks(text, maskBits, window), nfc_normalize(text),
   * vec_dot(a, b), text_stats(text), rep_stats(text), lang_id(text),
   * duck_extract(col, key),
   * hyperplane_bands(vec, dim, bands, rowsPerBand, seed),
@@ -74,6 +74,12 @@ object GraftExtensions {
       require(args.length == 1, "rolling_hash64(text)")
       RollingHash64(args.head)
     }),
+    ("cdc_chunks", "cdc_chunks(text, maskBits, window)",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cdc_chunks(text, maskBits, window)")
+        CdcChunks(args.head, intLit(args(1), "maskBits"),
+          intLit(args(2), "window"))
+      }),
     ("nfc_normalize", "nfc_normalize(text)", (args: Seq[Expression]) => {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
