@@ -3700,11 +3700,75 @@ object TextOps {
                   ELSE ends[idx - 1] + 1 END) + 1)) AS chunk_md5
             FROM ex ORDER BY doc_id, idx"""))
 
+  // Chunk-store dedup ratio — WHY content-defined chunking exists:
+  // identical passages land in identical chunks wherever they sit, so
+  // chunk-level dedup recovers cross-document redundancy that
+  // whole-doc hashing (t06) misses and fixed windows fragment. Per
+  // source: total vs distinct chunk digests and the dedup ratio; the
+  // corpus-wide duplicated-chunk count. One md5-keyed shuffle over
+  // chunk digests (16 B/chunk — never text).
+  private val t88 = GraftQuery(
+    "t88_cdc_chunk_dedup",
+    (s, dir) => {
+      import graft.functions.HashFunctions.cdc_chunks
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          normalizeText(col("text")).as("t"))
+        .withColumn("ends", cdc_chunks(col("t"), 6, 16))
+        .select(col("source"), col("t"), col("ends"),
+          posexplode(col("ends")).as(Seq("i0", "end")))
+        .select(col("source"),
+          md5(expr("substring(t, CASE WHEN i0 = 0 THEN 1 ELSE ends[i0 - 1] + 1 END, " +
+            "end - (CASE WHEN i0 = 0 THEN 1 ELSE ends[i0 - 1] + 1 END) + 1)")
+            .cast("binary")).as("h"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct"))
+        .withColumn("dedup_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+            pw AS (SELECT [1, 31, 961, 29791, 923521, 28629151,
+                887503681, 27512614111, 852891037441, 26439622160671,
+                819628286980801, 25408476896404831, 787662783788549761,
+                5970802223735490975, 627428198704704065,
+                1003530086136274399]::HUGEINT[] AS p),
+            c AS (SELECT doc_id, source, t, length(t) AS len,
+                [CAST(i AS INT) FOR i IN range(16, length(t) + 1)
+                 IF i < length(t) AND
+                   list_sum([(CAST(ord(substr(t, CAST(i - k AS INT), 1))
+                       AS HUGEINT) * p[k + 1]) % 18446744073709551616
+                     FOR k IN range(16)]) % 64 = 0] AS cuts
+              FROM d CROSS JOIN pw),
+            en AS (SELECT doc_id, source, t,
+                CASE WHEN len > 0
+                  THEN list_append(cuts, CAST(len AS INT))
+                  ELSE []::INT[] END AS ends
+              FROM c),
+            ex AS (SELECT source, t, ends,
+                CAST(generate_subscripts(ends, 1) AS INT) AS idx,
+                unnest(ends) AS e
+              FROM en),
+            ch AS (SELECT source,
+                md5(substr(t, CASE WHEN idx = 1 THEN 1
+                  ELSE ends[idx - 1] + 1 END,
+                  e - (CASE WHEN idx = 1 THEN 1
+                    ELSE ends[idx - 1] + 1 END) + 1)) AS h
+              FROM ex)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+              round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+                AS dedup_ratio
+            FROM ch GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87)
+    t84, t85, t86, t87, t88)
 }
