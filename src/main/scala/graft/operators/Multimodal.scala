@@ -851,6 +851,103 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Splice a PNG `tEXt` metadata chunk (key\0value + CRC32 over
+    * type+data, per the PNG spec) into [[renderBlockPng]]'s bytes,
+    * right after IHDR — REAL container surgery, so the m24 parse has
+    * an honest round-trip to prove (including CRC verification). */
+  private[graft] def pngWithText(
+      patternId: Long, key: String, value: String): Array[Byte] = {
+    val base = renderBlockPng(patternId, None)
+    // 8-byte signature + IHDR chunk (4 len + 4 type + 13 data + 4 crc)
+    val insertAt = 8 + 25
+    val data = (key + "\u0000" + value).getBytes("ISO-8859-1")
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length)
+    chunk.put("tEXt".getBytes("US-ASCII"))
+    chunk.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII"))
+    crc.update(data)
+    chunk.putInt(crc.getValue.toInt)
+    val out = new Array[Byte](base.length + chunk.capacity())
+    System.arraycopy(base, 0, out, 0, insertAt)
+    System.arraycopy(chunk.array(), 0, out, insertAt, chunk.capacity())
+    System.arraycopy(base, insertAt, out, insertAt + chunk.capacity(),
+      base.length - insertAt)
+    out
+  }
+
+  /** Media rows whose PNG bytes carry an id-derived `tEXt` comment. */
+  def synthesizeImagesWithText(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val v = s"src=${id % 7};gen=${id * 31 % 1000}"
+          Row(id, "image", pngWithText(id, "Comment", v), "synthetic-png-text")
+        }
+      }(enc)
+  }
+
+  /** Parse every `tEXt` chunk out of real PNG bytes by walking the
+    * chunk list (signature check, length-prefixed chunks, CRC32
+    * re-verified per the spec) — the metadata-extraction pass of an
+    * image-corpus ingest (provenance tags, capture software, license
+    * strings ride in `tEXt`). Output one row per chunk: (media_id,
+    * key, value, crc_ok). Malformed bytes yield no row (the decode
+    * passes' shared DLQ contract). Pure map stage. */
+  def pngTextChunks(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("key", StringType, nullable = true),
+      StructField("value", StringType, nullable = true),
+      StructField("crc_ok", BooleanType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.length < 8 || !b.take(8).sameElements(sig)) Nil
+          else {
+            val bb = java.nio.ByteBuffer.wrap(b)
+            bb.position(8)
+            val out = scala.collection.mutable.ListBuffer.empty[Row]
+            var ok = true
+            while (ok && bb.remaining() >= 12) {
+              val len = bb.getInt
+              if (len < 0 || bb.remaining() < len + 8) ok = false
+              else {
+                val tpe = new Array[Byte](4); bb.get(tpe)
+                val data = new Array[Byte](len); bb.get(data)
+                val crcStored = bb.getInt
+                if (new String(tpe, "US-ASCII") == "tEXt") {
+                  val crc = new java.util.zip.CRC32()
+                  crc.update(tpe); crc.update(data)
+                  val s = new String(data, "ISO-8859-1")
+                  val nul = s.indexOf('\u0000')
+                  val (k, v) =
+                    if (nul >= 0) (s.substring(0, nul), s.substring(nul + 1))
+                    else (s, "")
+                  out += Row(id, k, v, crc.getValue.toInt == crcStored)
+                }
+              }
+            }
+            out.toList
+          }
+        }
+      }(enc)
+  }
+
   /** Near-duplicate VIDEOS from shared keyframe signatures — the
     * re-upload/re-encode screen of a video-corpus ingest: two videos
     * are candidate duplicates when ≥ `minShared` of their sampled

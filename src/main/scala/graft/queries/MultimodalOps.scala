@@ -898,6 +898,28 @@ object MultimodalOps {
               ON a.fs = b.fs AND a.media_id < b.media_id
             GROUP BY 1, 2 HAVING count(*) >= 6 ORDER BY id_a, id_b"""))
 
+  // PNG textual metadata: an id-derived `tEXt` chunk is SPLICED into
+  // the real PNG bytes (length-prefixed chunk + CRC32, per spec) and
+  // recovered by walking the container's chunk list with CRC
+  // re-verification — the provenance/license metadata pass of an
+  // image ingest. The oracle regenerates the embedded key/value from
+  // the id and asserts crc_ok, proving splice → parse round-trips
+  // through real bytes.
+  private val m24 = GraftQuery(
+    "m24_png_text_metadata",
+    (s, dir) => {
+      Multimodal.pngTextChunks(
+          Multimodal.synthesizeImagesWithText(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 'Comment' AS "key",
+              'src=' || CAST(doc_id % 7 AS VARCHAR) || ';gen=' ||
+                CAST(doc_id * 31 % 1000 AS VARCHAR) AS "value",
+              TRUE AS crc_ok
+            FROM documents ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
+    m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
+    m24)
 }

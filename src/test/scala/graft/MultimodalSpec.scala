@@ -315,4 +315,29 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(dd == Set((1L, 2L, 8L)))
   }
+
+  test("pngWithText splice keeps the PNG decodable; parse verifies CRC") {
+    import spark.implicits._
+    val bytes = Multimodal.pngWithText(42L, "Comment", "hello world")
+    // the spliced container still decodes as an image
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 64 && img.getHeight == 64)
+    val rows = Multimodal.pngTextChunks(
+      Seq((42L, "image", bytes, "x")).toDF("media_id", "kind", "content", "source"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(1) == "Comment" &&
+      rows(0).getString(2) == "hello world" && rows(0).getBoolean(3))
+    // corrupt one data byte inside the tEXt chunk → crc_ok false
+    val bad = bytes.clone()
+    bad(8 + 25 + 8 + 2) = 'X'.toByte
+    val badRows = Multimodal.pngTextChunks(
+      Seq((43L, "image", bad, "x")).toDF("media_id", "kind", "content", "source"))
+      .collect()
+    assert(badRows.length == 1 && !badRows(0).getBoolean(3))
+    // garbage bytes yield no rows
+    assert(Multimodal.pngTextChunks(
+      Seq((44L, "image", Array[Byte](1, 2, 3), "x"))
+        .toDF("media_id", "kind", "content", "source")).count() == 0)
+  }
 }
