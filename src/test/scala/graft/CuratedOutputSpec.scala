@@ -78,4 +78,36 @@ class CuratedOutputSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    val out = Files.createTempDirectory("graft_dpp").toString
+    CuratedOutput.writePartitioned(docs, out, Seq("lang"), filesPerPartition = 1)
+    val fact = spark.read.parquet(out)
+    // a dimension whose FILTERED key set is only known at runtime —
+    // the case static partition pruning cannot handle
+    import spark.implicits._
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("en", 1), ("de", 0), ("zh", 0))
+      .toDF("lang", "keep").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    // stats-based benefit estimation vetoes DPP on toy-sized tables;
+    // the heuristic path demonstrates the plan shape production gets
+    // on real partitioned volumes
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = fact.join(dim, Seq("lang")).filter(col("keep") === 1)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"partitioned scan must carry a dynamicpruning subquery:\n$plan")
+      val expected = docs.filter(col("lang") === "en").count()
+      assert(q.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
 }
