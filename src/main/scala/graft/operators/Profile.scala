@@ -31,6 +31,31 @@ object Profile {
         sum(col("x") * col("x")).as("s2"),
         min("x").as("mn"), max("x").as("mx"))
 
+  /** Exact weighted median per group: the smallest value v whose
+    * cumulative weight reaches half the group's total — e.g. the
+    * TOKEN-weighted median document length, which answers "where is
+    * the middle of the training data" (an unweighted median
+    * over-represents short docs that contribute few tokens). All
+    * comparisons are exact integer products (2·cum ≥ total), no FP
+    * rounding hazard. One keyed window + one small agg. */
+  def weightedMedian(
+      df: DataFrame, groupCol: String, value: Column,
+      weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"),
+      value.cast("long").as("v"), weight.cast("long").as("w"))
+    val wCum = Window.partitionBy("grp").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("grp")
+    base
+      .groupBy("grp", "v").agg(sum("w").as("w"))
+      .withColumn("cum", sum("w").over(wCum))
+      .withColumn("total", sum("w").over(wTot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("grp")
+      .agg(min("v").as("weighted_median"), max("total").as("total_w"))
+  }
+
   /** Final per-group statistics from persisted partials: addition +
     * two divisions. Population variance: (Σx² − (Σx)²/n)/n. */
   def mergeMoments(partials: DataFrame): DataFrame =

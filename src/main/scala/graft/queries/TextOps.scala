@@ -3764,11 +3764,40 @@ object TextOps {
                 AS dedup_ratio
             FROM ch GROUP BY source ORDER BY source"""))
 
+  // Token-weighted median document length per source — the "middle of
+  // the training data" statistic (an unweighted median
+  // over-represents short docs that contribute few tokens). Exact
+  // integer cumulative-weight comparison, one keyed window over the
+  // pre-aggregated (group, value) table.
+  private val t89 = GraftQuery(
+    "t89_weighted_median",
+    (s, dir) => {
+      graft.operators.Profile.weightedMedian(
+          docs(s, dir).withColumn("toks", tokens(col("text"))),
+          "source", length(col("text")), size(col("toks")))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+    Some(s"""WITH b AS (SELECT source, length(text) AS v,
+                 len($duckToks) AS w FROM documents),
+             g AS (SELECT source, v, CAST(sum(w) AS BIGINT) AS w
+               FROM b GROUP BY source, v),
+             c AS (SELECT source, v, w,
+                 CAST(sum(w) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS total
+               FROM g)
+             SELECT source, min(v) AS weighted_median,
+               max(total) AS total_w
+             FROM c WHERE cum * 2 >= total
+             GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88)
+    t84, t85, t86, t87, t88, t89)
 }
