@@ -2464,6 +2464,68 @@ object Relational {
              FROM sn GROUP BY user_id, sess_id
              ORDER BY user_id, sess_id"""))
 
+  // Marketing-touch attribution: every purchase credits its
+  // FIRST-touch and LAST-touch preceding click/view (inclusive at the
+  // same instant, event_id total order) — revenue by channel under
+  // both models from ONE tagged-union window pass (the q17 as-of
+  // pattern carrying first AND last simultaneously; no join, no
+  // per-conversion re-scan). Touchless purchases report as 'none'.
+  private val q81 = GraftQuery(
+    "q81_touch_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id"), col("event_type").as("tt"),
+          lit(null).cast("long").as("cents"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"), lit(null).cast("string").as("tt"), col("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      touches.unionByName(convs)
+        .withColumn("ft", first(col("tt"), ignoreNulls = true).over(w))
+        .withColumn("lt", last(col("tt"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(explode(array(
+          struct(lit("first").as("model"),
+            coalesce(col("ft"), lit("none")).as("channel")),
+          struct(lit("last").as("model"),
+            coalesce(col("lt"), lit("none")).as("channel")))).as("m"),
+          col("cents"))
+        .groupBy(col("m.model").as("model"), col("m.channel").as("channel"))
+        .agg(count(lit(1)).as("n_conv"), sum("cents").as("cents"))
+        .orderBy("model", "channel")
+    },
+    Some("""WITH ev AS (SELECT user_id, ts, event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+            u AS (SELECT user_id, ts, 0 AS side, event_id,
+                event_type AS tt, NULL::BIGINT AS cents FROM ev
+                WHERE event_type IN ('click', 'view')
+              UNION ALL
+              SELECT user_id, ts, 1, event_id, NULL, cents FROM ev
+                WHERE event_type = 'purchase'),
+            wn AS (SELECT side, cents,
+                first_value(CASE WHEN side = 0 THEN tt END IGNORE NULLS)
+                  OVER w AS ft,
+                last_value(CASE WHEN side = 0 THEN tt END IGNORE NULLS)
+                  OVER w AS lt
+              FROM u
+              WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            p AS (SELECT coalesce(ft, 'none') AS ft,
+                coalesce(lt, 'none') AS lt, cents FROM wn WHERE side = 1)
+            SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conv,
+              CAST(sum(cents) AS BIGINT) AS cents
+            FROM (SELECT 'first' AS model, ft AS channel, cents FROM p
+              UNION ALL SELECT 'last', lt, cents FROM p)
+            GROUP BY 1, 2 ORDER BY model, channel"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2471,5 +2533,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80)
+    q74, q75, q76, q77, q78, q79, q80, q81)
 }

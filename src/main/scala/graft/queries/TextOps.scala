@@ -3793,11 +3793,49 @@ object TextOps {
              FROM c WHERE cum * 2 >= total
              GROUP BY source ORDER BY source"""))
 
+  // N-gram novelty: the fraction of each document's distinct 3-gram
+  // shingles that occur in NO other document — high novelty marks
+  // genuinely new content, low novelty marks template/recombined text
+  // (the memorization-risk proxy, complementary to t57's corpus-level
+  // distinct-n-gram rate). One inverted-index pass: shingle → df,
+  // rejoin to count df=1 grams per doc. Shuffle keys are shingles —
+  // the t07 index WITHOUT its pair join, so no Σf² term.
+  private val t90 = GraftQuery(
+    "t90_ngram_novelty",
+    (s, dir) => {
+      import graft.functions.TextFunctions.wordShingles
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("g"))
+      val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(toks) >= 3
+                THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      FOR i IN range(1, len(toks) - 1)]
+                ELSE [array_to_string(toks, ' ')] END)) AS g
+              FROM tk),
+            dfq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unique,
+              round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6) AS novelty
+            FROM sh JOIN dfq USING (g)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89)
+    t84, t85, t86, t87, t88, t89, t90)
 }
