@@ -1084,6 +1084,99 @@ object Similarity {
         col("__t.recon_err").as("recon_err"))
   }
 
+  /** IVF + per-dimension SQ8 search (FAISS `IndexIVFScalarQuantizer`):
+    * the corpus is stored as ONE BYTE per dimension ([[sq8Calibrated]]'s
+    * corpus-calibrated codes) bucketed by coarse cell; a query probes
+    * `nProbe` cells and scores candidates by asymmetric distance to
+    * the DECODED codes — full-precision query, compressed corpus.
+    * Completes the quantized-ANN ladder: PQ-ADC (v17/v19, 4 bits/dim
+    * here) ≺ SQ8 (8 bits/dim, no codebook training, better recall) ≺
+    * int8-sym (v12) ≺ float (v03/v05).
+    *
+    * Scale shape: cells prune the corpus BEFORE any scoring (equi-join
+    * on cid); the calibration row and centroid table broadcast; the
+    * scan reads 64 B/vector. Determinism: the v33 rounded-envelope
+    * grid, rounded cell distances with cid tie-break, ADC folds in
+    * ascending dim order, ranks tie on vec_id. Seeds = the nSeeds
+    * smallest-id vectors (the v14 deterministic-codebook convention)
+    * so the WHOLE index build is oracle-replayable; swap kmeans
+    * centroids (v13) in production. */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nSeeds: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(nSeeds >= 1 && k >= 1 && nProbe >= 1 && nProbe <= nSeeds)
+    import graft.functions.TextFunctions.bound
+    val e = graft.queries.Tables.spread(emb).select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val w0 = Window.orderBy("vec_id")
+    val cents = e.orderBy("vec_id").limit(nSeeds)
+      .withColumn("cid", row_number().over(w0) - 1)
+      .select(col("cid"), col("v").as("cvec"))
+    def sqDist(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t), 6)
+    def nearestCells(df: DataFrame, idName: String, keep: Int) = {
+      val w = Window.partitionBy(idName)
+        .orderBy(col("cdist").asc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cdist", sqDist(col("v"), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cvec", "cdist", "crank")
+    }
+    // calibration (v33's rounded envelope) + codes, bucketed by cell
+    val cal = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(expr("percentile(x, 0.01)"), 6).as("lo"),
+        round(expr("percentile(x, 0.99)"), 6).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          s => s("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          s => s("hi")).as("his"))
+    val codes = nearestCells(e, "vec_id", 1)
+      .crossJoin(broadcast(cal))
+      .select(col("vec_id"), col("cid"),
+        transform(col("v"), (x, i) =>
+          bound(element_at(col("los"), i + 1)) { lo =>
+            bound(greatest(element_at(col("his"), i + 1) - lo, lit(1e-9))) {
+              wd =>
+                least(greatest(round((x - lo) / wd * 255.0, 0), lit(0.0)),
+                  lit(255.0)).cast("int")
+            }
+          }).as("cds"))
+    val probes = nearestCells(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")),
+      "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("cid"))
+    val adist = round(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (acc, ix) => {
+        val lo = element_at(col("los"), ix + 1)
+        val wd = greatest(element_at(col("his"), ix + 1) - lo, lit(1e-9))
+        val rec = lo + element_at(col("cds"), ix + 1).cast("double") /
+          255.0 * wd
+        val d = element_at(col("qv"), ix + 1) - rec
+        acc + d * d
+      }), 6)
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    probes.join(codes, Seq("cid"))
+      .crossJoin(broadcast(cal))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        col("adist"), col("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
     * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
     * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float

@@ -1413,7 +1413,71 @@ object VectorOps {
                 AS recon_err
             FROM r ORDER BY vec_id"""))
 
+  // IVF + SQ8 asymmetric search (FAISS IndexIVFScalarQuantizer):
+  // 1-byte-per-dim corpus bucketed by deterministic coarse cells,
+  // 2-probe queries score decoded codes — the whole index build
+  // (calibration, encode, assignment, probe, ADC, rank) replayed in
+  // SQL. Completes the quantized-ANN ladder next to v17/v19 (PQ) and
+  // v12 (int8-sym).
+  private val v34 = GraftQuery(
+    "v34_ivf_sq8_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, nSeeds = 4, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT i, round(quantile_cont(x, 0.01), 6) AS lo,
+                    round(quantile_cont(x, 0.99), 6) AS hi
+                  FROM (SELECT CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
+                          unnest(v) AS x FROM e)
+                  GROUP BY i),
+            cal AS (SELECT list(lo ORDER BY i) AS los,
+                      list(hi ORDER BY i) AS his FROM d),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                v AS cvec FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+                  LIMIT 4)),
+            asn AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id ORDER BY
+                    round(list_sum(list_transform(
+                      [v[i+1] - cvec[i+1] FOR i IN range(64)],
+                      y -> y * y)), 6), c.cid) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn = 1),
+            codes AS (SELECT vec_id,
+                [CAST(least(greatest(round((v[i+1] - los[i+1]) /
+                   greatest(his[i+1] - los[i+1], 1e-9) * 255), 0), 255)
+                   AS INT) FOR i IN range(64)] AS cds
+              FROM e CROSS JOIN cal),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < 5),
+            prob AS (SELECT query_id, qv, cid FROM (
+                SELECT q.query_id, q.qv, c.cid, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY
+                    round(list_sum(list_transform(
+                      [qv[i+1] - cvec[i+1] FOR i IN range(64)],
+                      y -> y * y)), 6), c.cid) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 2),
+            cand AS (SELECT p.query_id, p.qv, cd.vec_id, cd.cds
+              FROM prob p
+              JOIN (SELECT codes.vec_id, codes.cds, asn.cid
+                    FROM codes JOIN asn USING (vec_id)) cd
+                ON cd.cid = p.cid),
+            sc AS (SELECT query_id, vec_id,
+                round(list_sum(list_transform(
+                  [qv[i+1] - (los[i+1] + cds[i+1] / 255.0 *
+                     greatest(his[i+1] - los[i+1], 1e-9))
+                   FOR i IN range(64)], y -> y * y)), 6) AS adist
+              FROM cand CROSS JOIN cal),
+            r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+              FROM sc)
+            SELECT query_id, CAST(rank AS INT) AS rank,
+              vec_id AS nbr_id, adist
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34)
 }

@@ -419,6 +419,29 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("ivfSq8TopK: recall@5 ≥ 0.8 on clustered vectors; self is rank 1") {
+    val emb = mkClustered.cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 0..9 are one per planted cluster → the smallest-id seeds
+    // give one coarse cell per cluster
+    val got = Similarity.ivfSq8TopK(emb, queries, "vec_id", "embedding",
+      dim = dim, nSeeds = 10, k = 5, nProbe = 3)
+      .collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force self-excludes; drop self-pairs before comparing
+    val nonSelf = pairs.filterNot { case (q, n) => q == n }
+    val recall = (bf & nonSelf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall=$recall")
+    // the query is a corpus member: its own (near-zero recon) distance
+    // must win rank 1
+    (0L until 10L).foreach { q =>
+      val r1 = got.filter(_.getLong(0) == q).minBy(_.getInt(3))
+      assert(r1.getLong(1) == q, s"query $q rank-1 is ${r1.getLong(1)}")
+    }
+  }
+
   test("sq8Calibrated: codes bounded, outlier saturates without crushing other dims") {
     import org.apache.spark.sql.functions._
     // 40 well-behaved vectors in [-1,1]^4, plus one with a wild dim-0
