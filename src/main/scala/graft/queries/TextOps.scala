@@ -3831,11 +3831,94 @@ object TextOps {
             FROM sh JOIN dfq USING (g)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Curation drop-ledger ("where did my data go"): t10's stages run
+  // as a sequential funnel and every document is charged to its FIRST
+  // failing stage — per stage: rows entering, dropped, surviving.
+  // The audit artifact that accompanies any corpus release; one
+  // classification pass + a 4-row spine, no per-stage re-scan.
+  private val t91 = GraftQuery(
+    "t91_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val keepers = Dedup.exactGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+      val flagged = d.join(keepers, Seq("doc_id"), "left")
+        .withColumn("st", textStats(col("text")))
+        .withColumn("first_fail",
+          when(col("is_keeper").isNull, "1_exact_dup")
+            .when(col("st.n_tokens") < 10, "2_min_tokens")
+            .when(round(col("st.n_distinct").cast("double") /
+              col("st.n_tokens"), 4) < 0.5, "3_distinct_ratio")
+            .when(langId(col("text")) =!= "en", "4_lang")
+            .otherwise("kept"))
+      val drops = flagged.groupBy("first_fail").agg(count(lit(1)).as("n"))
+      val spine = Seq("1_exact_dup", "2_min_tokens", "3_distinct_ratio",
+        "4_lang").toDF("stage")
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      spine
+        .join(drops.withColumnRenamed("first_fail", "stage"), Seq("stage"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(total)
+        .withColumn("n_in",
+          col("n_total") - coalesce(sum("n").over(w), lit(0L)))
+        .select(col("stage"), col("n_in"), col("n").as("n_dropped"),
+          (col("n_in") - col("n")).as("n_out"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH keep AS (
+               SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+             tk AS (SELECT d.doc_id, $duckToks AS toks, d.text,
+                 (d.doc_id IN (SELECT doc_id FROM keep)) AS is_keeper
+               FROM documents d),
+             scored AS (SELECT doc_id, is_keeper, len(toks) AS n_tokens,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS dr,
+                 length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+                 len(list_filter(toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk),
+             lang AS (SELECT *, CASE
+                 WHEN cjk * 4 >= n_tokens THEN 'zh'
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+               FROM scored),
+             ff AS (SELECT CASE
+                 WHEN NOT is_keeper THEN '1_exact_dup'
+                 WHEN n_tokens < 10 THEN '2_min_tokens'
+                 WHEN dr < 0.5 THEN '3_distinct_ratio'
+                 WHEN lang_pred <> 'en' THEN '4_lang'
+                 ELSE 'kept' END AS first_fail
+               FROM lang),
+             drops AS (SELECT first_fail, count(*) AS n FROM ff GROUP BY 1),
+             spine AS (SELECT * FROM (VALUES ('1_exact_dup'),
+                 ('2_min_tokens'), ('3_distinct_ratio'), ('4_lang'))
+               v(stage)),
+             led AS (SELECT stage, coalesce(n, 0) AS n_dropped
+               FROM spine LEFT JOIN drops ON stage = first_fail),
+             tot AS (SELECT count(*) AS n_total FROM documents)
+             SELECT stage,
+               CAST(n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_in,
+               CAST(n_dropped AS BIGINT) AS n_dropped,
+               CAST(n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 - n_dropped AS BIGINT) AS n_out
+             FROM led CROSS JOIN tot ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90)
+    t84, t85, t86, t87, t88, t89, t90, t91)
 }
