@@ -3914,11 +3914,45 @@ object TextOps {
                  - n_dropped AS BIGINT) AS n_out
              FROM led CROSS JOIN tot ORDER BY stage"""))
 
+  // k-anonymity audit over quasi-identifiers (lang × source ×
+  // length-bucket): how many documents sit in groups small enough to
+  // re-identify — the privacy screen that complements t13/t84's
+  // direct-identifier redaction (a unique QI combination leaks even
+  // with PII stripped). One group-size aggregation + a tiny
+  // risk-class rollup.
+  private val t92 = GraftQuery(
+    "t92_k_anonymity",
+    (s, dir) => {
+      val g = docs(s, dir)
+        .groupBy(col("lang"), col("source"),
+          expr("length(text) DIV 500").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+      g.select(
+          when(col("k") < 2, "1_unique")
+            .when(col("k") < 5, "2_k_lt_5")
+            .when(col("k") < 10, "3_k_lt_10")
+            .otherwise("4_k_ge_10").as("risk_class"),
+          col("k"))
+        .groupBy("risk_class")
+        .agg(count(lit(1)).as("n_groups"), sum("k").as("n_docs"))
+        .orderBy("risk_class")
+    },
+    Some("""WITH g AS (SELECT lang, source, length(text) // 500 AS lb,
+                count(*) AS k
+              FROM documents GROUP BY 1, 2, 3)
+            SELECT CASE WHEN k < 2 THEN '1_unique'
+                WHEN k < 5 THEN '2_k_lt_5'
+                WHEN k < 10 THEN '3_k_lt_10'
+                ELSE '4_k_ge_10' END AS risk_class,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(k) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1 ORDER BY risk_class"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92)
 }
