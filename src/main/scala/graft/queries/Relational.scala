@@ -2526,6 +2526,59 @@ object Relational {
               UNION ALL SELECT 'last', lt, cents FROM p)
             GROUP BY 1, 2 ORDER BY model, channel"""))
 
+  // Floor-clamped running balance: s_t = max(0, s_{t-1} + x_t) — the
+  // inventory/credit-ledger recurrence that NO window frame can
+  // express (the clamp makes it nonlinear; a plain cumulative sum
+  // mis-states every balance after the first stock-out). Same
+  // engine-portable shape as q76: one grouped collect of the bounded
+  // per-key daily series, sort_array-pinned fold, exact integer
+  // cents. Emits the final balance and how many times the floor hit
+  // (stock-out count).
+  private val q82 = GraftQuery(
+    "q82_clamped_running_balance",
+    (s, dir) => {
+      // deposits = odd orderkeys (+cents), withdrawals = even (−cents)
+      val led = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 2 === 1,
+            round(col("o_totalprice") * 100).cast("long"))
+            .otherwise(-round(col("o_totalprice") * 100).cast("long"))
+            .as("x"))
+        .filter(col("k") < 200)
+      led.groupBy("k")
+        .agg(sort_array(collect_list(struct(col("seq"), col("x"))))
+          .as("series"))
+        .select(col("k"), size(col("series")).as("n_moves"),
+          aggregate(col("series"),
+            struct(lit(0L).as("bal"), lit(0L).as("clamps")),
+            (acc, e) => {
+              val next = acc("bal") + e("x")
+              struct(
+                greatest(next, lit(0L)).as("bal"),
+                (acc("clamps") + when(next < 0, 1L).otherwise(0L))
+                  .as("clamps"))
+            }).as("f"))
+        .select(col("k"), col("n_moves"), col("f.bal").as("balance"),
+          col("f.clamps").as("n_stockouts"))
+        .orderBy("k")
+    },
+    Some("""WITH led AS (SELECT o_custkey AS k, o_orderkey AS seq,
+                CASE WHEN o_orderkey % 2 = 1
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END AS x
+              FROM orders WHERE o_custkey < 200),
+            srt AS (SELECT k, list(x ORDER BY seq) AS series
+              FROM led GROUP BY k),
+            f AS (SELECT k, CAST(len(series) AS INT) AS n_moves,
+                list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                  list_transform(series, x -> [x, CAST(0 AS BIGINT)])),
+                  (acc, e) -> [greatest(acc[1] + e[1], 0),
+                    acc[2] + CASE WHEN acc[1] + e[1] < 0 THEN 1 ELSE 0 END])
+                  AS st
+              FROM srt)
+            SELECT k, n_moves, st[1] AS balance, st[2] AS n_stockouts
+            FROM f ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2533,5 +2586,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }
