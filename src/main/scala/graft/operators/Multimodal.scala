@@ -1246,6 +1246,70 @@ object Multimodal {
     * bit-for-bit — the m14 proof pattern. Pure map stage, zero
     * shuffle; non-WAV / non-PCM16-mono bytes yield no row (the decode
     * DLQ contract). */
+  /** Peak normalization over REAL PCM — the gain-staging pass before
+    * any audio corpus trains or transcribes (clips recorded at wildly
+    * different levels otherwise dominate/vanish in energy-based
+    * screens). Every sample rescales to `sign(s)·⌊|s|·target/peak⌋` —
+    * EXACT integer arithmetic (trunc of a non-negative quotient), so
+    * the whole per-sample transform is engine-replayable (float gain
+    * would round differently per engine) — and the clip re-encodes
+    * through the JDK codec. Silent clips (peak 0) pass through
+    * unchanged. Pure map stage; output re-decodes (m25 proves it by
+    * running [[audioQcStats]] over the OUTPUT bytes). */
+  def peakNormalize(media: DataFrame, targetPeak: Int): DataFrame = {
+    require(targetPeak >= 1 && targetPeak <= 32767)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("old_peak", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val content = r.getAs[Array[Byte]](1)
+          if (!looksLikeWav(content)) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(content))
+            val fmt = ais.getFormat
+            if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+              fmt.isBigEndian) None
+            else {
+              val pcm = ais.readAllBytes()
+              val n = pcm.length / 2
+              var peak = 0; var i = 0
+              while (i < n) {
+                val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)
+                val a = math.abs(s); if (a > peak) peak = a
+                i += 1
+              }
+              val out = new Array[Byte](n * 2)
+              i = 0
+              while (i < n) {
+                val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)
+                val v =
+                  if (peak == 0) s
+                  else {
+                    val m = (math.abs(s).toLong * targetPeak / peak).toInt
+                    if (s < 0) -m else m
+                  }
+                out(2 * i) = (v & 0xFF).toByte
+                out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                i += 1
+              }
+              Some(Row(id, "audio",
+                encodePcm16Wav(out, n, fmt.getSampleRate.toInt),
+                "peak-normalized", peak))
+            }
+          } catch { case _: Exception => None }
+        }
+      }(enc)
+  }
+
   def audioQcStats(media: DataFrame, clipThreshold: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -919,7 +919,61 @@ object MultimodalOps {
               TRUE AS crc_ok
             FROM documents ORDER BY media_id"""))
 
+  // Peak normalization verified TO THE SAMPLE: real WAV decode →
+  // exact integer rescale (sign·⌊|s|·32000/peak⌋) → JDK re-encode,
+  // then audioQcStats re-decodes the OUTPUT bytes. The oracle
+  // regenerates every PCM sample (m14's HUGEINT splitmix), applies
+  // the same integer gain, and must match the signed sum / clip
+  // count / new peak bit-for-bit — gain staging with zero
+  // cross-engine rounding hazard.
+  private val m25 = GraftQuery(
+    "m25_audio_peak_normalize",
+    (s, dir) => {
+      val norm = Multimodal.peakNormalize(
+        Multimodal.synthesizeAudio(
+          Tables.spread(t(s, dir, "documents")), "doc_id"),
+        targetPeak = 32000)
+      Multimodal.audioQcStats(norm, clipThreshold = 32000)
+        .join(norm.select(col("media_id"), col("old_peak")), Seq("media_id"))
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 400 + (doc_id * 13) % 800 AS nf
+               FROM documents),
+             smp AS (SELECT media_id, unnest(range(nf)) AS i FROM dims),
+             p0 AS (SELECT media_id, i,
+                 ((media_id::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM smp),
+             p1 AS (SELECT media_id, i,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, i,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             v AS (SELECT media_id, i,
+                 CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+               FROM p2),
+             pk AS (SELECT media_id, max(abs(s)) AS peak FROM v
+               GROUP BY media_id),
+             nv AS (SELECT v.media_id,
+                 CASE WHEN peak = 0 THEN s
+                   WHEN s < 0 THEN -CAST((CAST(abs(s) AS BIGINT) * 32000)
+                     // peak AS INT)
+                   ELSE CAST((CAST(abs(s) AS BIGINT) * 32000) // peak AS INT)
+                 END AS n, peak
+               FROM v JOIN pk USING (media_id))
+             SELECT media_id, CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(CASE WHEN abs(n) >= 32000 THEN 1 ELSE 0 END) AS INT)
+                 AS n_clipped,
+               CAST(sum(n) AS BIGINT) AS dc_sum,
+               CAST(max(abs(n)) AS INT) AS peak,
+               CAST(max(pk.peak) AS INT) AS old_peak
+             FROM nv JOIN pk USING (media_id)
+             GROUP BY media_id ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24)
+    m24, m25)
 }
