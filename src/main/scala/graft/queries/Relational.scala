@@ -2579,6 +2579,61 @@ object Relational {
             SELECT k, n_moves, st[1] AS balance, st[2] AS n_stockouts
             FROM f ORDER BY k"""))
 
+  // Price–volume variance decomposition (1995 → 1996 revenue per
+  // priority): Δrev = Δn·p̄₁ + Δp̄·n₁ + Δn·Δp̄ — the finance
+  // bridge-report splitting a change into volume, rate, and mix
+  // terms, with the exact-identity column proving the decomposition
+  // reconciles to the actual delta. Integer cent sums; doubles only
+  // in the final bridge arithmetic, identical on both engines.
+  private val q83 = GraftQuery(
+    "q83_price_volume_bridge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val p = o.groupBy("pri").pivot("yr", Seq(1995, 1996))
+        .agg(first("n").as("n"), first("cents").as("cents"))
+      p.select(col("pri"),
+          col("1995_n").as("n1"), col("1996_n").as("n2"),
+          (col("1996_cents") - col("1995_cents")).as("d_cents"),
+          round((col("1996_n") - col("1995_n")) *
+            (col("1995_cents").cast("double") / col("1995_n")), 4)
+            .as("volume_effect"),
+          round((col("1996_cents").cast("double") / col("1996_n") -
+            col("1995_cents").cast("double") / col("1995_n")) *
+            col("1995_n"), 4).as("rate_effect"),
+          round((col("1996_n") - col("1995_n")).cast("double") *
+            (col("1996_cents").cast("double") / col("1996_n") -
+              col("1995_cents").cast("double") / col("1995_n")), 4)
+            .as("mix_effect"))
+        .orderBy("pri")
+    },
+    Some("""WITH g AS (SELECT o_orderpriority AS pri,
+                year(CAST(o_orderdate AS DATE)) AS yr,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+              GROUP BY 1, 2),
+            p AS (SELECT pri,
+                max(CASE WHEN yr = 1995 THEN n END) AS n1,
+                max(CASE WHEN yr = 1996 THEN n END) AS n2,
+                max(CASE WHEN yr = 1995 THEN cents END) AS c1,
+                max(CASE WHEN yr = 1996 THEN cents END) AS c2
+              FROM g GROUP BY pri)
+            SELECT pri, n1, n2, c2 - c1 AS d_cents,
+              round((n2 - n1) * (CAST(c1 AS DOUBLE) / n1), 4)
+                AS volume_effect,
+              round((CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1) * n1,
+                4) AS rate_effect,
+              round(CAST(n2 - n1 AS DOUBLE) *
+                (CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1), 4)
+                AS mix_effect
+            FROM p ORDER BY pri"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2586,5 +2641,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

@@ -3948,11 +3948,44 @@ object TextOps {
               CAST(sum(k) AS BIGINT) AS n_docs
             FROM g GROUP BY 1 ORDER BY risk_class"""))
 
+  // Differential-privacy style noisy count release (Laplace
+  // mechanism, ε = 0.5, sensitivity 1): per-(source, lang) counts
+  // published with additive Laplace noise via inverse-CDF transform
+  // of a md5-derived uniform — the aggregate-release mechanism t92's
+  // audit motivates. The gate pins the MECHANISM deterministically
+  // (seeded uniform; production swaps in a real RNG): noise =
+  // −b·sgn(u−½)·ln(1−2|u−½|). Both engines evaluate the identical
+  // IEEE expression; result rounds to 4.
+  private val t93 = GraftQuery(
+    "t93_dp_noisy_release",
+    (s, dir) => {
+      val b = 1.0 / 0.5 // sensitivity / epsilon
+      val g = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_true"))
+      val u = (expr("cast(conv(substr(md5(concat(source, '|', lang)), 1, 13), 16, 10) as bigint)")
+        .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      g.withColumn("noise",
+          lit(-b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)))
+        .select(col("source"), col("lang"), col("n_true"),
+          round(col("n_true") + col("noise"), 4).as("n_released"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH g AS (SELECT source, lang, count(*) AS n_true
+              FROM documents GROUP BY source, lang),
+            un AS (SELECT source, lang, n_true,
+                (CAST(concat('0x', substr(md5(source || '|' || lang), 1, 13))
+                   AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+              FROM g)
+            SELECT source, lang, CAST(n_true AS BIGINT) AS n_true,
+              round(n_true + (-2.0) * sign(u - 0.5) *
+                ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS n_released
+            FROM un ORDER BY source, lang"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91, t92)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93)
 }
