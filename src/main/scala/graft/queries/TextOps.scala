@@ -3981,11 +3981,41 @@ object TextOps {
                 ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS n_released
             FROM un ORDER BY source, lang"""))
 
+  // Exact ROC-AUC of the t38 quality score against the is-English
+  // label — does the linear scorer actually separate? Mann–Whitney
+  // rank identity over a DISTRIBUTED global rank (range-repartition +
+  // zipWithIndex, t80's discipline — no single-partition window); the
+  // oracle replays it with a plain row_number, same (z, doc_id) total
+  // order.
+  private val t94 = GraftQuery(
+    "t94_quality_auc",
+    (s, dir) => {
+      val scored = qualityZ(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("pos", col("lang") === "en")
+      graft.operators.Eval.rocAuc(scored, "z", "pos", "doc_id")
+    },
+    Some(s"""WITH $duckQualityZCtes,
+             lab AS (SELECT z.doc_id, z.z, (d.lang = 'en') AS pos
+               FROM z JOIN documents d USING (doc_id)),
+             rk AS (SELECT pos, row_number() OVER (ORDER BY z, doc_id)
+                 AS r FROM lab)
+             SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_neg,
+               round(CAST(sum(CASE WHEN pos THEN r ELSE 0 END) -
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) *
+                 (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) / 2 AS DOUBLE)
+                 / (sum(CASE WHEN pos THEN 1 ELSE 0 END) *
+                    sum(CASE WHEN pos THEN 0 ELSE 1 END)), 6) AS auc
+             FROM rk"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94)
 }
