@@ -21,6 +21,42 @@ import org.apache.spark.sql.types.LongType
   * rather than averaged). */
 object Eval {
 
+  /** Precision/recall/F1 at a threshold sweep — the operating-point
+    * table behind choosing a filter cutoff. ONE corpus pass: each
+    * threshold is a conditional-sum aggregate column (no row
+    * inflation), unpivoted to a row per threshold afterwards. */
+  def prCurve(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve: need at least one threshold")
+    val s = scored.select(col(scoreCol).cast("double").as("sc"),
+      col(labelCol).cast("boolean").as("pos"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("sc") >= t && col("pos"), 1L).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("sc") >= t && !col("pos"), 1L).otherwise(0L))
+          .as(s"fp_$i"),
+        sum(when(col("sc") < t && col("pos"), 1L).otherwise(0L))
+          .as(s"fn_$i"))
+    }
+    val wide = s.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn"))
+    }: _*))
+    wide.select(rows.as("r"))
+      .select(col("r.threshold").as("threshold"), col("r.tp").as("tp"),
+        col("r.fp").as("fp"), col("r.fn").as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1", when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        round(col("tp").cast("double") * 2 /
+          (col("tp") * 2 + col("fp") + col("fn")), 6)))
+  }
+
   /** @return one row: (n_pos, n_neg, auc) */
   def rocAuc(
       scored: DataFrame, scoreCol: String, labelCol: String,

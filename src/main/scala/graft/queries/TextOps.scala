@@ -4011,11 +4011,48 @@ object TextOps {
                     sum(CASE WHEN pos THEN 0 ELSE 1 END)), 6) AS auc
              FROM rk"""))
 
+  // Operating-point table for the same scorer/label as t94:
+  // precision/recall/F1 at a fixed threshold sweep, computed in ONE
+  // corpus pass (conditional-sum columns, unpivoted — no row
+  // inflation per threshold).
+  private val t95 = GraftQuery(
+    "t95_quality_pr_curve",
+    (s, dir) => {
+      val scored = qualityZ(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("pos", col("lang") === "en")
+      graft.operators.Eval.prCurve(scored, "z", "pos",
+          Seq(0.0, 0.5, 1.0, 1.5, 2.0))
+        .orderBy("threshold")
+    },
+    Some(s"""WITH $duckQualityZCtes,
+             lab AS (SELECT z.z AS sc, (d.lang = 'en') AS pos
+               FROM z JOIN documents d USING (doc_id)),
+             th AS (SELECT unnest([0.0, 0.5, 1.0, 1.5, 2.0]) AS threshold),
+             cf AS (SELECT threshold,
+                 CAST(sum(CASE WHEN sc >= threshold AND pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN sc >= threshold AND NOT pos THEN 1
+                   ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN sc < threshold AND pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn
+               FROM lab CROSS JOIN th GROUP BY threshold)
+             SELECT threshold, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+                 AS precision,
+               CASE WHEN tp + fn > 0
+                 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+               CASE WHEN tp * 2 + fp + fn > 0
+                 THEN round(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn), 6)
+                 END AS f1
+             FROM cf ORDER BY threshold"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95)
 }
