@@ -2634,6 +2634,70 @@ object Relational {
                 AS mix_effect
             FROM p ORDER BY pri"""))
 
+  // Market-basket affinity over order line items: part-BRAND pairs
+  // co-occurring in one order, scored by support/confidence/lift —
+  // the association-rule primitive. Pair generation happens WITHIN an
+  // order (self-join keyed on orderkey, bounded by basket size — the
+  // t07 Σf² shape with a naturally tiny f), never across the corpus;
+  // brand-level grouping keeps the item vocabulary broadcastable.
+  // The lift ordering evaluates the identical double expression on
+  // both engines with a (brand, brand) tie-break, so the top-20 cut
+  // is deterministic.
+  private val q84 = GraftQuery(
+    "q84_market_basket",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = li.select("ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val single = li.groupBy("b").agg(count(lit(1)).as("cb"))
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
+        .agg(count(lit(1)).as("cab"))
+      val scored = pairs
+        .join(broadcast(single.select(col("b").as("ba"), col("cb").as("ca"))), "ba")
+        .join(broadcast(single.select(col("b").as("bb"), col("cb").as("cbb"))), "bb")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("cab") >= 20)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        ((col("cab") * col("n_orders")).cast("double") /
+          (col("ca") * col("cbb"))).desc,
+        col("ba"), col("bb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("ba"), col("bb"), col("cab"),
+          round(col("cab").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("cab").cast("double") / col("ca"), 6).as("confidence"),
+          round(col("cab").cast("double") * col("n_orders") /
+            (col("ca") * col("cbb")), 6).as("lift"))
+        .orderBy("rank")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+            single AS (SELECT b, count(*) AS cb FROM li GROUP BY b),
+            pairs AS (SELECT x.b AS ba, y.b AS bb, count(*) AS cab
+              FROM li x JOIN li y ON x.ok = y.ok AND x.b < y.b
+              GROUP BY 1, 2 HAVING count(*) >= 20),
+            sc AS (SELECT ba, bb, cab, sa.cb AS ca, sb.cb AS cbb, n_orders
+              FROM pairs
+              JOIN single sa ON sa.b = ba
+              JOIN single sb ON sb.b = bb
+              CROSS JOIN no),
+            r AS (SELECT *, row_number() OVER (ORDER BY
+                CAST(cab * n_orders AS DOUBLE) / (ca * cbb) DESC, ba, bb)
+                AS rank FROM sc)
+            SELECT CAST(rank AS INT) AS rank, ba, bb, CAST(cab AS BIGINT)
+                AS cab,
+              round(CAST(cab AS DOUBLE) / n_orders, 6) AS support,
+              round(CAST(cab AS DOUBLE) / ca, 6) AS confidence,
+              round(CAST(cab AS DOUBLE) * n_orders / (ca * cbb), 6) AS lift
+            FROM r WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2641,5 +2705,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

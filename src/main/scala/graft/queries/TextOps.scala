@@ -4048,11 +4048,80 @@ object TextOps {
                  END AS f1
              FROM cf ORDER BY threshold"""))
 
+  // Cohen's κ agreement between two INDEPENDENT keep-filters (quality
+  // z ≥ 1 vs langid = en): how much do they agree beyond chance?
+  // κ ≈ 1 → redundant filters, κ ≈ 0 → orthogonal screens. One joint
+  // 2×2 contingency aggregation; all probability arithmetic is the
+  // identical double expression on both engines.
+  private val t96 = GraftQuery(
+    "t96_filter_kappa",
+    (s, dir) => {
+      val d = qualityZ(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .select((col("z") >= 1.0).as("a"),
+          (langId(col("text")) === "en").as("b"))
+      d.agg(
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .withColumn("n",
+          col("n11") + col("n10") + col("n01") + col("n00"))
+        .withColumn("po",
+          (col("n11") + col("n00")).cast("double") / col("n"))
+        .withColumn("pe",
+          ((col("n11") + col("n10")).cast("double") / col("n")) *
+            ((col("n11") + col("n01")).cast("double") / col("n")) +
+            ((col("n01") + col("n00")).cast("double") / col("n")) *
+            ((col("n10") + col("n00")).cast("double") / col("n")))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            .as("kappa"))
+    },
+    Some(s"""WITH $duckQualityZCtes,
+             lng AS (SELECT tk.doc_id,
+                 length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                 len(tk.toks) AS n_tokens,
+                 len(list_filter(tk.toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS s_de,
+                 len(list_filter(tk.toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS s_en,
+                 len(list_filter(tk.toks, x -> x IN ('el','los','las','y','es','en','una','por','con','para'))) AS s_es,
+                 len(list_filter(tk.toks, x -> x IN ('le','les','et','est','dans','une','du','pour','sur','au'))) AS s_fr
+               FROM tk JOIN documents d USING (doc_id)),
+             pred AS (SELECT doc_id, CASE
+                 WHEN cjk * 4 >= n_tokens THEN 'zh'
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+               FROM lng),
+             ab AS (SELECT (z.z >= 1.0) AS a, (p.lang_pred = 'en') AS b
+               FROM z JOIN pred p USING (doc_id)),
+             c AS (SELECT
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+               FROM ab)
+             SELECT n11, n10, n01, n00,
+               round(((CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)) -
+                 ((CAST(n11 + n10 AS DOUBLE) / (n11 + n10 + n01 + n00)) *
+                  (CAST(n11 + n01 AS DOUBLE) / (n11 + n10 + n01 + n00)) +
+                  (CAST(n01 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)) *
+                  (CAST(n10 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)))) /
+                 (1.0 -
+                 ((CAST(n11 + n10 AS DOUBLE) / (n11 + n10 + n01 + n00)) *
+                  (CAST(n11 + n01 AS DOUBLE) / (n11 + n10 + n01 + n00)) +
+                  (CAST(n01 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)) *
+                  (CAST(n10 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)))), 6)
+                 AS kappa
+             FROM c"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96)
 }
