@@ -1177,6 +1177,67 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  /** Late-interaction (ColBERT-style) max-sim retrieval: documents
+    * and queries are BAGS of unit sub-vectors (here `nSub` slices of
+    * the embedding — production feeds per-token vectors), and
+    * score(q, d) = Σ_{qs∈q} max_{ds∈d} ⟨qs, ds⟩ — each query facet
+    * matches its best document facet INDEPENDENTLY, which is what
+    * single-vector cosine (v03) structurally cannot express (one
+    * facet's match doesn't have to share a direction with another's).
+    *
+    * Scale shape: query sub-vectors broadcast; the corpus scan is
+    * |corpus|·nSub² dot products — brute-force tier; the production
+    * path prunes candidates with v05/v34 on the pooled vector first
+    * and max-sims only the shortlist (the standard ColBERT re-rank).
+    * Determinism: unit-normalize guards zero norms, per-(query, doc)
+    * facet maxima fold in ascending facet order, round 6, rank ties
+    * on vec_id. */
+  def maxSimTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nSub: Int,
+      k: Int): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
+    import graft.functions.TextFunctions.bound
+    val subLen = dim / nSub
+    def subsOf(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idAs),
+          transform(col(vecCol), x => x.cast("double")).as("v"))
+        .select(col(idAs), explode(array((0 until nSub).map { s =>
+          struct(lit(s).as("si"),
+            slice(col("v"), s * subLen + 1, subLen).as("sv"))
+        }: _*)).as("s"))
+        .select(col(idAs), col("s.si").as("si"),
+          bound(col("s.sv")) { sv =>
+            bound(sqrt(aggregate(sv, lit(0.0), (a, x) => a + x * x))) { n =>
+              when(n > 0.0, transform(sv, x => x / n))
+                .otherwise(transform(sv, x => lit(0.0)))
+            }
+          }.as("u"))
+    val dSubs = subsOf(graft.queries.Tables.spread(emb), "vec_id")
+    val qSubs = subsOf(queries, "query_id")
+      .withColumnRenamed("si", "qsi").withColumnRenamed("u", "qu")
+    val dots = dSubs.crossJoin(broadcast(qSubs))
+      .select(col("query_id"), col("vec_id"), col("qsi"),
+        aggregate(zip_with(col("qu"), col("u"), (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t).as("dot"))
+    val best = dots.groupBy("query_id", "vec_id", "qsi")
+      .agg(max("dot").as("m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+    best.groupBy("query_id", "vec_id")
+      .agg(round(aggregate(
+        sort_array(collect_list(struct(col("qsi"), col("m")))),
+        lit(0.0), (acc, e) => acc + e("m")), 6).as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"),
+        col("maxsim"))
+  }
+
   /** Johnson–Lindenstrauss random projection: dense ±1 sign matrix,
     * `y_j = Σ_i r(i,j)·x_i / √dimOut`. The dimensionality-reduction
     * pre-pass that makes downstream ANN/dedup cheaper (a 64-dim float

@@ -2698,6 +2698,81 @@ object Relational {
               round(CAST(cab AS DOUBLE) * n_orders / (ca * cbb), 6) AS lift
             FROM r WHERE rank <= 20 ORDER BY rank"""))
 
+  // Erasure propagation ("right to be forgotten"): a deterministic
+  // erasure-request set (custkey % 31 = 0) cascades through the FK
+  // graph — customer rows, their orders, those orders' lineitems,
+  // their events — via broadcast anti-joins (the request set is tiny
+  // by nature; no fact-side shuffle), emitting the per-table audit
+  // (rows before / erased / after) a compliance run must produce.
+  // Pairs with q79's FK audit: same edges, destructive direction.
+  private val q85 = GraftQuery(
+    "q85_erasure_propagation",
+    (s, dir) => {
+      val victims = t(s, dir, "customer")
+        .filter(col("c_custkey") % 31 === 0)
+        .select(col("c_custkey").as("k"))
+      val doomedOrders = t(s, dir, "orders")
+        .join(broadcast(victims), col("o_custkey") === col("k"))
+        .select(col("o_orderkey").as("ok"))
+      def audit(table: String, df: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_before"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_after")))
+          .select(lit(table).as("table_name"), col("n_before"),
+            (col("n_before") - col("n_after")).as("n_erased"),
+            col("n_after"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val e = t(s, dir, "events")
+      audit("customer", c,
+          c.join(broadcast(victims), col("c_custkey") === col("k"),
+            "left_anti"))
+        .unionByName(audit("orders", o,
+          o.join(broadcast(victims), col("o_custkey") === col("k"),
+            "left_anti")))
+        .unionByName(audit("lineitem", l,
+          l.join(broadcast(doomedOrders), col("l_orderkey") === col("ok"),
+            "left_anti")))
+        .unionByName(audit("events", e,
+          e.join(broadcast(victims), col("user_id") === col("k"),
+            "left_anti")))
+        .orderBy("table_name")
+    },
+    Some("""WITH victims AS (SELECT c_custkey AS k FROM customer
+              WHERE c_custkey % 31 = 0),
+            doomed AS (SELECT o_orderkey AS ok FROM orders
+              WHERE o_custkey IN (SELECT k FROM victims))
+            SELECT * FROM (
+              SELECT 'customer' AS table_name,
+                (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_before,
+                (SELECT CAST(count(*) AS BIGINT) FROM customer
+                  WHERE c_custkey IN (SELECT k FROM victims)) AS n_erased,
+                (SELECT CAST(count(*) AS BIGINT) FROM customer
+                  WHERE c_custkey NOT IN (SELECT k FROM victims)) AS n_after
+              UNION ALL
+              SELECT 'orders',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders
+                  WHERE o_custkey IN (SELECT k FROM victims)),
+                (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT k FROM victims))
+              UNION ALL
+              SELECT 'lineitem',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT ok FROM doomed)),
+                (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT ok FROM doomed))
+              UNION ALL
+              SELECT 'events',
+                (SELECT count(*) FROM events),
+                (SELECT count(*) FROM events
+                  WHERE user_id IN (SELECT k FROM victims)),
+                (SELECT count(*) FROM events
+                  WHERE user_id NOT IN (SELECT k FROM victims)))
+            ORDER BY table_name"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2705,5 +2780,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

@@ -1477,7 +1477,49 @@ object VectorOps {
               vec_id AS nbr_id, adist
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Late-interaction max-sim retrieval (ColBERT's scoring): 4 unit
+  // facets per vector, each query facet matches its best document
+  // facet independently — semantics single-vector cosine cannot
+  // express. Facet split, normalization, per-facet maxima, and the
+  // ordered facet-sum fold all replay in SQL.
+  private val v35 = GraftQuery(
+    "v35_maxsim_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, nSub = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sub AS (SELECT vec_id, CAST(s AS INT) AS si,
+                v[s*16+1 : s*16+16] AS sv
+              FROM e, (SELECT unnest(range(4)) AS s)),
+            un AS (SELECT vec_id, si,
+                CASE WHEN nrm > 0 THEN list_transform(sv, x -> x / nrm)
+                  ELSE list_transform(sv, x -> 0.0) END AS u
+              FROM (SELECT vec_id, si, sv,
+                  sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+                FROM sub)),
+            q AS (SELECT vec_id AS query_id, si AS qsi, u AS qu
+              FROM un WHERE vec_id < 5),
+            dots AS (SELECT q.query_id, d.vec_id, q.qsi,
+                list_sum(list_transform(range(16),
+                  i -> qu[i+1] * u[i+1])) AS dot
+              FROM un d CROSS JOIN q),
+            best AS (SELECT query_id, vec_id, qsi, max(dot) AS m
+              FROM dots GROUP BY 1, 2, 3),
+            sc AS (SELECT query_id, vec_id,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(m ORDER BY qsi)), (a, b) -> a + b), 6) AS maxsim
+              FROM best GROUP BY query_id, vec_id),
+            r AS (SELECT query_id, vec_id, maxsim, row_number() OVER (
+                PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rank
+              FROM sc)
+            SELECT query_id, CAST(rank AS INT) AS rank,
+              vec_id AS nbr_id, maxsim
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
 }
