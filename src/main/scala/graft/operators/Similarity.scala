@@ -1177,6 +1177,68 @@ object Similarity {
         col("adist"), col("rank"))
   }
 
+  /** Unit-normalized sub-vector facets of each embedding — the
+    * shared split for the max-sim family. */
+  private def unitFacets(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, dim: Int, nSub: Int): DataFrame = {
+    import graft.functions.TextFunctions.bound
+    val subLen = dim / nSub
+    df.select(col(idCol).cast("long").as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col(idAs), explode(array((0 until nSub).map { s =>
+        struct(lit(s).as("si"),
+          slice(col("v"), s * subLen + 1, subLen).as("sv"))
+      }: _*)).as("s"))
+      .select(col(idAs), col("s.si").as("si"),
+        bound(col("s.sv")) { sv =>
+          bound(sqrt(aggregate(sv, lit(0.0), (a, x) => a + x * x))) { n =>
+            when(n > 0.0, transform(sv, x => x / n))
+              .otherwise(transform(sv, x => lit(0.0)))
+          }
+        }.as("u"))
+  }
+
+  /** Max-sim scoring restricted to a CANDIDATE pair set — the
+    * two-stage production shape: a cheap first stage (v34's IVF-SQ8,
+    * v05's IVF, …) shortlists, late interaction re-ranks ONLY the
+    * shortlist. Join volume is |candidates|·nSub², independent of
+    * corpus size. */
+  def maxSimRerank(
+      emb: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nSub: Int,
+      k: Int): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
+    val cand = candidates.select(col("query_id"), col("nbr_id"))
+    val dSubs = unitFacets(emb, idCol, vecCol, "vec_id", dim, nSub)
+      .join(cand.select(col("nbr_id").as("vec_id")).distinct(), Seq("vec_id"))
+    val qSubs = unitFacets(queries, idCol, vecCol, "query_id", dim, nSub)
+      .withColumnRenamed("si", "qsi").withColumnRenamed("u", "qu")
+    val pairSubs = broadcast(cand)
+      .join(dSubs, cand("nbr_id") === dSubs("vec_id"))
+      .join(broadcast(qSubs), Seq("query_id"))
+    val best = pairSubs
+      .select(col("query_id"), col("vec_id"), col("qsi"),
+        aggregate(zip_with(col("qu"), col("u"), (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t).as("dot"))
+      .groupBy("query_id", "vec_id", "qsi")
+      .agg(max("dot").as("m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+    best.groupBy("query_id", "vec_id")
+      .agg(round(aggregate(
+        sort_array(collect_list(struct(col("qsi"), col("m")))),
+        lit(0.0), (acc, e) => acc + e("m")), 6).as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"),
+        col("maxsim"))
+  }
+
   /** Late-interaction (ColBERT-style) max-sim retrieval: documents
     * and queries are BAGS of unit sub-vectors (here `nSub` slices of
     * the embedding — production feeds per-token vectors), and
@@ -1201,24 +1263,9 @@ object Similarity {
       nSub: Int,
       k: Int): DataFrame = {
     require(nSub >= 1 && dim % nSub == 0, "nSub must divide dim")
-    import graft.functions.TextFunctions.bound
-    val subLen = dim / nSub
-    def subsOf(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).cast("long").as(idAs),
-          transform(col(vecCol), x => x.cast("double")).as("v"))
-        .select(col(idAs), explode(array((0 until nSub).map { s =>
-          struct(lit(s).as("si"),
-            slice(col("v"), s * subLen + 1, subLen).as("sv"))
-        }: _*)).as("s"))
-        .select(col(idAs), col("s.si").as("si"),
-          bound(col("s.sv")) { sv =>
-            bound(sqrt(aggregate(sv, lit(0.0), (a, x) => a + x * x))) { n =>
-              when(n > 0.0, transform(sv, x => x / n))
-                .otherwise(transform(sv, x => lit(0.0)))
-            }
-          }.as("u"))
-    val dSubs = subsOf(graft.queries.Tables.spread(emb), "vec_id")
-    val qSubs = subsOf(queries, "query_id")
+    val dSubs = unitFacets(graft.queries.Tables.spread(emb),
+      idCol, vecCol, "vec_id", dim, nSub)
+    val qSubs = unitFacets(queries, idCol, vecCol, "query_id", dim, nSub)
       .withColumnRenamed("si", "qsi").withColumnRenamed("u", "qu")
     val dots = dSubs.crossJoin(broadcast(qSubs))
       .select(col("query_id"), col("vec_id"), col("qsi"),

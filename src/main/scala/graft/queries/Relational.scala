@@ -2773,6 +2773,56 @@ object Relational {
                   WHERE user_id NOT IN (SELECT k FROM victims)))
             ORDER BY table_name"""))
 
+  // BITEMPORAL snapshot — two time axes at once: "what did we BELIEVE
+  // on 1996-06-30 (transaction time) the rate EFFECTIVE on 1996-01-01
+  // (valid time) was?" q67's point-in-time lookup has one axis; here
+  // corrections recorded AFTER the query's knowledge cutoff must be
+  // invisible even though their validity covers the target instant.
+  // History synthesized from orders: valid_from = orderdate,
+  // recorded_at = orderdate + (orderkey mod 3) days (late
+  // corrections). One keyed window after two pushed-down date
+  // filters.
+  private val q86 = GraftQuery(
+    "q86_bitemporal_snapshot",
+    (s, dir) => {
+      val hist = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey").as("rec_id"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        date_add(col("o_orderdate").cast("date"),
+          (col("o_orderkey") % 3).cast("int")).as("recorded_at"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("k") < 300)
+      val known = hist
+        .filter(col("recorded_at") <= lit("1996-06-30").cast("date"))
+        .filter(col("valid_from") <= lit("1996-01-01").cast("date"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        .orderBy(col("valid_from").desc, col("recorded_at").desc,
+          col("rec_id").desc)
+      known.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("rec_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("recorded_at"), "yyyy-MM-dd").as("recorded_at"),
+          col("cents"))
+        .orderBy("k")
+    },
+    Some("""WITH hist AS (SELECT o_custkey AS k, o_orderkey AS rec_id,
+                CAST(o_orderdate AS DATE) AS valid_from,
+                CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 3) DAY
+                  AS recorded_at,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_custkey < 300),
+            known AS (SELECT * FROM hist
+              WHERE recorded_at <= DATE '1996-06-30'
+                AND valid_from <= DATE '1996-01-01'),
+            r AS (SELECT *, row_number() OVER (PARTITION BY k
+                ORDER BY valid_from DESC, recorded_at DESC, rec_id DESC)
+                AS rn FROM known)
+            SELECT k, rec_id, strftime(valid_from, '%Y-%m-%d') AS valid_from,
+              strftime(CAST(recorded_at AS DATE), '%Y-%m-%d') AS recorded_at,
+              cents
+            FROM r WHERE rn = 1 ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2780,5 +2830,5 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

@@ -1519,7 +1519,101 @@ object VectorOps {
               vec_id AS nbr_id, maxsim
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Two-stage retrieval — the production ColBERT shape: v34's
+  // compressed IVF-SQ8 index shortlists 20 candidates per query,
+  // late-interaction max-sim re-ranks ONLY the shortlist (join volume
+  // ∝ |candidates|, not corpus). The oracle replays the ENTIRE
+  // composition: calibrate → encode → probe → ADC top-20 → facet
+  // split → max-sim → final rank.
+  private val v36 = GraftQuery(
+    "v36_two_stage_retrieval",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val shortlist = Similarity.ivfSq8TopK(emb, queries,
+        "vec_id", "embedding", dim = 64, nSeeds = 4, k = 20, nProbe = 2)
+      Similarity.maxSimRerank(emb, queries, shortlist,
+          "vec_id", "embedding", dim = 64, nSub = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT i, round(quantile_cont(x, 0.01), 6) AS lo,
+                    round(quantile_cont(x, 0.99), 6) AS hi
+                  FROM (SELECT CAST(generate_subscripts(v, 1) AS INT) - 1 AS i,
+                          unnest(v) AS x FROM e)
+                  GROUP BY i),
+            cal AS (SELECT list(lo ORDER BY i) AS los,
+                      list(hi ORDER BY i) AS his FROM d),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                v AS cvec FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+                  LIMIT 4)),
+            asn AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id ORDER BY
+                    round(list_sum(list_transform(
+                      [v[i+1] - cvec[i+1] FOR i IN range(64)],
+                      y -> y * y)), 6), c.cid) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn = 1),
+            codes AS (SELECT vec_id,
+                [CAST(least(greatest(round((v[i+1] - los[i+1]) /
+                   greatest(his[i+1] - los[i+1], 1e-9) * 255), 0), 255)
+                   AS INT) FOR i IN range(64)] AS cds
+              FROM e CROSS JOIN cal),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < 5),
+            prob AS (SELECT query_id, qv, cid FROM (
+                SELECT q.query_id, q.qv, c.cid, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY
+                    round(list_sum(list_transform(
+                      [qv[i+1] - cvec[i+1] FOR i IN range(64)],
+                      y -> y * y)), 6), c.cid) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 2),
+            cand0 AS (SELECT p.query_id, p.qv, cd.vec_id, cd.cds
+              FROM prob p
+              JOIN (SELECT codes.vec_id, codes.cds, asn.cid
+                    FROM codes JOIN asn USING (vec_id)) cd
+                ON cd.cid = p.cid),
+            sc0 AS (SELECT query_id, vec_id,
+                round(list_sum(list_transform(
+                  [qv[i+1] - (los[i+1] + cds[i+1] / 255.0 *
+                     greatest(his[i+1] - los[i+1], 1e-9))
+                   FOR i IN range(64)], y -> y * y)), 6) AS adist
+              FROM cand0 CROSS JOIN cal),
+            shortlist AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+                FROM sc0) WHERE rank <= 20),
+            sub AS (SELECT vec_id, CAST(s AS INT) AS si,
+                v[s*16+1 : s*16+16] AS sv
+              FROM e, (SELECT unnest(range(4)) AS s)),
+            un AS (SELECT vec_id, si,
+                CASE WHEN nrm > 0 THEN list_transform(sv, x -> x / nrm)
+                  ELSE list_transform(sv, x -> 0.0) END AS u
+              FROM (SELECT vec_id, si, sv,
+                  sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+                FROM sub)),
+            qs AS (SELECT vec_id AS query_id, si AS qsi, u AS qu
+              FROM un WHERE vec_id < 5),
+            dots AS (SELECT sl.query_id, sl.vec_id, qs.qsi,
+                list_sum(list_transform(range(16),
+                  i -> qu[i+1] * u[i+1])) AS dot
+              FROM shortlist sl
+              JOIN un d ON d.vec_id = sl.vec_id
+              JOIN qs ON qs.query_id = sl.query_id),
+            best AS (SELECT query_id, vec_id, qsi, max(dot) AS m
+              FROM dots GROUP BY 1, 2, 3),
+            sc AS (SELECT query_id, vec_id,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(m ORDER BY qsi)), (a, b) -> a + b), 6) AS maxsim
+              FROM best GROUP BY query_id, vec_id),
+            r AS (SELECT query_id, vec_id, maxsim, row_number() OVER (
+                PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rank
+              FROM sc)
+            SELECT query_id, CAST(rank AS INT) AS rank,
+              vec_id AS nbr_id, maxsim
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
 }
