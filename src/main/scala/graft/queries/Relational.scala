@@ -2823,6 +2823,118 @@ object Relational {
               cents
             FROM r WHERE rn = 1 ORDER BY k"""))
 
+  // Holt's linear trend (double exponential smoothing): level and
+  // trend evolve together — ℓ_t = αx + (1−α)(ℓ+b), b_t = β(ℓ_t−ℓ) +
+  // (1−β)b — a TWO-variable recursion (q76's EWMA can't carry trend;
+  // no window frame can carry either). Struct-accumulator fold over
+  // the sorted bounded daily series; α=1/4, β=1/8 exactly
+  // representable; emits the final level/trend and the one-step
+  // forecast ℓ+b.
+  private val q87 = GraftQuery(
+    "q87_holt_trend",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      daily.groupBy("pri")
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("series"))
+        .select(col("pri"), size(col("series")).as("n_days"),
+          aggregate(col("series"),
+            struct(lit(Double.NaN).as("l"), lit(0.0).as("b")),
+            (acc, e) => {
+              val x = e("cents").cast("double")
+              val lNew = when(isnan(acc("l")), x)
+                .otherwise(x * 0.25 + (acc("l") + acc("b")) * 0.75)
+              struct(lNew.as("l"),
+                when(isnan(acc("l")), lit(0.0))
+                  .otherwise((lNew - acc("l")) * 0.125 + acc("b") * 0.875)
+                  .as("b"))
+            }).as("f"))
+        .select(col("pri"), col("n_days"),
+          round(col("f.l"), 4).as("level"),
+          round(col("f.b"), 4).as("trend"),
+          round(col("f.l") + col("f.b"), 4).as("forecast"))
+        .orderBy("pri")
+    },
+    Some("""WITH d AS (SELECT o_orderpriority AS pri,
+                CAST(o_orderdate AS DATE) AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY pri, day),
+            srt AS (SELECT pri, list(CAST(cents AS DOUBLE) ORDER BY day)
+                AS series FROM d GROUP BY pri),
+            f AS (SELECT pri, CAST(len(series) AS INT) AS n_days,
+                list_reduce(list_prepend([CAST('nan' AS DOUBLE), 0.0],
+                  list_transform(series, x -> [x, 0.0])),
+                  (acc, e) -> CASE WHEN isnan(acc[1]) THEN [e[1], 0.0]
+                    ELSE [e[1] * 0.25 + (acc[1] + acc[2]) * 0.75,
+                      (e[1] * 0.25 + (acc[1] + acc[2]) * 0.75 - acc[1])
+                        * 0.125 + acc[2] * 0.875] END) AS st
+              FROM srt)
+            SELECT pri, n_days, round(st[1], 4) AS level,
+              round(st[2], 4) AS trend,
+              round(st[1] + st[2], 4) AS forecast
+            FROM f ORDER BY pri"""))
+
+  // Session path analysis: the event-type transition matrix over
+  // within-session adjacent pairs (q58's session definition) — the
+  // Markov-chain view of user journeys. One window pass produces the
+  // bigrams; transition probability = pair count / from-state total,
+  // exact integers until the final division.
+  private val q88 = GraftQuery(
+    "q88_session_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val withSess = t(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy("user_id", "sess_id")
+        .orderBy(col("ts"), col("event_id"))
+      val bigrams = withSess
+        .withColumn("next_type", lead(col("event_type"), 1).over(ws))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = bigrams.groupBy("from_type").agg(sum("n").as("tot"))
+      bigrams.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) -
+                CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+              FROM events),
+            f AS (SELECT user_id, event_id, ts, event_type,
+                CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+                  AS new_sess FROM g),
+            sn AS (SELECT user_id, event_id, ts, event_type,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sess_id
+              FROM f),
+            bg AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id, sess_id
+                  ORDER BY ts, event_id) AS to_type
+              FROM sn),
+            c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM bg WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT from_type, to_type, n,
+              round(CAST(n AS DOUBLE) / tot, 6) AS p
+            FROM c JOIN tt USING (from_type)
+            ORDER BY from_type, to_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2830,5 +2942,6 @@ object Relational {
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
+    q87, q88)
 }
