@@ -2935,6 +2935,64 @@ object Relational {
             FROM c JOIN tt USING (from_type)
             ORDER BY from_type, to_type"""))
 
+  // Double-entry reconciliation: a journal synthesized from orders
+  // (AR debit + REV credit per order; every 997th order also books a
+  // one-cent orphan — the planted break) is audited per TRANSACTION
+  // (entries must sum to zero) and per ACCOUNT. The closing check of
+  // any financial pipeline: exact integer cents, one grouped pass per
+  // axis, and the imbalance total must equal exactly the planted
+  // corruption.
+  private val q89 = GraftQuery(
+    "q89_ledger_reconciliation",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("txn"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val journal = o.select(col("txn"), lit("AR").as("account"),
+          col("cents").as("amount"))
+        .unionByName(o.select(col("txn"), lit("REV").as("account"),
+          (-col("cents")).as("amount")))
+        .unionByName(o.filter(col("txn") % 997 === 0)
+          .select(col("txn"), lit("AR").as("account"),
+            lit(1L).as("amount")))
+      val perTxn = journal.groupBy("txn").agg(sum("amount").as("bal"))
+      val txnAudit = perTxn.agg(
+        count(lit(1)).as("n_txn"),
+        sum(when(col("bal") =!= 0, 1L).otherwise(0L)).as("n_unbalanced"),
+        sum(abs(col("bal"))).as("imbalance_cents"))
+      val perAccount = journal.groupBy("account")
+        .agg(count(lit(1)).as("n_entries"), sum("amount").as("total_cents"))
+      perAccount
+        .select(col("account"), col("n_entries"), col("total_cents"))
+        .unionByName(txnAudit.select(lit("__AUDIT__").as("account"),
+          col("n_txn").as("n_entries"),
+          (col("n_unbalanced") * 1000000000L + col("imbalance_cents"))
+            .as("total_cents")))
+        .orderBy("account")
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS txn,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            journal AS (
+              SELECT txn, 'AR' AS account, cents AS amount FROM o
+              UNION ALL SELECT txn, 'REV', -cents FROM o
+              UNION ALL SELECT txn, 'AR', 1 FROM o WHERE txn % 997 = 0),
+            per_txn AS (SELECT txn, CAST(sum(amount) AS BIGINT) AS bal
+              FROM journal GROUP BY txn),
+            audit AS (SELECT CAST(count(*) AS BIGINT) AS n_txn,
+                CAST(sum(CASE WHEN bal <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unbalanced,
+                CAST(sum(abs(bal)) AS BIGINT) AS imbalance
+              FROM per_txn)
+            SELECT account, CAST(n_entries AS BIGINT) AS n_entries,
+              CAST(total_cents AS BIGINT) AS total_cents FROM (
+              SELECT account, count(*) AS n_entries,
+                sum(amount) AS total_cents
+              FROM journal GROUP BY account
+              UNION ALL
+              SELECT '__AUDIT__', n_txn,
+                n_unbalanced * 1000000000 + imbalance FROM audit)
+            ORDER BY account"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -2943,5 +3001,5 @@ object Relational {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88)
+    q87, q88, q89)
 }

@@ -186,4 +186,35 @@ class SketchSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     exact.foreach { case (g, n) => assert(naiveSum(g) > n) }
   }
+
+  test("streaming windowed distinct-count runs on HLL state (bounded, watermark close)") {
+    // count(DISTINCT) is unsupported in streaming aggregation and an
+    // exact set would grow with cardinality; the sketch aggregate is
+    // the bounded-state route — same q72 machinery, live
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user, 12))").as("approx_users"))
+      .select(col("window.start").as("ws"), col("approx_users"))
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 300 events over 100 distinct users, split across two batches
+      val users = (1 to 300).map(i => ts("2024-01-01 10:05:00") -> s"u${i % 100}")
+      mem.addData(users.take(150): _*); q.processAllAvailable()
+      mem.addData(users.drop(150): _*); q.processAllAvailable()
+      mem.addData(ts("2024-01-01 12:00:00") -> "z"); q.processAllAvailable()
+      val rows = spark.table("hll_stream").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.length == 1)
+      val est = rows(0)._2
+      assert(math.abs(est - 100) <= 5, s"estimate $est for 100 true distinct")
+    } finally q.stop()
+  }
 }
