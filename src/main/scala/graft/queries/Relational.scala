@@ -2993,6 +2993,62 @@ object Relational {
                 n_unbalanced * 1000000000 + imbalance FROM audit)
             ORDER BY account"""))
 
+  // Theil–Sen robust trend: the MEDIAN of all pairwise slopes per
+  // priority — immune to the outlier days that wreck least squares
+  // (the robust-statistics sibling of t78's median/MAD, for trends).
+  // Pair generation runs on the PRE-AGGREGATED daily table (~80 rows
+  // per group → ~3k pairs; never raw orders), the median picks
+  // lower-of-two on even counts with an exact integer rank rule, and
+  // slope ordering is the identical double expression both engines
+  // evaluate.
+  private val q90 = GraftQuery(
+    "q90_theil_sen_trend",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val epoch = to_date(lit("1970-01-01"))
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.pri") === col("b.pri") && col("a.day") < col("b.day"))
+        .select(col("a.pri").as("pri"),
+          ((col("b.cents") - col("a.cents")).cast("double") /
+            (col("b.day") - col("a.day"))).as("slope"),
+          col("a.day").as("d1"), col("b.day").as("d2"))
+      val w = Window.partitionBy("pri")
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val wc = Window.partitionBy("pri")
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1)
+        .groupBy("pri")
+        .agg(max("n").as("n_pairs"),
+          round(min("slope"), 4).as("median_slope_cents_per_day"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS pri,
+                datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            sl AS (SELECT a.pri,
+                CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope,
+                a.day AS d1, b.day AS d2
+              FROM daily a JOIN daily b
+                ON a.pri = b.pri AND a.day < b.day),
+            r AS (SELECT pri, slope,
+                row_number() OVER (PARTITION BY pri
+                  ORDER BY slope, d1, d2) AS rn,
+                count(*) OVER (PARTITION BY pri) AS n
+              FROM sl)
+            SELECT pri, CAST(max(n) AS BIGINT) AS n_pairs,
+              round(min(slope), 4) AS median_slope_cents_per_day
+            FROM r WHERE rn * 2 = n OR rn * 2 = n + 1
+            GROUP BY pri ORDER BY pri"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -3001,5 +3057,5 @@ object Relational {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89)
+    q87, q88, q89, q90)
 }
