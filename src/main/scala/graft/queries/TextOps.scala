@@ -4028,7 +4028,8 @@ object TextOps {
     Some(s"""WITH $duckQualityZCtes,
              lab AS (SELECT z.z AS sc, (d.lang = 'en') AS pos
                FROM z JOIN documents d USING (doc_id)),
-             th AS (SELECT unnest([0.0, 0.5, 1.0, 1.5, 2.0]) AS threshold),
+             th AS (SELECT CAST(unnest([0.0, 0.5, 1.0, 1.5, 2.0]) AS DOUBLE)
+               AS threshold),
              cf AS (SELECT threshold,
                  CAST(sum(CASE WHEN sc >= threshold AND pos THEN 1 ELSE 0 END)
                    AS BIGINT) AS tp,
