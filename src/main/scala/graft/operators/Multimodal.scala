@@ -1246,6 +1246,125 @@ object Multimodal {
     * bit-for-bit — the m14 proof pattern. Pure map stage, zero
     * shuffle; non-WAV / non-PCM16-mono bytes yield no row (the decode
     * DLQ contract). */
+  /** Histogram equalization over REAL grayscale rasters — the
+    * contrast-normalization pass an image-corpus ingest runs before
+    * perceptual hashing or feature extraction (under/over-exposed
+    * shots otherwise collapse into few gray levels and alias in
+    * aHash/pHash space). The classic integer transfer function
+    * v' = ⌊(cdf(v) − cdf_min)·255 / (N − cdf_min)⌋ — EXACT integer
+    * arithmetic end to end, so the whole pixel transform is
+    * SQL-replayable (m26 verifies every 8×8 block of the RE-ENCODED
+    * output against an oracle that recomputes histogram → CDF → map
+    * from the md5 block derivation alone). Pure map stage; re-encodes
+    * through the JDK codec. */
+  def equalizeGray(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val hist = new Array[Long](256)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  hist(raster.getSample(x, y, 0)) += 1; x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              val cdf = new Array[Long](256)
+              var acc = 0L; var v = 0
+              while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+              var cdfMin = 0L; v = 0
+              while (v < 256 && cdfMin == 0L) {
+                if (hist(v) > 0) cdfMin = cdf(v); v += 1
+              }
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val or = out.getRaster
+              y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val s = raster.getSample(x, y, 0)
+                  val m =
+                    if (n == cdfMin) 0
+                    else ((cdf(s) - cdfMin) * 255L / (n - cdfMin)).toInt
+                  or.setSample(x, y, 0, m); x += 1
+                }
+                y += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              Some(Row(id, "image", baos.toByteArray, "equalized"))
+            }
+          } catch { case _: Exception => None }
+        }
+      }(enc)
+  }
+
+  /** Read back the 8×8-block gray values of a block-structured image
+    * (the verification half of [[equalizeGray]]'s round-trip): one
+    * row per block with its value and a uniformity flag (a
+    * non-uniform block means the transform or codec leaked across
+    * block boundaries). */
+  def grayBlockValues(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bx", IntegerType, nullable = false),
+      StructField("by", IntegerType, nullable = false),
+      StructField("v", IntegerType, nullable = false),
+      StructField("uniform", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0)
+              Nil
+            else {
+              val raster = img.getRaster
+              for {
+                by <- 0 until img.getHeight / 8
+                bx <- 0 until img.getWidth / 8
+              } yield {
+                val v0 = raster.getSample(bx * 8, by * 8, 0)
+                var uniform = true
+                var y = by * 8
+                while (y < by * 8 + 8) {
+                  var x = bx * 8
+                  while (x < bx * 8 + 8) {
+                    if (raster.getSample(x, y, 0) != v0) uniform = false
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(id, bx, by, v0, uniform)
+              }
+            }
+          } catch { case _: Exception => Nil }
+        }
+      }(enc)
+  }
+
   /** Peak normalization over REAL PCM — the gain-staging pass before
     * any audio corpus trains or transcribes (clips recorded at wildly
     * different levels otherwise dominate/vanish in energy-based

@@ -973,7 +973,46 @@ object MultimodalOps {
              FROM nv JOIN pk USING (media_id)
              GROUP BY media_id ORDER BY media_id"""))
 
+  // Histogram equalization verified TO THE BLOCK: real PNG decode →
+  // exact-integer CDF transfer → JDK re-encode → SECOND decode reads
+  // every 8×8 block of the OUTPUT. The oracle recomputes histogram →
+  // CDF → mapping from the md5 block derivation alone (a window count
+  // over block values IS the pixel CDF, since blocks are uniform) and
+  // must match each equalized block value; the uniform flag proves
+  // the codec round-trip leaked nothing across block edges.
+  private val m26 = GraftQuery(
+    "m26_image_equalize",
+    (s, dir) => {
+      Multimodal.grayBlockValues(
+          Multimodal.equalizeGray(
+            Multimodal.synthesizeBlockImages(
+              Tables.spread(t(s, dir, "documents")), "doc_id")))
+        .orderBy("media_id", "by", "bx")
+    },
+    Some("""WITH b AS (SELECT doc_id AS media_id, bx, by,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+                  CAST(bx AS VARCHAR) || '_' || CAST(by AS VARCHAR)), 1, 2))
+                  AS INT) AS v
+              FROM documents,
+                (SELECT CAST(unnest(range(8)) AS INT) AS bx),
+                (SELECT CAST(unnest(range(8)) AS INT) AS by)),
+            c AS (SELECT media_id, bx, by, v,
+                64 * count(*) OVER (PARTITION BY media_id ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cdf,
+                64 * sum(CASE WHEN v = mn THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY media_id) AS cdfmin
+              FROM (SELECT *, min(v) OVER (PARTITION BY media_id) AS mn
+                FROM b)),
+            eq AS (SELECT media_id, bx, by,
+                CASE WHEN cdfmin = 4096 THEN 0
+                  ELSE CAST((cdf - cdfmin) * 255 // (4096 - cdfmin) AS INT)
+                END AS v
+              FROM c)
+            SELECT media_id, bx, by, v, TRUE AS uniform
+            FROM eq ORDER BY media_id, by, bx"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25)
+    m24, m25, m26)
 }
