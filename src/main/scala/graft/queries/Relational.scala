@@ -2996,8 +2996,11 @@ object Relational {
   // Theil–Sen robust trend: the MEDIAN of all pairwise slopes per
   // priority — immune to the outlier days that wreck least squares
   // (the robust-statistics sibling of t78's median/MAD, for trends).
-  // Pair generation runs on the PRE-AGGREGATED daily table (~80 rows
-  // per group → ~3k pairs; never raw orders), the median picks
+  // Exact Theil–Sen is O(days²) BY CONTRACT, so the operator runs on
+  // a BOUNDED window (one year here → ≤66k pairs per group; at scale
+  // keep the window bounded or switch to the repeated-median /
+  // sampled estimator). Pair generation runs on the PRE-AGGREGATED
+  // daily table, never raw orders; the median picks
   // lower-of-two on even counts with an exact integer rank rule, and
   // slope ordering is the identical double expression both engines
   // evaluate.
@@ -3007,6 +3010,7 @@ object Relational {
       import org.apache.spark.sql.expressions.Window
       val epoch = to_date(lit("1970-01-01"))
       val daily = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
         .groupBy(col("o_orderpriority").as("pri"),
           datediff(col("o_orderdate"), epoch).cast("long").as("day"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
@@ -3033,7 +3037,8 @@ object Relational {
                   CAST(o_orderdate AS DATE)) AS day,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS cents
-              FROM orders GROUP BY 1, 2),
+              FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+              GROUP BY 1, 2),
             sl AS (SELECT a.pri,
                 CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope,
                 a.day AS d1, b.day AS d2
