@@ -72,12 +72,19 @@ object Eval {
       sorted.rdd.zipWithIndex().map { case (row, i) =>
         Row.fromSeq(row.toSeq :+ (i + 1L))
       }, schema)
+    // DECIMAL(38,0) for the rank identity: at true corpus scale
+    // n₊·(n₊+1) and Σranks overflow Long (~4.3e9 positives / ~6.1e9
+    // rows) and would wrap silently; the final division is the only
+    // double step
     ranked.agg(
-        sum(when(col("pos"), col("r")).otherwise(0L)).as("rank_sum"),
+        sum(when(col("pos"), col("r")).otherwise(0L).cast("decimal(38,0)"))
+          .as("rank_sum"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2)
-          .cast("double") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+        round((col("rank_sum") -
+          col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1) / 2)
+          .cast("double") /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
   }
 }

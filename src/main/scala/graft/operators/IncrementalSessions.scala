@@ -29,21 +29,16 @@ object IncrementalSessions {
   def sessionsOf(
       events: DataFrame, keyCol: String, tsCol: String,
       centsCol: String, gapSec: Long): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col("__s"))
-    val wRun = Window.partitionBy(keyCol).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy("key").orderBy(col("__s"))
     events
       .select(col(keyCol).as("key"),
         col(tsCol).cast("long").as("__s"), col(centsCol).as("__c"))
+      .withColumn("__prev", lag(col("__s"), 1).over(ord))
       .withColumn("__new",
-        when(col("__s") - lag(col("__s"), 1).over(
-          Window.partitionBy("key").orderBy(col("__s"))) > gapSec, 1L)
-          .otherwise(when(lag(col("__s"), 1).over(
-            Window.partitionBy("key").orderBy(col("__s"))).isNull, 1L)
-            .otherwise(0L)))
+        when(col("__prev").isNull || col("__s") - col("__prev") > gapSec, 1L)
+          .otherwise(0L))
       .withColumn("__sid", sum("__new").over(
-        Window.partitionBy("key").orderBy(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("key", "__sid")
       .agg(min("__s").as("start_s"), max("__s").as("end_s"),
         count(lit(1)).as("n_events"), sum("__c").as("cents"))

@@ -918,14 +918,18 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           if (b == null || b.length < 8 || !b.take(8).sameElements(sig)) Nil
-          else {
+          else try {
             val bb = java.nio.ByteBuffer.wrap(b)
             bb.position(8)
             val out = scala.collection.mutable.ListBuffer.empty[Row]
             var ok = true
             while (ok && bb.remaining() >= 12) {
               val len = bb.getInt
-              if (len < 0 || bb.remaining() < len + 8) ok = false
+              // long arithmetic: a crafted length near Int.MaxValue
+              // would wrap `len + 8` negative and pass an int check,
+              // then blow up on allocation — malformed bytes must
+              // yield no row, never a task failure
+              if (len < 0 || bb.remaining().toLong < len.toLong + 8) ok = false
               else {
                 val tpe = new Array[Byte](4); bb.get(tpe)
                 val data = new Array[Byte](len); bb.get(data)
@@ -943,7 +947,7 @@ object Multimodal {
               }
             }
             out.toList
-          }
+          } catch { case _: Exception => Nil }
         }
       }(enc)
   }

@@ -929,10 +929,13 @@ object MultimodalOps {
   private val m25 = GraftQuery(
     "m25_audio_peak_normalize",
     (s, dir) => {
+      // localCheckpoint: audioQcStats and the old_peak join are two
+      // DAG branches — without it the decode→scan→re-encode pipeline
+      // runs twice
       val norm = Multimodal.peakNormalize(
         Multimodal.synthesizeAudio(
           Tables.spread(t(s, dir, "documents")), "doc_id"),
-        targetPeak = 32000)
+        targetPeak = 32000).localCheckpoint()
       Multimodal.audioQcStats(norm, clipThreshold = 32000)
         .join(norm.select(col("media_id"), col("old_peak")), Seq("media_id"))
         .orderBy("media_id")
