@@ -4118,11 +4118,47 @@ object TextOps {
                  AS kappa
              FROM c"""))
 
+  // Gini coefficient of token mass per source — how concentrated is
+  // each source's contribution in a few giant documents? (G → 0
+  // uniform docs, G → 1 one doc dominates; the mixture-design input
+  // t35's temperature reweighting acts on.) Exact rank formula
+  // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-source sorted token
+  // counts: integer rank/weight products, one keyed window.
+  private val t97 = GraftQuery(
+    "t97_source_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          col("st.n_tokens").cast("long").as("x"))
+      val w = Window.partitionBy("source").orderBy(col("x"), col("doc_id"))
+      d.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("tot"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("source"), col("n"), col("tot"),
+          round(lit(2.0) * col("ix") / (col("n") * col("tot")) -
+            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source,
+                 CAST(len($duckToks) AS BIGINT) AS x FROM documents),
+             r AS (SELECT source, x, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+               FROM tk)
+             SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS tot,
+               round(2.0 * CAST(sum(i * x) AS DOUBLE) /
+                 (count(*) * sum(x)) -
+                 CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+             FROM r GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
     t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
-    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96)
+    t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
+    t97)
 }

@@ -521,6 +521,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q85 erasure cascade is pure broadcast anti-joins (zero keyed shuffle)") {
+    val p = plan("q85_erasure_propagation")
+    // ShuffleProbe measures 0.00 MB exchanged; pin the shape behind it
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"erasure must broadcast the victim set, never shuffle facts:\n$p")
+  }
+
   test("v33 SQ8 calibration broadcasts the envelope (encode stays map-side)") {
     val p = plan("v33_sq8_calibrated")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
