@@ -4153,6 +4153,68 @@ object TextOps {
                  CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
              FROM r GROUP BY source ORDER BY source"""))
 
+  // Dedup survivorship audit: do the docs dedup DROPS differ
+  // systematically from the docs it keeps? (If dropped copies skew
+  // high-quality the canonical-pick rule is destroying value; if they
+  // skew one source the mixture silently shifts.) Kept vs dropped
+  // cohorts × mean quality z and mean token count, one pass over the
+  // shared scorer.
+  private val t98 = GraftQuery(
+    "t98_dedup_survivorship",
+    (s, dir) => {
+      // plant exact copies (doc_id+1000000 for every 10th doc) so the
+      // dropped cohort is never vacuously empty on a dup-free fixture
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+          col("text"))
+        .unionByName(docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+      val keepers = Dedup.exactGroups(planted, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(true).as("kept"))
+      val z = planted.withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_tokens").cast("long").as("n_toks"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("f_distinct"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("f_stop"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("f_len"))
+        .withColumn("z",
+          lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+            (col("f_len") - 4.0) * -0.5)
+      z.join(keepers, Seq("doc_id"), "left")
+        .withColumn("cohort",
+          when(col("kept").isNotNull, "kept").otherwise("dropped"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("z")), 6).as("mean_z"),
+          round(avg(col("n_toks").cast("double")), 6).as("mean_tokens"))
+        .orderBy("cohort")
+    },
+    Some(s"""WITH planted AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents
+               WHERE doc_id % 10 = 0),
+             tk AS (SELECT doc_id, $duckToks AS toks FROM planted),
+             f AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+               FROM tk),
+             z AS (SELECT doc_id, n_toks,
+                 -1.0 + f_distinct * 4.0 + f_stop * 2.5 + (f_len - 4.0) * -0.5 AS z
+               FROM f),
+             keep AS (SELECT min(doc_id) AS doc_id FROM planted
+               GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+             lab AS (SELECT z.doc_id, z.z, z.n_toks,
+                 CASE WHEN z.doc_id IN (SELECT doc_id FROM keep)
+                   THEN 'kept' ELSE 'dropped' END AS cohort
+               FROM z)
+             SELECT cohort, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(z), 6) AS mean_z,
+               round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_tokens
+             FROM lab GROUP BY cohort ORDER BY cohort"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4160,5 +4222,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97)
+    t97, t98)
 }
