@@ -3054,6 +3054,77 @@ object Relational {
             FROM r WHERE rn * 2 = n OR rn * 2 = n + 1
             GROUP BY pri ORDER BY pri"""))
 
+  // Interval-union coverage ("uptime report"): overlapping activity
+  // intervals per priority (1997 orders, each covering 1–5 days)
+  // merge into islands — covered days, island count, and the largest
+  // dark gap. The duration-side complement of q80's sessionize and
+  // q69's overlap JOIN: one keyed window over interval rows, never
+  // per-day explosion (the naive calendar-explode shape is O(days)
+  // per interval).
+  private val q91 = GraftQuery(
+    "q91_interval_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val epoch = to_date(lit("1970-01-01"))
+      val iv = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").as("rid"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("s"),
+          (datediff(col("o_orderdate"), epoch) +
+            (col("o_orderkey") % 5) + 1).cast("long").as("e"))
+      // rid tiebreak: duplicate (s, e) rows otherwise order
+      // arbitrarily and the running island sum can split a tied pair
+      // across two islands (engine-divergent)
+      val ord = Window.partitionBy("pri")
+        .orderBy(col("s"), col("e"), col("rid"))
+      val prevMax = max(col("e")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      val marked = iv
+        .withColumn("pm", prevMax)
+        .withColumn("ni",
+          when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+        .withColumn("gap",
+          when(col("ni") === 1 && col("pm").isNotNull, col("s") - col("pm")))
+        .withColumn("island", sum("ni").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = marked.groupBy("pri", "island")
+        .agg(min("s").as("is"), max("e").as("ie"), max("gap").as("gap"))
+      islands.groupBy("pri")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie") - col("is")).as("covered_days"),
+          coalesce(max("gap"), lit(0L)).as("max_gap_days"))
+        .orderBy("pri")
+    },
+    Some("""WITH iv AS (SELECT o_orderpriority AS pri,
+                CAST(datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+                CAST(datediff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) + o_orderkey % 5 + 1 AS BIGINT)
+                  AS e, o_orderkey AS rid
+              FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+            m AS (SELECT pri, s, e, rid,
+                max(e) OVER (PARTITION BY pri ORDER BY s, e, rid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM iv),
+            f AS (SELECT pri, s, e, rid, pm,
+                CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni,
+                CASE WHEN (pm IS NULL OR s > pm) AND pm IS NOT NULL
+                  THEN s - pm END AS gap
+              FROM m),
+            isl AS (SELECT pri, s, e, gap,
+                CAST(sum(ni) OVER (PARTITION BY pri ORDER BY s, e, rid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+              FROM f),
+            g AS (SELECT pri, island, min(s) AS i_s, max(e) AS i_e,
+                max(gap) AS gap
+              FROM isl GROUP BY pri, island)
+            SELECT pri, CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(sum(i_e - i_s) AS BIGINT) AS covered_days,
+              CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
+            FROM g GROUP BY pri ORDER BY pri"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -3062,5 +3133,5 @@ object Relational {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90)
+    q87, q88, q89, q90, q91)
 }
