@@ -826,19 +826,37 @@ object SqlDialect {
     * (non-window) count(DISTINCT …) is left alone — Spark handles it.
     * Cost note: the rewrite carries the frame's distinct SET per row,
     * the same state DuckDB maintains internally for the construct. */
+  /** Is position `pos` inside a single-quoted string literal? Parity
+    * of quote chars before it — the same toggle balancedClose uses,
+    * under which the '' escape (two toggles) nets out correctly. */
+  private def insideQuote(s: String, pos: Int): Boolean = {
+    var q = false; var i = 0
+    while (i < pos) { if (s.charAt(i) == '\'') q = !q; i += 1 }
+    q
+  }
+
   private def rewriteDistinctWindowCount(s: String): String = {
     val re = "(?is)\\bcount\\s*\\(\\s*distinct\\s".r
     re.findAllMatchIn(s).toList.reverse.foldLeft(s) { (acc, m) =>
       val open = acc.indexOf('(', m.start)
       val close = balancedClose(acc, open)
-      if (close < 0) acc
+      // skip matches sitting inside a string literal — the scan regex
+      // itself is not quote-aware
+      if (close < 0 || insideQuote(acc, m.start)) acc
       else {
         val expr = acc.substring(open + 1, close).trim
           .replaceFirst("(?is)^distinct\\s+", "")
         var j = close + 1
         while (j < acc.length && acc.charAt(j).isWhitespace) j += 1
+        // the token must be exactly OVER (word boundary after it):
+        // `count(DISTINCT x) overall` is a bare ALIAS named
+        // "overall", not a window reference
         if (j + 4 > acc.length ||
-            !acc.substring(j, j + 4).equalsIgnoreCase("over")) acc
+            !acc.substring(j, j + 4).equalsIgnoreCase("over") ||
+            (j + 4 < acc.length && {
+              val c = acc.charAt(j + 4)
+              c.isLetterOrDigit || c == '_'
+            })) acc
         else {
           var k = j + 4
           while (k < acc.length && acc.charAt(k).isWhitespace) k += 1

@@ -10,12 +10,13 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded-heap entry: the struct row serialized to UnsafeRow bytes,
-  * with its ordering key denormalized for comparison. The total order
-  * is (ord, bytes): equal-ord rows tie-break on their serialized
-  * bytes, so heap contents — and therefore the aggregate's result —
-  * are independent of arrival and merge order. */
+  * with its ordering keys denormalized for comparison. The total
+  * order is (ords lexicographic, bytes): rows compare on every
+  * leading LONG field in sequence, and only fully-tied rows fall back
+  * to their serialized bytes, so heap contents — and therefore the
+  * aggregate's result — are independent of arrival and merge order. */
 private[functions] final case class TopKEntry(
-    ord: Long, bytes: Array[Byte], numFields: Int) {
+    ords: Array[Long], bytes: Array[Byte], numFields: Int) {
   def row: UnsafeRow = {
     val r = new UnsafeRow(numFields)
     r.pointTo(bytes, bytes.length)
@@ -24,13 +25,18 @@ private[functions] final case class TopKEntry(
 }
 
 private[functions] object TopKEntry {
-  /** Ascending (ord, bytes) — a min-heap under this order keeps the k
-    * LARGEST entries by popping the smallest. */
+  /** Ascending (ords…, bytes) — a min-heap under this order keeps the
+    * k LARGEST entries by popping the smallest. */
   val ordering: Ordering[TopKEntry] = new Ordering[TopKEntry] {
     override def compare(a: TopKEntry, b: TopKEntry): Int = {
-      val c = java.lang.Long.compare(a.ord, b.ord)
-      if (c != 0) c
-      else java.util.Arrays.compareUnsigned(a.bytes, b.bytes)
+      var i = 0
+      val n = math.min(a.ords.length, b.ords.length)
+      while (i < n) {
+        val c = java.lang.Long.compare(a.ords(i), b.ords(i))
+        if (c != 0) return c
+        i += 1
+      }
+      java.util.Arrays.compareUnsigned(a.bytes, b.bytes)
     }
   }
 }
@@ -67,16 +73,27 @@ private[functions] final class TopKBuffer(val k: Int) {
   * spilling) already does the orchestration — only the state machine
   * is custom.
   *
-  * Input: a STRUCT whose FIRST field is a LONG ordering key (callers
-  * encode composite total orders the q45/q59 way, e.g.
-  * `cents·10^7 − id`); remaining fields are the carried payload.
-  * Result: `array<struct>` of the k largest, descending — every rank
-  * deterministic because the (ord, serialized-bytes) order is total.
+  * Input: a STRUCT whose LEADING LONG fields are the ordering keys,
+  * compared lexicographically (all ascending; encode a descending
+  * component by negating it). Callers express composite total orders
+  * as separate fields — `struct(cents, -id, …payload)` — rather than
+  * packing them into one Long with multiply-subtract arithmetic: the
+  * packed form silently corrupts the order once the low component
+  * outgrows its allotted spacing or the product overflows Long
+  * (exactly the weighted-reservoir bug this replaced). Remaining
+  * fields are the carried payload. Result: `array<struct>` of the k
+  * largest, descending — every rank deterministic because the
+  * (ords…, serialized-bytes) order is total.
   *
-  * Determinism: ties on ord break on the serialized row bytes, so
-  * results are independent of row arrival order, partitioning, and
-  * partial/final merge interleaving (the fixture-shuffle probe's
-  * invariance contract). */
+  * Null ordering keys sort FIRST (treated as Long.MinValue — they
+  * lose to every real key under the keep-largest semantics; a genuine
+  * Long.MinValue key ties with null and falls to the bytes
+  * tie-break, still deterministic).
+  *
+  * Determinism: full ties across all ordering fields break on the
+  * serialized row bytes, so results are independent of row arrival
+  * order, partitioning, and partial/final merge interleaving (the
+  * fixture-shuffle probe's invariance contract). */
 case class TopKRows(
     child: Expression,
     k: Int,
@@ -87,6 +104,9 @@ case class TopKRows(
   require(k >= 1, "top_k_rows: k must be positive")
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
+  /** Number of leading LONG fields = the ordering-key prefix. */
+  private lazy val numOrds =
+    structType.fields.takeWhile(_.dataType == LongType).length
   @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
 
   override def checkInputDataTypes():
@@ -101,24 +121,33 @@ case class TopKRows(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  private def ordsOf(row: InternalRow): Array[Long] = {
+    val a = new Array[Long](numOrds)
+    var i = 0
+    while (i < numOrds) {
+      a(i) = if (row.isNullAt(i)) Long.MinValue else row.getLong(i)
+      i += 1
+    }
+    a
+  }
+
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      if (!row.isNullAt(0)) {
-        val ord = row.getLong(0)
-        // fast reject on ord alone: once the heap is full, most rows
-        // lose to the current minimum without ever being serialized —
-        // the UnsafeProjection + copy runs only for potential admits
-        // (ties on ord still project; add() breaks them on bytes).
-        // Measured: 40M rows / 8 keys went 9.2s → comparable to the
-        // window path once rejects stopped paying the projection.
-        if (b.heap.size < k || ord >= b.heap.peek.ord) {
-          // the projection reuses ONE buffer across rows — copy()
-          // allocates a fresh exact-size backing array
-          val bytes = toUnsafe(row).copy().getBytes
-          b.add(TopKEntry(ord, bytes, structType.length))
-        }
+      val ord0 = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+      // fast reject on the primary ord alone: once the heap is full,
+      // most rows lose to the current minimum without ever being
+      // serialized — the UnsafeProjection + copy runs only for
+      // potential admits (ties on ord0 still project; add() breaks
+      // them on the remaining ords, then bytes). Measured: 40M rows /
+      // 8 keys went 9.2s → comparable to the window path once
+      // rejects stopped paying the projection.
+      if (b.heap.size < k || ord0 >= b.heap.peek.ords(0)) {
+        // the projection reuses ONE buffer across rows — copy()
+        // allocates a fresh exact-size backing array
+        val bytes = toUnsafe(row).copy().getBytes
+        b.add(TopKEntry(ordsOf(row), bytes, structType.length))
       }
     }
     b
@@ -146,7 +175,9 @@ case class TopKRows(
     val it = b.heap.iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeLong(e.ord)
+      out.writeInt(e.ords.length)
+      var i = 0
+      while (i < e.ords.length) { out.writeLong(e.ords(i)); i += 1 }
       out.writeInt(e.bytes.length)
       out.write(e.bytes)
     }
@@ -160,11 +191,14 @@ case class TopKRows(
     val n = in.getInt
     var i = 0
     while (i < n) {
-      val ord = in.getLong
+      val m = in.getInt
+      val ords = new Array[Long](m)
+      var j = 0
+      while (j < m) { ords(j) = in.getLong; j += 1 }
       val len = in.getInt
       val arr = new Array[Byte](len)
       in.get(arr)
-      b.add(TopKEntry(ord, arr, structType.length))
+      b.add(TopKEntry(ords, arr, structType.length))
       i += 1
     }
     b

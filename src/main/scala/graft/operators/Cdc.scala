@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * the big side (CuratedOutput.writeBucketed's layout contract).
   *
   * Contract: `ordCols` must totally order each key's changes (ties
-  * would make the survivor arbitrary — feed a sequence number). */
+  * would make the survivor arbitrary — feed a sequence number), and
+  * every op must be one of I/U/D — a malformed op RAISES rather than
+  * silently acting as a delete (the `op =!= 'D'` formulation this
+  * replaced dropped null/unknown ops from the upsert set while still
+  * anti-joining their keys out of the snapshot). */
 object Cdc {
 
   def applyChanges(
@@ -36,12 +40,19 @@ object Cdc {
     require(ordCols.nonEmpty, "applyChanges: ordCols must be non-empty")
     val w = Window.partitionBy(keyCol)
       .orderBy(ordCols.map(col(_).desc): _*)
-    val latest = changes
+    // validate ops up front — scan-side, before the window shuffle,
+    // so a poisoned feed fails loudly instead of half-applying
+    val op = upper(col(opCol))
+    val checked = changes.withColumn("__op",
+      when(op.isin("I", "U", "D"), op).otherwise(raise_error(concat(
+        lit(s"Cdc.applyChanges: op column '$opCol' must be I/U/D, got "),
+        coalesce(col(opCol).cast("string"), lit("NULL"))))))
+    val latest = checked
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val upserts = latest.filter(upper(col(opCol)) =!= "D")
-      .drop((opCol +: ordCols): _*)
+    val upserts = latest.filter(col("__op") =!= "D")
+      .drop((Seq("__op", opCol) ++ ordCols): _*)
     snapshot
       .join(latest.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(upserts)

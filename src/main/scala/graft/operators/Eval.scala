@@ -9,16 +9,19 @@ import org.apache.spark.sql.types.LongType
   * whose score can't separate the classes is just deleting data at
   * random, and AUC is the threshold-free way to know.
   *
-  * Exact ROC-AUC via the Mann–Whitney rank identity:
-  * AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋). The global rank is
-  * t80's distributed-ranking discipline — range-repartition +
-  * in-partition sort + `zipWithIndex` — NEVER a single-partition
-  * window (the textbook `row_number() OVER (ORDER BY score)` pulls
-  * the whole corpus through one task). Ties break on the id column,
-  * so the metric is a deterministic, engine-replayable contract
-  * (score ties are measure-zero for continuous scores; for coarse
-  * scores the id tie-break makes the reported value reproducible
-  * rather than averaged). */
+  * Exact ROC-AUC via the tie-corrected Mann–Whitney rank identity:
+  * AUC = (Σ midranks(pos) − n₊(n₊+1)/2) / (n₊·n₋), where tied scores
+  * share their group's MIDRANK (average positional rank) — the
+  * standard value, equal to P(s₊>s₋) + ½P(s₊=s₋), unbiased for
+  * coarse/discrete scores (an id tie-break instead deterministically
+  * skews the value whichever way ids correlate with labels). The
+  * global rank is t80's distributed-ranking discipline —
+  * range-repartition + in-partition sort + `zipWithIndex` — NEVER a
+  * single-partition window (the textbook `row_number() OVER (ORDER
+  * BY score)` pulls the whole corpus through one task). Midranks
+  * need no join-back: positional ranks within a score group are
+  * consecutive, so the group's midrank is (min+max)/2 and
+  * Σ midranks(pos) folds into one groupBy(score) aggregate. */
 object Eval {
 
   /** Precision/recall/F1 at a threshold sweep — the operating-point
@@ -75,16 +78,23 @@ object Eval {
     // DECIMAL(38,0) for the rank identity: at true corpus scale
     // n₊·(n₊+1) and Σranks overflow Long (~4.3e9 positives / ~6.1e9
     // rows) and would wrap silently; the final division is the only
-    // double step
-    ranked.agg(
-        sum(when(col("pos"), col("r")).otherwise(0L).cast("decimal(38,0)"))
-          .as("rank_sum"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    // double step. Doubled midranks (n₊g·(rmin+rmax)) keep the sum
+    // integral — the ÷2 folds into the closed form's denominator.
+    val perScore = ranked.groupBy("sc").agg(
+      min("r").as("rmin"), max("r").as("rmax"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np_g"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("nn_g"))
+    perScore.agg(
+        sum(col("np_g").cast("decimal(38,0)") *
+          (col("rmin") + col("rmax"))).as("rank_sum2"),
+        sum("np_g").as("n_pos"),
+        sum("nn_g").as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("rank_sum") -
-          col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1) / 2)
+        // AUC = (2·Σmid − n₊(n₊+1)) / (2·n₊·n₋)
+        round((col("rank_sum2") -
+          col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1))
           .cast("double") /
-          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg")), 6)
+          .as("auc"))
   }
 }

@@ -43,8 +43,15 @@ object Mixture {
     *
     * Determinism: u = (52-bit md5 prefix + 0.5) / 2⁵² ∈ (0,1) — both
     * engines evaluate the identical IEEE-double expression (same
-    * libm), and the ordering key is quantized to a LONG (×10¹⁰,
-    * doc-id tiebreak) so the cross-engine total order is exact.
+    * libm), and the ordering key is quantized to a LONG (×10¹⁰) so
+    * the cross-engine total order is exact. The composite order
+    * (quantized key DESC, id ASC) rides as SEPARATE leading Long
+    * fields of the top_k_rows struct — never packed into one Long
+    * with multiply-subtract arithmetic, which silently flips ranks
+    * once ids outgrow the tie-break spacing or tiny weights push the
+    * product past Long range. Weights small enough to overflow the
+    * ×10¹⁰ quantization itself (|ln(u)/w| ≥ 9·10⁷, i.e. w ≲ 4·10⁻⁷)
+    * fail fast instead of wrapping.
     *
     * @param weight strictly-positive sampling weight column (e.g.
     *               document length, a quality score) */
@@ -59,10 +66,17 @@ object Mixture {
     val u = (expr(s"cast(conv(substr(md5(cast($idCol as string)), 1, 13), 16, 10) as bigint)")
       .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
     val key = log(u) / weight.cast("double")
-    val ord = round(key * lit(1e10)).cast("long") * lit(1000000L) -
-      col(idCol).cast("long")
+    val scaled = key * lit(1e10)
+    // fail fast on quantization overflow: beyond ±9·10¹⁷ the
+    // double→long cast saturates on Spark but ERRORS on DuckDB — an
+    // undetectable cross-engine divergence if allowed through
+    val qkey = when(abs(scaled) < lit(9.0e17), round(scaled).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weightedReservoir: weight too small — |ln(u)/w|*1e10 "),
+        lit("overflows the quantized ordering key (w must be > ~4e-7)"))))
     df.select(col(stratumCol).as("stratum"),
-        struct(ord.as("ord"), col(idCol).cast("long").as("id"),
+        struct(qkey.as("ord"), (-col(idCol).cast("long")).as("ord2"),
+          col(idCol).cast("long").as("id"),
           round(key, 6).as("key6")).as("s"))
       .groupBy("stratum")
       .agg(top_k_rows(col("s"), k).as("top"))

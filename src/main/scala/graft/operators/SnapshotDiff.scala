@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   /** @return (id, status ∈ added|removed|changed) — unchanged ids
-    *         are absent. */
+    *         are absent.
+    *
+    * Null content digests to a sentinel rather than propagating: a
+    * null md5 is indistinguishable from "row absent" in the
+    * full-outer join, so a doc present on both sides with null
+    * content on one would misreport as added/removed (and null vs
+    * null would pass as unchanged only by accident of `=!=`'s null
+    * semantics). Presence is keyed on the id alone; content equality
+    * on the non-null digest. */
   def diff(
       before: DataFrame, after: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
     def digests(df: DataFrame, as: String) = df.select(
-      col(idCol).as("id"), md5(col(contentCol).cast("binary")).as(as))
+      col(idCol).as("id"),
+      coalesce(md5(col(contentCol).cast("binary")), lit("<null-content>"))
+        .as(as))
     digests(before, "h_before")
       .join(digests(after, "h_after"), Seq("id"), "full_outer")
       .select(col("id"),

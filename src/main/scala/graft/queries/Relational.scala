@@ -1728,9 +1728,12 @@ object Relational {
   // EVERY row to its key partition and sorts it; this one partially
   // aggregates, so each map task ships at most k rows per key and no
   // sort happens anywhere (the per-key generalization of q05's
-  // TakeOrderedAndProject). Ordering key is the q45/q59 composite —
-  // cents·10^7 − custkey — so balance descends and custkey breaks
-  // ties ascending with total-order determinism on both engines.
+  // TakeOrderedAndProject). The composite order (balance cents DESC,
+  // custkey ASC) rides as separate leading Long fields of the struct
+  // — top_k_rows compares them lexicographically, so the order stays
+  // exact at any custkey magnitude (the packed cents·10^7 − custkey
+  // form silently flips ranks once custkey outgrows the spacing,
+  // which happens at TPC-H sf ≥ 100).
   private val q62 = GraftQuery(
     "q62_topk_per_key_agg",
     (s, dir) => {
@@ -1741,8 +1744,8 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           struct(
-            (round(col("c_acctbal") * 100).cast("long") * 10000000L -
-              col("c_custkey")).as("ord"),
+            round(col("c_acctbal") * 100).cast("long").as("ord"),
+            (-col("c_custkey").cast("long")).as("ord2"),
             col("c_custkey").as("custkey"),
             round(col("c_acctbal"), 2).cast("double").as("acctbal")).as("s"))
       keyed.groupBy("n_name")

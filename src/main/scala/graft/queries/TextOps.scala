@@ -3412,7 +3412,9 @@ object TextOps {
   // task cross one exchange, no sort), while the oracle replays the
   // full-shuffle window formulation the aggregate replaces. The
   // md5-derived uniform and the ×10¹⁰ LONG quantization of
-  // ln(u)/w make the cross-engine order exact (same libm doubles).
+  // ln(u)/w make the cross-engine order exact (same libm doubles);
+  // the (key DESC, doc_id ASC) composite rides as separate ordering
+  // fields on both engines — no arithmetic key packing.
   private val t82 = GraftQuery(
     "t82_weighted_reservoir",
     (s, dir) => {
@@ -3428,12 +3430,11 @@ object TextOps {
                     AS BIGINT) + 0.5) / 4503599627370496.0 AS u,
                  greatest(length(text), 1) AS w FROM documents),
              kx AS (SELECT doc_id, source, ln(u) / w AS key,
-                 CAST(round(ln(u) / w * 1e10) AS BIGINT) * 1000000 - doc_id
-                   AS ord FROM u)
+                 CAST(round(ln(u) / w * 1e10) AS BIGINT) AS qkey FROM u)
             SELECT source, CAST(rnk AS INT) AS rank, doc_id,
               round(key, 6) AS key6
             FROM (SELECT *, row_number() OVER (PARTITION BY source
-                    ORDER BY ord DESC) AS rnk FROM kx)
+                    ORDER BY qkey DESC, doc_id ASC) AS rnk FROM kx)
             WHERE rnk <= 5 ORDER BY source, rank"""))
 
   // Mergeable corpus profile (exact integer moments per shard,
@@ -3982,11 +3983,11 @@ object TextOps {
             FROM un ORDER BY source, lang"""))
 
   // Exact ROC-AUC of the t38 quality score against the is-English
-  // label — does the linear scorer actually separate? Mann–Whitney
-  // rank identity over a DISTRIBUTED global rank (range-repartition +
-  // zipWithIndex, t80's discipline — no single-partition window); the
-  // oracle replays it with a plain row_number, same (z, doc_id) total
-  // order.
+  // label — does the linear scorer actually separate? Tie-corrected
+  // Mann–Whitney (midranks per tied score group — the standard
+  // value) over a DISTRIBUTED global rank (range-repartition +
+  // zipWithIndex, t80's discipline — no single-partition window);
+  // the oracle replays it with avg-rank-per-score windows.
   private val t94 = GraftQuery(
     "t94_quality_auc",
     (s, dir) => {
@@ -3999,17 +4000,20 @@ object TextOps {
              lab AS (SELECT z.doc_id, z.z, (d.lang = 'en') AS pos
                FROM z JOIN documents d USING (doc_id)),
              rk AS (SELECT pos, row_number() OVER (ORDER BY z, doc_id)
-                 AS r FROM lab)
+                 AS r, z FROM lab),
+             mid AS (SELECT pos,
+                 (CAST(min(r) OVER (PARTITION BY z) AS BIGINT) +
+                  max(r) OVER (PARTITION BY z)) AS r2 FROM rk)
              SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_pos,
                CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
                  AS n_neg,
-               round(CAST(sum(CASE WHEN pos THEN r ELSE 0 END) -
+               round(CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END) -
                  sum(CASE WHEN pos THEN 1 ELSE 0 END) *
-                 (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) / 2 AS DOUBLE)
-                 / (sum(CASE WHEN pos THEN 1 ELSE 0 END) *
+                 (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+                 / (2.0 * sum(CASE WHEN pos THEN 1 ELSE 0 END) *
                     sum(CASE WHEN pos THEN 0 ELSE 1 END)), 6) AS auc
-             FROM rk"""))
+             FROM mid"""))
 
   // Operating-point table for the same scorer/label as t94:
   // precision/recall/F1 at a fixed threshold sweep, computed in ONE

@@ -49,6 +49,21 @@ class CdcSpec extends SparkTestBase {
       Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0)))
   }
 
+  test("malformed or null ops raise instead of silently acting as deletes") {
+    val badOp = Seq((1L, "X", 1L, "a1", 11.0)).toDF("k", "op", "seq", "name", "v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e1 = intercept[Exception] { apply0(badOp) }
+    assert(messages(e1).exists(_.contains("must be I/U/D")), e1.toString)
+    val nullOp = Seq((1L, null.asInstanceOf[String], 1L, "a1", 11.0))
+      .toDF("k", "op", "seq", "name", "v")
+    val e2 = intercept[Exception] { apply0(nullOp) }
+    assert(messages(e2).exists(_.contains("must be I/U/D")), e2.toString)
+    // lower-case ops are accepted (normalized before validation)
+    val lower = Seq((2L, "d", 1L, "x", 0.0)).toDF("k", "op", "seq", "name", "v")
+    assert(apply0(lower) == Seq((1L, "a", 10.0), (3L, "c", 30.0)))
+  }
+
   test("mergeMoments over shards equals a direct pass, any sharding") {
     val docs = (1 to 500).map(i => (i.toLong, s"g${i % 3}", i * 7 % 101))
       .toDF("id", "grp", "len")

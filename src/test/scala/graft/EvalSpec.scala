@@ -27,6 +27,25 @@ class EvalSpec extends SparkTestBase {
     assert(auc(rows)._3 == 0.75)
   }
 
+  test("tied scores get midranks — the standard tie-corrected Mann-Whitney value") {
+    // pos scores {2, 1}, neg scores {2, 0}: pos2-vs-neg2 is a tie
+    // (counts 1/2), pos2>neg0, pos1<neg2, pos1>neg0 →
+    // (0.5 + 1 + 0 + 1) / 4 = 0.625. An id tie-break would report
+    // 0.75 or 0.5 depending on which side of the tie the ids land.
+    val rows = Seq((1L, 2.0, true), (2L, 1.0, true),
+      (3L, 2.0, false), (4L, 0.0, false))
+    assert(auc(rows)._3 == 0.625)
+    // flipping which ids carry the tied scores must not move the value
+    val swapped = Seq((3L, 2.0, true), (4L, 1.0, true),
+      (1L, 2.0, false), (2L, 0.0, false))
+    assert(auc(swapped)._3 == 0.625)
+  }
+
+  test("all-tied scores give exactly 0.5") {
+    val rows = (1 to 40).map(i => (i.toLong, 7.0, i % 2 == 0))
+    assert(auc(rows)._3 == 0.5)
+  }
+
   test("result is invariant to input partitioning and row order") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 2000).map { i =>

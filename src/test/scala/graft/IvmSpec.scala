@@ -55,6 +55,19 @@ class IvmSpec extends SparkTestBase {
     assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
 
+  test("snapshot diff keys presence on id, not digest nullness (null content)") {
+    import graft.operators.SnapshotDiff
+    val before = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val after = Seq((1L, null.asInstanceOf[String]), (2L, "y"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(before, after, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 1: x→null and 2: null→y are CHANGES (not added/removed);
+    // 3: null→null is unchanged — absent from the report
+    assert(got == Set((1L, "changed"), (2L, "changed")))
+  }
+
   test("delta terms broadcast (bases are never shuffled)") {
     val ld = l.filter(col("id") < 5)
     val rd = r.filter(col("k") < 2)

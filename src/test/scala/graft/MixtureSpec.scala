@@ -69,16 +69,50 @@ class MixtureSpec extends SparkTestBase {
       .orderBy("stratum", "rank").collect().map(_.toSeq).toSeq
     val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
       .cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    val ord = (round(log(u) / col("w") * lit(1e10)).cast("long") * 1000000L -
-      col("doc_id"))
+    val qkey = round(log(u) / col("w") * lit(1e10)).cast("long")
     val slow = df
       .withColumn("key6", round(log(u) / col("w"), 6))
       .withColumn("rank", row_number().over(
-        Window.partitionBy("src").orderBy(ord.desc)))
+        Window.partitionBy("src").orderBy(qkey.desc, col("doc_id").asc)))
       .filter(col("rank") <= 7)
       .select(col("src"), col("rank"), col("doc_id"), col("key6"))
       .orderBy("src", "rank").collect().map(_.toSeq).toSeq
     assert(fast == slow)
+  }
+
+  test("weightedReservoir stays correct for ids past the old packed-key spacing (>= 1e6)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // ids in the billions: the retired cents-style packing
+    // (qkey*1e6 - id) would bleed id into the key component here and
+    // flip ranks between adjacent quantized keys
+    val df = (1 to 120).map { i =>
+      (5_000_000_000L + i * 777_123L, if (i % 2 == 0) "a" else "b", 1.0 + (i % 9))
+    }.toDF("doc_id", "src", "w")
+    val fast = Mixture.weightedReservoir(df, "doc_id", "src", col("w"), k = 6)
+      .orderBy("stratum", "rank").collect().map(_.toSeq).toSeq
+    val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val qkey = round(log(u) / col("w") * lit(1e10)).cast("long")
+    val slow = df
+      .withColumn("key6", round(log(u) / col("w"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(qkey.desc, col("doc_id").asc)))
+      .filter(col("rank") <= 6)
+      .select(col("src"), col("rank"), col("doc_id"), col("key6"))
+      .orderBy("src", "rank").collect().map(_.toSeq).toSeq
+    assert(fast == slow)
+  }
+
+  test("weightedReservoir fails fast on weights small enough to overflow the quantized key") {
+    val df = (1 to 10).map(i => (i.toLong, "a", 1e-9)).toDF("doc_id", "src", "w")
+    val e = intercept[Exception] {
+      Mixture.weightedReservoir(df, "doc_id", "src",
+        org.apache.spark.sql.functions.col("w"), k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("weight too small")), e.toString)
   }
 
   test("weightedReservoir favors heavy weights and samples without replacement") {

@@ -56,6 +56,45 @@ class TopKRowsSpec extends SparkTestBase {
     assert(out("b") == Seq(3L))
   }
 
+  test("leading Long fields compare lexicographically (no arithmetic key packing needed)") {
+    // score ties are common; the composite (score desc, id asc) is
+    // expressed as two ordering fields — struct(score, -id, …) — and
+    // must match the window formulation even when ids are far past
+    // any packed-key spacing (billions) and scores collide heavily.
+    val df = mkRows(17, 4000).map { case (k, id, score) =>
+      (k, 7_000_000_000L + id * 999_983L, score % 7) // 7 distinct scores → mass ties
+    }.toDF("key", "id", "score").repartition(16)
+    val viaAgg = df
+      .select(col("key"),
+        struct(col("score").as("ord"), (-col("id")).as("ord2"),
+          col("id"), col("score").as("sc")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 5).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("key"), (col("pos") + 1).as("rank"),
+        col("r.id").as("id"), col("r.sc").as("score"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("key", "rank", "id", "score")
+    val a = viaAgg.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, s"multi-ord agg-vs-window diff: ${(a diff b) ++ (b diff a)}")
+  }
+
+  test("null ordering keys lose to every real key") {
+    val df = Seq(("a", Some(5L), 1L), ("a", None, 2L), ("a", Some(1L), 3L))
+      .toDF("key", "score", "id")
+    val out = df
+      .select(col("key"), struct(col("score").as("ord"), col("id")).as("s"))
+      .groupBy("key").agg(top_k_rows(col("s"), 2).as("top"))
+      .select(col("top.id").as("ids"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(1L, 3L), s"null must sort last: $out")
+  }
+
   test("top_k_rows is callable from SQL via the extensions registry") {
     graft.GraftExtensions.ensureRegistered(spark)
     mkRows(12, 500).toDF("key", "id", "score")

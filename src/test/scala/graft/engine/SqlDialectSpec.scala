@@ -386,6 +386,20 @@ class SqlDialectSpec extends AnyFunSuite {
       "size(collect_set(b) OVER (PARTITION BY h)) FROM t", two)
   }
 
+  test("bare alias starting with 'over' is not a window reference") {
+    // `overall` is a legal bare alias in DuckDB — the rewrite must
+    // require the OVER keyword to end at a word boundary
+    assert(translate("SELECT count(DISTINCT x) overall FROM t GROUP BY g") ==
+      "SELECT count(DISTINCT x) overall FROM t GROUP BY g")
+    assert(translate("SELECT count(DISTINCT x) over_2 FROM t GROUP BY g") ==
+      "SELECT count(DISTINCT x) over_2 FROM t GROUP BY g")
+  }
+
+  test("count(DISTINCT … OVER pattern inside a string literal is opaque") {
+    val s = "SELECT 'count(DISTINCT x) OVER (PARTITION BY g)' AS doc FROM t"
+    assert(translate(s) == s)
+  }
+
   test("plain count(DISTINCT) without OVER is untouched") {
     assert(translate("SELECT count(DISTINCT x) FROM t GROUP BY g") ==
       "SELECT count(DISTINCT x) FROM t GROUP BY g")
