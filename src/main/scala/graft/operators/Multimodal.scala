@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * analogue of PySpark's mapInPandas batches).
   *
   * Images are decoded for REAL via `javax.imageio` (JDK built-in:
-  * PNG/JPEG/GIF/BMP). Metadata decode is header-only — the pixel raster
-  * is never materialized, so at 100 TB the decode-meta pass is IO-bound,
-  * not CPU-bound. Audio/video bytes (no codec in the JDK) fall back to a
-  * deterministic stub kernel, so the Spark-side contract — schema,
+  * PNG/JPEG/GIF/BMP); WAV audio via `javax.sound.sampled`. Metadata
+  * decode is header-only — the pixel raster is never materialized, so
+  * at 100 TB the decode-meta pass is IO-bound, not CPU-bound. Feature
+  * extraction is likewise real for both decodable modalities (block-
+  * mean luma grids / windowed RMS — see `featureKernel`); only bytes
+  * with no JDK codec (video containers, foreign formats) fall back to
+  * a deterministic stub kernel, so the Spark-side contract — schema,
   * nullability, partitioning, batch shape, feature dimensions — is
   * uniform and a real codec can be dropped into `decodeKernel`/
   * `featureKernel` without touching the plan. */
@@ -84,9 +87,97 @@ object Multimodal {
       }
     }
 
-  /** STUB feature kernel → fixed-dim embedding (deterministic fake). */
-  private def featureKernel(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real feature extractor goes here; hash-projection fake below
+  /** Feature kernel — REAL for every modality the JDK can decode:
+    *
+    *  - decodable images → g×g block-mean luma grid (g = ⌊√dim⌋,
+    *    zero-padded to `dim` when g² < dim): the [[imageAHash64]]
+    *    pre-threshold features computed from actual decoded pixels.
+    *    Identical pictures give identical vectors; one edited tile
+    *    moves only its grid cell — exactly the locality a perceptual
+    *    feature needs for near-dup ANN. Block means over integer luma
+    *    are multiples of 1/count, so the m04 oracle recomputes them
+    *    arithmetically for the md5-block test images.
+    *  - PCM16 WAV audio → `dim` windows of RMS energy over the
+    *    decoded samples ([[frameEnergy]]'s acoustic features at fixed
+    *    dimension).
+    *  - anything else (video containers, foreign formats — no JDK
+    *    codec) → deterministic hash projection, a clearly-marked
+    *    STAND-IN whose only contract is determinism + fixed shape; a
+    *    real codec drops in without touching the plan. */
+  private[graft] def featureKernel(content: Array[Byte], dim: Int): Array[Float] =
+    imageBlockMeans(content, dim)
+      .orElse(audioRmsFeatures(content, dim))
+      .getOrElse(hashProjectionStub(content, dim))
+
+  /** g×g block-mean integer-luma grid from real decoded pixels. */
+  private[graft] def imageBlockMeans(
+      content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (!looksLikeImage(content)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val w = img.getWidth; val h = img.getHeight
+      val gray = img.getRaster.getNumBands == 1
+      val sums = new Array[Long](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (gray) img.getRaster.getSample(x, y, 0).toLong
+            else {
+              val p = img.getRGB(x, y)
+              ((p >> 16 & 0xFF) * 299L + (p >> 8 & 0xFF) * 587L +
+                (p & 0xFF) * 114L) / 1000L
+            }
+          val j = math.min(g - 1, y * g / h) * g + math.min(g - 1, x * g / w)
+          sums(j) += lum; counts(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < g * g && j < dim) {
+        if (counts(j) > 0) out(j) = (sums(j).toDouble / counts(j)).toFloat
+        j += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** `dim` equal windows of RMS energy over real decoded PCM16. */
+  private def audioRmsFeatures(
+      content: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodePcm16Mono(content).map { bytes =>
+      val n = bytes.length / 2
+      val out = new Array[Float](dim)
+      if (n > 0) {
+        val win = math.max(1, (n + dim - 1) / dim)
+        var f = 0
+        while (f < dim) {
+          val i0 = f * win
+          val len = math.max(0, math.min(win, n - i0))
+          if (len > 0) {
+            var ss = 0.0; var i = i0
+            while (i < i0 + len) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toDouble
+              ss += s * s
+              i += 1
+            }
+            out(f) = math.sqrt(ss / len).toFloat
+          }
+          f += 1
+        }
+      }
+      out
+    }
+
+  /** STUB: deterministic hash projection for codec-less bytes. */
+  private def hashProjectionStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (content == null) return out
     var h = 0x9E3779B97F4A7C15L

@@ -84,39 +84,63 @@ object MultimodalOps {
                count(*) AS n_media
              FROM m GROUP BY kind ORDER BY kind"""))
 
-  // Feature extraction feeding vector search: media bytes → stub
-  // embedding → exact top-k against the first 5 media embeddings,
-  // oracle-checked via planted twins (v04's contract): the corpus
-  // gains a byte-identical copy of every query's media under
-  // media_id+1000000. Identical bytes → identical stub features →
-  // cosine exactly 1.0, so rank 1 is the LOWEST id whose content
-  // equals the query's — the planted twin, unless a natural text
-  // duplicate (the fixture plants those for the dedup family) has a
-  // smaller id. The oracle computes that same min over text equality,
-  // proving extract → ANN end-to-end without replaying the float
-  // fold in SQL.
+  // Feature extraction feeding vector search, on REAL decoded pixels:
+  // md5-block PNGs (m11's corpus) → Multimodal.featureKernel's image
+  // path (4×4 block-mean luma grid — the aHash pre-threshold
+  // features) → exact cosine top-3 against the first 5 images. The
+  // corpus also plants byte-identical twins of every query under
+  // media_id+1000000 (cosine exactly 1.0 at rank 1). The oracle
+  // recomputes every feature arithmetically from md5 alone (cell
+  // mean = Σ of its 4 constant 8×8 blocks / 4 — exact doubles: all
+  // products are small integers/16, so the dot/norm/round chain is
+  // bit-identical across engines) and replays the full brute-force
+  // ranking — decode → feature → ANN proven end-to-end with no stub
+  // anywhere in the path.
   private val m04 = GraftQuery(
     "m04_media_feature_topk",
     (s, dir) => {
-      val m = media(s, dir)
-      val planted = m.filter(col("media_id") < 5)
+      val base = Tables.spread(t(s, dir, "documents"))
+      val orig = Multimodal.synthesizeBlockImages(base, "doc_id")
+      val twins = orig.filter(col("media_id") < 5)
         .withColumn("media_id", col("media_id") + 1000000L)
       val feats = graft.operators.Multimodal.extractFeatures(
-        m.unionByName(planted), dim = 16)
+        orig.unionByName(twins), dim = 16)
       graft.operators.Similarity.bruteForceTopK(
           feats, feats.filter(col("media_id") < 5), "media_id", "embedding", k = 3)
-        .filter(col("rank") === 1)
-        .select(col("query_id"), col("nbr_id").as("dup_id"), col("cosine"))
-        .orderBy("query_id")
+        .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
+        .orderBy("query_id", "rank")
     },
-    Some("""SELECT d.doc_id AS query_id,
-              least(coalesce(min(o.doc_id), d.doc_id + 1000000),
-                    d.doc_id + 1000000) AS dup_id,
-              CAST(1.0 AS DOUBLE) AS cosine
-            FROM documents d
-            LEFT JOIN documents o ON o.text = d.text AND o.doc_id <> d.doc_id
-            WHERE d.doc_id < 5
-            GROUP BY d.doc_id ORDER BY query_id"""))
+    Some("""WITH ids AS (
+              SELECT doc_id AS media_id, doc_id AS pat FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 5),
+            b AS (SELECT media_id, j,
+                CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) || '_' ||
+                  CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                  1, 2)) AS INT) AS v
+              FROM ids, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            f AS (SELECT media_id,
+                ((j // 8) // 2) * 4 + (j % 8) // 2 AS c,
+                sum(v) / 4.0 AS feat
+              FROM b GROUP BY media_id, ((j // 8) // 2) * 4 + (j % 8) // 2),
+            n AS (SELECT media_id, sqrt(sum(feat * feat)) AS nrm
+              FROM f GROUP BY media_id),
+            q AS (SELECT media_id, c, feat FROM f WHERE media_id < 5),
+            dots AS (SELECT q.media_id AS query_id, f.media_id AS nbr_id,
+                sum(q.feat * f.feat) AS d
+              FROM q JOIN f ON q.c = f.c AND f.media_id <> q.media_id
+              GROUP BY q.media_id, f.media_id),
+            sc AS (SELECT query_id, nbr_id,
+                round(d / (nq.nrm * nc.nrm), 6) AS cosine
+              FROM dots
+              JOIN n nq ON nq.media_id = query_id
+              JOIN n nc ON nc.media_id = nbr_id),
+            rk AS (SELECT query_id, nbr_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, nbr_id) AS rank FROM sc)
+            SELECT query_id, CAST(rank AS INT) AS rank, nbr_id,
+              round(cosine, 4) AS cosine
+            FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""))
 
   // Resize pass over the synthesized (text-byte) media: every row
   // takes the non-image stub branch — (w, h) from m02's byte-fold

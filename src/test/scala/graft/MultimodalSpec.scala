@@ -39,6 +39,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(topk.count() == 6)
   }
 
+  test("image features are REAL block-mean luma from decoded pixels") {
+    // md5-block PNG: 8×8 grid of constant 8×8 blocks — the 4×4
+    // feature grid's cell c must equal the mean of its 4 block
+    // values, computed here independently from the same md5 scheme
+    val png = Multimodal.renderBlockPng(42L, None)
+    val feats = Multimodal.imageBlockMeans(png, 16).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def block(bx: Int, by: Int): Int =
+      md.digest(s"42_${bx}_${by}".getBytes("UTF-8"))(0) & 0xFF
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val expect = (block(2 * cx, 2 * cy) + block(2 * cx + 1, 2 * cy) +
+        block(2 * cx, 2 * cy + 1) + block(2 * cx + 1, 2 * cy + 1)) / 4.0f
+      assert(feats(cy * 4 + cx) == expect,
+        s"cell ($cx,$cy): got ${feats(cy * 4 + cx)}, want $expect")
+    }
+    // byte-identical image → identical features; one edited tile
+    // moves ONLY the affected cell
+    val same = Multimodal.imageBlockMeans(Multimodal.renderBlockPng(42L, None), 16).get
+    assert(feats.toSeq == same.toSeq)
+    val edited = Multimodal.imageBlockMeans(
+      Multimodal.renderBlockPng(42L, Some(255)), 16).get
+    assert(edited(0) != feats(0))
+    assert(edited.toSeq.drop(1) == feats.toSeq.drop(1),
+      "an edit in block (0,0) must only move cell 0")
+  }
+
+  test("audio features are real per-window RMS over decoded PCM") {
+    import spark.implicits._
+    val ids = Seq(Tuple1(7L)).toDF("id")
+    val wav = Multimodal.synthesizeAudio(ids, "id")
+    val feats = Multimodal.extractFeatures(wav, dim = 8)
+      .collect().head.getSeq[Float](1)
+    assert(feats.length == 8)
+    // synthesized tones carry energy in every window; RMS bounded by
+    // the PCM16 range
+    assert(feats.forall(f => f > 0f && f <= 32768f), feats.toString)
+    // deterministic
+    val again = Multimodal.extractFeatures(wav, dim = 8)
+      .collect().head.getSeq[Float](1)
+    assert(feats == again)
+  }
+
   test("resize clamps to bounding box preserving aspect ratio") {
     val out = Multimodal.resize(media, maxW = 128, maxH = 128).collect()
     assert(out.nonEmpty)
