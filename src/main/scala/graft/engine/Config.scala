@@ -34,13 +34,21 @@ final case class WebhookSourceConf(
     port: Int, signingSecret: Option[String], signatureHeader: String)
 /** Extension (not in reference): file/dir source for dev + tests. */
 final case class FileSourceConf(path: String, format: String)
+/** Extension: the embedded graftqueue broker (Kafka-shaped partitioned
+  * log over TCP) — the in-sandbox stand-in that lets the Kafka
+  * consume-loop contract be integration-tested end-to-end (see
+  * docs/adr/0001-kafka-connector.md). */
+final case class QueueSourceConf(
+    brokers: String, topic: String, autoOffsetReset: String = "earliest")
+final case class QueueSinkConf(brokers: String, topic: String)
 
 final case class SourceConf(
     kind: String,
     kafka: Option[KafkaSourceConf] = None,
     websocket: Option[WebsocketSourceConf] = None,
     webhook: Option[WebhookSourceConf] = None,
-    file: Option[FileSourceConf] = None)
+    file: Option[FileSourceConf] = None,
+    queue: Option[QueueSourceConf] = None)
 
 /** Declarative tumbling-window handler (`handlers.NativeWindow`): the
   * Spark-native watermarked streaming aggregation, YAML-reachable as an
@@ -67,7 +75,17 @@ final case class NativeWindowConf(
       * are dropped BEFORE aggregation: exactly-once effect per event
       * with state bounded by distinct ids per horizon
       * (dropDuplicatesWithinWatermark). */
-    dedupKeys: Seq[String] = Seq())
+    dedupKeys: Seq[String] = Seq(),
+    /** State-store partition count for the streaming aggregation
+      * (applied as `spark.sql.shuffle.partitions` when the daemon
+      * starts; the state layout is FIXED at the first batch, so set it
+      * once per checkpoint). Size to state volume ÷ executor count:
+      * every trigger pays one store commit per partition, so
+      * over-partitioning a small-keyspace window (the default 32/200
+      * on a 5-key daemon) spends most of each trigger on empty store
+      * commits — measured 2× throughput moving 32→8 on the bench
+      * workload (tools/NativeWindowProbe). Unset = session default. */
+    statePartitions: Option[Int] = None)
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None)
@@ -87,7 +105,8 @@ final case class SinkConf(
     kafka: Option[KafkaSinkConf] = None,
     sqlcommand: Option[SqlCommandSinkConf] = None,
     iceberg: Option[IcebergSinkConf] = None,
-    clickhouse: Option[ClickhouseSinkConf] = None)
+    clickhouse: Option[ClickhouseSinkConf] = None,
+    queue: Option[QueueSinkConf] = None)
 
 final case class ErrorPolicyConf(policy: String, dlq: Option[SinkConf])
 
@@ -214,7 +233,9 @@ object Config {
               mode = w.path("mode").asText("append"),
               dedupKeys = if (w.has("dedup_keys"))
                 w.path("dedup_keys").elements().asScala.map(_.asText()).toSeq
-              else Seq()))
+              else Seq(),
+              statePartitions = if (w.has("state_partitions"))
+                Some(w.path("state_partitions").asInt()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),
@@ -262,6 +283,13 @@ object Config {
       file = if (s.has("file")) {
         val f = s.path("file")
         Some(FileSourceConf(f.path("path").asText(), f.path("format").asText("json")))
+      } else None,
+      queue = if (s.has("queue")) {
+        val q = s.path("queue")
+        Some(QueueSourceConf(
+          brokers = q.path("brokers").asText(),
+          topic = q.path("topic").asText(),
+          autoOffsetReset = q.path("auto_offset_reset").asText("earliest")))
       } else None)
   }
 
@@ -289,6 +317,10 @@ object Config {
       clickhouse = if (s.has("clickhouse")) {
         val c = s.path("clickhouse")
         Some(ClickhouseSinkConf(c.path("dsn").asText(), c.path("table").asText()))
+      } else None,
+      queue = if (s.has("queue")) {
+        val q = s.path("queue")
+        Some(QueueSinkConf(q.path("brokers").asText(), q.path("topic").asText()))
       } else None)
   }
 

@@ -78,9 +78,9 @@ object ConfigSchema {
     def sink(s: JsonNode, sp: String): Unit = {
       requireKeys(s, sp, Seq("type"))
       checkKeys(s, sp, Set("type", "format", "kafka", "sqlcommand", "iceberg",
-        "clickhouse", "console", "memory", "noop"))
+        "clickhouse", "console", "memory", "noop", "queue"))
       enumOf(s, sp, "type", Set("kafka", "noop", "iceberg", "console",
-        "sqlcommand", "clickhouse", "memory"))
+        "sqlcommand", "clickhouse", "memory", "queue"))
       if (s.has("format"))
         enumOf(s.path("format"), s"$sp.format", "type", Set("parquet"))
       if (s.has("kafka")) {
@@ -102,6 +102,10 @@ object ConfigSchema {
               checkKeys(sub, subp, Set("var", "type"))
               enumOf(sub, subp, "type", Set("uuid4"))
           }
+      }
+      if (s.has("queue")) {
+        requireKeys(s.path("queue"), s"$sp.queue", Seq("brokers", "topic"))
+        checkKeys(s.path("queue"), s"$sp.queue", Set("brokers", "topic"))
       }
       if (s.has("iceberg")) {
         requireKeys(s.path("iceberg"), s"$sp.iceberg", Seq("catalog_name", "table_name"))
@@ -170,8 +174,8 @@ object ConfigSchema {
       if (pl.has("source")) {
         val s = pl.path("source"); val sp = "$.pipeline.source"
         requireKeys(s, sp, Seq("type"))
-        checkKeys(s, sp, Set("type", "kafka", "websocket", "webhook", "file"))
-        enumOf(s, sp, "type", Set("kafka", "websocket", "webhook", "file"))
+        checkKeys(s, sp, Set("type", "kafka", "websocket", "webhook", "file", "queue"))
+        enumOf(s, sp, "type", Set("kafka", "websocket", "webhook", "file", "queue"))
         if (s.has("kafka")) {
           val k = s.path("kafka"); val kp = s"$sp.kafka"
           requireKeys(k, kp, Seq("brokers", "group_id", "auto_offset_reset", "topics"))
@@ -194,6 +198,11 @@ object ConfigSchema {
             checkKeys(w.path("hmac"), s"$sp.webhook.hmac",
               Set("header", "sig_key", "secret"))
         }
+        if (s.has("queue")) {
+          requireKeys(s.path("queue"), s"$sp.queue", Seq("brokers", "topic"))
+          checkKeys(s.path("queue"), s"$sp.queue",
+            Set("brokers", "topic", "auto_offset_reset"))
+        }
         if (s.has("file")) {
           requireKeys(s.path("file"), s"$sp.file", Seq("path"))
           checkKeys(s.path("file"), s"$sp.file", Set("path", "format"))
@@ -210,7 +219,7 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions"))
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
           // scalar-instead-of-array is a silent no-op downstream

@@ -68,6 +68,29 @@ final class KafkaSink(conf: KafkaSinkConf) extends GraftSink {
   }
 }
 
+/** KafkaSink's testable twin over the embedded graftqueue broker
+  * (graft.streaming.GraftQueueBroker): one JSON message per result
+  * row, produced EXECUTOR-SIDE over TCP (foreachPartition — the rows
+  * never collect to the driver), each task appending to the broker
+  * partition matching its task index. Same at-least-once contract as
+  * the Kafka producer path; GraftQueueSpec drives it end-to-end. */
+final class QueueSink(conf: QueueSinkConf) extends GraftSink {
+  override def write(df: DataFrame): Long = {
+    val (brokers, topic) = (conf.brokers, conf.topic)
+    graft.streaming.GraftQueueClient.createTopic(brokers, topic, 4)
+    df.select(to_json(struct(col("*"))).as("value"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val ends = graft.streaming.GraftQueueClient.endOffsets(brokers, topic)
+        val target = math.abs(Thread.currentThread().getId % math.max(1, ends.size)).toInt
+        rows.grouped(2048).foreach { chunk =>
+          graft.streaming.GraftQueueClient.produce(brokers, topic, target,
+            chunk.map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    -1L
+  }
+}
+
 /** SQL-command sink (`sinks.py:92-122`): register the batch as
   * `sqlflow_sink_batch`, apply `$var` substitutions (uuid4 = one fresh
   * UUID per flush — NOT per row), run the command. The command surface
@@ -185,6 +208,8 @@ object Sinks {
         throw new IllegalArgumentException("sqlcommand sink needs `sqlcommand` block")))
       case "iceberg" => new IcebergSink(conf.iceberg.getOrElse(
         throw new IllegalArgumentException("iceberg sink needs `iceberg` block")))
+      case "queue" | "graftqueue" => new QueueSink(conf.queue.getOrElse(
+        throw new IllegalArgumentException("queue sink needs `queue` block")))
       case "clickhouse" => new ClickhouseSink(conf.clickhouse.getOrElse(
         throw new IllegalArgumentException("clickhouse sink needs `clickhouse` block")))
       case other => throw new IllegalArgumentException(s"unknown sink type: $other")

@@ -10,12 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                (None for ops not expressible in ANSI SQL → the driver
   *                records a weaker rows-only check)
   * @param headline included in Bench timing runs
+  * @param audit    exact-audit tier: benched in Bench's separate
+  *                 `audit_queries` group (its cost is intrinsic to the
+  *                 exact formulation — Σf² / all-pairs — and scales with
+  *                 corpus duplicate density, so it must not dominate the
+  *                 headline number the production tiers are judged on)
   */
 final case class GraftQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    audit: Boolean = false)
 
 object Tables {
   /** Ensure at least `defaultParallelism` partitions before

@@ -206,7 +206,7 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
     Some(jaccardOracle(0.3)),
-    headline = true)
+    audit = true)
 
   // Same contract and oracle FAMILY as t07, computed via prefix
   // filtering (PPJoin-style) at its sweet spot: a HIGH threshold,
@@ -221,7 +221,8 @@ object TextOps {
           n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")
     },
-    Some(jaccardOracle(0.8)))
+    Some(jaccardOracle(0.8)),
+    headline = true)
 
   // MinHash-LSH near-dup: candidates from seeded (deterministic)
   // banded signatures, then EXACT-Jaccard verified — so the output is

@@ -39,7 +39,7 @@ object VectorOps {
              FROM e a JOIN e b ON a.vec_id < b.vec_id
              WHERE ${duckCos("a.v", "b.v", 4)} >= 0.4
              ORDER BY id_a, id_b"""),
-    headline = true)
+    audit = true)
 
   private val v03 = GraftQuery(
     "v03_ann_topk_bruteforce",
@@ -59,7 +59,7 @@ object VectorOps {
                    FROM sc)
              SELECT query_id, nbr_id, round(c, 4) AS cosine, rank
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
-    headline = true)
+    audit = true)
 
   // LSH-bucketed ANN, oracle-checked via planted exact twins: the
   // corpus gains a bit-identical copy of every query under
@@ -151,7 +151,8 @@ object VectorOps {
                ${duckCos("a.v", "b.v", 4)} AS cosine
              FROM e a JOIN e b ON a.vec_id < b.vec_id
              WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
-             ORDER BY id_a, id_b"""))
+             ORDER BY id_a, id_b"""),
+    headline = true)
 
   // Symmetric int8 quantization — the standard memory-reduction step
   // before ANN at scale (4 bytes/dim → 1). Per-vector scale =
@@ -237,7 +238,8 @@ object VectorOps {
                ${duckCos("a.v", "b.v", 4)} AS cosine
              FROM e a JOIN e b ON a.vec_id < b.vec_id
              WHERE ${duckCos("a.v", "b.v", 4)} >= 0.85
-             ORDER BY id_a, id_b"""))
+             ORDER BY id_a, id_b"""),
+    headline = true)
 
   // Per-dimension feature-distribution stats — the embedding health
   // check before training / index builds (collapsed or unnormalized

@@ -16,7 +16,24 @@ object Sources {
 
   final case class Built(df: DataFrame, onStop: () => Unit = () => ())
 
-  def build(spark: SparkSession, conf: SourceConf): Built = conf.kind match {
+  def build(spark: SparkSession, conf: SourceConf,
+      batchSize: Option[Int] = None): Built = conf.kind match {
+    case "queue" | "graftqueue" =>
+      val q = conf.queue.getOrElse(
+        throw new IllegalArgumentException("queue source needs `queue` block"))
+      // the embedded Kafka-shaped broker (GraftQueue.scala): identical
+      // source contract — value + kafka_* metadata columns, offset
+      // ranges checkpointed, batch_size as admission control
+      val reader = spark.readStream
+        .format("graftqueue")
+        .option("brokers", q.brokers)
+        .option("topic", q.topic)
+        .option("startingOffsets",
+          if (q.autoOffsetReset == "latest") "latest" else "earliest")
+      Built(batchSize.filter(_ > 0)
+        .fold(reader)(n => reader.option("maxMsgsPerTrigger", n))
+        .load())
+
     case "kafka" =>
       val k = conf.kafka.getOrElse(
         throw new IllegalArgumentException("kafka source needs `kafka` block"))

@@ -82,7 +82,8 @@ object StreamingPipeline {
       metrics: GraftMetrics = new GraftMetrics): Running = {
 
     val session = Invoke.buildSession(spark, conf, sinkOverride, managerSinkOverride)
-    val source = Sources.build(spark, conf.pipeline.source)
+    val source = Sources.build(spark, conf.pipeline.source,
+      Some(conf.pipeline.batchSize))
     val batches = new AtomicLong(0)
     val policy = conf.pipeline.onError
 
@@ -137,6 +138,14 @@ object StreamingPipeline {
       batches: AtomicLong,
       checkpointDir: Option[String]): Running = {
     def leaf(p: String): String = p.split('.').last
+    // state-store partition count: fixed at the first batch from
+    // spark.sql.shuffle.partitions (the daemon owns its session — the
+    // reference's one-pipeline-per-process model). See
+    // NativeWindowConf.statePartitions for the sizing rule.
+    w.statePartitions.foreach { n =>
+      require(n >= 1, "state_partitions must be >= 1")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+    }
     // ONE from_json parse per row with a minimal schema derived from
     // the configured paths — still schema-free for the user, but not
     // the N-paths × N-reparses of per-field get_json_object (JSON
