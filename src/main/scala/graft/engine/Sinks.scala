@@ -81,7 +81,8 @@ final class QueueSink(conf: QueueSinkConf) extends GraftSink {
     df.select(to_json(struct(col("*"))).as("value"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val ends = graft.streaming.GraftQueueClient.endOffsets(brokers, topic)
-        val target = math.abs(Thread.currentThread().getId % math.max(1, ends.size)).toInt
+        val target = org.apache.spark.TaskContext.getPartitionId() %
+          math.max(1, ends.size)
         rows.grouped(2048).foreach { chunk =>
           graft.streaming.GraftQueueClient.produce(brokers, topic, target,
             chunk.map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -176,9 +177,12 @@ final class IcebergSink(conf: IcebergSinkConf) extends GraftSink {
 
 /** ClickHouse sink (`sinks.py:147-161`) via JDBC. The reference DSN
   * form `clickhouse://host:8123/db` maps to the ClickHouse JDBC
-  * driver's `jdbc:clickhouse://host:8123/db` (driver jar not shipped
-  * here; config parses and the URL mapping is unit-tested, the write
-  * needs the driver on the cluster classpath). */
+  * driver's `jdbc:clickhouse://host:8123/db`. The full write path —
+  * URL mapping, format(jdbc), append-mode batched INSERTs — is
+  * driven against a live in-process Derby database in
+  * AttachmentsSpec (the ClickHouse driver jar itself is not shipped
+  * here; on a cluster only the driver class behind the URL changes —
+  * the reference's own test mocks the server at the same boundary). */
 final class ClickhouseSink(conf: ClickhouseSinkConf) extends GraftSink {
   override def write(df: DataFrame): Long = {
     df.write.mode("append")

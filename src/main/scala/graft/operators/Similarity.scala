@@ -395,21 +395,42 @@ object Similarity {
     * sides covers boundary-straddling pairs).
     *
     * Scale shape vs [[lshCosinePairs]]: one hashpartition shuffle on
-    * cell id; candidate volume ≈ Σ|cell|² / nProbe-overlap ≈
-    * n²/nCells for balanced cells — choose nCells ∝ √n to bound it.
-    * Clustered data (the realistic embedding shape) makes cells the
-    * natural dedup blocks; a pathologically hot cell degrades to
-    * all-pairs within it — the [[graft.operators.Skew]] histogram
-    * diagnoses that, and banded LSH is the fallback. Centroids are a
-    * tiny driver model (nCells vectors), same as [[ivfTopK]]. */
+    * cell id carrying (cell, id) ONLY — 16 bytes per probe, never the
+    * vectors (the sf1 rehearsal caught the vector-carrying variant
+    * filling 73 GB of shuffle disk; vectors now join back per
+    * SURVIVING candidate pair, the lshCosinePairs discipline).
+    * Candidate volume ≈ Σ|cell|² ≈ n²·nProbe²/nCells for balanced
+    * cells, so `nCells` MUST grow with n: pass nCells ≤ 0 (the
+    * default) to derive it as n / targetCellSize — cell population
+    * then stays constant as the corpus grows and candidate volume
+    * scales linearly (n·targetCellSize·nProbe²). A fixed nCells on a
+    * growing corpus re-creates the quadratic blowup. Clustered data
+    * (the realistic embedding shape) makes cells the natural dedup
+    * blocks; a pathologically hot cell degrades to all-pairs within
+    * it — the [[graft.operators.Skew]] histogram diagnoses that, and
+    * banded LSH is the fallback. Centroids are a driver model
+    * (nCells·dim floats) folded into the plan as literals — capped at
+    * 1024 cells (≈256k literal floats at dim 64); past that
+    * (≳260k vectors at the default cell size) assignment needs a
+    * two-level quantizer (coarse cells → sub-cells), the standard
+    * IVF-HNSW/IMI evolution. */
   def ivfCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      threshold: Double, nCells: Int = 0, nProbe: Int = 2,
+      targetCellSize: Int = 256): DataFrame = {
+    val spread = graft.queries.Tables.spread(emb)
+    // nProbe multiplies the probe population, so it enters the sizing:
+    // cells = n·nProbe/target keeps the PER-CELL probe count at
+    // targetCellSize and candidate volume linear (n·nProbe·target/2)
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(1024,
+        math.max(16, (spread.count() * nProbe / targetCellSize).toInt + 1))
     val centroids: Array[(Int, Array[Float])] = emb
       .select(col(idCol), col(vecCol))
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy("h")
-      .limit(nCells)
+      .limit(cells)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
@@ -420,25 +441,29 @@ object Similarity {
         vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum))
     }.toSeq: _*)
 
-    val probed = graft.queries.Tables.spread(emb)
+    val probed = spread
       .withColumn("sims", cellSims(col(vecCol)))
       .withColumn("cells",
         expr(s"slice(array_sort(transform(sims, (s, i) -> struct(-s AS s, i AS i))), 1, $nProbe).i"))
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(col("cells")).as("cell"))
+      .select(col(idCol).as("id"), explode(col("cells")).as("cell"))
 
-    val a = probed.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = probed.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("cell"))
+    // ids-only candidate generation: the cell self-join moves 16-byte
+    // (cell, id) rows; a pair co-occurring in up to nProbe shared
+    // cells dedups BEFORE the vectors are ever fetched
+    val a = probed.select(col("cell"), col("id").as("id_a"))
+    val b = probed.select(col("cell"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .drop("cell")
-      // a pair can co-occur in up to nProbe shared cells — dedup BEFORE
-      // the cosine so the verify work is per-pair, not per-co-occurrence
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("n_a", when(vec_dot(col("v_a"), col("v_a")) > 0.0,
-        sqrt(vec_dot(col("v_a"), col("v_a")))))
-      .withColumn("n_b", when(vec_dot(col("v_b"), col("v_b")) > 0.0,
-        sqrt(vec_dot(col("v_b"), col("v_b")))))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val sides = withNorm(spread, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("nrm"))
+    cand
+      .join(sides.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(sides.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        col("nrm").as("n_b")), "id_b")
       .withColumn("cosine",
         round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cosine") >= threshold)

@@ -227,7 +227,7 @@ object VectorOps {
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       Similarity.ivfCosinePairs(base.unionByName(planted), "vec_id", "embedding",
-          threshold = 0.85, nCells = 16, nProbe = 2)
+          threshold = 0.85, nCells = 0, nProbe = 2)
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -759,7 +759,7 @@ object VectorOps {
         .unionByName(planted(1000000L, 1.001f))
         .unionByName(planted(2000000L, 1.002f))
       Similarity.semDeDup(cohort, "vec_id", "embedding",
-          threshold = 0.85, nCells = 16, nProbe = 2)
+          threshold = 0.85, nCells = 0, nProbe = 2)
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1242,7 +1242,7 @@ object VectorOps {
         .unionByName(planted(1000000L, 1.001f))
         .unionByName(planted(2000000L, 1.002f))
       Similarity.softDedupWeights(cohort, "vec_id", "embedding",
-          threshold = 0.85, nCells = 16, nProbe = 2)
+          threshold = 0.85, nCells = 0, nProbe = 2)
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -105,6 +105,37 @@ class AttachmentsSpec extends SparkTestBase {
       """{"action":"view","timestamp":"2020-01-01 00:00:01","user":{}}"""))
   }
 
+  test("ClickhouseSink.write drives the full JDBC INSERT path against a live database") {
+    // The reference's own ClickHouse test mocks the server; here the
+    // ENTIRE sink path — DSN→JDBC URL, format(jdbc), mode(append),
+    // dbtable, the batched INSERT prepared statements — executes
+    // against the in-process Derby engine, and the rows are read back
+    // OUTSIDE Spark (plain JDBC) to prove they were committed. On a
+    // cluster only the driver class behind the URL changes.
+    val c = DriverManager.getConnection("jdbc:derby:memory:chsink;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE city_counts (city VARCHAR(64), n INT)")
+      st.close()
+    } finally c.close()
+
+    import spark.implicits._
+    val sink = new ClickhouseSink(ClickhouseSinkConf(
+      dsn = "jdbc:derby:memory:chsink", table = "city_counts"))
+    sink.write(Seq(("Austin", 3), ("Seattle", 5)).toDF("city", "n"))
+    sink.write(Seq(("Austin", 2)).toDF("city", "n")) // append accumulates
+    sink.flush()
+
+    val c2 = DriverManager.getConnection("jdbc:derby:memory:chsink")
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT city, n FROM city_counts ORDER BY city, n")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getString(1), r.getInt(2))).toList
+      assert(got == List(("Austin", 2), ("Austin", 3), ("Seattle", 5)))
+    } finally c2.close()
+  }
+
   test("JDBC attach as sink: sqlcommand INSERT INTO attached table (reference kafka.postgres.sink.yml)") {
     val c = DriverManager.getConnection("jdbc:derby:memory:sinkdb;create=true")
     try {
