@@ -883,6 +883,65 @@ object Multimodal {
       }(enc)
   }
 
+  /** Cut decision for [[synthesizeShotFrames]]: frame `idx` of video
+    * `videoId` starts a new shot iff the first md5 byte of
+    * "{id}_cut_{idx}" lands in the low quarter — ~1.75 cuts per
+    * 8-frame clip, reproducible by the SQL oracle from the id alone. */
+  private[graft] def isShotCut(videoId: Long, idx: Int): Boolean =
+    (java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${videoId}_cut_${idx}".getBytes("UTF-8"))(0) & 0xFF) % 4 == 0
+
+  /** Frame sequences for shot-boundary tests: each video is `nFrames`
+    * REAL block PNGs; frames within a shot render the SAME md5 block
+    * pattern (patternId = videoId·100 + shot ordinal), so consecutive
+    * same-shot frames decode to identical pixels (aHash Hamming 0)
+    * and frames across a cut to unrelated patterns (~32 bits apart).
+    * Output: (media_id, frame_idx, content). */
+  def synthesizeShotFrames(
+      df: DataFrame, idCol: String, nFrames: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          var shot = 0
+          (0 until nFrames).iterator.map { idx =>
+            if (idx > 0 && isShotCut(id, idx)) shot += 1
+            Row(id, idx, renderBlockPng(id * 100 + shot, None))
+          }
+        }
+      }(enc)
+  }
+
+  /** Shot-boundary detection over per-frame perceptual fingerprints —
+    * the standard cut detector of a video-ingest pipeline: a boundary
+    * is a frame whose fingerprint sits more than `minHamming` bits
+    * from its predecessor's (same-shot frames re-encode within a few
+    * bits; a cut jumps to an unrelated image ~32 bits away).
+    *
+    * Input is [[imageAHash64]]-shaped per frame: (media_id,
+    * frame_idx, w0, w1). Scale shape: ONE window shuffle keyed by
+    * media_id carrying 20-byte fingerprint rows — never pixels; the
+    * decode/fingerprint pass upstream is map-only. Frames per video
+    * is bounded (the sample schedule), so no skew concern. */
+  def shotBoundaries(fingerprints: DataFrame, minHamming: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    fingerprints
+      .withColumn("pw0", lag("w0", 1).over(w))
+      .withColumn("pw1", lag("w1", 1).over(w))
+      .filter(col("pw0").isNotNull)
+      .withColumn("hamming",
+        (bit_count(expr("w0 ^ pw0")) + bit_count(expr("w1 ^ pw1"))).cast("int"))
+      .filter(col("hamming") > minHamming)
+      .select(col("media_id"), col("frame_idx"), col("hamming"))
+  }
+
   private[graft] def renderBlockPng(
       patternId: Long, block0Override: Option[Int]): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")

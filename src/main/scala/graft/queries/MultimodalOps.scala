@@ -922,6 +922,70 @@ object MultimodalOps {
               ON a.fs = b.fs AND a.media_id < b.media_id
             GROUP BY 1, 2 HAVING count(*) >= 6 ORDER BY id_a, id_b"""))
 
+  // Shot-boundary detection on REAL decoded pixels: each "video" is 8
+  // block-PNG frames, frames share their shot's md5 pattern and shots
+  // cut at md5-derived positions — so consecutive same-shot frames
+  // decode to identical pixels (aHash Hamming 0) and cuts jump ~32
+  // bits. The detector (one fingerprint-width window per video) must
+  // report exactly the planted cuts; the oracle regenerates shot
+  // schedule, block values, threshold bits, and the lag/Hamming
+  // comparison from md5 arithmetic alone — decode → fingerprint →
+  // boundary proven end-to-end (m11's verification discipline moved
+  // from single images to sequences).
+  private val m27 = GraftQuery(
+    "m27_shot_boundaries",
+    (s, dir) => {
+      val base = Tables.spread(t(s, dir, "documents"))
+        .filter(col("doc_id") < 200)
+      val frames = Multimodal.synthesizeShotFrames(base, "doc_id")
+      val fp0 = Multimodal.imageAHash64(frames.select(
+        (col("media_id") * 100 + col("frame_idx")).as("media_id"),
+        col("content")))
+      val fp = fp0.select(
+        expr("media_id div 100").cast("long").as("media_id"),
+        pmod(col("media_id"), lit(100)).cast("int").as("frame_idx"),
+        col("w0"), col("w1"))
+      Multimodal.shotBoundaries(fp, minHamming = 3)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS v FROM documents WHERE doc_id < 200),
+            cuts AS (SELECT v, CAST(gs.i AS INT) AS idx,
+                CASE WHEN gs.i = 0 THEN 0
+                  WHEN CAST(concat('0x', substr(md5(CAST(v AS VARCHAR) ||
+                    '_cut_' || CAST(gs.i AS VARCHAR)), 1, 2)) AS INT) % 4 = 0
+                  THEN 1 ELSE 0 END AS is_cut
+              FROM ids, generate_series(0, 7) AS gs(i)),
+            shots AS (SELECT v, idx,
+                CAST(sum(is_cut) OVER (PARTITION BY v ORDER BY idx)
+                  AS BIGINT) AS shot FROM cuts),
+            pats AS (SELECT v, idx, v * 100 + shot AS pat FROM shots),
+            b AS (SELECT v, idx, j,
+                CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) || '_' ||
+                  CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                  1, 2)) AS INT) AS bv
+              FROM pats, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            tot AS (SELECT v, idx, sum(bv) AS total FROM b GROUP BY v, idx),
+            bits AS (SELECT b.v, b.idx, j,
+                CASE WHEN bv * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM b JOIN tot ON b.v = tot.v AND b.idx = tot.idx),
+            wrd AS (SELECT v, idx,
+                CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                  ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                  ELSE 0 END) AS BIGINT) AS w1
+              FROM bits GROUP BY v, idx),
+            lagged AS (SELECT v, idx, w0, w1,
+                lag(w0) OVER (PARTITION BY v ORDER BY idx) AS pw0,
+                lag(w1) OVER (PARTITION BY v ORDER BY idx) AS pw1
+              FROM wrd)
+            SELECT v AS media_id, idx AS frame_idx,
+              CAST(bit_count(xor(w0, pw0)) + bit_count(xor(w1, pw1))
+                AS INT) AS hamming
+            FROM lagged
+            WHERE pw0 IS NOT NULL AND
+              bit_count(xor(w0, pw0)) + bit_count(xor(w1, pw1)) > 3
+            ORDER BY media_id, frame_idx"""))
+
   // PNG textual metadata: an id-derived `tEXt` chunk is SPLICED into
   // the real PNG bytes (length-prefixed chunk + CRC32, per spec) and
   // recovered by walking the container's chunk list with CRC
@@ -1041,5 +1105,5 @@ object MultimodalOps {
 
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26)
+    m24, m25, m26, m27)
 }

@@ -4220,6 +4220,76 @@ object TextOps {
                round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_tokens
              FROM lab GROUP BY cohort ORDER BY cohort"""))
 
+  // Interpolated Kneser–Ney bigram surprisal (Kneser & Ney 1995;
+  // Chen & Goodman 1999's fixed-discount variant, d = 0.75) — the
+  // standard LM-quality scorer a step above t32's raw MLE and t55's
+  // stupid-backoff: the continuation distribution P_cont(w₂) =
+  // N₁₊(·w₂)/N₁₊(··) replaces raw unigram frequency, so boilerplate
+  // words that appear often but in FEW distinct contexts stop looking
+  // probable. P(w₂|w₁) = max(c₁₂−d,0)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) ·
+  // P_cont(w₂); per-doc mean −ln P is the score.
+  //
+  // Scale shape: four keyed aggregates over the bigram stream (bigram
+  // count, context totals+types, continuation types, one scalar type
+  // total riding as a broadcast literal) and three hash joins back to
+  // the occurrences — all map-side combined, nothing quadratic; the
+  // same shape as t32 with two extra small count tables. The oracle
+  // replays every count and the exact double arithmetic (integer
+  // inputs, fixed expression order, round 4).
+  private val t99 = GraftQuery(
+    "t99_kneser_ney_surprisal",
+    (s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.bound(
+          tokens(col("text"))) { t =>
+            when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+              i => struct(element_at(t, i + lit(1)).as("w1"),
+                element_at(t, i + lit(2)).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          }).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val ctx = bg.groupBy("w1").agg(
+        count(lit(1)).as("cdot"), countDistinct("w2").as("n1p_fwd"))
+      val cont = bg.select("w1", "w2").distinct()
+        .groupBy("w2").agg(count(lit(1)).as("n1p_back"))
+      val types = bg.select("w1", "w2").distinct()
+        .agg(count(lit(1)).as("__t"))
+      val d = 0.75
+      bg.join(c12, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .join(cont, Seq("w2")).crossJoin(broadcast(types))
+        .select(col("doc_id"),
+          (-log(
+            greatest(col("c12").cast("double") - d, lit(0.0)) / col("cdot") +
+              lit(d) * col("n1p_fwd") / col("cdot") *
+              (col("n1p_back").cast("double") / col("__t")))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("nll"), 4).as("mean_kn_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             bg AS (SELECT doc_id, unnest([
+                 {'w1': toks[i], 'w2': toks[i+1]}
+                 FOR i IN range(1, len(toks))]) AS x
+               FROM tk WHERE len(toks) >= 2),
+             b2 AS (SELECT doc_id, x.w1 AS w1, x.w2 AS w2 FROM bg),
+             c12t AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+             ctx AS (SELECT w1, count(*) AS cdot,
+                 count(DISTINCT w2) AS n1p_fwd FROM b2 GROUP BY w1),
+             cont AS (SELECT w2, count(*) AS n1p_back
+               FROM (SELECT DISTINCT w1, w2 FROM b2) GROUP BY w2),
+             ty AS (SELECT count(*) AS t
+               FROM (SELECT DISTINCT w1, w2 FROM b2))
+             SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(
+                 greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / cdot +
+                 0.75 * n1p_fwd / cdot * (CAST(n1p_back AS DOUBLE) / t))), 4)
+                 AS mean_kn_surprisal
+             FROM b2 JOIN c12t USING (w1, w2) JOIN ctx USING (w1)
+               JOIN cont USING (w2) CROSS JOIN ty
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4227,5 +4297,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98)
+    t97, t98, t99)
 }

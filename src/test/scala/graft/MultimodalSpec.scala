@@ -81,6 +81,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats == again)
   }
 
+  test("shotBoundaries reports exactly the planted cut positions from real decoded frames") {
+    import spark.implicits._
+    val vids = Seq(3L, 4L, 5L).toDF("id")
+    val frames = Multimodal.synthesizeShotFrames(vids, "id", nFrames = 8)
+    assert(frames.count() == 24)
+    val fp0 = Multimodal.imageAHash64(frames.select(
+      (col("media_id") * 100 + col("frame_idx")).as("media_id"), col("content")))
+    val fp = fp0.select(
+      expr("media_id div 100").cast("long").as("media_id"),
+      pmod(col("media_id"), lit(100)).cast("int").as("frame_idx"),
+      col("w0"), col("w1"))
+    val got = Multimodal.shotBoundaries(fp, minHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // expected boundaries = the md5 cut schedule, computed independently
+    val want = (for {
+      v <- Seq(3L, 4L, 5L); i <- 1 until 8
+      if Multimodal.isShotCut(v, i)
+    } yield (v, i)).toSet
+    assert(got == want, s"got $got want $want")
+    // same-shot consecutive frames are IDENTICAL pixels → Hamming 0,
+    // so no false boundaries at any threshold
+    assert(Multimodal.shotBoundaries(fp, minHamming = 0).collect()
+      .forall(_.getInt(2) > 3))
+  }
+
   test("resize clamps to bounding box preserving aspect ratio") {
     val out = Multimodal.resize(media, maxW = 128, maxH = 128).collect()
     assert(out.nonEmpty)

@@ -6,6 +6,25 @@ import graft.functions.TextFunctions._
 class TextFunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("Kneser-Ney surprisal matches the hand-computed closed form") {
+    // corpus "a b" / "c b" / "a d": all bigram counts 1; d = 0.75
+    //   P(b|a) = 0.25/2 + 0.75·2/2 · (2/3) = 0.625
+    //   P(b|c) = 0.25/1 + 0.75·1/1 · (2/3) = 0.75
+    //   P(d|a) = 0.25/2 + 0.75·2/2 · (1/3) = 0.375
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    Seq((1L, "a b", "en", "s", 3L), (2L, "c b", "en", "s", 3L),
+        (3L, "a d", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = graft.queries.Registry.all
+      .find(_.name == "t99_kneser_ney_surprisal").get
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def s(p: Double) = math.round(-math.log(p) * 1e4) / 1e4
+    assert(got == Seq((1L, 1L, s(0.625)), (2L, 1L, s(0.75)), (3L, 1L, s(0.375))),
+      got.toString)
+  }
+
   test("langId identifies stopword-marked languages and CJK") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it is a good day for walking in to the park"),
