@@ -509,6 +509,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-frame zero-crossing counts over REAL decoded PCM — the
+    * cheapest voiced/unvoiced–noise discriminator an audio ingest
+    * computes (high ZCR ≈ fricatives/noise, low ≈ tonal content).
+    * A crossing is a polarity change between CONSECUTIVE samples
+    * (polarity = s ≥ 0 — an exact integer test, no FP), and pair i
+    * belongs to frame i/frameSize; frames whose only sample is the
+    * clip's last (no successor pair) are omitted. Pure map stage,
+    * integer outputs — the m28 oracle regenerates the synthetic
+    * sample stream arithmetically and must match bit-for-bit
+    * (m14's verification discipline). */
+  def zeroCrossings(media: DataFrame, frameSize: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_pairs", IntegerType, nullable = false),
+      StructField("n_crossings", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodePcm16Mono(r.getAs[Array[Byte]](1)) match {
+            case None => Iterator.empty
+            case Some(bytes) =>
+              val n = bytes.length / 2
+              def sample(i: Int): Int =
+                (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+              val nFrames = (n + frameSize - 1) / frameSize
+              Iterator.range(0, nFrames).flatMap { f =>
+                val i0 = f * frameSize
+                val pairs = math.max(0, math.min(frameSize, n - 1 - i0))
+                if (pairs == 0) None
+                else {
+                  var cross = 0; var i = i0
+                  while (i < i0 + pairs) {
+                    if ((sample(i) >= 0) != (sample(i + 1) >= 0)) cross += 1
+                    i += 1
+                  }
+                  Some(Row(id, f, pairs, cross))
+                }
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Single-bin spectral energy (Goertzel 1958) over REAL decoded
     * PCM — the cheapest "is there tonal content near frequency f"
     * screen (dial-tone/beep/DTMF detection, hum screening) a speech

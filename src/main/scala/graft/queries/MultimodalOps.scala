@@ -986,6 +986,51 @@ object MultimodalOps {
               bit_count(xor(w0, pw0)) + bit_count(xor(w1, pw1)) > 3
             ORDER BY media_id, frame_idx"""))
 
+  // Per-frame zero-crossing rate over REAL decoded PCM (the
+  // voiced/unvoiced screen): polarity changes between consecutive
+  // samples, exact integer tests end-to-end, so the oracle
+  // regenerates the synthesized sample stream arithmetically (m14's
+  // splitmix HUGEINT replay) and lead()-compares polarities — a hash
+  // match proves WAV parse, sample order, and the pairing/frame
+  // assignment.
+  private val m28 = GraftQuery(
+    "m28_audio_zero_crossings",
+    (s, dir) => {
+      Multimodal.zeroCrossings(
+          Multimodal.synthesizeAudio(
+            Tables.spread(t(s, dir, "documents")), "doc_id"), frameSize = 160)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 400 + (doc_id * 13) % 800 AS nf
+               FROM documents),
+             smp AS (SELECT media_id, nf, unnest(range(nf)) AS i FROM dims),
+             p0 AS (SELECT media_id, nf, i,
+                 ((media_id::HUGEINT * 11400714819323198485) + i::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM smp),
+             p1 AS (SELECT media_id, nf, i,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, nf, i,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             v AS (SELECT media_id, nf, i,
+                 CAST((xor(u, u // 4294967296) % 65536) - 32768 AS INT) AS s
+               FROM p2),
+             nx AS (SELECT media_id, nf, i, s,
+                 lead(s) OVER (PARTITION BY media_id ORDER BY i) AS s2
+               FROM v),
+             pr AS (SELECT media_id, CAST(i // 160 AS INT) AS frame_idx,
+                 CASE WHEN (s >= 0) <> (s2 >= 0) THEN 1 ELSE 0 END AS x
+               FROM nx WHERE i < nf - 1)
+             SELECT media_id, frame_idx,
+               CAST(count(*) AS INT) AS n_pairs,
+               CAST(sum(x) AS INT) AS n_crossings
+             FROM pr GROUP BY media_id, frame_idx
+             ORDER BY media_id, frame_idx"""))
+
   // PNG textual metadata: an id-derived `tEXt` chunk is SPLICED into
   // the real PNG bytes (length-prefixed chunk + CRC32, per spec) and
   // recovered by walking the container's chunk list with CRC
@@ -1105,5 +1150,5 @@ object MultimodalOps {
 
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26, m27)
+    m24, m25, m26, m27, m28)
 }

@@ -3128,6 +3128,62 @@ object Relational {
               CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
             FROM g GROUP BY pri ORDER BY pri"""))
 
+  // Conversion-window funnel — q48 with the product constraint real
+  // funnels have: each stage counts only within a conversion window
+  // of the previous stage's first completion (an unbounded funnel
+  // credits a purchase months after the click; 2 days matches this
+  // fixture's event cadence — ~96 of 150 eventual click-conversions).
+  // Same user-keyed min-after-join ladder as q48 — one keyed agg +
+  // join per stage, no windows over the raw stream. Lags are exact
+  // INTEGER MICROSECONDS on both engines (unix_micros / epoch_us;
+  // second-floored arithmetic would diverge on the fixture's
+  // fractional-second timestamps), averaged then scaled — every
+  // double step identical.
+  private val q92 = GraftQuery(
+    "q92_conversion_window_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "ts", "event_type")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 2 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"), max("t_view").as("t_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 2 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"), max("t_click").as("t_click"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_conv"),
+          round(avg(expr("unix_micros(t_click) - unix_micros(t_view)")) /
+            lit(1000000.0), 4).as("avg_click_lag_s")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_conv"),
+          round(avg(expr("unix_micros(t_purchase) - unix_micros(t_click)")) /
+            lit(1000000.0), 4).as("avg_purchase_lag_s")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts) AS t_click, max(t_view) AS t_view
+              FROM events e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t_view
+                AND ts <= t_view + INTERVAL 2 DAY
+              GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t_purchase,
+                max(t_click) AS t_click
+              FROM events e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t_click
+                AND ts <= t_click + INTERVAL 2 DAY
+              GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM v) AS n_view,
+              (SELECT count(*) FROM c) AS n_click_conv,
+              (SELECT round(avg(epoch_us(t_click) - epoch_us(t_view))
+                 / 1000000.0, 4) FROM c) AS avg_click_lag_s,
+              (SELECT count(*) FROM p) AS n_purchase_conv,
+              (SELECT round(avg(epoch_us(t_purchase) - epoch_us(t_click))
+                 / 1000000.0, 4) FROM p) AS avg_purchase_lag_s"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -3136,5 +3192,5 @@ object Relational {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91)
+    q87, q88, q89, q90, q91, q92)
 }

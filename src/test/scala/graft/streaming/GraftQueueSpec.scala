@@ -187,6 +187,55 @@ class GraftQueueSpec extends SparkTestBase {
     }
   }
 
+  test("queue source drives the NativeWindow daemon: watermarked aggregation emits on close") {
+    // the full Kafka-shaped stack in one test: broker -> DSv2 source
+    // (kafka_* metadata columns excluded from the parse) -> declared
+    // watermarked streaming aggregation -> emit-on-close sink, with
+    // state_partitions sizing the state layout
+    withBroker { broker =>
+      broker.publish("nw-events", Seq(
+        """{"ts":"2015-12-12 19:11:01","city":"Austin"}""",
+        """{"ts":"2015-12-12 19:20:02","city":"Austin"}""",
+        """{"ts":"2015-12-12 19:40:03","city":"Boston"}"""), partitions = 2)
+      val sink = new MemorySink
+      val conf = Config.fromString(
+        s"""pipeline:
+           |  batch_size: 1000
+           |  source:
+           |    type: queue
+           |    queue: {brokers: '${broker.address}', topic: 'nw-events'}
+           |  handler:
+           |    type: 'handlers.NativeWindow'
+           |    window:
+           |      time_column: ts
+           |      keys: [city]
+           |      duration: '1 hour'
+           |      watermark: '10 minutes'
+           |      state_partitions: 2
+           |  sink: {type: memory}
+           |""".stripMargin)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        assert(sink.allRows.isEmpty, sink.allRows.toString)
+        // a later event moves the watermark past the 19:00 window
+        broker.publish("nw-events",
+          Seq("""{"ts":"2015-12-12 21:00:00","city":"Austin"}"""), partitions = 2)
+        running.processAllAvailable()
+        running.processAllAvailable()
+        val rows = sink.allRows.sorted
+        assert(rows == Seq(
+          """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}""",
+          """{"bucket":"2015-12-12T19:00:00.000Z","city":"Boston","count":1}"""),
+          rows.toString)
+      } finally {
+        running.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    }
+  }
+
   test("all broker partitions feed the stream; kafka_* metadata columns are populated") {
     withBroker { broker =>
       broker.publish("t-parallel", (0 until 400).map(clickEvent), partitions = 4)
