@@ -61,6 +61,11 @@ final case class NativeWindowConf(
     keys: Seq[String],
     duration: String,
     watermark: String,
+    /** `tumbling` (default) or `session` — session windows are
+      * per-key activity bursts separated by ≥ `duration` of silence
+      * (the duration doubles as the session gap), Spark's native
+      * `session_window` with engine-managed session merging. */
+    kind: String = "tumbling",
     /** Columns to additively SUM per window alongside the count — the
       * reference ADR's declared windowing scope ("Additive
       * aggregations (COUNT, SUM)"). Emitted as `sum_<leaf>`. */
@@ -227,6 +232,7 @@ object Config {
               keys = w.path("keys").elements().asScala.map(_.asText()).toSeq,
               duration = w.path("duration").asText(),
               watermark = w.path("watermark").asText("0 seconds"),
+              kind = w.path("kind").asText("tumbling"),
               sums = if (w.has("sums"))
                 w.path("sums").elements().asScala.map(_.asText()).toSeq
               else Seq(),

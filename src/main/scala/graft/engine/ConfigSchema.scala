@@ -219,7 +219,8 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions", "kind"))
+          if (w.has("kind")) enumOf(w, wp, "kind", Set("tumbling", "session"))
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
           // scalar-instead-of-array is a silent no-op downstream

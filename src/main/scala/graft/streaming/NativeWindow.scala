@@ -64,4 +64,39 @@ object NativeWindow {
           grouped.columns.filterNot(c => c == "window" || keyCols.contains(c))
             .map(col)): _*)
   }
+
+  /** Session windows: per-key activity bursts separated by ≥ `gap` of
+    * silence, via Spark's native `session_window` streaming
+    * aggregation — dynamic, data-defined extents where [[tumbling]]
+    * has fixed buckets. Output carries BOTH bounds (`session_start` /
+    * `session_end`) because, unlike a tumbling bucket, a session's
+    * extent is information. Append mode emits each session once,
+    * when the watermark passes its close (start/end merge as
+    * overlapping events arrive — Spark's state store handles session
+    * merging natively). State per key = open sessions, bounded by the
+    * watermark horizon — the same asymptotics as
+    * [[graft.operators.IncrementalSessions]]' flatMapGroupsWithState
+    * formulation, with the merge logic delegated to the engine. */
+  def session(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      gap: String,
+      watermarkDelay: String,
+      aggs: Seq[Column] = Seq(count(lit(1)).as("count")),
+      applyWatermark: Boolean = true): DataFrame = {
+    val watermarked =
+      if (events.isStreaming && applyWatermark)
+        events.withWatermark(tsCol, watermarkDelay)
+      else events
+    val grouped = watermarked
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    grouped.select(
+      Seq(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++
+        keyCols.map(col) ++
+        grouped.columns.filterNot(c => c == "session_window" || keyCols.contains(c))
+          .map(col): _*)
+  }
 }

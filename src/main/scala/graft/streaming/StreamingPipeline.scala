@@ -189,10 +189,17 @@ object StreamingPipeline {
       if (w.dedupKeys.isEmpty) decoded
       else StreamDedup.withinWatermark(
         decoded, w.dedupKeys.map(leaf).distinct, leaf(w.timeColumn), w.watermark)
-    val out = NativeWindow.tumbling(
-      deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
-      aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),
-      applyWatermark = w.dedupKeys.isEmpty)
+    val out = w.kind match {
+      case "session" => NativeWindow.session(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf),
+        gap = w.duration, w.watermark,
+        aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),
+        applyWatermark = w.dedupKeys.isEmpty)
+      case _ => NativeWindow.tumbling(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+        aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),
+        applyWatermark = w.dedupKeys.isEmpty)
+    }
     val sink = session.sink
     val writer = out.writeStream
       .outputMode(

@@ -403,6 +403,54 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("native session windows: gap-separated bursts close on watermark with both bounds") {
+    val inDir = Files.createTempDirectory("graft_ns_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      kind: session
+        |      time_column: ts
+        |      keys: [user]
+        |      duration: '30 minutes'
+        |      watermark: '10 minutes'
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      // two bursts for A (gap > 30 min between them), one for B
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:00:01","user":"A"}
+          |{"ts":"2015-12-12 19:10:02","user":"A"}
+          |{"ts":"2015-12-12 20:30:03","user":"A"}
+          |{"ts":"2015-12-12 19:05:00","user":"B"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      assert(sink.allRows.isEmpty, s"nothing may close early: ${sink.allRows}")
+
+      // watermark jumps past every session end
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 23:00:00","user":"C"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      val rows = sink.allRows.sorted
+      // session end = last event + gap; the two A events 10 min apart
+      // MERGED into one session
+      assert(rows == Seq(
+        """{"session_start":"2015-12-12T19:00:01.000Z","session_end":"2015-12-12T19:40:02.000Z","user":"A","count":2}""",
+        """{"session_start":"2015-12-12T19:05:00.000Z","session_end":"2015-12-12T19:35:00.000Z","user":"B","count":1}""",
+        """{"session_start":"2015-12-12T20:30:03.000Z","session_end":"2015-12-12T21:00:03.000Z","user":"A","count":1}"""),
+        rows.toString)
+    } finally running.stop()
+  }
+
   test("native-window update mode re-emits a window's running aggregate per trigger") {
     val inDir = Files.createTempDirectory("graft_nwu_in")
     val sink = new MemorySink
