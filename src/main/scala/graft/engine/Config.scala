@@ -61,11 +61,16 @@ final case class NativeWindowConf(
     keys: Seq[String],
     duration: String,
     watermark: String,
-    /** `tumbling` (default) or `session` — session windows are
-      * per-key activity bursts separated by ≥ `duration` of silence
-      * (the duration doubles as the session gap), Spark's native
-      * `session_window` with engine-managed session merging. */
+    /** `tumbling` (default), `sliding`, or `session`. Session windows
+      * are per-key activity bursts separated by ≥ `duration` of
+      * silence (the duration doubles as the session gap), Spark's
+      * native `session_window` with engine-managed session merging.
+      * Sliding windows advance by [[slide]] and overlap when
+      * slide < duration. */
     kind: String = "tumbling",
+    /** Hop interval for `kind: sliding` (required there, meaningless
+      * otherwise — the schema rejects a mismatch). */
+    slide: Option[String] = None,
     /** Columns to additively SUM per window alongside the count — the
       * reference ADR's declared windowing scope ("Additive
       * aggregations (COUNT, SUM)"). Emitted as `sum_<leaf>`. */
@@ -233,6 +238,8 @@ object Config {
               duration = w.path("duration").asText(),
               watermark = w.path("watermark").asText("0 seconds"),
               kind = w.path("kind").asText("tumbling"),
+              slide = if (w.has("slide")) Some(w.path("slide").asText())
+              else None,
               sums = if (w.has("sums"))
                 w.path("sums").elements().asScala.map(_.asText()).toSeq
               else Seq(),

@@ -219,8 +219,16 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions", "kind"))
-          if (w.has("kind")) enumOf(w, wp, "kind", Set("tumbling", "session"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions", "kind", "slide"))
+          if (w.has("kind")) enumOf(w, wp, "kind", Set("tumbling", "sliding", "session"))
+          // slide ↔ kind:sliding, both ways: a slide on a tumbling
+          // window (or a sliding window without one) is silent
+          // misconfiguration downstream — reject at load
+          if (w.path("kind").asText("tumbling") == "sliding" && !w.has("slide"))
+            err(s"$wp.slide", "required when kind is 'sliding'")
+          if (w.has("slide") && w.path("kind").asText("tumbling") != "sliding")
+            err(s"$wp.slide", "only valid when kind is 'sliding'")
+          if (w.has("slide")) str(w, wp, "slide")
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
           // scalar-instead-of-array is a silent no-op downstream

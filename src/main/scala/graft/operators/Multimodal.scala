@@ -1256,6 +1256,68 @@ object Multimodal {
 
   /** Render a real PNG with the given dimensions, pixels seeded from
     * `seed` (deterministic: same seed+dims → identical bytes). */
+  /** Dominant color per image over a 3-bit/channel quantized RGB cube
+    * (512 buckets) — the cheap chromatic fingerprint image-curation
+    * pipelines use for near-solid/banner detection (a dominant-bucket
+    * fraction near 1.0 means the "image" is a flat card) and as a
+    * grouping key for palette-level dedup blocking. Decodes the REAL
+    * raster via javax.imageio, folds a 512-entry local histogram per
+    * image, and emits the argmax bucket with its pixel share — ties
+    * break on the lower bucket id so the pick replays in SQL. Pure map
+    * stage: one row out per image, zero shuffle, histogram memory
+    * bounded at 512 longs regardless of image size. Malformed bytes
+    * yield no row (the decode passes' shared DLQ contract). */
+  def dominantColor(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("total_px", LongType, nullable = false),
+      StructField("frac", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Long](512)
+            var y = 0
+            while (y < h) {
+              val buf = img.getRGB(0, y, w, 1, null, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = buf(x)
+                // (r>>5)<<6 | (g>>5)<<3 | (b>>5): 3 bits per channel
+                hist(((p >> 15) & 0x1C0) | ((p >> 10) & 0x38) |
+                  ((p >> 5) & 0x7)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var best = 0
+            var k = 1
+            while (k < 512) {
+              if (hist(k) > hist(best)) best = k
+              k += 1
+            }
+            val total = w.toLong * h
+            // single double division, rounded HALF_UP at 6 — the
+            // cross-engine determinism contract of the m-family
+            val frac = BigDecimal(hist(best).toDouble / total)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single(Row(id, best, hist(best), total, frac))
+          }
+        }
+      }(enc)
+  }
+
   private[graft] def renderPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -1542,4 +1542,59 @@ object Similarity {
     }
     pr.select(col("id").as(idCol), round(col("pr"), 6).as("pagerank"))
   }
+
+  /** Cluster-balanced diversity downsampling — the DCLM/SemDeDup-family
+    * curation move that a plain uniform sample gets wrong: assign every
+    * vector to its nearest coarse cell, then keep a PER-CELL quota
+    * (`max(1, cell_n / denom)`) so dense regions are thinned hard while
+    * sparse regions survive intact (a uniform sample reproduces the
+    * density skew; this flattens it toward semantic coverage).
+    *
+    * Determinism/oracle contract: centroids are the engine-portable
+    * (md5(id), id)-smallest sample (the [[ivfTopK]] rule), cell
+    * similarities round to 6 decimals before argmax with ties on cell
+    * index, the within-cell keep order is (md5(id), id), and the quota
+    * is integer division — every stage replays exactly in SQL.
+    *
+    * Scale shape: assignment is map-only (centroids are an nCells·dim
+    * driver model folded into the plan as literals); the only shuffle
+    * is ONE hash partition by cell carrying (id, cell) — 16 bytes per
+    * row, never the vectors — for the per-cell window. Cell population
+    * n/nCells bounds the window partition; grow nCells with the corpus
+    * (the [[ivfCosinePairs]] sizing rule) to keep it constant.
+    *
+    * @return (id, cell, cell_n, pick) for the kept rows only —
+    *         pick ∈ [1, quota] is the deterministic keep rank. */
+  def clusterBalancedSample(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, denom: Int = 5): DataFrame = {
+    require(nCells >= 1 && denom >= 1, "nCells and denom must be positive")
+    val centroids: Array[(Int, Array[Float])] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("h", md5(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    def cellSims(v: org.apache.spark.sql.Column) = array(centroids.map {
+      case (_, c) =>
+        val cl = array(c.map(x => lit(x)).toSeq: _*)
+        round(vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum)), 6)
+    }.toSeq: _*)
+    val assigned = graft.queries.Tables.spread(emb)
+      .withColumn("sims", cellSims(col(vecCol)))
+      .withColumn("cell",
+        (expr("array_position(sims, array_max(sims))") - 1).cast("long"))
+      .select(col(idCol), col("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assigned
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy("cell")))
+      // `div`, not `/`: Spark's `/` is double division even on longs;
+      // the quota must be the exact integer DuckDB's `//` computes
+      .filter(col("pick") <= greatest(lit(1L), expr(s"cell_n div $denom")))
+      .select(col(idCol), col("cell"), col("cell_n"), col("pick"))
+  }
 }

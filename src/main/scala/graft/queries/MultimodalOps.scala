@@ -1148,7 +1148,58 @@ object MultimodalOps {
             SELECT media_id, bx, by, v, TRUE AS uniform
             FROM eq ORDER BY media_id, by, bx"""))
 
+  // Dominant quantized color verified TO THE PIXEL — m13's
+  // regeneration oracle over ALL THREE channels: the SQL side rebuilds
+  // every pixel's 24-bit RGB arithmetically, quantizes to the same
+  // 3-bit/channel cube, and replays the argmax (count desc, bucket
+  // asc). A hash match proves decode + channel order + quantization +
+  // tie rule end-to-end. The op itself is the flat-card/banner
+  // detector of image curation: frac → 1.0 means near-solid.
+  private val m29 = GraftQuery(
+    "m29_image_dominant_color",
+    (s, dir) => {
+      Multimodal.dominantColor(
+          Multimodal.synthesizeImages(
+            Tables.spread(t(s, dir, "documents")), "doc_id"))
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id AS media_id,
+                 16 + doc_id % 64 AS w, 16 + (doc_id * 7) % 48 AS h
+               FROM documents),
+             xs AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM dims),
+             xy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs),
+             p0 AS (SELECT media_id, x, y,
+                 ((media_id::HUGEINT * 11400714819323198485) +
+                  (y::HUGEINT * 1048576) + x::HUGEINT)
+                 % 18446744073709551616 AS u
+               FROM xy),
+             p1 AS (SELECT media_id, x, y,
+                 xor(u, u // 536870912) % 18446744073709551616 AS u FROM p0),
+             p2 AS (SELECT media_id, x, y,
+                 ((u * 484763065) % 18446744073709551616 +
+                  (((u % 4294967296) * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS u
+               FROM p1),
+             px AS (SELECT media_id,
+                 xor(u, u // 4294967296) % 16777216 AS rgb FROM p2),
+             bk AS (SELECT media_id,
+                 CAST(((rgb // 65536) // 32) * 64 +
+                   (((rgb // 256) % 256) // 32) * 8 +
+                   ((rgb % 256) // 32) AS INT) AS bucket
+               FROM px),
+             cn AS (SELECT media_id, bucket,
+                 CAST(count(*) AS BIGINT) AS n_px FROM bk
+               GROUP BY media_id, bucket),
+             top AS (SELECT media_id, bucket, n_px, row_number() OVER (
+                 PARTITION BY media_id ORDER BY n_px DESC, bucket) AS rn
+               FROM cn)
+             SELECT t.media_id, t.bucket, t.n_px,
+               CAST(d.w * d.h AS BIGINT) AS total_px,
+               round(CAST(t.n_px AS DOUBLE) / (d.w * d.h), 6) AS frac
+             FROM top t JOIN dims d USING (media_id)
+             WHERE rn = 1 ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26, m27, m28)
+    m24, m25, m26, m27, m28, m29)
 }

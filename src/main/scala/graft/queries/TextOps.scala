@@ -4290,6 +4290,65 @@ object TextOps {
                JOIN cont USING (w2) CROSS JOIN ty
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Empirical-Bayes domain quality — per-source mean quality shrunk
+  // toward the global mean by a pseudo-count prior (k = 20):
+  // shrunk = (Σz_s + k·mean_g) / (n_s + k). This is how web-curation
+  // pipelines actually rank domains — a 3-doc domain with perfect
+  // scores must NOT outrank a 10k-doc domain with merely good ones
+  // (the raw mean does exactly that; shrinkage discounts small-n
+  // evidence toward the prior). Determinism: per-doc z rounds to 6
+  // (exact at 5 decimals by construction — no half-way cases) and
+  // sums as DECIMAL, so the aggregate is summation-order-free; the
+  // only double steps are the two final divisions, identical single
+  // ops in both engines. Shape: one map-only scoring pass, ONE
+  // source-keyed map-side-combined agg; the global mean re-aggregates
+  // the per-source partials (never a second corpus scan) and joins
+  // back as a broadcast scalar.
+  private val t100 = GraftQuery(
+    "t100_domain_quality_shrinkage",
+    (s, dir) => {
+      val z = docs(s, dir).withColumn("st", textStats(col("text")))
+        .filter(col("st.n_tokens") >= 1)
+        .select(col("source"),
+          round(col("st.n_distinct").cast("double") / col("st.n_tokens"), 4)
+            .as("f_distinct"),
+          round(col("st.s_en").cast("double") / col("st.n_tokens"), 4)
+            .as("f_stop"),
+          round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4)
+            .as("f_len"))
+        .select(col("source"),
+          round(lit(-1.0) + col("f_distinct") * 4.0 + col("f_stop") * 2.5 +
+            (col("f_len") - 4.0) * -0.5, 6).cast("decimal(18,6)").as("zq"))
+      val per = z.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("zq").as("sz"))
+      val glob = per.agg(sum("sz").as("gs"), sum("n_docs").as("gn"))
+      per.crossJoin(broadcast(glob))
+        .select(col("source"), col("n_docs"),
+          round(col("sz").cast("double") / col("n_docs"), 6).as("mean_z"),
+          round((col("sz").cast("double") +
+            lit(20.0) * (col("gs").cast("double") / col("gn"))) /
+            (col("n_docs") + lit(20L)).cast("double"), 6).as("shrunk_z"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, $duckToks AS toks
+               FROM documents),
+             f AS (SELECT source,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS f_distinct,
+                 round(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','that','it','for')))::DOUBLE / len(toks), 4) AS f_stop,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4) AS f_len
+               FROM tk WHERE len(toks) >= 1),
+             z AS (SELECT source, CAST(round(-1.0 + f_distinct * 4.0 +
+                 f_stop * 2.5 + (f_len - 4.0) * -0.5, 6)
+                 AS DECIMAL(18,6)) AS zq FROM f),
+             per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(zq) AS sz FROM z GROUP BY source),
+             g AS (SELECT sum(sz) AS gs, sum(n_docs) AS gn FROM per)
+             SELECT source, n_docs,
+               round(CAST(sz AS DOUBLE) / n_docs, 6) AS mean_z,
+               round((CAST(sz AS DOUBLE) + 20.0 * (CAST(gs AS DOUBLE) / gn)) /
+                 CAST(n_docs + 20 AS DOUBLE), 6) AS shrunk_z
+             FROM per CROSS JOIN g ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4297,5 +4356,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99)
+    t97, t98, t99, t100)
 }

@@ -1615,7 +1615,46 @@ object VectorOps {
               vec_id AS nbr_id, maxsim
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Cluster-balanced diversity downsample (the DCLM-family curation
+  // move): nearest-coarse-cell assignment, then a per-cell quota keep
+  // (max(1, cell_n div 5)) — dense regions thinned hard, sparse
+  // regions survive. Every stage (md5-ordered centroid pick, rounded-6
+  // argmax with cell-index ties, md5 keep order, integer-division
+  // quota) is engine-portable, so the oracle replays the FULL
+  // pipeline, not a planted invariant.
+  private val v37 = GraftQuery(
+    "v37_cluster_balanced_sample",
+    (s, dir) => {
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 8, denom = 5)
+        .orderBy("cell", "pick")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT vec_id, v FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            cents AS (SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                v AS cv FROM c0),
+            sim AS (SELECT e.vec_id, c.cell,
+                round(list_dot_product(e.v, c.cv) /
+                  sqrt(list_dot_product(c.cv, c.cv)), 6) AS s
+              FROM e CROSS JOIN cents c),
+            asg AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+                FROM sim) WHERE rn = 1),
+            cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+              FROM asg GROUP BY cell),
+            rk AS (SELECT vec_id, cell, CAST(row_number() OVER (
+                PARTITION BY cell
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+                AS pick FROM asg)
+            SELECT rk.vec_id, rk.cell, cnt.cell_n, rk.pick
+            FROM rk JOIN cnt USING (cell)
+            WHERE pick <= greatest(1, cell_n // 5)
+            ORDER BY cell, pick"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
 }

@@ -65,6 +65,39 @@ object NativeWindow {
             .map(col)): _*)
   }
 
+  /** Sliding (hopping) windows: fixed `windowDuration` extents that
+    * advance by `slide` (< duration ⇒ overlap), Spark's native
+    * multi-window `window(ts, duration, slide)` assignment. Each
+    * event lands in duration/slide windows — the output fan-out is
+    * that factor, but state stays keyed by (window, keys): open
+    * windows × keys, never message count. Emits `bucket` (window
+    * start) like [[tumbling]] — a sliding bucket is still fully
+    * identified by its start given the configured duration. Append
+    * mode closes each overlapping window independently as the
+    * watermark passes its end. */
+  def sliding(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowDuration: String,
+      slide: String,
+      watermarkDelay: String,
+      aggs: Seq[Column] = Seq(count(lit(1)).as("count")),
+      applyWatermark: Boolean = true): DataFrame = {
+    val watermarked =
+      if (events.isStreaming && applyWatermark)
+        events.withWatermark(tsCol, watermarkDelay)
+      else events
+    val grouped = watermarked
+      .groupBy(window(col(tsCol), windowDuration, slide) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    grouped.select(
+      col("window.start").as("bucket") +:
+        (keyCols.map(col) ++
+          grouped.columns.filterNot(c => c == "window" || keyCols.contains(c))
+            .map(col)): _*)
+  }
+
   /** Session windows: per-key activity bursts separated by ≥ `gap` of
     * silence, via Spark's native `session_window` streaming
     * aggregation — dynamic, data-defined extents where [[tumbling]]

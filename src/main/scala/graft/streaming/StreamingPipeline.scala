@@ -190,6 +190,11 @@ object StreamingPipeline {
       else StreamDedup.withinWatermark(
         decoded, w.dedupKeys.map(leaf).distinct, leaf(w.timeColumn), w.watermark)
     val out = w.kind match {
+      case "sliding" => NativeWindow.sliding(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf),
+        w.duration, slide = w.slide.get, w.watermark,
+        aggs = graft.engine.NativeWindowBatchHandler.aggsFor(w),
+        applyWatermark = w.dedupKeys.isEmpty)
       case "session" => NativeWindow.session(
         deduped, leaf(w.timeColumn), w.keys.map(leaf),
         gap = w.duration, w.watermark,

@@ -471,4 +471,29 @@ class AnnSpec extends SparkTestBase {
     assert(errs(errs.length * 9 / 10) < 0.01,
       s"p90 recon err ${errs(errs.length * 9 / 10)}")
   }
+
+  test("clusterBalancedSample keeps exactly the per-cell quota, invariant to layout") {
+    val emb = mkClustered.cache()
+    val rows = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", nCells = 10, denom = 4).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getLong(1))
+    byCell.foreach { case (cell, rs) =>
+      val n = rs.head.getLong(2)
+      assert(rs.forall(_.getLong(2) == n), s"cell_n inconsistent in cell $cell")
+      // kept rows = the quota exactly, with contiguous pick ranks
+      assert(rs.length.toLong == math.max(1L, n / 4),
+        s"cell $cell kept ${rs.length} of $n")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).map(identity),
+        s"pick ranks not contiguous in cell $cell")
+    }
+    // dense regions are thinned ~4x overall while every populated cell
+    // keeps at least one representative
+    assert(rows.length < 400 / 3 && byCell.nonEmpty)
+    // deterministic under physical layout changes
+    val re = Similarity.clusterBalancedSample(
+        emb.repartition(7), "vec_id", "embedding", nCells = 10, denom = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(re == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
+  }
 }

@@ -407,4 +407,34 @@ class MultimodalSpec extends SparkTestBase {
       Seq((44L, "image", Array[Byte](1, 2, 3), "x"))
         .toDF("media_id", "kind", "content", "source")).count() == 0)
   }
+
+  test("dominantColor picks the modal quantized bucket; ties go to the lower bucket") {
+    import spark.implicits._
+    def png(pixels: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y * w + x))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // color A (200,100,50) -> bucket 6*64+3*8+1 = 409; B (10,20,30) -> 0
+    val a = (200 << 16) | (100 << 8) | 50
+    val b = (10 << 16) | (20 << 8) | 30
+    val majority = png(Seq(a, a, a, a, a, b, b, b), 4, 2)
+    val out = Multimodal.dominantColor(
+      Seq((1L, majority)).toDF("media_id", "content")).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(1) == 409 && out(0).getLong(2) == 5L &&
+      out(0).getLong(3) == 8L && out(0).getDouble(4) == 0.625,
+      out(0).toString)
+    // exact tie: 4 px each -> lower bucket id (B's bucket 0) wins
+    val tied = png(Seq(a, a, a, a, b, b, b, b), 4, 2)
+    val t = Multimodal.dominantColor(
+      Seq((2L, tied)).toDF("media_id", "content")).collect()
+    assert(t(0).getInt(1) == 0 && t(0).getLong(2) == 4L, t(0).toString)
+    // malformed bytes yield no row (shared DLQ contract)
+    assert(Multimodal.dominantColor(
+      Seq((3L, Array[Byte](9, 9, 9))).toDF("media_id", "content")).count() == 0)
+  }
 }

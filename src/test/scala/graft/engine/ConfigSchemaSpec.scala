@@ -102,6 +102,28 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(nw("complete")).exists(_.contains("complete")))
   }
 
+  test("window kind enum + slide pairing are enforced both ways") {
+    def nw(extra: String) =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.NativeWindow'
+         |    window: {time_column: ts, keys: [city], duration: '1 hour', watermark: '1 minute'$extra}
+         |  sink: {type: noop}
+         |""".stripMargin
+    assert(errsOf(nw("")).isEmpty)
+    assert(errsOf(nw(", kind: session")).isEmpty)
+    assert(errsOf(nw(", kind: sliding, slide: '10 minutes'")).isEmpty)
+    assert(errsOf(nw(", kind: hopping")).exists(_.contains("hopping")))
+    assert(errsOf(nw(", kind: sliding"))
+      .exists(_.contains("required when kind is 'sliding'")))
+    assert(errsOf(nw(", slide: '10 minutes'"))
+      .exists(_.contains("only valid when kind is 'sliding'")))
+    assert(errsOf(nw(", kind: session, slide: '10 minutes'"))
+      .exists(_.contains("only valid when kind is 'sliding'")))
+  }
+
   test("scalar dedup_keys/sums/keys are rejected (silent-no-op guard)") {
     def nw(windowBody: String) =
       s"""pipeline:

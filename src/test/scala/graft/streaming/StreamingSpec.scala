@@ -424,19 +424,24 @@ class StreamingSpec extends SparkTestBase {
         |""".stripMargin.replace("%DIR%", inDir.toString))
     val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
     try {
-      // two bursts for A (gap > 30 min between them), one for B
+      // one burst for A, one for B; batch-1 watermark stays at
+      // 19:10:02 - 10min = 19:00:02 < every session end, so NOTHING
+      // may emit yet regardless of how many empty emission batches
+      // processAllAvailable squeezes in
       Files.writeString(inDir.resolve("a.jsonl"),
         """{"ts":"2015-12-12 19:00:01","user":"A"}
           |{"ts":"2015-12-12 19:10:02","user":"A"}
-          |{"ts":"2015-12-12 20:30:03","user":"A"}
           |{"ts":"2015-12-12 19:05:00","user":"B"}
           |""".stripMargin)
       running.processAllAvailable()
       assert(sink.allRows.isEmpty, s"nothing may close early: ${sink.allRows}")
 
-      // watermark jumps past every session end
+      // A's SECOND burst (gap > 30 min after the first) rides in with
+      // the watermark-advancing C event: 23:00 - 10min = 22:50 passes
+      // every A/B session end
       Files.writeString(inDir.resolve("b.jsonl"),
-        """{"ts":"2015-12-12 23:00:00","user":"C"}
+        """{"ts":"2015-12-12 20:30:03","user":"A"}
+          |{"ts":"2015-12-12 23:00:00","user":"C"}
           |""".stripMargin)
       running.processAllAvailable()
       running.processAllAvailable()
@@ -447,6 +452,56 @@ class StreamingSpec extends SparkTestBase {
         """{"session_start":"2015-12-12T19:00:01.000Z","session_end":"2015-12-12T19:40:02.000Z","user":"A","count":2}""",
         """{"session_start":"2015-12-12T19:05:00.000Z","session_end":"2015-12-12T19:35:00.000Z","user":"B","count":1}""",
         """{"session_start":"2015-12-12T20:30:03.000Z","session_end":"2015-12-12T21:00:03.000Z","user":"A","count":1}"""),
+        rows.toString)
+    } finally running.stop()
+  }
+
+  test("native sliding windows: overlapping hops each close independently on watermark") {
+    val inDir = Files.createTempDirectory("graft_nsl_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      kind: sliding
+        |      time_column: ts
+        |      keys: [user]
+        |      duration: '1 hour'
+        |      slide: '30 minutes'
+        |      watermark: '30 minutes'
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:10:00","user":"A"}
+          |{"ts":"2015-12-12 19:40:00","user":"A"}
+          |{"ts":"2015-12-12 19:10:00","user":"B"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // watermark 19:40-30m = 19:10 < earliest window end 19:30
+      assert(sink.allRows.isEmpty, s"nothing may close early: ${sink.allRows}")
+
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 23:00:00","user":"C"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      // each event fans out into duration/slide = 2 hops; A@19:10 and
+      // A@19:40 SHARE the [19:00,20:00) hop (count 2); C's hops are
+      // still open at watermark 22:30
+      val rows = sink.allRows.sorted
+      assert(rows == Seq(
+        """{"bucket":"2015-12-12T18:30:00.000Z","user":"A","count":1}""",
+        """{"bucket":"2015-12-12T18:30:00.000Z","user":"B","count":1}""",
+        """{"bucket":"2015-12-12T19:00:00.000Z","user":"A","count":2}""",
+        """{"bucket":"2015-12-12T19:00:00.000Z","user":"B","count":1}""",
+        """{"bucket":"2015-12-12T19:30:00.000Z","user":"A","count":1}"""),
         rows.toString)
     } finally running.stop()
   }
