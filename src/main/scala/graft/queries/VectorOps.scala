@@ -1354,7 +1354,10 @@ object VectorOps {
       val b = vecs.select(col("source").as("source_b"), col("cv").as("vb"))
       def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-      a.join(b, col("source_a") < col("source_b"))
+      // |sources| rows per side — broadcast so the inequality-only
+      // pairing plans as a bounded BNLJ, never a CartesianProduct
+      // with a full shuffle barrier (PlanAudit catch, round 6)
+      a.join(broadcast(b), col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           round(dot(col("va"), col("vb")) /
             (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))),

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Fleet-wide physical-plan audit — the whole-registry generalization
+  * of PlanShapeSpec's per-query pins. For EVERY registry query, builds
+  * the optimized physical plan (planning only; nothing executes beyond
+  * the bounded driver models some operators fit at construction time)
+  * and flags the two shapes that do not survive a 100× scale-up:
+  *
+  *   - `CartesianProductExec` — an un-broadcast all-pairs join. Never
+  *     acceptable: even the exact audit tiers express their all-pairs
+  *     semantics through broadcast or keyed joins.
+  *   - `BroadcastNestedLoopJoin` — acceptable ONLY when the broadcast
+  *     side is a bounded model/probe set (centroids, query batches,
+  *     literal dims); flagged here so every occurrence is a conscious,
+  *     reviewed decision. The audit prints the query list; SCALE.md
+  *     records the rationale for the survivors.
+  *
+  * Run:  sbt "runMain graft.tools.PlanAudit <sfDir>"
+  * Exit: nonzero if any CartesianProduct is found (CI-gateable).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var cartesians = List.empty[String]
+    var bnlj = List.empty[String]
+    var failed = List.empty[String]
+    Registry.all.foreach { q =>
+      try {
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) cartesians ::= q.name
+        if (plan.contains("BroadcastNestedLoopJoin")) bnlj ::= q.name
+      } catch {
+        case e: Exception => failed ::= s"${q.name}: ${e.getMessage}"
+      }
+    }
+    println(s"audited ${Registry.all.size} plans")
+    println(s"CartesianProduct (${cartesians.size}): " +
+      cartesians.sorted.mkString(", "))
+    println(s"BroadcastNestedLoopJoin (${bnlj.size}): " +
+      bnlj.sorted.mkString(", "))
+    if (failed.nonEmpty)
+      println(s"FAILED to plan (${failed.size}):\n  " +
+        failed.sorted.mkString("\n  "))
+    spark.stop()
+    if (cartesians.nonEmpty || failed.nonEmpty) sys.exit(1)
+  }
+}
