@@ -219,6 +219,61 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental NEAR-dup: which new-batch docs near-duplicate a
+    * historical corpus — the snapshot-crawl pattern ([[
+    * bloomIncrementalDedup]]'s exact analog for n-gram Jaccard). The
+    * history side is sketched once (bands are precomputable and
+    * persistable across snapshots); candidates come from a band-bucket
+    * join BETWEEN the sets — never within either — so the join volume
+    * is batch-bands × colliding history buckets, not Σf² over the
+    * union. Every candidate is verified with the exact Jaccard, so
+    * precision is 1.0 and (as with [[minhashLshPairs]]) only recall is
+    * probabilistic: 32 bands × 2 rows makes the all-bands-miss
+    * probability vanish for pairs near the threshold.
+    *
+    * Scale shape: the (band, bh) exchange carries 24-byte id rows;
+    * shingle sets join back per surviving candidate only. At 100 TB
+    * the history bucket table is the persisted index — a new snapshot
+    * re-sketches ONLY its own docs and probes it.
+    *
+    * @return (batch_id, hist_id, jaccard) for exact jaccard ≥
+    *         threshold, cross-set pairs only. */
+  def minhashIncrementalPairs(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def sketch(df: DataFrame, as: String) = graft.queries.Tables.spread(df)
+      .select(col(idCol).as(as), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    def buckets(df: DataFrame, idName: String) = {
+      val bandHashes = array((0 until bands).map { bIdx =>
+        xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
+      }: _*)
+      df.select(col(idName), posexplode(bandHashes).as(Seq("band", "bh")))
+    }
+    val h = sketch(history, "hist_id")
+    val b = sketch(batch, "batch_id")
+    val cand = buckets(b, "batch_id")
+      .join(buckets(h, "hist_id"), Seq("band", "bh"))
+      .select("batch_id", "hist_id").distinct()
+    cand
+      .join(b.select(col("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(h.select(col("hist_id"), col("sh").as("sh_h")), "hist_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_b"), col("sh_h"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_h"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "hist_id", "jaccard")
+  }
+
   /** Remove boilerplate lines: drop every line whose document
     * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav
     * text, cookie banners). This is the pre-pass SCALE.md's measured

@@ -4349,6 +4349,53 @@ object TextOps {
                  CAST(n_docs + 20 AS DOUBLE), 6) AS shrunk_z
              FROM per CROSS JOIN g ORDER BY source"""))
 
+  // Incremental near-dup vs a historical corpus — the snapshot-crawl
+  // pattern (t27's Bloom pass catches EXACT replays; this is the
+  // near-dup tier): batch docs probe the history's persisted LSH band
+  // buckets, candidates verify with exact Jaccard. Plants two batch
+  // cohorts — verbatim copies (j = 1.0) and doubled-text mutations
+  // (shingle set gains only wrap-around boundary shingles, j just
+  // below 1) — so both the hit and near-hit paths are non-vacuous.
+  // Oracle = the exact cross-set pairs (t08's recall-1.0 contract:
+  // output ⊆ exact by construction, a gate mismatch IS a recall
+  // regression).
+  private val t101 = GraftQuery(
+    "t101_lsh_incremental_dedup",
+    (s, dir) => {
+      val hist = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = hist.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(hist.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      Dedup.minhashIncrementalPairs(hist, batch, "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .orderBy("batch_id", "hist_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             hsh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       FOR i IN range(1, len(toks) - 1)]
+                 ELSE [array_to_string(toks, ' ')] END) AS sh FROM tk),
+             b1 AS (SELECT doc_id + 1000000 AS doc_id, sh FROM hsh
+               WHERE doc_id % 10 = 0),
+             b2t AS (SELECT doc_id + 2000000 AS doc_id, toks || toks AS t2
+               FROM tk WHERE doc_id % 10 = 5),
+             b2 AS (SELECT doc_id, list_distinct(CASE WHEN len(t2) >= 3
+                 THEN [t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]
+                       FOR i IN range(1, len(t2) - 1)]
+                 ELSE [array_to_string(t2, ' ')] END) AS sh FROM b2t),
+             bat AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+             SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+               round(len(list_intersect(b.sh, h.sh))::DOUBLE /
+                 (len(b.sh) + len(h.sh) - len(list_intersect(b.sh, h.sh))),
+                 4) AS jaccard
+             FROM bat b JOIN hsh h ON
+               round(len(list_intersect(b.sh, h.sh))::DOUBLE /
+                 (len(b.sh) + len(h.sh) - len(list_intersect(b.sh, h.sh))),
+                 4) >= 0.7
+             ORDER BY batch_id, hist_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4356,5 +4403,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100)
+    t97, t98, t99, t100, t101)
 }

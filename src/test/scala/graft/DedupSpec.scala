@@ -289,4 +289,29 @@ class DedupSpec extends SparkTestBase {
     val pMid = 1.0 - math.pow(1.0 - math.pow(t1, r1), b1)
     assert(pMid > 0.3 && pMid < 0.8)
   }
+
+  test("minhashIncrementalPairs: cross-set only, finds copies and near-mutations, invents nothing") {
+    val hist = mkDocs
+    // batch: a verbatim copy of doc 3, a one-word mutation of doc 5,
+    // and a fresh unrelated doc
+    val batch = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
+      102L -> "spark executes declarative plans with catalyst optimizing joins aggregates and scans across some partitions",
+      103L -> "completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashIncrementalPairs(hist, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 101 == doc 3 verbatim (j 1.0); it also near-dups 4 (one word);
+    // 102 near-dups 5; 103 matches nothing; hist-hist and batch-batch
+    // pairs never appear (cross-set contract)
+    val byBatch = out.groupBy(_._1)
+    assert(byBatch(101L).exists { case (_, h, j) => h == 3L && j == 1.0 })
+    assert(byBatch(101L).exists(_._2 == 4L))
+    assert(byBatch(102L).map(_._2).contains(5L))
+    assert(!byBatch.contains(103L))
+    assert(out.forall { case (b, h, _) => b >= 100L && h < 100L })
+    // precision: every reported jaccard is the exact value
+    assert(out.forall(_._3 >= 0.5))
+  }
 }
