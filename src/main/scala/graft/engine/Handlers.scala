@@ -138,9 +138,22 @@ final class NativeWindowBatchHandler(w: NativeWindowConf) extends Handler {
     val deduped =
       if (w.dedupKeys.isEmpty) projected
       else projected.dropDuplicates(w.dedupKeys.map(leaf).distinct)
-    graft.streaming.NativeWindow.tumbling(
-      deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
-      aggs = NativeWindowBatchHandler.aggsFor(w))
+    // same kind dispatch as the streaming daemon, so dev-invoke and
+    // the daemon agree on every window shape (batch aggregation has no
+    // watermark to wait on — every window/session emits)
+    w.kind match {
+      case "sliding" => graft.streaming.NativeWindow.sliding(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf),
+        w.duration, slide = w.slide.get, w.watermark,
+        aggs = NativeWindowBatchHandler.aggsFor(w))
+      case "session" => graft.streaming.NativeWindow.session(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf),
+        gap = w.duration, w.watermark,
+        aggs = NativeWindowBatchHandler.aggsFor(w))
+      case _ => graft.streaming.NativeWindow.tumbling(
+        deduped, leaf(w.timeColumn), w.keys.map(leaf), w.duration, w.watermark,
+        aggs = NativeWindowBatchHandler.aggsFor(w))
+    }
   }
 
   private def leaf(path: String): String = path.split('.').last

@@ -118,6 +118,31 @@ class ExamplesSpec extends SparkTestBase {
       """{"b":"19:00","city":"New York","count":2}"""))
   }
 
+  test("native.window.sliding example: each event lands in duration/slide hops") {
+    val got = Invoke.invoke(spark, "examples/native.window.sliding.yml", fixture)
+      .selectExpr("date_format(bucket, 'HH:mm') AS b", "city", "count")
+      .orderBy("b", "city")
+      .toJSON.collect().toSeq
+    assert(got == Seq(
+      """{"b":"18:30","city":"Baltimore","count":1}""",
+      """{"b":"18:30","city":"New York","count":2}""",
+      """{"b":"19:00","city":"Baltimore","count":1}""",
+      """{"b":"19:00","city":"New York","count":2}"""))
+  }
+
+  test("native.window.session example: per-user bursts with data-defined bounds") {
+    val got = Invoke.invoke(spark, "examples/native.window.session.yml", fixture)
+      .selectExpr("date_format(session_start, 'HH:mm:ss') AS s",
+        "date_format(session_end, 'HH:mm:ss') AS e", "id", "count")
+      .orderBy("id")
+      .toJSON.collect().toSeq
+    // u1's two events (19:11:01, 19:13:03) merge into ONE session
+    // ending last-event + gap; u2's single event is its own session
+    assert(got == Seq(
+      """{"s":"19:11:01","e":"19:43:03","id":"u1","count":2}""",
+      """{"s":"19:12:02","e":"19:42:02","id":"u2","count":1}"""))
+  }
+
   test("csv.filesystem.join example: inline read_csv join (reference test)") {
     val got = Invoke.invoke(spark, "examples/csv.filesystem.join.yml", fixture)
       .toJSON.collect().toSeq
