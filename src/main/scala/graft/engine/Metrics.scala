@@ -32,6 +32,12 @@ final class GraftMetrics {
   val sinkFlushRows = new AtomicLong
   val batchCount = new AtomicLong
   val batchSeconds = new DoubleAdder
+  // stateful-streaming health: without these three, a watermark
+  // misconfiguration (state growing unbounded, or every late row
+  // silently dropped) is invisible until the job dies
+  val stateRows = new AtomicLong
+  val lateRowsDropped = new AtomicLong
+  val watermarkEpochMs = new AtomicLong
 
   def recordBatch(nMsgs: Long, seconds: Double): Unit = {
     messageCount.addAndGet(nMsgs)
@@ -54,8 +60,17 @@ final class GraftMetrics {
       m("sqlflow_sink_flush_rows", "rows flushed to sinks", sinkFlushRows.get) +
       m("sqlflow_batch_count", "micro-batches processed", batchCount.get) +
       m("sqlflow_batch_seconds_total", "total batch processing seconds",
-        batchSeconds.sum)
+        batchSeconds.sum) +
+      g("sqlflow_state_rows", "rows currently held in streaming state",
+        stateRows.get) +
+      m("sqlflow_late_rows_dropped", "rows dropped as later than watermark",
+        lateRowsDropped.get) +
+      g("sqlflow_watermark_epoch_ms", "current event-time watermark (ms)",
+        watermarkEpochMs.get)
   }
+
+  private def g(name: String, help: String, v: Any) =
+    s"# HELP $name $help\n# TYPE $name gauge\n$name $v\n"
 
   /** Fold Spark's streaming progress into the counters. */
   def listener: StreamingQueryListener = new StreamingQueryListener {
@@ -64,9 +79,20 @@ final class GraftMetrics {
     override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(
-        e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
       recordBatch(e.progress.numInputRows,
         e.progress.batchDuration.toDouble / 1000.0)
+      val ops = e.progress.stateOperators
+      if (ops != null && ops.nonEmpty) {
+        stateRows.set(ops.map(_.numRowsTotal).sum)
+        // per-batch figure in the progress event — accumulate
+        lateRowsDropped.addAndGet(ops.map(_.numRowsDroppedByWatermark).sum)
+      }
+      val wm = e.progress.eventTime.get("watermark")
+      if (wm != null)
+        try watermarkEpochMs.set(java.time.Instant.parse(wm).toEpochMilli)
+        catch { case _: Exception => () }
+    }
   }
 }
 

@@ -506,6 +506,59 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("streaming metrics expose state size, watermark, and late-row drops") {
+    val inDir = Files.createTempDirectory("graft_met_in")
+    val sink = new MemorySink
+    val metrics = new graft.engine.GraftMetrics
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [user]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    // the daemon (StreamingPipeline.run) registers this listener; tests
+    // drive start() directly, so mirror the wiring
+    val listener = metrics.listener
+    spark.streams.addListener(listener)
+    val running = StreamingPipeline.start(spark, conf,
+      sinkOverride = Some(sink), metrics = metrics)
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 20:00:00","user":"A"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      // watermark is now 19:50; this event is over an hour late
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 18:00:00","user":"A"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      // listener delivery is async — bounded wait on the bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.lateRowsDropped.get < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(metrics.lateRowsDropped.get >= 1, "late row not counted")
+      assert(metrics.stateRows.get >= 1, "open-window state not reported")
+      assert(metrics.watermarkEpochMs.get > 0, "watermark not reported")
+      val body = metrics.render
+      assert(body.contains("sqlflow_state_rows") &&
+        body.contains("sqlflow_late_rows_dropped") &&
+        body.contains("sqlflow_watermark_epoch_ms"), body)
+    } finally {
+      running.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("native-window update mode re-emits a window's running aggregate per trigger") {
     val inDir = Files.createTempDirectory("graft_nwu_in")
     val sink = new MemorySink
