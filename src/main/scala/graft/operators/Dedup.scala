@@ -48,6 +48,20 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
+      maxShingleFreq: Long = Long.MaxValue): DataFrame =
+    jaccardPairsWithCounts(docs, idCol, textCol, n, threshold, maxShingleFreq)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** [[jaccardPairs]] keeping the integer evidence columns
+    * (sz_a, sz_b, inter) — consumers that band or re-threshold on
+    * exact integer arithmetic (the t102 threshold-sensitivity curve)
+    * need them; jaccardPairs is this projection-dropped. */
+  def jaccardPairsWithCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
       maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = graft.queries.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
@@ -78,7 +92,7 @@ object Dedup {
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "sz_a", "sz_b", "inter", "jaccard")
   }
 
   /** EXACT n-gram Jaccard via prefix filtering (PPJoin-style) — same

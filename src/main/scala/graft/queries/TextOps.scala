@@ -4396,6 +4396,65 @@ object TextOps {
                  4) >= 0.7
              ORDER BY batch_id, hist_id"""))
 
+  // Dedup threshold sensitivity — the pair-count curve by Jaccard band
+  // from ONE inverted-index pass (t07's shuffle, re-bucketed instead of
+  // thresholded). This is the artifact that decides a corpus's dedup
+  // threshold: how many pairs (and how many affected docs) each 0.1
+  // band adds, so "0.8 vs 0.7" becomes a measured trade instead of a
+  // default. Bands are exact integer arithmetic on (inter, union) —
+  // CAST(inter*10/union) — so bucketing never hits a float boundary.
+  private val t102 = GraftQuery(
+    "t102_dedup_threshold_curve",
+    (s, dir) => {
+      // plant half-truncations so the mid bands are non-vacuous on a
+      // dup-light fixture (the natural corpus pairs all land in the
+      // top band); tokenization mirrors TextFunctions.normalizeText
+      // so the truncated text re-tokenizes to exactly its token slice
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("tk",
+            split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(expr("slice(tk, 1, greatest(1, size(tk) div 2))"), " ")
+              .as("text")))
+      val pairs = Dedup.jaccardPairsWithCounts(
+        planted, "doc_id", "text", n = 3, threshold = 0.3)
+      pairs
+        .withColumn("band",
+          least(expr("(inter * 10) div (sz_a + sz_b - inter)"), lit(9L)))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).as("n_docs_a"),
+          countDistinct(col("doc_b")).as("n_docs_b"))
+        .orderBy("band")
+    },
+    Some(s"""WITH tk0 AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             tk AS (SELECT doc_id, toks FROM tk0
+               UNION ALL
+               SELECT doc_id + 1000000,
+                 toks[1 : greatest(1, len(toks) // 2)]
+               FROM tk0 WHERE doc_id % 10 = 0),
+             sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(toks) >= 3
+                   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN range(1, len(toks) - 1)]
+                   ELSE [array_to_string(toks, ' ')] END) AS sh
+               FROM tk),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                   AS un
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) -
+                  len(list_intersect(a.sh, b.sh))), 4) >= 0.3)
+             SELECT least((inter * 10) // un, 9) AS band,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+             FROM p GROUP BY band ORDER BY band"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4403,5 +4462,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101)
+    t97, t98, t99, t100, t101, t102)
 }
