@@ -4455,6 +4455,135 @@ object TextOps {
                CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
              FROM p GROUP BY band ORDER BY band"""))
 
+  // Deterministic output sharding + balance report — the last mile of
+  // a pretraining pipeline: every doc gets a stable md5-derived shard
+  // (reproducible across engines and re-runs, independent of
+  // partitioning), and the report shows whether token mass balances
+  // across shards (readers stream shards in parallel; one fat shard
+  // gates the epoch). One map-only assignment + ONE shard-keyed agg;
+  // totals re-aggregate the 16 partials in-plan. skew = shard tokens
+  // over the ideal 1/N share (identical single double ops per engine).
+  private val t103 = GraftQuery(
+    "t103_shard_balance",
+    (s, dir) => {
+      val n = 16
+      val d = docs(s, dir).withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("n_chars"),
+          col("st.n_tokens").cast("long").as("n_toks"))
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % n)
+      val per = d.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"), sum("n_toks").as("tokens"),
+        sum("n_chars").as("chars"))
+      val tot = per.agg(sum("tokens").as("all_tokens"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("tokens"), col("chars"),
+          round(col("tokens").cast("double") * n / col("all_tokens"), 6)
+            .as("token_skew"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, n_chars,
+                 CAST(len($duckToks) AS BIGINT) AS n_toks,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 16 AS shard
+               FROM documents),
+             per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+               FROM tk GROUP BY shard),
+             tot AS (SELECT sum(tokens) AS all_tokens FROM per)
+             SELECT shard, n_docs, tokens, chars,
+               round(CAST(tokens AS DOUBLE) * 16 / all_tokens, 6)
+                 AS token_skew
+             FROM per CROSS JOIN tot ORDER BY shard"""))
+
+  // Reliability diagram for the trained quality classifier — the third
+  // of the standard evaluation trio (t94 ROC-AUC, t95 PR curve, this):
+  // per predicted-probability decile, mean predicted vs empirical
+  // positive rate. A well-calibrated filter lets you threshold on
+  // probability MASS ("drop the worst 20%"); a miscalibrated one makes
+  // every threshold a lie. Composes t46's deterministic trainer (the
+  // dim-sized weight vector is a bounded driver model folded into the
+  // plan); scoring is map-only, the diagram is ONE 10-key agg.
+  private val t104 = GraftQuery(
+    "t104_reliability_diagram",
+    (s, dir) => {
+      val len = greatest(length(col("text")), lit(1))
+      val alphaFrac = round((length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double") /
+        len, 4)
+      val digitFrac = round((length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        len, 4)
+      val feats = docs(s, dir).select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        array(lit(1.0),
+          round(least(col("n_chars"), lit(2000)).cast("double") / 2000.0, 4),
+          alphaFrac, digitFrac).as("x"))
+      val w = graft.operators.Classifier.logregFit(feats, "y", "x",
+          iters = 2, lr = 0.5)
+        .orderBy("j").collect().map(_.getDouble(1))
+      val wl = typedLit(w.toSeq)
+      val scored = feats.withColumn("sig", round(lit(1.0) / (lit(1.0) +
+        exp(-aggregate(zip_with(wl, col("x"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v))), 6))
+      // rank-based bins (ntile over a total (sig, doc_id) order), not
+      // absolute-probability bins: two GD steps leave every score near
+      // 0.5, so probability deciles would collapse to one bin — the
+      // rank form is the standard fallback and stays non-vacuous on
+      // any score distribution
+      val wnd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sig"), col("doc_id"))
+      scored
+        .withColumn("bin", (ntile(10).over(wnd) - 1).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("sig").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_pred"),
+          round(sum(col("y")) / count(lit(1)), 6).as("frac_pos"))
+        .orderBy("bin")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+              [1.0,
+               round(least(n_chars, 2000) / 2000.0, 4),
+               round(CAST(length(text) - length(regexp_replace(text,
+                 '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4),
+               round(CAST(length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4)
+              ] AS x
+            FROM documents),
+            js AS (SELECT CAST(unnest(range(4)) AS INT) AS j),
+            g1 AS (SELECT j, sum(CAST(round((y - 0.5) * x[j+1], 6)
+                AS DECIMAL(18,6))) AS s, count(*) AS n
+              FROM f, js GROUP BY j),
+            w1 AS (SELECT j, round(0.5 * CAST(s AS DOUBLE) / n, 6) AS w
+              FROM g1),
+            w1l AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+            s2 AS (SELECT y, x,
+                round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(4),
+                  k -> wl[k+1] * x[k+1]))))), 6) AS sig
+              FROM f, w1l),
+            g2 AS (SELECT j, sum(CAST(round((y - sig) * x[j+1], 6)
+                AS DECIMAL(18,6))) AS s, count(*) AS n
+              FROM s2, js GROUP BY j),
+            w2l AS (SELECT list(round(w1.w + 0.5 * CAST(g2.s AS DOUBLE) /
+                g2.n, 6) ORDER BY g2.j) AS wl2
+              FROM g2 JOIN w1 ON g2.j = w1.j),
+            sc AS (SELECT doc_id, y, round(1.0 / (1.0 + exp(-(list_sum(
+                list_transform(range(4), k -> wl2[k+1] * x[k+1]))))), 6)
+                AS sig
+              FROM f, w2l),
+            b AS (SELECT CAST(ntile(10) OVER (ORDER BY sig, doc_id) - 1
+                AS BIGINT) AS bin, y, sig FROM sc)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+              round(CAST(sum(CAST(sig AS DECIMAL(18,6))) AS DOUBLE) /
+                count(*), 6) AS mean_pred,
+              round(sum(y) / count(*), 6) AS frac_pos
+            FROM b GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4462,5 +4591,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101, t102)
+    t97, t98, t99, t100, t101, t102, t103, t104)
 }
