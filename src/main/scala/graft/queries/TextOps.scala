@@ -4529,15 +4529,23 @@ object TextOps {
       val scored = feats.withColumn("sig", round(lit(1.0) / (lit(1.0) +
         exp(-aggregate(zip_with(wl, col("x"), (a, b) => a * b),
           lit(0.0), (acc, v) => acc + v))), 6))
-      // rank-based bins (ntile over a total (sig, doc_id) order), not
+      // rank-based bins over the total (sig, doc_id) order, not
       // absolute-probability bins: two GD steps leave every score near
-      // 0.5, so probability deciles would collapse to one bin — the
-      // rank form is the standard fallback and stays non-vacuous on
-      // any score distribution
-      val wnd = org.apache.spark.sql.expressions.Window
-        .orderBy(col("sig"), col("doc_id"))
-      scored
-        .withColumn("bin", (ntile(10).over(wnd) - 1).cast("long"))
+      // 0.5, so probability deciles would collapse to one bin. Rank
+      // comes from t94's distributed ranking shape (range partition +
+      // zipWithIndex) — a global ntile window would sort on ONE
+      // partition, the exact smell PlanAudit exists to catch.
+      val sorted = scored.repartitionByRange(col("sig"), col("doc_id"))
+        .sortWithinPartitions(col("sig"), col("doc_id"))
+      val schema2 = sorted.schema
+        .add("r", org.apache.spark.sql.types.LongType, nullable = false)
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (row, i) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+        }, schema2)
+      val nDf = scored.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(nDf))
+        .withColumn("bin", expr("((r - 1) * 10) div __n"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("sig").cast("decimal(18,6)")).cast("double") /
@@ -4576,8 +4584,9 @@ object TextOps {
                 list_transform(range(4), k -> wl2[k+1] * x[k+1]))))), 6)
                 AS sig
               FROM f, w2l),
-            b AS (SELECT CAST(ntile(10) OVER (ORDER BY sig, doc_id) - 1
-                AS BIGINT) AS bin, y, sig FROM sc)
+            b AS (SELECT CAST(((row_number() OVER (ORDER BY sig, doc_id)
+                  - 1) * 10) // (count(*) OVER ()) AS BIGINT) AS bin,
+                y, sig FROM sc)
             SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
               round(CAST(sum(CAST(sig AS DECIMAL(18,6))) AS DOUBLE) /
                 count(*), 6) AS mean_pred,
