@@ -1199,7 +1199,115 @@ object MultimodalOps {
              FROM top t JOIN dims d USING (media_id)
              WHERE rn = 1 ORDER BY media_id"""))
 
+  // Multimodal dedup verdict — the pair-level union a paired
+  // (text, image) corpus needs: exact text dup ∪ perceptual image
+  // near-dup, with modality attribution ('both'/'text'/'image').
+  // A text-only dedup keeps re-hosted images with new captions; an
+  // image-only dedup keeps re-rendered cards with identical copy —
+  // the verdict is what LAION-style curation actually filters on.
+  // Three planted cohorts make every branch non-vacuous: same text +
+  // perturbed image (both), same text + unrelated image (text),
+  // edited text + perturbed image (image). Shape: one md5-keyed text
+  // self-join + m12's banded fingerprint join + a keyed full-outer
+  // merge — each side its documented scale shape.
+  private val m30 = GraftQuery(
+    "m30_multimodal_dedup_verdict",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aIds = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val bIds = base.filter(pmod(col("doc_id"), lit(10)) === 5)
+      val cIds = base.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val texts = base
+        .unionByName(aIds.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(bIds.select(
+          (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(cIds.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string"))
+            .as("text")))
+      val images = Multimodal
+        .synthesizeBlockImages(Tables.spread(base), "doc_id")
+        .unionByName(Multimodal.synthesizePerturbedBlockImages(
+          aIds, "doc_id", idOffset = 1000000L, block0Value = 255))
+        .unionByName(Multimodal.synthesizeBlockImages(
+          bIds.select((col("doc_id") + 2000000L).as("doc_id")), "doc_id"))
+        .unionByName(Multimodal.synthesizePerturbedBlockImages(
+          cIds, "doc_id", idOffset = 3000000L, block0Value = 255))
+      val h = texts.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+      val tp = h.as("x").join(h.as("y"), Seq("h"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(true).as("t"))
+      val ip = Multimodal.imageNearDupPairs(
+          Multimodal.imageAHash64(images), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(true).as("i"))
+      tp.join(ip, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          when(col("t").isNotNull && col("i").isNotNull, "both")
+            .when(col("t").isNotNull, "text").otherwise("image")
+            .as("modality"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS media_id, doc_id AS pat, FALSE AS mod
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id, TRUE FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, doc_id + 2000000, FALSE FROM documents
+              WHERE doc_id % 10 = 5
+              UNION ALL
+              SELECT doc_id + 3000000, doc_id, TRUE FROM documents
+              WHERE doc_id % 10 = 3),
+            b AS (SELECT media_id, j,
+                CASE WHEN mod AND j = 0 THEN 255 ELSE
+                  CAST(concat('0x', substr(md5(CAST(pat AS VARCHAR) || '_' ||
+                    CAST(j % 8 AS VARCHAR) || '_' || CAST(j // 8 AS VARCHAR)),
+                    1, 2)) AS INT) END AS v
+              FROM ids, (SELECT CAST(unnest(range(64)) AS INT) AS j)),
+            tot AS (SELECT media_id, sum(v) AS total FROM b GROUP BY media_id),
+            bits AS (SELECT media_id, j,
+                CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+              FROM b JOIN tot USING (media_id)),
+            w AS (SELECT media_id,
+                CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                  ELSE 0 END) AS BIGINT) AS w0,
+                CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                  ELSE 0 END) AS BIGINT) AS w1
+              FROM bits GROUP BY media_id),
+            ip AS (SELECT a.media_id AS id_a, c.media_id AS id_b
+              FROM w a JOIN w c ON a.media_id < c.media_id
+              WHERE bit_count(xor(a.w0, c.w0)) +
+                bit_count(xor(a.w1, c.w1)) <= 3),
+            tx AS (SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+              FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id % 10 = 5
+                UNION ALL
+                SELECT doc_id + 3000000,
+                  text || ' zz' || CAST(doc_id AS VARCHAR) FROM documents
+                WHERE doc_id % 10 = 3)),
+            tp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM tx x JOIN tx y ON x.h = y.h AND x.doc_id < y.doc_id)
+            SELECT coalesce(tp.id_a, ip.id_a) AS id_a,
+              coalesce(tp.id_b, ip.id_b) AS id_b,
+              CASE WHEN tp.id_a IS NOT NULL AND ip.id_a IS NOT NULL
+                THEN 'both'
+                WHEN tp.id_a IS NOT NULL THEN 'text'
+                ELSE 'image' END AS modality
+            FROM tp FULL OUTER JOIN ip
+              ON tp.id_a = ip.id_a AND tp.id_b = ip.id_b
+            ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26, m27, m28, m29)
+    m24, m25, m26, m27, m28, m29, m30)
 }
