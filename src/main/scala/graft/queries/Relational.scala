@@ -3184,6 +3184,84 @@ object Relational {
               (SELECT round(avg(epoch_us(t_purchase) - epoch_us(t_click))
                  / 1000000.0, 4) FROM p) AS avg_purchase_lag_s"""))
 
+  // SCD2 DELTA MERGE — the incremental companion to q54's full
+  // rebuild: a delta batch (each user's 2 most-recent events) merges
+  // into the dimension built from the rest. First delta change
+  // compares against the dimension's CURRENT state (not just its own
+  // lag), the open interval closes at the first surviving change, new
+  // intervals chain within the batch. The oracle is q54's FULL
+  // REBUILD over all events — merge ≡ rebuild is the strongest gate
+  // an incremental operator can face (any drift in the close/compare
+  // rules hash-mismatches). Scale: everything is (user_id)-keyed —
+  // two window passes + two keyed joins, no global ordering; the
+  // dimension side is touched once, per key.
+  private val q93 = GraftQuery(
+    "q93_scd2_delta_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wAsc = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tagged = ev.withColumn("rk", row_number().over(wDesc))
+      val hist = tagged.filter(col("rk") > 2).drop("rk")
+      val delta = tagged.filter(col("rk") <= 2).drop("rk")
+      // dimension = q54's rebuild over the history slice
+      val changesH = hist
+        .withColumn("prev", lag(col("event_type"), 1).over(wAsc))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val dim = changesH
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(wAsc))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from_ts"), col("valid_to_ts"))
+      val cur = dim.filter(col("valid_to_ts").isNull)
+        .select(col("user_id"), col("state").as("cur_state"))
+      // delta chain: the FIRST batch row compares against the live
+      // dimension state; a no-op value never opens an interval
+      val d2 = delta.join(cur, Seq("user_id"), "left")
+        .withColumn("prev", lag(col("event_type"), 1).over(wAsc))
+        .withColumn("eff_prev", coalesce(col("prev"), col("cur_state")))
+        .filter(col("eff_prev").isNull ||
+          col("eff_prev") =!= col("event_type"))
+      val newIv = d2
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(wAsc))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from_ts"), col("valid_to_ts"))
+      val firstChange = d2.groupBy("user_id")
+        .agg(min(col("ts")).as("close_ts"))
+      val dimUpd = dim.join(firstChange, Seq("user_id"), "left")
+        .select(col("user_id"), col("state"), col("valid_from_ts"),
+          when(col("valid_to_ts").isNull && col("close_ts").isNotNull,
+            col("close_ts")).otherwise(col("valid_to_ts"))
+            .as("valid_to_ts"))
+      dimUpd.unionByName(newIv)
+        .select(col("user_id"), col("state"),
+          date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    // q54's FULL-rebuild oracle, verbatim — the equivalence IS the test
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+             ch AS (SELECT user_id, event_type, ts, event_id FROM c
+               WHERE prev IS NULL OR prev <> event_type),
+             iv AS (SELECT user_id, event_type, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to_ts
+               FROM ch)
+             SELECT user_id, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               valid_to_ts IS NULL AS is_current
+             FROM iv ORDER BY user_id, valid_from"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
@@ -3192,5 +3270,5 @@ object Relational {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    q87, q88, q89, q90, q91, q92)
+    q87, q88, q89, q90, q91, q92, q93)
 }
