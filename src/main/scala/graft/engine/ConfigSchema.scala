@@ -202,6 +202,9 @@ object ConfigSchema {
           requireKeys(s.path("queue"), s"$sp.queue", Seq("brokers", "topic"))
           checkKeys(s.path("queue"), s"$sp.queue",
             Set("brokers", "topic", "auto_offset_reset"))
+          if (s.path("queue").has("auto_offset_reset"))
+            enumOf(s.path("queue"), s"$sp.queue", "auto_offset_reset",
+              Set("earliest", "latest"))
         }
         if (s.has("file")) {
           requireKeys(s.path("file"), s"$sp.file", Seq("path"))
@@ -231,6 +234,12 @@ object ConfigSchema {
           if (w.has("slide")) str(w, wp, "slide")
           str(w, wp, "time_column"); str(w, wp, "duration"); str(w, wp, "watermark")
           if (w.has("mode")) enumOf(w, wp, "mode", Set("append", "update"))
+          // Spark rejects update-mode session_window aggregations at
+          // daemon start (UnsupportedOperationChecker) — fail at load
+          if (w.path("kind").asText("tumbling") == "session" &&
+              w.path("mode").asText("append") == "update")
+            err(s"$wp.mode",
+              "update mode is not supported for session windows")
           // scalar-instead-of-array is a silent no-op downstream
           // (elements() on a TextNode is empty) — reject loudly
           Seq("keys", "sums", "dedup_keys").foreach { k =>

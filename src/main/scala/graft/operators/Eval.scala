@@ -67,14 +67,7 @@ object Eval {
     val s = scored.select(col(idCol).cast("long").as("id"),
       col(scoreCol).cast("double").as("sc"),
       col(labelCol).cast("boolean").as("pos"))
-    val sorted = s
-      .repartitionByRange(col("sc"), col("id"))
-      .sortWithinPartitions(col("sc"), col("id"))
-    val schema = sorted.schema.add("r", LongType, nullable = false)
-    val ranked = sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (row, i) =>
-        Row.fromSeq(row.toSeq :+ (i + 1L))
-      }, schema)
+    val ranked = Ranking.globalRank(s, Seq(col("sc"), col("id")))
     // DECIMAL(38,0) for the rank identity: at true corpus scale
     // n₊·(n₊+1) and Σranks overflow Long (~4.3e9 positives / ~6.1e9
     // rows) and would wrap silently; the final division is the only

@@ -70,10 +70,13 @@ object Mixture {
     // fail fast on quantization overflow: beyond ±9·10¹⁷ the
     // double→long cast saturates on Spark but ERRORS on DuckDB — an
     // undetectable cross-engine divergence if allowed through
+    // null weights land here too (NULL comparison → otherwise branch):
+    // both are contract violations, so fail fast and name each cause
     val qkey = when(abs(scaled) < lit(9.0e17), round(scaled).cast("long"))
       .otherwise(raise_error(concat(
-        lit("weightedReservoir: weight too small — |ln(u)/w|*1e10 "),
-        lit("overflows the quantized ordering key (w must be > ~4e-7)"))))
+        lit("weightedReservoir: weight must be non-null and > ~4e-7 — "),
+        lit("a null weight or |ln(u)/w|*1e10 overflowing the quantized "),
+        lit("ordering key would silently corrupt the sample"))))
     df.select(col(stratumCol).as("stratum"),
         struct(qkey.as("ord"), (-col(idCol).cast("long")).as("ord2"),
           col(idCol).cast("long").as("id"),

@@ -122,18 +122,25 @@ object Multimodal {
       val gray = img.getRaster.getNumBands == 1
       val sums = new Array[Long](g * g)
       val counts = new Array[Long](g * g)
+      // bulk row fetches: one color-model conversion call per ROW, not
+      // per pixel (the dominantColor/tileStats discipline — this is
+      // the m04 feature ingest hot path)
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        if (gray) img.getRaster.getSamples(0, y, w, 1, 0, rowBuf)
+        else img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val rowBase = math.min(g - 1, y * g / h) * g
         var x = 0
         while (x < w) {
           val lum =
-            if (gray) img.getRaster.getSample(x, y, 0).toLong
+            if (gray) rowBuf(x).toLong
             else {
-              val p = img.getRGB(x, y)
+              val p = rowBuf(x)
               ((p >> 16 & 0xFF) * 299L + (p >> 8 & 0xFF) * 587L +
                 (p & 0xFF) * 114L) / 1000L
             }
-          val j = math.min(g - 1, y * g / h) * g + math.min(g - 1, x * g / w)
+          val j = rowBase + math.min(g - 1, x * g / w)
           sums(j) += lum; counts(j) += 1
           x += 1
         }

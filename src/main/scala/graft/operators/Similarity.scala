@@ -422,10 +422,13 @@ object Similarity {
     // nProbe multiplies the probe population, so it enters the sizing:
     // cells = n·nProbe/target keeps the PER-CELL probe count at
     // targetCellSize and candidate volume linear (n·nProbe·target/2)
+    // sizing count runs on the RAW input (not the spread/repartitioned
+    // frame) so parquet-backed corpora answer from footer metadata
+    // instead of paying a scan+shuffle before the plan even exists
     val cells =
       if (nCells > 0) nCells
       else math.min(1024,
-        math.max(16, (spread.count() * nProbe / targetCellSize).toInt + 1))
+        math.max(16, (emb.count() * nProbe / targetCellSize).toInt + 1))
     val centroids: Array[(Int, Array[Float])] = emb
       .select(col(idCol), col(vecCol))
       .withColumn("h", xxhash64(col(idCol)))

@@ -1234,7 +1234,7 @@ object MultimodalOps {
         .unionByName(Multimodal.synthesizePerturbedBlockImages(
           cIds, "doc_id", idOffset = 3000000L, block0Value = 255))
       val h = texts.select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+        md5(graft.functions.TextFunctions.normalizeText(col("text"))).as("h"))
       val tp = h.as("x").join(h.as("y"), Seq("h"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

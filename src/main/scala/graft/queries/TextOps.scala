@@ -4413,8 +4413,7 @@ object TextOps {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val planted = base.unionByName(
         base.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("tk",
-            split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .withColumn("tk", tokens(col("text")))
           .select((col("doc_id") + 1000000L).as("doc_id"),
             array_join(expr("slice(tk, 1, greatest(1, size(tk) div 2))"), " ")
               .as("text")))
@@ -4535,14 +4534,8 @@ object TextOps {
       // comes from t94's distributed ranking shape (range partition +
       // zipWithIndex) — a global ntile window would sort on ONE
       // partition, the exact smell PlanAudit exists to catch.
-      val sorted = scored.repartitionByRange(col("sig"), col("doc_id"))
-        .sortWithinPartitions(col("sig"), col("doc_id"))
-      val schema2 = sorted.schema
-        .add("r", org.apache.spark.sql.types.LongType, nullable = false)
-      val ranked = s.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (row, i) =>
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-        }, schema2)
+      val ranked = graft.operators.Ranking.globalRank(
+        scored, Seq(col("sig"), col("doc_id")))
       val nDf = scored.agg(count(lit(1)).as("__n"))
       ranked.crossJoin(broadcast(nDf))
         .withColumn("bin", expr("((r - 1) * 10) div __n"))

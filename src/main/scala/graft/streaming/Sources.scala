@@ -28,8 +28,10 @@ object Sources {
         .format("graftqueue")
         .option("brokers", q.brokers)
         .option("topic", q.topic)
+        // same unknown-value fallback as the kafka path (drop-in swap
+        // parity); the schema rejects non-enum values at load anyway
         .option("startingOffsets",
-          if (q.autoOffsetReset == "latest") "latest" else "earliest")
+          if (q.autoOffsetReset == "earliest") "earliest" else "latest")
       Built(batchSize.filter(_ > 0)
         .fold(reader)(n => reader.option("maxMsgsPerTrigger", n))
         .load())

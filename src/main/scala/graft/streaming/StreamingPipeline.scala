@@ -141,10 +141,14 @@ object StreamingPipeline {
     // state-store partition count: fixed at the first batch from
     // spark.sql.shuffle.partitions (the daemon owns its session — the
     // reference's one-pipeline-per-process model). See
-    // NativeWindowConf.statePartitions for the sizing rule.
-    w.statePartitions.foreach { n =>
+    // NativeWindowConf.statePartitions for the sizing rule. The
+    // previous value restores on stop so a co-hosted batch caller
+    // doesn't silently inherit a daemon-sized partition count.
+    val prevShuffle = w.statePartitions.map { n =>
       require(n >= 1, "state_partitions must be >= 1")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n)
+      prev
     }
     // ONE from_json parse per row with a minimal schema derived from
     // the configured paths — still schema-free for the user, but not
@@ -224,7 +228,11 @@ object StreamingPipeline {
         batches.incrementAndGet()
         ()
       }
-    Running(writer.start(), session, source.onStop, batches)
+    Running(writer.start(), session, () => {
+      source.onStop()
+      prevShuffle.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p))
+    }, batches)
   }
 
   /** One micro-batch: decode (error-policied), run handler, sink. */

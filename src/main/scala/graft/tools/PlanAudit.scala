@@ -7,7 +7,8 @@ import graft.queries.Registry
 /** Fleet-wide physical-plan audit — the whole-registry generalization
   * of PlanShapeSpec's per-query pins. For EVERY registry query, builds
   * the optimized physical plan (planning only; nothing executes beyond
-  * the bounded driver models some operators fit at construction time)
+  * the bounded driver models some operators fit at construction time —
+  * centroid collects, metadata-answerable sizing counts)
   * and flags the two shapes that do not survive a 100× scale-up:
   *
   *   - `CartesianProductExec` — an un-broadcast all-pairs join. Never

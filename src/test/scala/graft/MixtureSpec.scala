@@ -112,7 +112,7 @@ class MixtureSpec extends SparkTestBase {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("weight too small")), e.toString)
+    assert(messages(e).exists(_.contains("weight must be non-null")), e.toString)
   }
 
   test("weightedReservoir favors heavy weights and samples without replacement") {

@@ -122,6 +122,23 @@ class ConfigSchemaSpec extends AnyFunSuite {
       .exists(_.contains("only valid when kind is 'sliding'")))
     assert(errsOf(nw(", kind: session, slide: '10 minutes'"))
       .exists(_.contains("only valid when kind is 'sliding'")))
+    // Spark rejects update-mode session windows at start — load-time err
+    assert(errsOf(nw(", kind: session, mode: update"))
+      .exists(_.contains("update mode is not supported for session")))
+    assert(errsOf(nw(", kind: tumbling, mode: update")).isEmpty)
+  }
+
+  test("queue auto_offset_reset is enum-checked like kafka's") {
+    val q =
+      """pipeline:
+        |  batch_size: 1
+        |  source: {type: queue, queue: {brokers: 'b:7890', topic: t, auto_offset_reset: %V%}}
+        |  handler: {type: 'handlers.InferredMemBatch', sql: SELECT 1}
+        |  sink: {type: noop}
+        |""".stripMargin
+    assert(errsOf(q.replace("%V%", "earliest")).isEmpty)
+    assert(errsOf(q.replace("%V%", "latest")).isEmpty)
+    assert(errsOf(q.replace("%V%", "earlies")).exists(_.contains("earlies")))
   }
 
   test("scalar dedup_keys/sums/keys are rejected (silent-no-op guard)") {
