@@ -274,8 +274,12 @@ object Bench {
 
     // native watermarked-window daemon (handlers.NativeWindow): ONE
     // stateful streaming aggregation end-to-end — the Spark-native
-    // alternative to the state-table tumbling path benched above
-    def runNativeWindowStream(): (String, Double) = {
+    // alternative to the state-table tumbling path benched above.
+    // `extraWindowYaml` selects the window kind (session windows pay
+    // state-store session MERGING on every trigger — measured as its
+    // own metric so the merge overhead is a number, not a guess).
+    def runWindowDaemon(
+        metric: String, extraWindowYaml: String): (String, Double) = {
       val nFiles = math.max(1, (nMsgs / batchSize).toInt)
       val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
       (0 until nFiles).foreach { f =>
@@ -297,7 +301,7 @@ object Bench {
            |      duration: '1 hour'
            |      watermark: '10 minutes'
            |      state_partitions: 8
-           |  sink: {type: noop}
+           |$extraWindowYaml  sink: {type: noop}
            |""".stripMargin)
       // the daemon sets spark.sql.shuffle.partitions for its state
       // layout (state_partitions) — restore for subsequent benches
@@ -308,7 +312,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       running.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      "native_window_msgs_per_sec" -> (nFiles.toLong * batchSize / sec)
+      metric -> (nFiles.toLong * batchSize / sec)
     }
 
     Seq(
@@ -325,7 +329,9 @@ object Bench {
       runDiskJoin(),
       runTumbling(),
       runStreaming(),
-      runNativeWindowStream(),
+      runWindowDaemon("native_window_msgs_per_sec", ""),
+      runWindowDaemon("session_window_msgs_per_sec",
+        "      kind: session\n"),
       "bench_msgs" -> nMsgs.toDouble,
       "bench_batch_size" -> batchSize.toDouble)
   }
