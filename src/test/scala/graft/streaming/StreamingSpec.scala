@@ -506,6 +506,48 @@ class StreamingSpec extends SparkTestBase {
     } finally running.stop()
   }
 
+  test("session windows compose with dedup_keys: replays collapse before session merge") {
+    val inDir = Files.createTempDirectory("graft_nsd_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      kind: session
+        |      time_column: ts
+        |      keys: [user]
+        |      duration: '30 minutes'
+        |      watermark: '10 minutes'
+        |      dedup_keys: [eid]
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      // e1 delivered THREE times (at-least-once replay) — must count once
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:00:01","user":"A","eid":"e1"}
+          |{"ts":"2015-12-12 19:00:01","user":"A","eid":"e1"}
+          |{"ts":"2015-12-12 19:00:01","user":"A","eid":"e1"}
+          |{"ts":"2015-12-12 19:10:02","user":"A","eid":"e2"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 23:00:00","user":"C","eid":"e9"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      val rows = sink.allRows.sorted
+      assert(rows == Seq(
+        """{"session_start":"2015-12-12T19:00:01.000Z","session_end":"2015-12-12T19:40:02.000Z","user":"A","count":2}"""),
+        rows.toString)
+    } finally running.stop()
+  }
+
   test("streaming metrics expose state size, watermark, and late-row drops") {
     val inDir = Files.createTempDirectory("graft_met_in")
     val sink = new MemorySink
