@@ -4586,6 +4586,56 @@ object TextOps {
               round(sum(y) / count(*), 6) AS frac_pos
             FROM b GROUP BY bin ORDER BY bin"""))
 
+  // Token-BUDGET chunking — t25 chunks by word count, but context
+  // windows are budgeted in TOKENIZER tokens, and BPE cost per word
+  // varies 1-10×: a word-count chunker silently over/under-fills the
+  // context. Soft-budget assignment: chunk = (BPE cost of preceding
+  // words) div budget — a boundary word may overflow by < its own
+  // cost, in exchange for a pure windowed formulation (doc-local
+  // running sum, zero cross-doc traffic; greedy exact-fill would be a
+  // sequential reset loop). All integer arithmetic; chunks verified by
+  // word-index extents, not string reassembly.
+  private val t105 = GraftQuery(
+    "t105_bpe_budget_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 64
+      val words = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("idx", "w")))
+        .withColumn("cost",
+          regexp_count(col("w"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("idx")
+      words
+        .withColumn("cum", sum(col("cost")).over(w) - col("cost"))
+        .withColumn("chunk_id", expr(s"cum div $budget"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_words"), sum("cost").as("bpe_cost"),
+          min("idx").as("word_lo"), max("idx").as("word_hi"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             wds AS (SELECT doc_id, unnest(
+                 [{'idx': i - 1, 'w': toks[i]}
+                  FOR i IN range(1, len(toks) + 1)]) AS u FROM tk),
+             cc AS (SELECT doc_id, CAST(u.idx AS INT) AS idx,
+                 CAST(len(regexp_extract_all(u.w,
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS cost
+               FROM wds),
+             cm AS (SELECT doc_id, idx, cost,
+                 sum(cost) OVER (PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cost AS cum
+               FROM cc)
+             SELECT doc_id, cum // 64 AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(cost) AS BIGINT) AS bpe_cost,
+               CAST(min(idx) AS INT) AS word_lo,
+               CAST(max(idx) AS INT) AS word_hi
+             FROM cm GROUP BY doc_id, cum // 64
+             ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4593,5 +4643,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101, t102, t103, t104)
+    t97, t98, t99, t100, t101, t102, t103, t104, t105)
 }
