@@ -262,25 +262,70 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
+    val idx = minhashBandBuckets(history, idCol, textCol, n,
+      numHashes, bands, seed).withColumnRenamed(idCol, "hist_id")
+    minhashProbeIndex(idx, history, batch, idCol, textCol, n, threshold,
+      numHashes, bands, seed)
+  }
+
+  /** The PERSISTABLE band index behind [[minhashIncrementalPairs]]:
+    * one (id, band, bh) row per band — write it partitioned/bucketed
+    * once per snapshot and every later batch probes it without
+    * re-sketching history (24-byte rows; DedupSpec proves a parquet
+    * round trip probes identically to the direct path). */
+  def minhashBandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    def sketch(df: DataFrame, as: String) = graft.queries.Tables.spread(df)
-      .select(col(idCol).as(as), wordShingles(col(textCol), n).as("sh"))
+    val withSig = graft.queries.Tables.spread(docs)
+      .select(col(idCol), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    def buckets(df: DataFrame, idName: String) = {
-      val bandHashes = array((0 until bands).map { bIdx =>
-        xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
-      }: _*)
-      df.select(col(idName), posexplode(bandHashes).as(Seq("band", "bh")))
-    }
-    val h = sketch(history, "hist_id")
-    val b = sketch(batch, "batch_id")
-    val cand = buckets(b, "batch_id")
-      .join(buckets(h, "hist_id"), Seq("band", "bh"))
+    val bandHashes = array((0 until bands).map { bIdx =>
+      xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
+    }: _*)
+    withSig.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
+  /** Probe a (possibly persisted) history band index with a new
+    * batch: candidates from the cross-set (band, bh) join, exact
+    * Jaccard verify against the history TEXT (the index carries only
+    * band hashes — shingle sets join back per surviving candidate).
+    * `index` must come from [[minhashBandBuckets]] over `history`
+    * with the same (n, numHashes, bands, seed), under id column
+    * `hist_id`. */
+  def minhashProbeIndex(
+      index: DataFrame,
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val b = graft.queries.Tables.spread(batch)
+      .select(col(idCol).as("batch_id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    val rows = numHashes / bands
+    val bandHashes = array((0 until bands).map { bIdx =>
+      xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
+    }: _*)
+    val bBuckets = b.select(col("batch_id"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+    val cand = bBuckets.join(index, Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
+    val hSets = history.select(col(idCol).as("hist_id"),
+      wordShingles(col(textCol), n).as("sh_h"))
     cand
       .join(b.select(col("batch_id"), col("sh").as("sh_b")), "batch_id")
-      .join(h.select(col("hist_id"), col("sh").as("sh_h")), "hist_id")
+      .join(hSets, "hist_id")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_b"), col("sh_h"))).cast("double") /
           size(array_union(col("sh_b"), col("sh_h"))), 4))

@@ -314,4 +314,26 @@ class DedupSpec extends SparkTestBase {
     // precision: every reported jaccard is the exact value
     assert(out.forall(_._3 >= 0.5))
   }
+
+  test("minhashBandBuckets parquet round trip probes identically to the direct path") {
+    val hist = mkDocs
+    val batch = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
+      103L -> "completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"
+    ).toDF("doc_id", "text")
+    val direct = Dedup.minhashIncrementalPairs(hist, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // persist the band index as a real parquet artifact, read it back,
+    // and probe THROUGH the persisted copy
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx")
+    Dedup.minhashBandBuckets(hist, "doc_id", "text", n = 3)
+      .withColumnRenamed("doc_id", "hist_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val viaIndex = Dedup.minhashProbeIndex(
+        spark.read.parquet(dir.toString), hist, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct && direct.nonEmpty, s"$viaIndex vs $direct")
+  }
 }
