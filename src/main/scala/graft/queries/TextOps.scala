@@ -4636,6 +4636,60 @@ object TextOps {
              FROM cm GROUP BY doc_id, cum // 64
              ORDER BY doc_id, chunk_id"""))
 
+  // Vocabulary coverage curve — cumulative token mass of the top-k
+  // word types at k ∈ {10, 100, 1000}: the number that sizes a
+  // tokenizer vocabulary ("how big before 95% of running text is
+  // covered?"), the integral view t67's Heaps-law fit parameterizes.
+  // Global frequency ranking via Ranking.globalRank (range partition +
+  // zipWithIndex — never a single-partition window); the three
+  // checkpoint masses are conditional sums in ONE aggregate; exact
+  // integers until the final per-checkpoint division.
+  private val t106 = GraftQuery(
+    "t106_vocab_coverage_curve",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ranked = graft.operators.Ranking.globalRank(
+        counts, Seq(col("c").desc, col("w")))
+      val ag = ranked.agg(sum("c").as("tot"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("r") <= 10, col("c"))).as("m10"),
+        sum(when(col("r") <= 100, col("c"))).as("m100"),
+        sum(when(col("r") <= 1000, col("c"))).as("m1000"))
+      ag.select(explode(array(
+          struct(lit(10L).as("k"), col("m10").as("mass")),
+          struct(lit(100L).as("k"), col("m100").as("mass")),
+          struct(lit(1000L).as("k"), col("m1000").as("mass")))).as("p"),
+          col("tot"), col("vocab"))
+        .select(col("p.k").as("k"),
+          least(col("p.k"), col("vocab")).as("vocab_k"),
+          col("p.mass").as("mass"),
+          round(col("p.mass").cast("double") / col("tot"), 6).as("coverage"))
+        .orderBy("k")
+    },
+    Some(s"""WITH tk AS (SELECT $duckToks AS toks FROM documents),
+             wd AS (SELECT unnest(toks) AS w FROM tk),
+             ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wd
+               GROUP BY w),
+             rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w)
+                 AS r FROM ct),
+             ag AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CASE WHEN r <= 10 THEN c END) AS BIGINT) AS m10,
+                 CAST(sum(CASE WHEN r <= 100 THEN c END) AS BIGINT) AS m100,
+                 CAST(sum(CASE WHEN r <= 1000 THEN c END) AS BIGINT) AS m1000
+               FROM rk)
+             SELECT k, least(k, vocab) AS vocab_k, mass,
+               round(CAST(mass AS DOUBLE) / tot, 6) AS coverage
+             FROM (
+               SELECT 10::BIGINT AS k, m10 AS mass, tot, vocab FROM ag
+               UNION ALL
+               SELECT 100, m100, tot, vocab FROM ag
+               UNION ALL
+               SELECT 1000, m1000, tot, vocab FROM ag)
+             ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4643,5 +4697,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101, t102, t103, t104, t105)
+    t97, t98, t99, t100, t101, t102, t103, t104, t105, t106)
 }
