@@ -331,11 +331,44 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (cents, assigned) = ivfBuildIndex(corpus, idCol, vecCol, nCells)
+    ivfSearchIndex(cents, assigned, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The PERSISTABLE build half of [[ivfTopK]] — production IVF
+    * separates index BUILD (once per corpus snapshot) from SEARCH
+    * (every query batch). Returns (centroids, assignments):
+    * centroids is nCells tiny rows (cell, cvec); assignments is one
+    * (nbr_id, v_c, cell) row per corpus vector — write it partitioned
+    * by cell and a search probes nProbe/nCells of the files.
+    * AnnSpec proves a parquet round trip searches identically to the
+    * fused path. */
+  def ivfBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): (DataFrame, DataFrame) = {
     // deterministic ENGINE-PORTABLE sample: the nCells corpus vectors
     // with smallest (md5(id), id) — any SQL engine re-derives the same
     // centroid set, which is what lets the whole pipeline (assign →
     // probe → verify → rank) replay in an oracle
-    val centroids: Array[(Int, Array[Float])] = corpus
+    val centroids = collectCentroids(corpus, idCol, vecCol, nCells)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "cvec")
+      .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
+    // corpus side: assign to the single nearest cell
+    val assigned = graft.queries.Tables.spread(corpus)
+      .withColumn("sims", cellSimsFor(centroids, col(vecCol)))
+      .withColumn("cell",
+        expr("array_position(sims, array_max(sims))").cast("int") - 1)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"), col("cell"))
+    (centsDf, assigned)
+  }
+
+  private def collectCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Array[(Int, Array[Float])] =
+    corpus
       .select(col(idCol), col(vecCol))
       .withColumn("h", md5(col(idCol).cast("string")))
       .orderBy(col("h"), col(idCol))
@@ -344,20 +377,30 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
-    // similarities round to 6 decimals BEFORE argmax/probe selection
-    // (ties break on cell index) — v13's rounded-argmin determinism rule
-    def cellSims(v: org.apache.spark.sql.Column) = array(centroids.map {
-      case (_, c) =>
-        val cl = array(c.map(x => lit(x)).toSeq: _*)
-        round(vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum)), 6)
+  // similarities round to 6 decimals BEFORE argmax/probe selection
+  // (ties break on cell index) — v13's rounded-argmin determinism rule
+  private def cellSimsFor(
+      centroids: Array[(Int, Array[Float])],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(centroids.map { case (_, c) =>
+      val cl = array(c.map(x => lit(x)).toSeq: _*)
+      round(vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum)), 6)
     }.toSeq: _*)
 
-    // corpus side: assign to the single nearest cell
-    val withCell = graft.queries.Tables.spread(corpus)
-      .withColumn("sims", cellSims(col(vecCol)))
-      .withColumn("cell",
-        expr("array_position(sims, array_max(sims))").cast("int") - 1)
-      .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"), col("cell"))
+  /** SEARCH half of [[ivfTopK]] over a (possibly persisted) index from
+    * [[ivfBuildIndex]]: the bounded centroid table collects back to a
+    * driver model (nCells·dim floats) and queries probe assignments by
+    * cell — identical scoring/rank contract to the fused path. */
+  def ivfSearchIndex(
+      centroidsDf: DataFrame, assignments: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] = centroidsDf
+      .select(col("cell"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cellSims(v: org.apache.spark.sql.Column) = cellSimsFor(centroids, v)
+    val withCell = assignments
 
     // query side: probe the nProbe nearest cells
     val qProbes = queries

@@ -496,4 +496,26 @@ class AnnSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(re == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet)
   }
+
+  test("ivfBuildIndex parquet round trip searches identically to fused ivfTopK") {
+    val emb = mkClustered.cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val direct = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val (cents, assigned) =
+      Similarity.ivfBuildIndex(emb, "vec_id", "embedding", nCells = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    // production layout: assignments partitioned BY CELL so a probe
+    // reads nProbe/nCells of the files
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assign")
+    val viaIndex = Similarity.ivfSearchIndex(
+        spark.read.parquet(s"$dir/cents"),
+        spark.read.parquet(s"$dir/assign"),
+        queries, "vec_id", "embedding", 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
 }
