@@ -4690,6 +4690,59 @@ object TextOps {
                SELECT 1000, m1000, tot, vocab FROM ag)
              ORDER BY k"""))
 
+  // Dedup ROI report — what exact dedup SAVES, measured in tokens per
+  // source (curation decisions are made on token mass, not doc
+  // counts: a source whose dup copies are its longest docs loses far
+  // more training signal than its doc-level dup rate suggests).
+  // Min-id keep over md5(normalized text) groups (t06's rule), ONE
+  // hash-keyed agg + a source-keyed rollup; planted copies keep the
+  // dropped cohort non-vacuous on a dup-light fixture.
+  private val t107 = GraftQuery(
+    "t107_dedup_token_savings",
+    (s, dir) => {
+      val base = docs(s, dir).withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          md5(normalizeText(col("text"))).as("h"),
+          col("st.n_tokens").cast("long").as("n_toks"))
+      val planted = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val keep = planted.groupBy("h").agg(min("doc_id").as("keep_id"))
+      planted.join(keep, "h")
+        .withColumn("dropped", col("doc_id") =!= col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum("n_toks").as("tokens_total"),
+          sum(when(col("dropped"), col("n_toks")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          col("tokens_total"), col("tokens_dropped"),
+          round(col("tokens_dropped").cast("double") / col("tokens_total"),
+            6).as("savings_frac"))
+        .orderBy("source")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS h,
+                 CAST(len($duckToks) AS BIGINT) AS n_toks FROM documents),
+             planted AS (SELECT * FROM base
+               UNION ALL
+               SELECT doc_id + 1000000, source, h, n_toks FROM base
+               WHERE doc_id % 10 = 0),
+             keep AS (SELECT h, min(doc_id) AS keep_id FROM planted
+               GROUP BY h)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN doc_id <> keep_id THEN n_toks ELSE 0 END)
+                 AS BIGINT) AS tokens_dropped,
+               round(CAST(sum(CASE WHEN doc_id <> keep_id THEN n_toks
+                 ELSE 0 END) AS DOUBLE) / sum(n_toks), 6) AS savings_frac
+             FROM planted JOIN keep USING (h)
+             GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4697,5 +4750,5 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101, t102, t103, t104, t105, t106)
+    t97, t98, t99, t100, t101, t102, t103, t104, t105, t106, t107)
 }
