@@ -4394,7 +4394,8 @@ object TextOps {
                round(len(list_intersect(b.sh, h.sh))::DOUBLE /
                  (len(b.sh) + len(h.sh) - len(list_intersect(b.sh, h.sh))),
                  4) >= 0.7
-             ORDER BY batch_id, hist_id"""))
+             ORDER BY batch_id, hist_id"""),
+    headline = true)
 
   // Dedup threshold sensitivity — the pair-count curve by Jaccard band
   // from ONE inverted-index pass (t07's shuffle, re-bucketed instead of
