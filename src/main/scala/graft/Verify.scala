@@ -6,10 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional third arg: comma-separated query-name subset (local
-    // iteration aid; the driver always runs the full registry)
+    // iteration aid; the driver always runs the full registry), or
+    // "--oracles-only" to dump the FULL oracle_sql.json without
+    // executing any Spark query (feeds tools/lint_oracle_types.py).
     val (sfDir, outDir) = (args(0), args(1))
+    val oraclesOnly = args.length > 2 && args(2) == "--oracles-only"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && !oraclesOnly) Some(args(2).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    (if (oraclesOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+     else SparkEntry.queries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

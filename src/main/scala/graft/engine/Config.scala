@@ -95,7 +95,17 @@ final case class NativeWindowConf(
       * on a 5-key daemon) spends most of each trigger on empty store
       * commits — measured 2× throughput moving 32→8 on the bench
       * workload (tools/NativeWindowProbe). Unset = session default. */
-    statePartitions: Option[Int] = None)
+    statePartitions: Option[Int] = None,
+    /** State-store backend for the daemon's stateful operators:
+      * `"rocksdb"` → RocksDB provider (state lives off-heap/on-disk
+      * per executor — open-key cardinality is no longer bounded by
+      * executor heap, the 100×-scale default), `"hdfs"` → the
+      * default in-JVM-heap HDFS-backed provider. Applied as
+      * `spark.sql.streaming.stateStore.providerClass` when the
+      * daemon starts; like state_partitions it is FIXED at the first
+      * batch of a checkpoint (switching backends needs a fresh
+      * checkpoint dir). Unset = session default (hdfs). */
+    stateStore: Option[String] = None)
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None)
@@ -248,7 +258,9 @@ object Config {
                 w.path("dedup_keys").elements().asScala.map(_.asText()).toSeq
               else Seq(),
               statePartitions = if (w.has("state_partitions"))
-                Some(w.path("state_partitions").asInt()) else None))
+                Some(w.path("state_partitions").asInt()) else None,
+              stateStore = if (w.has("state_store"))
+                Some(w.path("state_store").asText()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),

@@ -222,8 +222,10 @@ object ConfigSchema {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))
-          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions", "kind", "slide"))
+          checkKeys(w, wp, Set("time_column", "keys", "duration", "watermark", "sums", "mode", "dedup_keys", "state_partitions", "state_store", "kind", "slide"))
           if (w.has("kind")) enumOf(w, wp, "kind", Set("tumbling", "sliding", "session"))
+          if (w.has("state_store"))
+            enumOf(w, wp, "state_store", Set("rocksdb", "hdfs"))
           // slide ↔ kind:sliding, both ways: a slide on a tumbling
           // window (or a sliding window without one) is silent
           // misconfiguration downstream — reject at load

@@ -212,7 +212,7 @@ object Sinks {
         throw new IllegalArgumentException("sqlcommand sink needs `sqlcommand` block")))
       case "iceberg" => new IcebergSink(conf.iceberg.getOrElse(
         throw new IllegalArgumentException("iceberg sink needs `iceberg` block")))
-      case "queue" | "graftqueue" => new QueueSink(conf.queue.getOrElse(
+      case "queue" => new QueueSink(conf.queue.getOrElse(
         throw new IllegalArgumentException("queue sink needs `queue` block")))
       case "clickhouse" => new ClickhouseSink(conf.clickhouse.getOrElse(
         throw new IllegalArgumentException("clickhouse sink needs `clickhouse` block")))

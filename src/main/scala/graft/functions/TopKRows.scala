@@ -116,7 +116,12 @@ case class TopKRows(
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"top_k_rows expects struct<ord: bigint, …>, got $other")
+          "top_k_rows expects struct<ord1: bigint[, ord2: bigint, …], " +
+            "payload…> — EVERY leading bigint field is an ordering key " +
+            s"(compared lexicographically, descending); got $other. " +
+            "A bigint payload field placed directly after the ordering " +
+            "keys becomes a tie-break key: cast it (e.g. to string or " +
+            "struct) or reorder fields to exclude it from the order.")
     }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)

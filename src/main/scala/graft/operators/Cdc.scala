@@ -40,13 +40,20 @@ object Cdc {
     require(ordCols.nonEmpty, "applyChanges: ordCols must be non-empty")
     val w = Window.partitionBy(keyCol)
       .orderBy(ordCols.map(col(_).desc): _*)
-    // validate ops up front — scan-side, before the window shuffle,
-    // so a poisoned feed fails loudly instead of half-applying
+    // validate ops up front — as a FILTER on the scan side, not a
+    // projection: a projected raise_error is a deterministic
+    // expression Catalyst may defer past the rn=1 filter, so
+    // malformed ops on non-surviving rows could slip through. A
+    // filter predicate below the window is evaluated per input row
+    // (predicate pushdown keeps it scan-side), so EVERY row of a
+    // poisoned feed fails loudly before any of it is applied.
     val op = upper(col(opCol))
-    val checked = changes.withColumn("__op",
-      when(op.isin("I", "U", "D"), op).otherwise(raise_error(concat(
-        lit(s"Cdc.applyChanges: op column '$opCol' must be I/U/D, got "),
-        coalesce(col(opCol).cast("string"), lit("NULL"))))))
+    val checked = changes
+      .filter(when(op.isin("I", "U", "D"), lit(true)).otherwise(
+        raise_error(concat(
+          lit(s"Cdc.applyChanges: op column '$opCol' must be I/U/D, got "),
+          coalesce(col(opCol).cast("string"), lit("NULL")))).cast("boolean")))
+      .withColumn("__op", op)
     val latest = checked
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -289,7 +289,19 @@ object Dedup {
     val bandHashes = array((0 until bands).map { bIdx =>
       xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
     }: _*)
+    // Sketch params ride along as column metadata (Spark persists
+    // StructField metadata through parquet footers) so a later
+    // minhashProbeIndex over the written artifact can reject a
+    // mismatched (n, numHashes, bands, seed) instead of silently
+    // returning zero collisions.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.n", n.toLong)
+      .putLong("graft.minhash.numHashes", numHashes.toLong)
+      .putLong("graft.minhash.bands", bands.toLong)
+      .putLong("graft.minhash.seed", seed)
+      .build()
     withSig.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
+      .withColumn("bh", col("bh").as("bh", md))
   }
 
   /** Probe a (possibly persisted) history band index with a new
@@ -310,6 +322,21 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // If the index carries build params (written by minhashBandBuckets
+    // since r7), a probe with different params would compute band
+    // hashes that never collide — fail loudly instead of silently
+    // losing all recall.
+    index.schema.fields.find(_.name == "bh").map(_.metadata)
+      .filter(_.contains("graft.minhash.n")).foreach { m =>
+        val built = (m.getLong("graft.minhash.n"),
+          m.getLong("graft.minhash.numHashes"),
+          m.getLong("graft.minhash.bands"), m.getLong("graft.minhash.seed"))
+        val probed = (n.toLong, numHashes.toLong, bands.toLong, seed)
+        require(built == probed,
+          s"band index built with (n,numHashes,bands,seed)=$built but " +
+            s"probed with $probed — band hashes would never collide")
+      }
     val b = graft.queries.Tables.spread(batch)
       .select(col(idCol).as("batch_id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))

@@ -4629,12 +4629,12 @@ object TextOps {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - cost AS cum
                FROM cc)
-             SELECT doc_id, cum // 64 AS chunk_id,
+             SELECT doc_id, CAST(cum // 64 AS BIGINT) AS chunk_id,
                CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(cost) AS BIGINT) AS bpe_cost,
                CAST(min(idx) AS INT) AS word_lo,
                CAST(max(idx) AS INT) AS word_hi
-             FROM cm GROUP BY doc_id, cum // 64
+             FROM cm GROUP BY doc_id, CAST(cum // 64 AS BIGINT)
              ORDER BY doc_id, chunk_id"""))
 
   // Vocabulary coverage curve — cumulative token mass of the top-k

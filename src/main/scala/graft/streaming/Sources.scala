@@ -18,7 +18,7 @@ object Sources {
 
   def build(spark: SparkSession, conf: SourceConf,
       batchSize: Option[Int] = None): Built = conf.kind match {
-    case "queue" | "graftqueue" =>
+    case "queue" =>
       val q = conf.queue.getOrElse(
         throw new IllegalArgumentException("queue source needs `queue` block"))
       // the embedded Kafka-shaped broker (GraftQueue.scala): identical

@@ -150,6 +150,24 @@ object StreamingPipeline {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       prev
     }
+    // state_store backend: like the partition count, the provider is
+    // pinned per-query at the first batch of a checkpoint. RocksDB
+    // moves open-key state off the executor heap — the knob that
+    // keeps a 100×-key-cardinality window from OOMing an executor.
+    val stateStoreKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = w.stateStore.map { s =>
+      val cls = s.toLowerCase match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"state_store must be 'rocksdb' or 'hdfs', got '$other'")
+      }
+      val prev = spark.conf.getOption(stateStoreKey)
+      spark.conf.set(stateStoreKey, cls)
+      prev
+    }
     // ONE from_json parse per row with a minimal schema derived from
     // the configured paths — still schema-free for the user, but not
     // the N-paths × N-reparses of per-field get_json_object (JSON
@@ -232,6 +250,10 @@ object StreamingPipeline {
       source.onStop()
       prevShuffle.foreach(p =>
         spark.conf.set("spark.sql.shuffle.partitions", p))
+      prevProvider.foreach {
+        case Some(p) => spark.conf.set(stateStoreKey, p)
+        case None => spark.conf.unset(stateStoreKey)
+      }
     }, batches)
   }
 

@@ -62,6 +62,14 @@ class CdcSpec extends SparkTestBase {
     // lower-case ops are accepted (normalized before validation)
     val lower = Seq((2L, "d", 1L, "x", 0.0)).toDF("k", "op", "seq", "name", "v")
     assert(apply0(lower) == Seq((1L, "a", 10.0), (3L, "c", 30.0)))
+    // a malformed op on a NON-LATEST row (rn > 1 — it would never
+    // survive the window) must still raise: validation is a scan-side
+    // filter, not a projection Catalyst can defer past the rn=1 cut
+    val badNonLatest = Seq(
+      (1L, "X", 1L, "old", 1.0),
+      (1L, "U", 2L, "new", 2.0)).toDF("k", "op", "seq", "name", "v")
+    val e3 = intercept[Exception] { apply0(badNonLatest) }
+    assert(messages(e3).exists(_.contains("must be I/U/D")), e3.toString)
   }
 
   test("mergeMoments over shards equals a direct pass, any sharding") {

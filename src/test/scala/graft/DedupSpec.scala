@@ -335,5 +335,25 @@ class DedupSpec extends SparkTestBase {
         n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaIndex == direct && direct.nonEmpty, s"$viaIndex vs $direct")
+    // sketch params ride the artifact: a probe with a different
+    // (n, numHashes, bands, seed) would compute band hashes that never
+    // collide with the index — it must fail loudly, not lose recall
+    val persisted = spark.read.parquet(dir.toString)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashProbeIndex(persisted, hist, batch, "doc_id", "text",
+        n = 4, threshold = 0.5)
+    }
+    assert(err.getMessage.contains("never collide"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.minhashProbeIndex(persisted, hist, batch, "doc_id", "text",
+        n = 3, threshold = 0.5, seed = 7L)
+    }
+    assert(err2.getMessage.contains("never collide"), err2.getMessage)
+    // non-divisible banding rejected up front (matches the builder)
+    val err3 = intercept[IllegalArgumentException] {
+      Dedup.minhashProbeIndex(persisted, hist, batch, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 64, bands = 7)
+    }
+    assert(err3.getMessage.contains("divide"), err3.getMessage)
   }
 }

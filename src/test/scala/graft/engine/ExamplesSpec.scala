@@ -202,4 +202,47 @@ class ExamplesSpec extends SparkTestBase {
         """{"action":"closed","issue_id":"102","issue_user_login":"bob","repo_name":"engine"}"""))
     } finally spark.sql("DROP DATABASE IF EXISTS my_db CASCADE")
   }
+
+  test("queue.agg.console example EXECUTES as a config: broker -> source -> handler -> queue sink") {
+    // the reference's config-execution style (tests/test_configs.py):
+    // the shipped YAML itself drives the full path — queue source
+    // consumes the fixture events, the handler aggregates, and the
+    // config's own queue SINK publishes back to the broker; only the
+    // broker address is injected (env templating, as on a cluster)
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    try {
+      broker.publish("input-events",
+        Files.readAllLines(Paths.get(fixture)).asScala.toSeq, partitions = 2)
+      val conf = Config.fromFile("examples/queue.agg.console.yml",
+        Map("QUEUE_BROKERS" -> broker.address))
+      val running = graft.streaming.StreamingPipeline.start(spark, conf)
+      try running.processAllAvailable() finally running.stop()
+      val out = graft.streaming.GraftQueueClient
+        .readAll(broker.address, "output-aggregates").sorted
+      assert(out == Seq(
+        """{"city":"Baltimore","city_count":1}""",
+        """{"city":"New York","city_count":2}"""), out.toString)
+    } finally broker.stop()
+  }
+
+  test("queue.structured.mem example EXECUTES as a config: StructuredBatch over the queue transport") {
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    try {
+      broker.publish("input-structured-mem", Seq(
+        """{"event":"search","properties":{"city":"New York"},"user":{"id":"u1"}}""",
+        """{"event":"search","properties":{"city":"Baltimore"},"user":{"id":"u2"}}"""),
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/queue.structured.mem.yml",
+        Map("QUEUE_BROKERS" -> broker.address))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try running.processAllAvailable() finally running.stop()
+      assert(sink.allRows.sorted == Seq(
+        """{"city":"Baltimore","city_count":1}""",
+        """{"city":"New York","city_count":1}"""), sink.allRows.toString)
+    } finally broker.stop()
+  }
 }

@@ -765,4 +765,101 @@ class StreamingSpec extends SparkTestBase {
         sink.allRows.toString)
     } finally run.stop()
   }
+
+  test("state_store: rocksdb — tumbling window state survives the RocksDB provider") {
+    // same scenario as the YAML-declared aggregation test, but with
+    // window state held by RocksDBStateStoreProvider: state crosses
+    // micro-batches (accumulate then emit-on-close) identically, the
+    // provider conf is pinned while the daemon runs and restored on
+    // stop (the co-hosted-batch-caller contract state_partitions has)
+    val inDir = Files.createTempDirectory("graft_rdb_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      time_column: ts
+        |      keys: [city]
+        |      duration: '1 hour'
+        |      watermark: '10 minutes'
+        |      state_partitions: 4
+        |      state_store: rocksdb
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"))
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:11:01","city":"Austin"}
+          |{"ts":"2015-12-12 19:20:02","city":"Austin"}
+          |{"ts":"2015-12-12 19:40:03","city":"Boston"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      assert(sink.allRows.isEmpty, sink.allRows.toString)
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 21:00:00","city":"Austin"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      val rows = sink.allRows.sorted
+      assert(rows == Seq(
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}""",
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Boston","count":1}"""),
+        rows.toString)
+    } finally running.stop()
+    assert(spark.conf.getOption(key) == before,
+      "provider conf must restore on stop")
+  }
+
+  test("state_store: rocksdb — dedup + session-window state under RocksDB") {
+    // the two OTHER stateful operators the daemon runs —
+    // dropDuplicatesWithinWatermark and session_window merge — on the
+    // RocksDB backend: replayed events collapse once, gap-separated
+    // bursts still close correctly on watermark
+    val inDir = Files.createTempDirectory("graft_rdb2_in")
+    val sink = new MemorySink
+    val conf = confFromString(
+      """pipeline:
+        |  batch_size: 1000
+        |  source:
+        |    type: file
+        |    file: {path: '%DIR%', format: json}
+        |  handler:
+        |    type: 'handlers.NativeWindow'
+        |    window:
+        |      kind: session
+        |      time_column: ts
+        |      keys: [user]
+        |      duration: '10 minutes'
+        |      watermark: '5 minutes'
+        |      dedup_keys: [eid]
+        |      state_partitions: 4
+        |      state_store: rocksdb
+        |  sink: {type: memory}
+        |""".stripMargin.replace("%DIR%", inDir.toString))
+    val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
+    try {
+      Files.writeString(inDir.resolve("a.jsonl"),
+        """{"ts":"2015-12-12 19:00:00","user":"u1","eid":"e1"}
+          |{"ts":"2015-12-12 19:05:00","user":"u1","eid":"e2"}
+          |{"ts":"2015-12-12 19:05:00","user":"u1","eid":"e2"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      Files.writeString(inDir.resolve("b.jsonl"),
+        """{"ts":"2015-12-12 21:00:00","user":"u1","eid":"e9"}
+          |""".stripMargin)
+      running.processAllAvailable()
+      running.processAllAvailable()
+      val rows = sink.allRows.filter(_.contains("19:00"))
+      // replayed e2 counted once: session 19:00–19:15 has count 2
+      assert(rows.size == 1 && rows.head.contains("\"count\":2"), sink.allRows.toString)
+    } finally running.stop()
+  }
 }

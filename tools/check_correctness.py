@@ -54,8 +54,11 @@ def main():
             # where DECIMAL/HUGEINT stringify differently than parquet
             # decimals ('0.0' vs '0.0000', '4568.0' vs '4568') -> hash
             # mismatch even when values agree. Final columns must be
-            # DOUBLE/BIGINT/VARCHAR/BOOLEAN on both sides.
-            print(f"WARN {name}: driver-hostile output types {risky}")
+            # DOUBLE/BIGINT/VARCHAR/BOOLEAN on both sides. Hard FAIL
+            # (3rd incident of this class: r5 DECIMAL, r6 HUGEINT t105).
+            print(f"FAIL {name}: driver-hostile output types {risky}")
+            n_fail += 1
+            continue
         if sorted(g_cols) != sorted(e_cols):
             print(f"FAIL {name}: cols spark={sorted(g_cols)} duck={sorted(e_cols)}")
             n_fail += 1
