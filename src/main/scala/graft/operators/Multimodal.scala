@@ -100,14 +100,84 @@ object Multimodal {
     *  - PCM16 WAV audio → `dim` windows of RMS energy over the
     *    decoded samples ([[frameEnergy]]'s acoustic features at fixed
     *    dimension).
-    *  - anything else (video containers, foreign formats — no JDK
-    *    codec) → deterministic hash projection, a clearly-marked
-    *    STAND-IN whose only contract is determinism + fixed shape; a
-    *    real codec drops in without touching the plan. */
+    *  - ISO-BMFF video → REAL container-derived features
+    *    ([[videoContainerFeatures]]: decoded mvhd timing + per-slot
+    *    essence signatures — container-level is the ceiling without a
+    *    codec, see that method's contract).
+    *  - anything else (foreign formats — no JDK codec) →
+    *    deterministic hash projection, a clearly-marked STAND-IN
+    *    whose only contract is determinism + fixed shape; a real
+    *    codec drops in without touching the plan. */
   private[graft] def featureKernel(content: Array[Byte], dim: Int): Array[Float] =
     imageBlockMeans(content, dim)
       .orElse(audioRmsFeatures(content, dim))
+      .orElse(videoContainerFeatures(content, dim))
       .getOrElse(hashProjectionStub(content, dim))
+
+  /** REAL container-derived video features — no JDK video codec
+    * exists, so frame PIXELS are out of reach, but everything here is
+    * decoded container structure and real essence bytes, not a hash
+    * of the whole blob:
+    *
+    *  - cell 0: duration in milliseconds from the parsed mvhd
+    *    (m09's verified timescale/duration fields);
+    *  - cell 1: timescale; cell 2: track count;
+    *  - cells 3…: one signature word per uniform schedule slot (the
+    *    m15 sample schedule at k = dim−3): a rolling hash of the
+    *    `mdat` essence bytes inside that slot's byte window,
+    *    normalized to [0, 1). Slot index is folded into the hash seed
+    *    — the m23 positional-signature discipline (content bound to
+    *    its schedule slot, so shuffled re-edits don't alias).
+    *
+    * Identical container+essence → identical vector; a re-mux with
+    * the same timing but re-encoded essence agrees on cells 0–2 and
+    * differs in signature cells — exactly the locality a container-
+    * level near-dup screen can honestly claim. MultimodalSpec pins
+    * the timing cells to the mvhd arithmetic and the perturbation
+    * behavior. */
+  private[graft] def videoContainerFeatures(
+      content: Array[Byte], dim: Int): Option[Array[Float]] =
+    mp4Header(content).map { case (ts, dur, nTracks) =>
+      val out = new Array[Float](dim)
+      if (dim > 0) out(0) = (dur * 1000.0 / ts).toFloat
+      if (dim > 1) out(1) = ts.toFloat
+      if (dim > 2) out(2) = nTracks.toFloat
+      val slots = dim - 3
+      if (slots > 0) mdatRange(content).foreach { case (off, len) =>
+        var i = 0
+        while (i < slots) {
+          val b0 = off + (i.toLong * len / slots).toInt
+          val b1 = off + ((i + 1).toLong * len / slots).toInt
+          var h = 0x9E3779B97F4A7C15L ^ i.toLong // slot-bound signature
+          var p = b0
+          while (p < b1) {
+            h = (h ^ content(p)) * 0xC2B2AE3D27D4EB4FL
+            p += 1
+          }
+          out(3 + i) = math.floorMod(h, 1000003L) / 1000003.0f
+          i += 1
+        }
+      }
+      out
+    }
+
+  /** Top-level box walk to the `mdat` payload: (offset, length) of
+    * the essence bytes, or None when absent/truncated. */
+  private[graft] def mdatRange(content: Array[Byte]): Option[(Int, Int)] = {
+    if (content == null || content.length < 16) return None
+    def u32(o: Int): Long =
+      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
+        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
+    var off = 0
+    while (off + 8 <= content.length) {
+      val size = u32(off)
+      if (size < 8 || off + size > content.length) return None
+      if (new String(content, off + 4, 4, "US-ASCII") == "mdat")
+        return Some((off + 8, size.toInt - 8))
+      off += size.toInt
+    }
+    None
+  }
 
   /** g×g block-mean integer-luma grid from real decoded pixels. */
   private[graft] def imageBlockMeans(

@@ -24,17 +24,15 @@ import graft.queries.Registry
   * Exit: nonzero if any CartesianProduct is found (CI-gateable).
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
+  /** Audit result: queries whose physical plan contains a
+    * CartesianProduct / BroadcastNestedLoopJoin, and queries that
+    * failed to plan at all. Shared by the CLI main and PlanAuditSpec
+    * (the `sbt test` gate — plan regressions fail the build). */
+  final case class Audit(
+      cartesians: List[String], bnlj: List[String], failed: List[String])
+
+  def audit(spark: SparkSession, dir: String): Audit = {
     var cartesians = List.empty[String]
     var bnlj = List.empty[String]
     var failed = List.empty[String]
@@ -47,6 +45,21 @@ object PlanAudit {
         case e: Exception => failed ::= s"${q.name}: ${e.getMessage}"
       }
     }
+    Audit(cartesians, bnlj, failed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val Audit(cartesians, bnlj, failed) = audit(spark, dir)
     println(s"audited ${Registry.all.size} plans")
     println(s"CartesianProduct (${cartesians.size}): " +
       cartesians.sorted.mkString(", "))

@@ -437,4 +437,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.dominantColor(
       Seq((3L, Array[Byte](9, 9, 9))).toDF("media_id", "content")).count() == 0)
   }
+
+  test("m04 video branch: features derive from decoded container fields, not a blob hash") {
+    val dim = 16
+    val (ts, dur, n) = (1200, 2000L, 2)
+    val bytes = Multimodal.renderMp4(ts, dur, n, seed = 7L)
+    val f = Multimodal.videoContainerFeatures(bytes, dim).get
+    // timing cells are the PARSED mvhd fields (m09's arithmetic)
+    assert(f(0) == (dur * 1000.0 / ts).toFloat &&
+      f(1) == ts.toFloat && f(2) == n.toFloat, f.toSeq.toString)
+    // deterministic, fixed shape, signature cells in [0, 1)
+    assert(f.length == dim)
+    assert(Multimodal.videoContainerFeatures(bytes, dim).get.sameElements(f))
+    assert(f.drop(3).forall(v => v >= 0f && v < 1f), f.toSeq.toString)
+    // same container timing, re-encoded essence: cells 0-2 agree,
+    // at least one slot signature moves (and not all of them must —
+    // signatures are positional per the m23 discipline)
+    val remux = Multimodal.renderMp4(ts, dur, n, seed = 8L)
+    val g = Multimodal.videoContainerFeatures(remux, dim).get
+    assert(g(0) == f(0) && g(1) == f(1) && g(2) == f(2))
+    assert(!g.drop(3).sameElements(f.drop(3)))
+    // different duration: timing cell moves
+    val other = Multimodal.renderMp4(ts, dur + 600, n, seed = 7L)
+    assert(Multimodal.videoContainerFeatures(other, dim).get.head != f(0))
+    // the kernel routes ISO-BMFF bytes through this branch
+    assert(Multimodal.featureKernel(bytes, dim).sameElements(f))
+    // and non-BMFF bytes still take the documented hash-projection
+    // stand-in (unchanged shape; determinism)
+    val txt = "not a video at all".getBytes("UTF-8")
+    assert(Multimodal.videoContainerFeatures(txt, dim).isEmpty)
+    assert(Multimodal.featureKernel(txt, dim).length == dim)
+    // truncated/hostile container bytes: parse refuses, kernel falls
+    // through rather than failing the task
+    val truncated = bytes.take(24)
+    assert(Multimodal.featureKernel(truncated, dim).length == dim)
+  }
 }
