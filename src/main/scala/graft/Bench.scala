@@ -339,6 +339,13 @@ object Bench {
       "streaming_agg_msgs_per_sec" -> (() => runStreaming()._2),
       "native_window_msgs_per_sec" ->
         (() => runWindowDaemon("native_window_msgs_per_sec", "")._2),
+      // same daemon on the RocksDB state backend — the 100×-scale
+      // configuration (open-key state off the executor heap); benched
+      // against the in-heap default so the backend's throughput cost
+      // is a measured number, not a guess
+      "native_window_rocksdb_msgs_per_sec" ->
+        (() => runWindowDaemon("native_window_rocksdb_msgs_per_sec",
+          "      state_store: rocksdb\n")._2),
       "session_window_msgs_per_sec" ->
         (() => runWindowDaemon("session_window_msgs_per_sec",
           "      kind: session\n")._2))

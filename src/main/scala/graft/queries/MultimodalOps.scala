@@ -1307,7 +1307,93 @@ object MultimodalOps {
               ON tp.id_a = ip.id_a AND tp.id_b = ip.id_b
             ORDER BY id_a, id_b"""))
 
+  // Video feature cells gated CELL-BY-CELL: the m04 kernel's video
+  // branch (container-derived features, round 7) replayed exactly in
+  // DuckDB. The timing cells are mvhd arithmetic (m09's formulas cast
+  // through REAL — the same float32 the kernel emits); the signature
+  // cells replay the mdat essence bytes via the LCG's closed form
+  // (p_j = A_j·seed + B_j mod 2⁶⁴, constants embedded below), then
+  // fold the slot window through the rolling hash with list_reduce —
+  // sign extension, xor, and the 64-bit multiply (32-bit split, the
+  // m15 trick) all in HUGEINT. A hash match proves mdatRange found
+  // the essence payload and every hash/sign step matches the JVM.
+  private val m31 = {
+    val M64 = BigInt(1) << 64
+    val K1 = BigInt("9E3779B97F4A7C15", 16) // renderMp4 LCG multiplier
+    val K2 = BigInt("C2B2AE3D27D4EB4F", 16) // rolling-hash multiplier
+    // p_j = (A_j·seed + B_j) mod 2⁶⁴ for the j-th LCG state (j ≥ 1);
+    // essence byte i is the top byte of p_{i+1}
+    val (aList, bList) = {
+      var a = BigInt(1); var b = BigInt(0)
+      val as = Array.newBuilder[BigInt]; val bs = Array.newBuilder[BigInt]
+      (1 to 32).foreach { _ =>
+        a = (a * K1) % M64; b = (b * K1 + 1) % M64
+        as += a; bs += b
+      }
+      (as.result().mkString("[", ",", "]"),
+        bs.result().mkString("[", ",", "]"))
+    }
+    val k2hi = K2 >> 32
+    val k2lo = K2 & BigInt("FFFFFFFF", 16)
+    GraftQuery(
+      "m31_video_feature_cells",
+      (s, dir) => {
+        Multimodal.extractFeatures(
+            Multimodal.synthesizeVideo(
+              Tables.spread(t(s, dir, "documents")), "doc_id"), dim = 8)
+          .select(col("media_id"), posexplode(col("embedding")))
+          .select(col("media_id"), col("pos").cast("int").as("cell"),
+            col("col").cast("double").as("value"))
+          .orderBy("media_id", "cell")
+      },
+      Some(s"""WITH ids AS (SELECT doc_id AS media_id,
+                   600 * (1 + doc_id % 4) AS ts,
+                   240 + (doc_id * 17) % 2400 AS dur,
+                   1 + doc_id % 3 AS ntr
+                 FROM documents),
+             wb AS (SELECT media_id, CAST(gs.i AS INT) AS slot,
+                    CAST(gj.j AS INT) AS j
+                FROM ids, generate_series(0, 4) gs(i),
+                     generate_series(0, 31) gj(j)
+                WHERE gj.j >= gs.i * 32 // 5 AND gj.j < (gs.i + 1) * 32 // 5),
+             byt AS (SELECT media_id, slot, j,
+                    ((list_extract($aList, j + 1) * media_id +
+                      list_extract($bList, j + 1)) % 18446744073709551616)
+                      // 72057594037927936 AS u
+                    FROM wb),
+             sx AS (SELECT media_id, slot, j,
+                    CASE WHEN u >= 128
+                      THEN 18446744073709551616 - 256 + u ELSE u END AS su
+                    FROM byt),
+             lst AS (SELECT media_id, slot, list(su ORDER BY j) AS us
+                     FROM sx GROUP BY media_id, slot),
+             hsh AS (SELECT media_id, slot,
+                    list_reduce(
+                      list_prepend(xor(CAST(11400714819323198485 AS HUGEINT),
+                        CAST(slot AS HUGEINT)), us),
+                      (h, u) -> (xor(h, u) * $k2lo +
+                                 ((xor(h, u) * $k2hi) % 4294967296) * 4294967296
+                                ) % 18446744073709551616) AS hu
+                    FROM lst),
+             sig AS (SELECT media_id, slot + 3 AS cell,
+                    CAST(CAST(((CASE WHEN hu >= 9223372036854775808
+                                 THEN hu - 18446744073709551616 ELSE hu END)
+                               % 1000003 + 1000003) % 1000003 AS REAL)
+                         / CAST(1000003 AS REAL) AS DOUBLE) AS value
+                    FROM hsh),
+             tc AS (SELECT media_id, 0 AS cell,
+                      CAST(CAST(dur * 1000.0 / ts AS REAL) AS DOUBLE) AS value
+                    FROM ids
+                    UNION ALL SELECT media_id, 1,
+                      CAST(CAST(ts AS REAL) AS DOUBLE) FROM ids
+                    UNION ALL SELECT media_id, 2,
+                      CAST(CAST(ntr AS REAL) AS DOUBLE) FROM ids)
+             SELECT media_id, CAST(cell AS INT) AS cell, value
+             FROM (SELECT * FROM tc UNION ALL SELECT * FROM sig)
+             ORDER BY media_id, cell"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26, m27, m28, m29, m30)
+    m24, m25, m26, m27, m28, m29, m30, m31)
 }

@@ -55,9 +55,14 @@ object ShuffleProbe {
       .foreach { q =>
         try {
           // warmup primes codegen AND file listing so the measured run
-          // is the steady-state plan
-          q.run(spark, dir).write.mode("overwrite").format("noop").save()
-          Thread.sleep(300) // drain listener bus from the warmup
+          // is the steady-state plan. SPARK_GRAFT_PROBE_NO_WARMUP=1
+          // skips it for multi-minute exact/audit tiers (t80's full
+          // total-order suffix sort at sf1) where shuffle VOLUME, not
+          // steady-state wall clock, is the question.
+          if (!sys.env.get("SPARK_GRAFT_PROBE_NO_WARMUP").contains("1")) {
+            q.run(spark, dir).write.mode("overwrite").format("noop").save()
+            Thread.sleep(300) // drain listener bus from the warmup
+          }
           shufW.set(0); shufR.set(0); spill.set(0); inBytes.set(0)
           q.run(spark, dir).write.mode("overwrite").format("noop").save()
           Thread.sleep(500) // listener delivery is async

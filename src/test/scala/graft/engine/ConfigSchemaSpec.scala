@@ -126,6 +126,10 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(nw(", kind: session, mode: update"))
       .exists(_.contains("update mode is not supported for session")))
     assert(errsOf(nw(", kind: tumbling, mode: update")).isEmpty)
+    // state_store backend is enum-checked (rocksdb | hdfs)
+    assert(errsOf(nw(", state_store: rocksdb")).isEmpty)
+    assert(errsOf(nw(", state_store: hdfs")).isEmpty)
+    assert(errsOf(nw(", state_store: leveldb")).exists(_.contains("leveldb")))
   }
 
   test("queue auto_offset_reset is enum-checked like kafka's") {
