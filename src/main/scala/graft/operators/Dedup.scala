@@ -360,6 +360,122 @@ object Dedup {
       .select("batch_id", "hist_id", "jaccard")
   }
 
+  /** STREAMING near-dup admission — the [[minhashIncrementalPairs]]
+    * discipline as a continuously-running filter. State is the
+    * PERSISTED index artifacts under `stateDir` (band rows + admitted
+    * texts, both micro-batch-partitioned parquet), never executor
+    * memory: open-state size is O(admitted corpus) on DISK, and each
+    * trigger's work is O(|batch|) sketch + a bounded candidate
+    * verify — the shape that survives an unbounded stream.
+    *
+    * Micro-batch-retry idempotence comes from bid-versioned state:
+    * every probe reads only `bid < batchId` partitions and every
+    * commit OVERWRITES its own `bid=batchId` partition, so a replayed
+    * batch recomputes the identical survivor set instead of colliding
+    * with its own half-written state (the classic self-collision bug
+    * of naive incremental dedup). Emit-before-commit makes the
+    * pipeline at-least-once; survivors are deterministic per bid, so
+    * an idempotent sink (or dedup-by-id downstream) upgrades it to
+    * effectively-once.
+    *
+    * Admission order inside one batch: exact+near dups WITHIN the
+    * batch first (smallest id is canonical — deterministic), then the
+    * cross-batch probe against history. `idCol` must be numeric
+    * (canonicalization compares ids). */
+  def nearDupFilterBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      batchId: Long,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val spark = batch.sparkSession
+    def state(sub: String): Option[DataFrame] = {
+      // Hadoop FS, not java.io.File — stateDir is HDFS/S3 on a cluster
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        Some(spark.read.parquet(s"$stateDir/$sub")
+          .filter(col("bid") < batchId))
+      else None
+    }
+    // 1. within-batch: LSH pairs + min-id canonical survives
+    val pairs = minhashLshPairs(batch, idCol, textCol, n, threshold,
+      numHashes, bands, seed)
+    val dropped = dropNonCanonical(batch, pairs, idCol, lit(0))
+      .select(col("doc_id").as("__drop_id"))
+    val within = batch.join(dropped,
+      col(idCol).cast("long") === col("__drop_id"), "left_anti")
+    // 2. cross-batch: probe the persisted band index, exact-verify
+    // against the admitted-text store, drop colliders
+    (state("bands"), state("texts")) match {
+      case (Some(idx), Some(texts)) =>
+        val hist = texts.select(col(idCol), col(textCol))
+        val hits = minhashProbeIndex(idx.drop("bid"), hist, within,
+            idCol, textCol, n, threshold, numHashes, bands, seed)
+          .select(col("batch_id").as("__dup_id")).distinct()
+        within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
+      case _ => within // first batch: nothing admitted yet
+    }
+  }
+
+  /** Commit one micro-batch's survivors to the `stateDir` artifacts:
+    * band rows (what future probes collide against) and admitted
+    * texts (what future probes exact-verify against), each written
+    * into its own `bid=batchId` partition with overwrite — a retried
+    * batch replaces its own partition, never duplicates it. */
+  def nearDupCommitBatch(
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      batchId: Long,
+      n: Int,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L): Unit = {
+    minhashBandBuckets(survivors, idCol, textCol, n, numHashes, bands, seed)
+      .withColumnRenamed(idCol, "hist_id")
+      .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
+    survivors.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$stateDir/texts/bid=$batchId")
+  }
+
+  /** Wire [[nearDupFilterBatch]] + [[nearDupCommitBatch]] into a
+    * Structured Streaming query: every micro-batch is filtered
+    * against the persisted state, survivors are handed to `emit`
+    * (the user's sink), and only then committed to state. Returns
+    * the started query; the checkpoint lives under `stateDir` so a
+    * restart resumes with consistent (offsets, state) pairs. */
+  def streamingNearDupFilter(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      seed: Long = 42L)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val survivors = nearDupFilterBatch(b, idCol, textCol, stateDir,
+          bid, n, threshold, numHashes, bands, seed).cache()
+        try {
+          emit(survivors, bid)
+          nearDupCommitBatch(survivors, idCol, textCol, stateDir, bid,
+            n, numHashes, bands, seed)
+        } finally survivors.unpersist()
+      }
+      .start()
+
   /** Remove boilerplate lines: drop every line whose document
     * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav
     * text, cookie banners). This is the pre-pass SCALE.md's measured

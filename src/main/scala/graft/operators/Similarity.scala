@@ -428,6 +428,46 @@ object Similarity {
         col("rank"))
   }
 
+  /** INCREMENTAL append to a persisted IVF index: assign a NEW batch
+    * of vectors to the FROZEN centroid set from [[ivfBuildIndex]] —
+    * the same rounded-argmax rule the build used — and return rows in
+    * the assignments schema (nbr_id, v_c, cell). Write them
+    * partitionBy(cell) next to the existing index files and
+    * [[ivfSearchIndex]] over the union searches history + batch
+    * identically (AnnSpec proves the round trip).
+    *
+    * This is the third piece of the index LIFECYCLE: build once per
+    * snapshot (v05), append each arriving batch at O(|batch|·nCells)
+    * with NO history re-scan and NO re-cluster (this), and re-cluster
+    * only when centroid-drift monitoring (v32's per-source drift
+    * report) says the frozen quantizer has drifted — the standard
+    * production IVF maintenance loop. At 100 TB a daily batch lands as one
+    * partitioned append (map-only: centroids are a driver model of
+    * nCells·dim floats folded in as literals, so the batch never
+    * shuffles), vs. re-clustering the full corpus.
+    *
+    * Caveat the monitoring loop owns: appends concentrate in the
+    * cells the NEW data is densest in, so probe cost per query grows
+    * with the hottest cell, not the average — the [[graft.operators
+    * .Skew]] histogram over `cell` is the reindex trigger. */
+  def ivfAppendIndex(
+      centroidsDf: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] = centroidsDf
+      .select(col("cell"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
+    require(centroids.map(_._1).toSeq == centroids.indices,
+      s"ivfAppendIndex: centroid cells must be exactly 0..${centroids.length - 1}")
+    graft.queries.Tables.spread(batch)
+      .withColumn("sims", cellSimsFor(centroids, col(vecCol)))
+      .withColumn("cell",
+        expr("array_position(sims, array_max(sims))").cast("int") - 1)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("v_c"), col("cell"))
+  }
+
   /** All pairs with cosine ≥ threshold via IVF cell blocking — the
     * third member of the near-dup family (exact [[cosineDupPairs]] /
     * hyperplane-banded [[lshCosinePairs]] / this). Each vector joins

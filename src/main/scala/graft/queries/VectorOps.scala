@@ -1657,7 +1657,52 @@ object VectorOps {
             WHERE pick <= greatest(1, cell_n // 5)
             ORDER BY cell, pick"""))
 
+  // Incremental IVF index maintenance — the APPEND leg of the index
+  // lifecycle (v05 builds/searches, v32's drift report says WHEN to
+  // re-cluster, this is how new data lands WITHOUT a rebuild).
+  // History (vec_id % 5 != 0) builds the frozen centroid set; the
+  // arriving batch (vec_id % 5 == 0) assigns to those centroids only:
+  // no re-cluster, no history re-scan, O(|batch|·nCells) map-only
+  // work. Fully oracle-checked — the coarse quantizer is
+  // deterministic and engine-portable (md5-ordered centroid sample,
+  // rounded-6 argmax with cell-index ties, the v37 discipline), so
+  // DuckDB re-derives the centroids from history and replays every
+  // batch assignment. AnnSpec separately proves the appended rows
+  // are SEARCHABLE: ivfSearchIndex over history+appended finds
+  // batch-planted twins at rank 1 after a parquet round trip.
+  private val v38 = GraftQuery(
+    "v38_ivf_incremental_append",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val (cents, _) =
+        Similarity.ivfBuildIndex(hist, "vec_id", "embedding", nCells = 16)
+      Similarity.ivfAppendIndex(cents, batch, "vec_id", "embedding")
+        .select(col("nbr_id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH hist AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 5 != 0),
+            c0 AS (SELECT vec_id, v FROM hist
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            cents AS (SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                v AS cv FROM c0),
+            batch AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+            sim AS (SELECT b.vec_id, c.cell,
+                round(list_dot_product(b.v, c.cv) /
+                  sqrt(list_dot_product(c.cv, c.cv)), 6) AS s
+              FROM batch b CROSS JOIN cents c),
+            asg AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+                FROM sim) WHERE rn = 1)
+            SELECT vec_id, CAST(cell AS INT) AS cell
+            FROM asg ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38)
 }

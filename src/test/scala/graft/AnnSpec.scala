@@ -518,4 +518,46 @@ class AnnSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(viaIndex == direct && direct.nonEmpty)
   }
+
+  test("ivfAppendIndex: appended rows are searchable after a parquet round trip") {
+    val all = mkClustered.cache()
+    // history builds the frozen index; the batch arrives later and
+    // must land WITHOUT re-clustering — including exact twins of the
+    // queries (vec_id+1000000), which search must then find at rank 1
+    val hist = all.filter(col("vec_id") % 5 =!= 0)
+    val queries = all.filter(col("vec_id") < 10)
+    val batch = all.filter(col("vec_id") % 5 === 0).unionByName(
+      queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val (cents, assigned) =
+      Similarity.ivfBuildIndex(hist, "vec_id", "embedding", nCells = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assign")
+    // the append: assign batch to the PERSISTED centroids, land next
+    // to the existing files (same partition layout, no history rescan)
+    Similarity.ivfAppendIndex(spark.read.parquet(s"$dir/cents"), batch,
+        "vec_id", "embedding")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assign")
+    val got = Similarity.ivfSearchIndex(
+        spark.read.parquet(s"$dir/cents"),
+        spark.read.parquet(s"$dir/assign"),
+        queries, "vec_id", "embedding", 5, nProbe = 3)
+    // (a) identical contract to a one-shot search over the union of
+    // assignments (append ≡ assign-at-build for the same centroids)
+    val direct = Similarity.ivfSearchIndex(cents,
+        assigned.unionByName(
+          Similarity.ivfAppendIndex(cents, batch, "vec_id", "embedding")),
+        queries, "vec_id", "embedding", 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(gotSet == direct && gotSet.nonEmpty)
+    // (b) every query's rank-1 neighbor is its batch-planted twin:
+    // an identical vector has an identical centroid-similarity array,
+    // so it lands in the query's first probe cell deterministically
+    val rank1 = got.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 10L).foreach { q =>
+      assert(rank1(q) == q + 1000000L, s"query $q rank1=${rank1(q)}")
+    }
+  }
 }

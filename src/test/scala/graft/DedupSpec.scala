@@ -356,4 +356,60 @@ class DedupSpec extends SparkTestBase {
     }
     assert(err3.getMessage.contains("divide"), err3.getMessage)
   }
+
+  test("streamingNearDupFilter admits novel docs across micro-batches, drops within- and cross-batch near-dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toString
+    val emitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.streamingNearDupFilter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", stateDir,
+        n = 3, threshold = 0.5) { (survivors, bid) =>
+      emitted(bid) = survivors.collect().map(_.getLong(0)).toSet
+    }
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+      val other = "spark executes declarative plans with catalyst optimizing joins aggregates and scans across many partitions"
+      // batch 0: 1 and 2 distinct; 3 near-dups 1 WITHIN the batch →
+      // canonical min id 1 survives, 3 dropped
+      mem.addData((1L, base), (2L, other),
+        (3L, base.replace("woods", "forest")))
+      q.processAllAvailable()
+      assert(emitted(0L) == Set(1L, 2L), emitted.toString)
+      // batch 1: 4 near-dups history doc 2 (CROSS-batch, caught via
+      // the persisted band index); 5 is fresh
+      mem.addData(
+        (4L, other.replace("catalyst optimizing", "catalyst quickly optimizing")),
+        (5L, "completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"))
+      q.processAllAvailable()
+      assert(emitted(1L) == Set(5L), emitted.toString)
+      // batch 2: an exact copy of a doc admitted two batches ago is
+      // still caught (state accumulates, never expires)
+      mem.addData((6L, base), (7L, "another genuinely new document about " +
+        "deep sea hydrothermal vents and chemosynthetic bacteria colonies"))
+      q.processAllAvailable()
+      assert(emitted(2L) == Set(7L), emitted.toString)
+    } finally q.stop()
+    // retry idempotence: re-running an already-committed batch id
+    // must reproduce ITS OWN survivor set — the bid-versioned state
+    // filter (bid < batchId) keeps the batch from colliding with the
+    // state it wrote (and the commit overwrites, not duplicates)
+    val replay = Dedup.nearDupFilterBatch(
+        Seq((4L, "spark executes declarative plans with catalyst quickly optimizing joins aggregates and scans across many partitions"),
+          (5L, "completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", stateDir, batchId = 1L, n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == Set(5L), replay.toString)
+    Dedup.nearDupCommitBatch(
+      Seq((5L, "completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, batchId = 1L, n = 3)
+    // state stayed consistent after the replayed commit: doc 5 is
+    // present exactly once in the text store
+    val texts = spark.read.parquet(s"$stateDir/texts")
+    assert(texts.filter(col("doc_id") === 5L).count() == 1L)
+  }
 }
