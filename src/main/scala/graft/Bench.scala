@@ -9,6 +9,11 @@ import graft.queries.Registry
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
   *    "pipeline":{...},"sf":"<dir>"}
   *
+  * The line is ALSO written to `/tmp/bench.json` and `BENCH_LAST.json`
+  * (cwd) — round 7's artifact was lost to log-tail truncation
+  * (`parsed: null`), so the number must never depend on stdout
+  * capture length.
+  *
   * Two parts:
   *  1. headline analytical queries from the registry, timed after a
   *     warmup run (JVM/codegen warm), fully materialized via the noop
@@ -18,10 +23,23 @@ import graft.queries.Registry
   *     / tumbling window over ~240-byte JSON click events), reported in
   *     msgs/sec. Batch size 50k sits inside the reference's 1k-100k
   *     benchmark range (BASELINE.md note).
+  *
+  * Pipeline metrics run in FORKED single-metric JVMs (`--only`), one
+  * fresh JVM per rep: round 7 measured in-JVM with 27 daemon runs
+  * sharing one process, and the late thunks collapsed (session window
+  * 98.5k→11.5k msgs/s, agg_mem −20%) — cumulative in-JVM state, not
+  * engine regressions. A fresh JVM per measurement makes run order
+  * irrelevant. `--only <metric>` runs one pipeline metric and prints
+  * `{"metric":name,"value":N}`; if forking is unavailable the parent
+  * falls back to in-JVM measurement and records `fork_fallback` in
+  * `errors`.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
+    val only = args.sliding(2).collectFirst {
+      case Array("--only", m) => m
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,6 +49,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    only match {
+      case Some(metric) =>
+        runOnly(spark, metric)
+        spark.stop()
+        return
+      case None =>
+    }
 
     // One failing query must degrade, not destroy, the round's bench
     // artifact (round 4 lost ALL numbers to a single AnalysisException
@@ -55,7 +81,7 @@ object Bench {
           Seq.empty[(String, Double)]
       }
     val (pipeline, pipelineSpread) =
-      try benchPipelines(spark)
+      try benchPipelinesForked(spark, errors)
       catch {
         case scala.util.control.NonFatal(e) =>
           errors += s"pipeline:${e.getClass.getSimpleName}"
@@ -67,12 +93,30 @@ object Bench {
     val es = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum
     val auditTotal = auditTimes.map(_._2).sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(queryTimes)},""" +
         s""""audit_total":$auditTotal,"audit_queries":${obj(auditTimes)},""" +
         s""""corpus":${obj(corpus)},"pipeline":${obj(pipeline)},""" +
-        s""""pipeline_spread":${obj(pipelineSpread)},"errors":$es,"sf":"$sfDir"}""")
+        s""""pipeline_spread":${obj(pipelineSpread)},"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // durable copies — stdout tails truncate (BENCH_r07 lost its map)
+    for (p <- Seq("/tmp/bench.json", "BENCH_LAST.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     spark.stop()
+  }
+
+  /** Single-metric child mode: measure ONE pipeline metric in this
+    * fresh JVM and print a one-line JSON result. The parent forks one
+    * of these per rep so no measurement shares a JVM with any other. */
+  private def runOnly(spark: SparkSession, metric: String): Unit = {
+    val thunks = pipelineThunks(spark).toMap
+    val f = thunks.getOrElse(metric,
+      throw new IllegalArgumentException(
+        s"unknown metric '$metric'; known: ${thunks.keys.toSeq.sorted.mkString(", ")}"))
+    val v = f()
+    println(s"""{"metric":"$metric","value":$v}""")
   }
 
   /** Corpus-shape statistics that drive the audit tiers' intrinsic
@@ -160,14 +204,11 @@ object Bench {
       s""""timestamp":"2015-12-12T19:11:0${i % 10}.249Z","type":"track","userId":"u${i % 1000}"}"""
   }
 
-  /** Returns (median metrics, spread metrics): every pipeline metric
-    * is measured `SPARK_GRAFT_BENCH_REPS` (default 3) independent
-    * times; the headline value is the MEDIAN and `<name>_min` /
-    * `<name>_max` record the spread, so a cross-round delta is only a
-    * regression when it exceeds the measured run-to-run band (r6's
-    * ±8-14% swings were unattributable without this). */
-  private def benchPipelines(
-      spark: SparkSession): (Seq[(String, Double)], Seq[(String, Double)]) = {
+  /** The pipeline metrics as named thunks; each call measures the
+    * metric once (with its own warmup). Shared by the parent's
+    * fork-fallback path and the `--only` child mode. */
+  private def pipelineThunks(
+      spark: SparkSession): Seq[(String, () => Double)] = {
     import spark.implicits._
     val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
@@ -218,18 +259,24 @@ object Bench {
         bestHalf(nBatches, () => runBatch(spark, handler, sink, batchLines))
     }
 
-    val locations = cities.zipWithIndex.map { case (c, i) =>
-      (c, s"ST$i", s"State $i")
-    }.toDF("city", "state_short", "state_full")
-    locations.createOrReplaceTempView("locations")
+    lazy val locationsReady = {
+      val locations = cities.zipWithIndex.map { case (c, i) =>
+        (c, s"ST$i", s"State $i")
+      }.toDF("city", "state_short", "state_full")
+      locations.createOrReplaceTempView("locations")
+      true
+    }
 
     // disk-join variant (reference csv.filesystem.join.yml): the CSV is
     // re-read from disk on every invocation
-    val csvPath = java.nio.file.Files.createTempFile("graft_bench_loc", ".csv")
-    java.nio.file.Files.writeString(csvPath,
-      "city|state_short|state_full\n" + cities.zipWithIndex.map {
-        case (c, i) => s"$c|ST$i|State $i"
-      }.mkString("\n"))
+    lazy val csvPath = {
+      val p = java.nio.file.Files.createTempFile("graft_bench_loc", ".csv")
+      java.nio.file.Files.writeString(p,
+        "city|state_short|state_full\n" + cities.zipWithIndex.map {
+          case (c, i) => s"$c|ST$i|State $i"
+        }.mkString("\n"))
+      p
+    }
 
     def runDiskJoin(): (String, Double) = {
       val handler = new graft.engine.InferredBatchHandler(
@@ -247,19 +294,19 @@ object Bench {
       "csv_disk_join_msgs_per_sec" -> bestHalf(nBatches, () => oneBatch())
     }
 
+    def writeEventFiles(dir: java.nio.file.Path, nFiles: Int): Unit =
+      (0 until nFiles).foreach { f =>
+        val sb = new StringBuilder
+        batchLines.foreach { l => sb.append(l); sb.append('\n') }
+        java.nio.file.Files.writeString(dir.resolve(f"b$f%05d.jsonl"), sb.toString)
+      }
+
     // full Structured Streaming daemon path (file source, one 50k-msg
     // file per trigger, checkpointing) — the end-to-end number with
     // trigger/offset-log overhead included, vs the direct per-batch
     // loop above (which mirrors the reference's own benchmark harness)
-    def runStreaming(): (String, Double) = {
-      val nFiles = math.max(1, (nMsgs / batchSize).toInt)
-      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-      (0 until nFiles).foreach { f =>
-        val sb = new StringBuilder
-        batchLines.foreach { l => sb.append(l); sb.append('\n') }
-        java.nio.file.Files.writeString(inDir.resolve(f"b$f%05d.jsonl"), sb.toString)
-      }
-      val conf = graft.engine.Config.fromString(
+    def streamingConf(inDir: java.nio.file.Path): graft.engine.Conf =
+      graft.engine.Config.fromString(
         s"""pipeline:
            |  batch_size: $batchSize
            |  source:
@@ -272,11 +319,26 @@ object Bench {
            |      FROM batch GROUP BY city ORDER BY city DESC
            |  sink: {type: noop}
            |""".stripMargin)
+
+    def runDaemon(conf: graft.engine.Conf): Double = {
       val t0 = System.nanoTime()
       val running = graft.streaming.StreamingPipeline.start(spark, conf)
       running.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
       running.stop()
+      sec
+    }
+
+    def runStreaming(): (String, Double) = {
+      val nFiles = math.max(1, (nMsgs / batchSize).toInt)
+      // daemon warmup: a 2-file run absorbs codegen + streaming-engine
+      // init so a fresh fork's first trigger doesn't pollute the rate
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_stream_w")
+      writeEventFiles(warmDir, 2)
+      runDaemon(streamingConf(warmDir))
+      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      writeEventFiles(inDir, nFiles)
+      val sec = runDaemon(streamingConf(inDir))
       "streaming_agg_msgs_per_sec" -> (nFiles.toLong * batchSize / sec)
     }
 
@@ -286,16 +348,9 @@ object Bench {
     // `extraWindowYaml` selects the window kind (session windows pay
     // state-store session MERGING on every trigger — measured as its
     // own metric so the merge overhead is a number, not a guess).
-    def runWindowDaemon(
-        metric: String, extraWindowYaml: String): (String, Double) = {
-      val nFiles = math.max(1, (nMsgs / batchSize).toInt)
-      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
-      (0 until nFiles).foreach { f =>
-        val sb = new StringBuilder
-        batchLines.foreach { l => sb.append(l); sb.append('\n') }
-        java.nio.file.Files.writeString(inDir.resolve(f"b$f%05d.jsonl"), sb.toString)
-      }
-      val conf = graft.engine.Config.fromString(
+    def windowConf(inDir: java.nio.file.Path,
+        extraWindowYaml: String): graft.engine.Conf =
+      graft.engine.Config.fromString(
         s"""pipeline:
            |  batch_size: $batchSize
            |  source:
@@ -311,29 +366,42 @@ object Bench {
            |      state_partitions: 8
            |$extraWindowYaml  sink: {type: noop}
            |""".stripMargin)
+
+    def runWindowDaemon(
+        metric: String, extraWindowYaml: String): (String, Double) = {
+      val nFiles = math.max(1, (nMsgs / batchSize).toInt)
       // the daemon sets spark.sql.shuffle.partitions for its state
       // layout (state_partitions) — restore for subsequent benches
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val t0 = System.nanoTime()
-      val running = graft.streaming.StreamingPipeline.start(spark, conf)
-      running.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      running.stop()
+      // warmup daemon on 2 files: RocksDB pays native-library load +
+      // column-family init on its first store open, and every backend
+      // pays streaming codegen — neither belongs in the measured rate
+      // (r7's rocksdb reps spread 5× with no warmup)
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_nw_w")
+      writeEventFiles(warmDir, 2)
+      runDaemon(windowConf(warmDir, extraWindowYaml))
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
+      writeEventFiles(inDir, nFiles)
+      val sec = runDaemon(windowConf(inDir, extraWindowYaml))
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       metric -> (nFiles.toLong * batchSize / sec)
     }
 
-    val thunks: Seq[(String, () => Double)] = Seq(
+    Seq(
       "agg_mem_msgs_per_sec" -> (() => runPipe("agg_mem_msgs_per_sec",
         """SELECT properties.city as city, count(*) as city_count
           |FROM batch GROUP BY city ORDER BY city DESC""".stripMargin)._2),
       "enrich_msgs_per_sec" -> (() => runPipe("enrich_msgs_per_sec",
         """SELECT *, {'something': properties.city} as nested_city,
           |'extra' as extra FROM batch""".stripMargin)._2),
-      "csv_mem_join_msgs_per_sec" -> (() => runPipe("csv_mem_join_msgs_per_sec",
-        """SELECT state_full, count(*) as city_count
-          |FROM batch JOIN locations ON locations.city = properties.city
-          |GROUP BY state_full ORDER BY state_full DESC""".stripMargin)._2),
+      "csv_mem_join_msgs_per_sec" -> (() => {
+        val _ = locationsReady
+        runPipe("csv_mem_join_msgs_per_sec",
+          """SELECT state_full, count(*) as city_count
+            |FROM batch JOIN locations ON locations.city = properties.city
+            |GROUP BY state_full ORDER BY state_full DESC""".stripMargin)._2
+      }),
       "csv_disk_join_msgs_per_sec" -> (() => runDiskJoin()._2),
       "tumbling_window_msgs_per_sec" -> (() => runTumbling()._2),
       "streaming_agg_msgs_per_sec" -> (() => runStreaming()._2),
@@ -349,10 +417,42 @@ object Bench {
       "session_window_msgs_per_sec" ->
         (() => runWindowDaemon("session_window_msgs_per_sec",
           "      kind: session\n")._2))
+  }
+
+  /** Returns (median metrics, spread metrics): every pipeline metric
+    * is measured `SPARK_GRAFT_BENCH_REPS` (default 3) times, each rep
+    * in its OWN forked JVM (`--only` child), so no rep shares a
+    * process with any other pipeline run — the r7 in-JVM sequence
+    * (27 daemon runs before the late thunks) depressed session_window
+    * 8.5× and agg_mem 20%, and fork isolation is what makes a
+    * cross-round delta attributable to the engine. The headline value
+    * is the MEDIAN; `<name>_min`/`<name>_max` record the spread. */
+  private def benchPipelinesForked(spark: SparkSession,
+      errors: scala.collection.mutable.ArrayBuffer[String])
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val measured = thunks.map { case (name, f) =>
-      val vs = Seq.fill(reps)(f()).sorted
-      (name, vs(vs.size / 2), vs.head, vs.last)
+    lazy val inJvm = pipelineThunks(spark).toMap
+    val names = pipelineThunks(spark).map(_._1)
+    val measured = names.map { name =>
+      val vs = (1 to reps).flatMap { _ =>
+        forkOnly(name) match {
+          case Some(v) => Some(v)
+          case None =>
+            // fork unavailable (no classpath / child crashed): measure
+            // in-JVM so the artifact still has a number, and mark it
+            errors += s"fork_fallback:$name"
+            try Some(inJvm(name)())
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                errors += s"$name:${e.getClass.getSimpleName}"
+                None
+            }
+        }
+      }.sorted
+      if (vs.isEmpty) (name, 0.0, 0.0, 0.0)
+      else (name, vs(vs.size / 2), vs.head, vs.last)
     }
     val medians = measured.map { case (n, med, _, _) => n -> med } ++ Seq(
       "bench_msgs" -> nMsgs.toDouble,
@@ -362,6 +462,56 @@ object Bench {
       Seq(s"${n}_min" -> lo, s"${n}_max" -> hi)
     }
     (medians, spread)
+  }
+
+  // the module opens Spark 4 needs on JDK 17+ when launched as a bare
+  // `java` process (mirrors build.sbt / JavaModuleOptions)
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork `java -cp <this classpath> graft.Bench --only <metric>` and
+    * parse the child's result line. Returns None when the child can't
+    * run or doesn't produce a parseable value (caller falls back). */
+  private def forkOnly(metric: String): Option[Double] = {
+    val cp = System.getProperty("java.class.path")
+    if (cp == null || cp.isEmpty) return None
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val mem = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_MEM", "16g")
+    val cmd = (Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-Xmx$mem",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench", "--only", metric)).toArray
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      // child stderr → parent stderr (Spark logs); stdout parsed here
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(
+        proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      if (rc != 0) {
+        System.err.println(s"[bench] child --only $metric exited rc=$rc")
+        return None
+      }
+      val Re = ("""\{"metric":"""" + java.util.regex.Pattern.quote(metric) +
+        """","value":([0-9.Ee+-]+)\}""").r
+      Re.findFirstMatchIn(out).map(_.group(1).toDouble)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fork failed for $metric: $e")
+        None
+    }
   }
 
   private def runBatch(spark: SparkSession, handler: graft.engine.Handler,

@@ -147,7 +147,14 @@ final case class PipelineConf(
     source: SourceConf,
     handler: HandlerConf,
     sink: SinkConf,
-    onError: ErrorPolicyConf)
+    onError: ErrorPolicyConf,
+    /** State-store backend (`rocksdb` | `hdfs`) for EVERY stateful
+      * operator the started daemon plans — generalizes the
+      * NativeWindow-only `window.state_store` knob to all streaming
+      * starts (the window-level value, when present, overrides this).
+      * Applied per-query at start via [[graft.streaming.StateStores]];
+      * fixed at the first batch of a checkpoint. */
+    stateStore: Option[String] = None)
 
 final case class Conf(
     pipeline: PipelineConf,
@@ -269,7 +276,10 @@ object Config {
         ErrorPolicyConf(
           policy = e.path("policy").asText("RAISE").toUpperCase,
           dlq = if (e.has("dlq")) Some(parseSink(e.path("dlq"))) else None)
-      })
+      },
+      stateStore =
+        if (p.has("state_store")) Some(p.path("state_store").asText())
+        else None)
   }
 
   private def parseSource(s: JsonNode): SourceConf = {

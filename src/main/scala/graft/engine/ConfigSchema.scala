@@ -165,10 +165,14 @@ object ConfigSchema {
     val pl = root.path("pipeline")
     if (!pl.isMissingNode) {
       checkKeys(pl, "$.pipeline", Set("name", "description", "batch_size",
-        "flush_interval_seconds", "source", "handler", "sink", "on_error"))
+        "flush_interval_seconds", "source", "handler", "sink", "on_error",
+        "state_store"))
       requireKeys(pl, "$.pipeline", Seq("batch_size", "source", "handler", "sink"))
       int(pl, "$.pipeline", "batch_size")
       int(pl, "$.pipeline", "flush_interval_seconds")
+      // extension (like window.state_store): daemon-wide state backend
+      if (pl.has("state_store"))
+        enumOf(pl, "$.pipeline", "state_store", Set("rocksdb", "hdfs"))
       str(pl, "$.pipeline", "name"); str(pl, "$.pipeline", "description")
 
       if (pl.has("source")) {

@@ -119,7 +119,14 @@ object StreamingPipeline {
     // handle_managed_tables): closed windows must drain on their own
     // timer for an unbounded run, not only at shutdown
     session.managers.foreach(_.start())
-    Running(writer.start(), session, source.onStop, batches)
+    // pipeline-level state_store: honored for EVERY daemon start, not
+    // just the NativeWindow path — the backend is snapshotted into the
+    // query's cloned session at start (StateStores), so any stateful
+    // operator this query plans (dedup, future stateful handlers) uses
+    // the selected provider
+    val query = StateStores.withStateConf(
+      spark, conf.pipeline.stateStore)(writer.start())
+    Running(query, session, source.onStop, batches)
   }
 
   /** The `handlers.NativeWindow` daemon: raw JSON values → schema-free
@@ -138,36 +145,6 @@ object StreamingPipeline {
       batches: AtomicLong,
       checkpointDir: Option[String]): Running = {
     def leaf(p: String): String = p.split('.').last
-    // state-store partition count: fixed at the first batch from
-    // spark.sql.shuffle.partitions (the daemon owns its session — the
-    // reference's one-pipeline-per-process model). See
-    // NativeWindowConf.statePartitions for the sizing rule. The
-    // previous value restores on stop so a co-hosted batch caller
-    // doesn't silently inherit a daemon-sized partition count.
-    val prevShuffle = w.statePartitions.map { n =>
-      require(n >= 1, "state_partitions must be >= 1")
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", n)
-      prev
-    }
-    // state_store backend: like the partition count, the provider is
-    // pinned per-query at the first batch of a checkpoint. RocksDB
-    // moves open-key state off the executor heap — the knob that
-    // keeps a 100×-key-cardinality window from OOMing an executor.
-    val stateStoreKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = w.stateStore.map { s =>
-      val cls = s.toLowerCase match {
-        case "rocksdb" =>
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-        case "hdfs" =>
-          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-        case other => throw new IllegalArgumentException(
-          s"state_store must be 'rocksdb' or 'hdfs', got '$other'")
-      }
-      val prev = spark.conf.getOption(stateStoreKey)
-      spark.conf.set(stateStoreKey, cls)
-      prev
-    }
     // ONE from_json parse per row with a minimal schema derived from
     // the configured paths — still schema-free for the user, but not
     // the N-paths × N-reparses of per-field get_json_object (JSON
@@ -246,15 +223,20 @@ object StreamingPipeline {
         batches.incrementAndGet()
         ()
       }
-    Running(writer.start(), session, () => {
-      source.onStop()
-      prevShuffle.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p))
-      prevProvider.foreach {
-        case Some(p) => spark.conf.set(stateStoreKey, p)
-        case None => spark.conf.unset(stateStoreKey)
-      }
-    }, batches)
+    // state_partitions: state-store partition count, fixed at the
+    // first batch (see NativeWindowConf.statePartitions for sizing).
+    // state_store: backend provider — RocksDB moves open-key state off
+    // the executor heap, the knob that keeps a 100×-key-cardinality
+    // window from OOMing an executor. Window-level value overrides the
+    // pipeline-level one. Both are pinned ONLY around start():
+    // StateStores restores the session conf immediately (the query
+    // keeps its own conf snapshot), so a co-hosted batch caller never
+    // observes daemon-sized settings and concurrent daemon starts
+    // can't clobber each other.
+    val query = StateStores.withStateConf(spark,
+      w.stateStore.orElse(conf.pipeline.stateStore),
+      w.statePartitions)(writer.start())
+    Running(query, session, source.onStop, batches)
   }
 
   /** One micro-batch: decode (error-policied), run handler, sink. */

@@ -26,26 +26,44 @@ import graft.queries.Registry
 object PlanAudit {
 
   /** Audit result: queries whose physical plan contains a
-    * CartesianProduct / BroadcastNestedLoopJoin, and queries that
-    * failed to plan at all. Shared by the CLI main and PlanAuditSpec
-    * (the `sbt test` gate — plan regressions fail the build). */
+    * CartesianProduct / BroadcastNestedLoopJoin / partition-less
+    * window, and queries that failed to plan at all. Shared by the CLI
+    * main and PlanAuditSpec (the `sbt test` gate — plan regressions
+    * fail the build). */
   final case class Audit(
-      cartesians: List[String], bnlj: List[String], failed: List[String])
+      cartesians: List[String], bnlj: List[String],
+      globalWindows: List[String], failed: List[String])
 
   def audit(spark: SparkSession, dir: String): Audit = {
     var cartesians = List.empty[String]
     var bnlj = List.empty[String]
+    var globalWindows = List.empty[String]
     var failed = List.empty[String]
     Registry.all.foreach { q =>
       try {
-        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        val qe = q.run(spark, dir).queryExecution
+        val plan = qe.executedPlan.toString
         if (plan.contains("CartesianProduct")) cartesians ::= q.name
         if (plan.contains("BroadcastNestedLoopJoin")) bnlj ::= q.name
+        // partition-less WindowExec / WindowGroupLimitExec: "Moving
+        // all data to a single partition" — the third shape that dies
+        // at 100×. Detected on the tree (partitionSpec.isEmpty), not
+        // the plan string, and through subquery plans too; acceptable
+        // ONLY on provably bounded inputs (a pre-aggregated table, a
+        // k-row model), so every survivor is pinned + reviewed like
+        // the BNLJ list.
+        val gw = qe.sparkPlan.collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w.nodeName
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w.nodeName
+        }
+        if (gw.nonEmpty) globalWindows ::= q.name
       } catch {
         case e: Exception => failed ::= s"${q.name}: ${e.getMessage}"
       }
     }
-    Audit(cartesians, bnlj, failed)
+    Audit(cartesians, bnlj, globalWindows, failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,12 +77,14 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val Audit(cartesians, bnlj, failed) = audit(spark, dir)
+    val Audit(cartesians, bnlj, globalWindows, failed) = audit(spark, dir)
     println(s"audited ${Registry.all.size} plans")
     println(s"CartesianProduct (${cartesians.size}): " +
       cartesians.sorted.mkString(", "))
     println(s"BroadcastNestedLoopJoin (${bnlj.size}): " +
       bnlj.sorted.mkString(", "))
+    println(s"Partition-less Window (${globalWindows.size}): " +
+      globalWindows.sorted.mkString(", "))
     if (failed.nonEmpty)
       println(s"FAILED to plan (${failed.size}):\n  " +
         failed.sorted.mkString("\n  "))

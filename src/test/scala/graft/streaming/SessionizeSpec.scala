@@ -74,4 +74,54 @@ class SessionizeSpec extends SparkTestBase {
       assert(all.size == 3)
     } finally query.stop()
   }
+
+  test("sessionize on the RocksDB state backend via StateStores") {
+    // the flatMapGroupsWithState state (open-session lists per key) on
+    // RocksDBStateStoreProvider: same split/close semantics, state
+    // crossing micro-batches off-heap. Also pins the StateStores
+    // contract: the session conf is restored IMMEDIATELY after start
+    // (not on stop), while the running query keeps the pinned backend
+    // in its own conf snapshot.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = Sessionize.sessions(spark, mem.toDF().toDF("ts", "user"),
+      keyCol = "user", tsCol = "ts", gapMinutes = 30,
+      watermarkDelay = "5 minutes")
+    val before = spark.conf.getOption(StateStores.ProviderKey)
+    val query = StateStores.withStateConf(
+        spark, Some("rocksdb"), Some(4)) {
+      out.writeStream
+        .format("memory").queryName("sessions_rocksdb")
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try {
+      // restored already — a co-hosted batch caller never sees the
+      // daemon's provider, even while the daemon runs
+      assert(spark.conf.getOption(StateStores.ProviderKey) == before,
+        "provider conf must restore at start, not at stop")
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:10:00"), "u1"),
+        (ts("2024-01-01 11:30:00"), "u1"))
+      query.processAllAvailable()
+      mem.addData((ts("2024-01-01 23:00:00"), "u3"))
+      query.processAllAvailable()
+      mem.addData((ts("2024-01-01 23:30:00"), "u3"))
+      query.processAllAvailable()
+      val got = spark.table("sessions_rocksdb").as[Sessionize.Session].collect()
+        .map(s => (s.key, s.session_start, s.session_end, s.n_events)).toSet
+      assert(got == Set(
+        ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        ("u1", ts("2024-01-01 11:30:00"), ts("2024-01-01 11:30:00"), 1L)))
+      // the query really ran on RocksDB: the provider surfaces
+      // rocksdb* custom state metrics in progress
+      import scala.jdk.CollectionConverters._
+      val lp = query.lastProgress
+      assert(lp != null && lp.stateOperators.nonEmpty &&
+        lp.stateOperators.exists(_.customMetrics.keySet.asScala
+          .exists(_.startsWith("rocksdb"))),
+        s"expected rocksdb state metrics, got: $lp")
+    } finally query.stop()
+  }
 }

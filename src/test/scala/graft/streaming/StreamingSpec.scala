@@ -769,9 +769,11 @@ class StreamingSpec extends SparkTestBase {
   test("state_store: rocksdb — tumbling window state survives the RocksDB provider") {
     // same scenario as the YAML-declared aggregation test, but with
     // window state held by RocksDBStateStoreProvider: state crosses
-    // micro-batches (accumulate then emit-on-close) identically, the
-    // provider conf is pinned while the daemon runs and restored on
-    // stop (the co-hosted-batch-caller contract state_partitions has)
+    // micro-batches (accumulate then emit-on-close) identically. The
+    // provider is snapshotted into the query's own cloned session at
+    // start and the shared conf restores IMMEDIATELY (StateStores) —
+    // a co-hosted batch caller never observes the daemon's provider,
+    // even while the daemon runs
     val inDir = Files.createTempDirectory("graft_rdb_in")
     val sink = new MemorySink
     val conf = confFromString(
@@ -795,7 +797,8 @@ class StreamingSpec extends SparkTestBase {
     val before = spark.conf.getOption(key)
     val running = StreamingPipeline.start(spark, conf, sinkOverride = Some(sink))
     try {
-      assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"))
+      assert(spark.conf.getOption(key) == before,
+        "provider conf must restore at start, not at stop")
       Files.writeString(inDir.resolve("a.jsonl"),
         """{"ts":"2015-12-12 19:11:01","city":"Austin"}
           |{"ts":"2015-12-12 19:20:02","city":"Austin"}
@@ -813,6 +816,14 @@ class StreamingSpec extends SparkTestBase {
         """{"bucket":"2015-12-12T19:00:00.000Z","city":"Austin","count":2}""",
         """{"bucket":"2015-12-12T19:00:00.000Z","city":"Boston","count":1}"""),
         rows.toString)
+      // the query really ran on RocksDB despite the restored session
+      // conf: the provider surfaces rocksdb* custom state metrics
+      import scala.jdk.CollectionConverters._
+      val lp = running.query.lastProgress
+      assert(lp != null && lp.stateOperators.nonEmpty &&
+        lp.stateOperators.exists(_.customMetrics.keySet.asScala
+          .exists(_.startsWith("rocksdb"))),
+        s"expected rocksdb state metrics, got: $lp")
     } finally running.stop()
     assert(spark.conf.getOption(key) == before,
       "provider conf must restore on stop")
