@@ -348,8 +348,18 @@ object Dedup {
       posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = bBuckets.join(index, Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
-    val hSets = history.select(col(idCol).as("hist_id"),
-      wordShingles(col(textCol), n).as("sh_h"))
+    // Shingle ONLY the colliding history rows: a semi-join first, so
+    // per-probe text work is bounded by the candidate set, not the
+    // admitted corpus (without it the shingle projection sits below
+    // the candidate join and every history row is re-shingled on
+    // every probe — O(history) compute per trigger in the streaming
+    // caller). The candidate join runs twice (here and below), but it
+    // carries 24-byte id rows — the cheap side of the trade.
+    val hSets = history
+      .join(cand.select(col("hist_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("hist_id"),
+        wordShingles(col(textCol), n).as("sh_h"))
     cand
       .join(b.select(col("batch_id"), col("sh").as("sh_b")), "batch_id")
       .join(hSets, "hist_id")
@@ -364,9 +374,14 @@ object Dedup {
     * discipline as a continuously-running filter. State is the
     * PERSISTED index artifacts under `stateDir` (band rows + admitted
     * texts, both micro-batch-partitioned parquet), never executor
-    * memory: open-state size is O(admitted corpus) on DISK, and each
-    * trigger's work is O(|batch|) sketch + a bounded candidate
-    * verify — the shape that survives an unbounded stream.
+    * memory: open-state size is O(admitted corpus) on DISK. Per
+    * trigger: O(|batch|) sketching, one scan of the persisted band
+    * index (24-byte id/hash rows — linear in admitted corpus but
+    * IO-only; prune it with a bid floor or periodic compaction when
+    * the stream is long-lived), and text/shingle work bounded by the
+    * CANDIDATE set only (history is semi-joined to colliding ids
+    * before any shingling) — the shape that survives an unbounded
+    * stream.
     *
     * Micro-batch-retry idempotence comes from bid-versioned state:
     * every probe reads only `bid < batchId` partitions and every
@@ -398,10 +413,19 @@ object Dedup {
       // Hadoop FS, not java.io.File — stateDir is HDFS/S3 on a cluster
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p))
-        Some(spark.read.parquet(s"$stateDir/$sub")
+      if (!fs.exists(p)) None
+      else {
+        // the dir can exist with zero committed data files (a
+        // first-commit crash leaves only _temporary; a pre-created
+        // empty dir) — schema inference would then throw on EVERY
+        // replay and wedge the stream, so no-committed-data reads as
+        // absent state, same as no dir
+        try Some(spark.read.parquet(s"$stateDir/$sub")
           .filter(col("bid") < batchId))
-      else None
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      }
     }
     // 1. within-batch: LSH pairs + min-id canonical survives
     val pairs = minhashLshPairs(batch, idCol, textCol, n, threshold,
@@ -419,7 +443,19 @@ object Dedup {
             idCol, textCol, n, threshold, numHashes, bands, seed)
           .select(col("batch_id").as("__dup_id")).distinct()
         within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
-      case _ => within // first batch: nothing admitted yet
+      case (None, None) => within // first batch: nothing admitted yet
+      case (bandsState, textsState) =>
+        // exactly one artifact readable: the state is torn (a commit
+        // wrote one dir and crashed before the other). Skipping the
+        // probe here would be silent zero-recall against everything
+        // already admitted — fail loudly instead; recovery is
+        // deleting the orphan bid partition (or the whole stateDir).
+        throw new IllegalStateException(
+          s"torn near-dup state under $stateDir: bands " +
+            s"${if (bandsState.isDefined) "readable" else "missing"}, " +
+            s"texts ${if (textsState.isDefined) "readable" else "missing"} " +
+            "— both must exist (or neither); remove the orphaned " +
+            "artifact and retry")
     }
   }
 

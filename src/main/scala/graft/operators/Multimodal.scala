@@ -161,20 +161,44 @@ object Multimodal {
       out
     }
 
+  /** ISO-BMFF box header at `off`: (headerLen, boxSize) with the two
+    * special size encodings handled — size==1 means a 64-bit
+    * `largesize` follows the type, size==0 means the box extends to
+    * end-of-file (both appear in real-world large/streamed MP4s;
+    * without them such files silently fall back to the
+    * hash-projection stub). None when the header is truncated or the
+    * box overruns the buffer. In-memory content is Int-addressable,
+    * so any box that FITS the array also fits the Int arithmetic. */
+  private def boxHeader(
+      content: Array[Byte], off: Int, end: Int): Option[(Int, Int)] = {
+    if (off + 8 > end) return None
+    def u32(o: Int): Long =
+      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
+        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
+    val s32 = u32(off)
+    val (hdr, size): (Int, Long) =
+      if (s32 == 1L) {
+        if (off + 16 > end) return None
+        (16, (u32(off + 8) << 32) | u32(off + 12))
+      } else if (s32 == 0L) (8, (end - off).toLong)
+      else (8, s32)
+    if (size < hdr || off + size > end) None
+    else Some((hdr, size.toInt))
+  }
+
   /** Top-level box walk to the `mdat` payload: (offset, length) of
     * the essence bytes, or None when absent/truncated. */
   private[graft] def mdatRange(content: Array[Byte]): Option[(Int, Int)] = {
     if (content == null || content.length < 16) return None
-    def u32(o: Int): Long =
-      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
-        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
     var off = 0
     while (off + 8 <= content.length) {
-      val size = u32(off)
-      if (size < 8 || off + size > content.length) return None
-      if (new String(content, off + 4, 4, "US-ASCII") == "mdat")
-        return Some((off + 8, size.toInt - 8))
-      off += size.toInt
+      boxHeader(content, off, content.length) match {
+        case None => return None
+        case Some((hdr, size)) =>
+          if (new String(content, off + 4, 4, "US-ASCII") == "mdat")
+            return Some((off + hdr, size - hdr))
+          off += size
+      }
     }
     None
   }
@@ -1495,16 +1519,24 @@ object Multimodal {
     if (typ(4) != "ftyp") return None
     var off = 0
     while (off + 8 <= content.length) {
-      val size = u32(off)
-      if (size < 8 || off + size > content.length) return None
+      val (hdrLen, size) = boxHeader(content, off, content.length) match {
+        case None => return None
+        case Some(hs) => hs
+      }
       if (typ(off + 4) == "moov") {
-        var in = off + 8; val end = off + size.toInt
+        var in = off + hdrLen; val end = off + size
         var ts = -1; var dur = -1L; var tracks = 0
         while (in + 8 <= end) {
-          val bs = u32(in)
-          if (bs < 8 || in + bs > end) return None
+          val (bHdr, bs) = boxHeader(content, in, end) match {
+            case None => return None
+            case Some(hs) => hs
+          }
           typ(in + 4) match {
             case "mvhd" =>
+              // mvhd is a ~108-byte FullBox — a 64-bit-size header
+              // here means a malformed file, and the fixed field
+              // offsets below assume the 8-byte header
+              if (bHdr != 8) return None
               val v = content(in + 8) & 0xFF
               if (v == 1) { // 64-bit times: ts at +28, dur at +32 (8B)
                 ts = u32(in + 28).toInt
@@ -1516,11 +1548,11 @@ object Multimodal {
             case "trak" => tracks += 1
             case _ =>
           }
-          in += bs.toInt
+          in += bs
         }
         return if (ts > 0) Some((ts, dur, tracks)) else None
       }
-      off += size.toInt
+      off += size
     }
     None
   }

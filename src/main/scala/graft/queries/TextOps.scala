@@ -4744,6 +4744,257 @@ object TextOps {
              FROM planted JOIN keep USING (h)
              GROUP BY source ORDER BY source"""))
 
+  // Streaming near-dup admission (Dedup.streamingNearDupFilter), gated
+  // as a deterministic batch REPLAY: the registry can't run a
+  // StreamingQuery, but the operator's whole contract lives in its
+  // per-trigger body — nearDupFilterBatch then nearDupCommitBatch
+  // against persisted parquet state — so replaying a fixed 3-batch
+  // schedule through exactly those two calls gates the same code the
+  // foreachBatch daemon runs (DedupSpec covers the wiring: retries,
+  // replay idempotence, state layout). Schedule: batch0 = docs%10==0;
+  // batch1 adds exact copies of batch0 (cross-batch dups); batch2 adds
+  // copies of batch1's class (cross-batch) AND doubled-text copies of
+  // its own class (within-batch near-dups, t101's construction). The
+  // oracle replays probe-then-commit per bid in SQL: per-batch exact
+  // Jaccard pairs → min-label connected components → min-id canonical
+  // survives → NOT EXISTS vs everything admitted by earlier batches.
+  // LSH (64 hashes × 32 bands) vs the oracle's exact pairs: recall
+  // identity holds because an all-band miss at j ≥ 0.7 has probability
+  // (1-0.49)^32 ≈ 4e-10 (t101's argument); precision is exact on both
+  // sides (the Spark path verifies every candidate with the same
+  // rounded Jaccard the oracle thresholds on).
+  private val t108 = GraftQuery(
+    "t108_streaming_neardup_replay",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def cls(k: Int) = d.filter(pmod(col("doc_id"), lit(10)) === k)
+      val b0 = cls(0)
+      val b1 = cls(1).unionByName(cls(0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = cls(2)
+        .unionByName(cls(1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(cls(2)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_t108_state").toString
+      Seq(b0, b1, b2).zipWithIndex.map { case (b, bid) =>
+        val surv = Dedup.nearDupFilterBatch(b, "doc_id", "text", stateDir,
+          bid.toLong, n = 3, threshold = 0.7)
+        Dedup.nearDupCommitBatch(surv, "doc_id", "text", stateDir,
+          bid.toLong, n = 3)
+        surv.select(lit(bid.toLong).as("bid"), col("doc_id"))
+      }.reduce(_ unionByName _).orderBy("bid", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+             tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             hsh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       FOR i IN range(1, len(toks) - 1)]
+                 ELSE [array_to_string(toks, ' ')] END) AS sh FROM tk),
+             dbl AS (SELECT doc_id, toks || toks AS t2 FROM tk
+               WHERE doc_id % 10 = 2),
+             hd AS (SELECT doc_id, list_distinct(CASE WHEN len(t2) >= 3
+                 THEN [t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]
+                       FOR i IN range(1, len(t2) - 1)]
+                 ELSE [array_to_string(t2, ' ')] END) AS sh FROM dbl),
+             b0 AS (SELECT doc_id, sh FROM hsh WHERE doc_id % 10 = 0),
+             b1 AS (SELECT doc_id, sh FROM hsh WHERE doc_id % 10 = 1
+               UNION ALL
+               SELECT doc_id + 1000000, sh FROM hsh WHERE doc_id % 10 = 0),
+             b2 AS (SELECT doc_id, sh FROM hsh WHERE doc_id % 10 = 2
+               UNION ALL
+               SELECT doc_id + 2000000, sh FROM hsh WHERE doc_id % 10 = 1
+               UNION ALL
+               SELECT doc_id + 3000000, sh FROM hd),
+             p0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM b0 a JOIN b0 b ON a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) >= 0.7),
+             e0 AS (SELECT u, v FROM p0 UNION ALL SELECT v, u FROM p0),
+             cc0 AS (SELECT u AS node, u AS label FROM e0
+               UNION
+               SELECT e.v AS node, c.label FROM cc0 c JOIN e0 e
+                 ON c.node = e.u),
+             s0 AS (SELECT doc_id, sh FROM b0 WHERE doc_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc0
+                  GROUP BY node) WHERE node <> m)),
+             p1 AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM b1 a JOIN b1 b ON a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) >= 0.7),
+             e1 AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+             cc1 AS (SELECT u AS node, u AS label FROM e1
+               UNION
+               SELECT e.v AS node, c.label FROM cc1 c JOIN e1 e
+                 ON c.node = e.u),
+             s1w AS (SELECT doc_id, sh FROM b1 WHERE doc_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc1
+                  GROUP BY node) WHERE node <> m)),
+             s1 AS (SELECT w.doc_id, w.sh FROM s1w w WHERE NOT EXISTS
+               (SELECT 1 FROM s0 h
+                WHERE round(len(list_intersect(w.sh, h.sh))::DOUBLE /
+                  (len(w.sh) + len(h.sh) - len(list_intersect(w.sh, h.sh))),
+                  4) >= 0.7)),
+             a1 AS (SELECT doc_id, sh FROM s0
+               UNION ALL SELECT doc_id, sh FROM s1),
+             p2 AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM b2 a JOIN b2 b ON a.doc_id < b.doc_id
+               WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) >= 0.7),
+             e2 AS (SELECT u, v FROM p2 UNION ALL SELECT v, u FROM p2),
+             cc2 AS (SELECT u AS node, u AS label FROM e2
+               UNION
+               SELECT e.v AS node, c.label FROM cc2 c JOIN e2 e
+                 ON c.node = e.u),
+             s2w AS (SELECT doc_id, sh FROM b2 WHERE doc_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc2
+                  GROUP BY node) WHERE node <> m)),
+             s2 AS (SELECT w.doc_id, w.sh FROM s2w w WHERE NOT EXISTS
+               (SELECT 1 FROM a1 h
+                WHERE round(len(list_intersect(w.sh, h.sh))::DOUBLE /
+                  (len(w.sh) + len(h.sh) - len(list_intersect(w.sh, h.sh))),
+                  4) >= 0.7))
+             SELECT CAST(bid AS BIGINT) AS bid,
+               CAST(doc_id AS BIGINT) AS doc_id FROM (
+                 SELECT 0 AS bid, doc_id FROM s0
+                 UNION ALL SELECT 1, doc_id FROM s1
+                 UNION ALL SELECT 2, doc_id FROM s2)
+             ORDER BY bid, doc_id"""))
+
+  // The daily-ingest composition — the actual 100-TB crawl story,
+  // chained end-to-end from four individually-gated operators:
+  //   1. t85's snapshot diff: yesterday vs today → Δ (added+changed);
+  //      only the Δ is processed, never the full corpus.
+  //   2. t27's Bloom exact-dedup: Δ vs yesterday's admitted texts —
+  //      a broadcast Bloom prefilter + exact semi-join verify, no
+  //      full history join.
+  //   3. t101's LSH near-dup probe: exact survivors vs yesterday's
+  //      band index — banded candidates, exact-Jaccard verify.
+  //   4. v38's IVF append: admitted docs' embeddings assign to the
+  //      FROZEN centroid set built from yesterday's index (map-only,
+  //      no re-cluster).
+  // Fixture: yesterday = docs %9 != 8; today drops %9==7, edits %9==0
+  // (t85's construction) and the crawl re-surfaces exact copies
+  // (+1e6, caught by stage 2) and doubled-text near-dups (+2e6,
+  // caught by stage 3). Edited docs are the realistic subtlety: they
+  // pass exact dedup but near-dup back to their old version, so a
+  // cosmetic edit doesn't re-admit a document. Admitted docs land in
+  // the IVF index under vec_id = doc_id % 1e6 (the re-crawled doc's
+  // embedding). Every stage's oracle replays in SQL (the chain is
+  // deterministic end-to-end); LSH-vs-exact recall identity is t101's
+  // 4e-10 argument.
+  private val t109 = GraftQuery(
+    "t109_incremental_crawl_gate",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val yesterday = d.filter(pmod(col("doc_id"), lit(9)) =!= 8)
+      val todayBase = d.filter(pmod(col("doc_id"), lit(9)) =!= 7)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+      val today = todayBase
+        .unionByName(yesterday.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(yesterday.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      // stage 1: Δ = added + changed (removed docs need no ingest work)
+      val delta = graft.operators.SnapshotDiff
+        .diff(yesterday, today, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id")
+        .join(today, "doc_id")
+      // stage 2: exact dedup vs yesterday's admitted texts
+      val exactSurv = delta.join(
+        Dedup.bloomIncrementalDedup(yesterday, delta, "doc_id", "text")
+          .filter(col("is_dup")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      // stage 3: near-dup probe vs yesterday (any hit → drop)
+      val ndHits = Dedup.minhashIncrementalPairs(yesterday, exactSurv,
+          "doc_id", "text", n = 3, threshold = 0.7)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val admitted = exactSurv.join(ndHits, Seq("doc_id"), "left_anti")
+      // stage 4: assign admitted docs' embeddings to yesterday's
+      // frozen IVF centroids (vec_id = base doc id)
+      val emb = t(s, dir, "embeddings")
+      val histEmb = emb.filter(pmod(col("vec_id"), lit(9)) =!= 8)
+      val (cents, _) = graft.operators.Similarity.ivfBuildIndex(
+        histEmb, "vec_id", "embedding", nCells = 16)
+      val toIndex = admitted
+        .select(col("doc_id"), (col("doc_id") % 1000000L).as("vec_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      graft.operators.Similarity.ivfAppendIndex(cents,
+          toIndex.select(col("doc_id"), col("embedding")),
+          "doc_id", "embedding")
+        .select(col("nbr_id").as("doc_id"), col("cell"))
+        .join(toIndex.select("doc_id", "vec_id"), "doc_id")
+        .select(col("doc_id"), col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH y AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 9 <> 8),
+             tb AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+                 THEN text || ' [edited]' ELSE text END AS text
+               FROM documents WHERE doc_id % 9 <> 7),
+             today AS (SELECT doc_id, text FROM tb
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM y WHERE doc_id % 10 = 0
+               UNION ALL
+               SELECT doc_id + 2000000, text || ' ' || text FROM y
+               WHERE doc_id % 10 = 5),
+             delta AS (SELECT t.doc_id, t.text
+               FROM today t LEFT JOIN y ON t.doc_id = y.doc_id
+               WHERE y.doc_id IS NULL OR md5(t.text) <> md5(y.text)),
+             ex AS (SELECT doc_id, text FROM delta
+               WHERE text NOT IN (SELECT text FROM y)),
+             shy AS (SELECT doc_id, list_distinct(CASE WHEN len(tx) >= 3
+                 THEN [tx[i] || ' ' || tx[i+1] || ' ' || tx[i+2]
+                       FOR i IN range(1, len(tx) - 1)]
+                 ELSE [array_to_string(tx, ' ')] END) AS sh FROM
+               (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g')), ' ') AS tx FROM y)),
+             shx AS (SELECT doc_id, list_distinct(CASE WHEN len(tx) >= 3
+                 THEN [tx[i] || ' ' || tx[i+1] || ' ' || tx[i+2]
+                       FOR i IN range(1, len(tx) - 1)]
+                 ELSE [array_to_string(tx, ' ')] END) AS sh FROM
+               (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g')), ' ') AS tx FROM ex)),
+             adm AS (SELECT x.doc_id FROM shx x WHERE NOT EXISTS
+               (SELECT 1 FROM shy h
+                WHERE round(len(list_intersect(x.sh, h.sh))::DOUBLE /
+                  (len(x.sh) + len(h.sh) - len(list_intersect(x.sh, h.sh))),
+                  4) >= 0.7)),
+             he AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 9 <> 8),
+             c0 AS (SELECT vec_id, v FROM he
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             cents AS (SELECT row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                 v AS cv FROM c0),
+             ti AS (SELECT a.doc_id, a.doc_id % 1000000 AS vec_id,
+                 e.embedding::DOUBLE[] AS v
+               FROM adm a JOIN embeddings e ON a.doc_id % 1000000 = e.vec_id),
+             sim AS (SELECT t.doc_id, c.cell,
+                 round(list_dot_product(t.v, c.cv) /
+                   sqrt(list_dot_product(c.cv, c.cv)), 6) AS s
+               FROM ti t CROSS JOIN cents c),
+             asg AS (SELECT doc_id, cell FROM (
+                 SELECT doc_id, cell, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, cell) AS rn
+                 FROM sim) WHERE rn = 1)
+             SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+               CAST(t.vec_id AS BIGINT) AS vec_id,
+               CAST(a.cell AS INT) AS cell
+             FROM asg a JOIN ti t USING (doc_id)
+             ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
     t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
@@ -4751,5 +5002,6 @@ object TextOps {
     t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     t70, t71, t72, t73, t74, t75, t76, t77, t78, t79, t80, t81, t82, t83,
     t84, t85, t86, t87, t88, t89, t90, t91, t92, t93, t94, t95, t96,
-    t97, t98, t99, t100, t101, t102, t103, t104, t105, t106, t107)
+    t97, t98, t99, t100, t101, t102, t103, t104, t105, t106, t107, t108,
+    t109)
 }

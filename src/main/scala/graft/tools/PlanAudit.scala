@@ -52,10 +52,18 @@ object PlanAudit {
         // ONLY on provably bounded inputs (a pre-aggregated table, a
         // k-row model), so every survivor is pinned + reviewed like
         // the BNLJ list.
-        val gw = qe.sparkPlan.collectWithSubqueries {
-          case w: org.apache.spark.sql.execution.window.WindowExec
+        // swept on the OPTIMIZED LOGICAL plan: the physical layers
+        // both break the tree walk — sparkPlan still carries
+        // UNPLANNED logical subqueries (collectWithSubqueries casts
+        // them to SparkPlan and throws), and executedPlan under AQE
+        // is a childless AdaptiveSparkPlanExec wrapper (the collect
+        // sees nothing inside). Logical Window nodes carry the same
+        // partitionSpec and every physical WindowExec descends from
+        // one, so the logical sweep is the complete, stable signal.
+        val gw = qe.optimizedPlan.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w.nodeName
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
               if w.partitionSpec.isEmpty => w.nodeName
         }
         if (gw.nonEmpty) globalWindows ::= q.name

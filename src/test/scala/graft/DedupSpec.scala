@@ -412,4 +412,31 @@ class DedupSpec extends SparkTestBase {
     val texts = spark.read.parquet(s"$stateDir/texts")
     assert(texts.filter(col("doc_id") === 5L).count() == 1L)
   }
+
+  test("nearDupFilterBatch: empty state dirs read as first batch; torn state fails loudly") {
+    val docsDf = Seq((1L, "a perfectly ordinary document about nothing in particular"))
+      .toDF("doc_id", "text")
+    // dirs that EXIST but hold no committed parquet (first-commit
+    // crash leaving _temporary, or a pre-created dir) must behave as
+    // absent state — schema inference throwing here would wedge the
+    // stream on every replay
+    val empty = java.nio.file.Files.createTempDirectory("graft_ndf_empty")
+    java.nio.file.Files.createDirectories(empty.resolve("bands"))
+    java.nio.file.Files.createDirectories(empty.resolve("texts"))
+    val survivors = Dedup.nearDupFilterBatch(docsDf, "doc_id", "text",
+        empty.toString, batchId = 3L, n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L))
+    // exactly one artifact readable = torn state: skipping the probe
+    // would be silent zero-recall vs everything admitted — must throw
+    val torn = java.nio.file.Files.createTempDirectory("graft_ndf_torn")
+    Dedup.minhashBandBuckets(docsDf, "doc_id", "text", n = 3)
+      .withColumnRenamed("doc_id", "hist_id")
+      .write.parquet(torn.resolve("bands/bid=0").toString)
+    val err = intercept[IllegalStateException] {
+      Dedup.nearDupFilterBatch(docsDf, "doc_id", "text",
+        torn.toString, batchId = 1L, n = 3, threshold = 0.5)
+    }
+    assert(err.getMessage.contains("torn"), err.getMessage)
+  }
 }

@@ -220,6 +220,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mp4Header(mp4).contains((90000, 5000000000L, 1)))
   }
 
+  test("mdatRange handles size==1 (largesize) and size==0 (to-EOF) boxes") {
+    // ISO-BMFF's two special size encodings — real-world large /
+    // streamed MP4s use them, and they used to silently route files
+    // to the hash-projection stub instead of container features
+    def be32(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, p: Array[Byte]) = be32(8 + p.length) ++ t.getBytes ++ p
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    val payload = Array[Byte](9, 8, 7, 6, 5)
+    // size==1: 16-byte header, 64-bit largesize
+    val mdatLarge = be32(1) ++ "mdat".getBytes ++ be64(16L + payload.length) ++ payload
+    val f1 = ftyp ++ mdatLarge
+    assert(Multimodal.mdatRange(f1).contains((ftyp.length + 16, payload.length)))
+    // size==0: box extends to end of file
+    val mdatEof = be32(0) ++ "mdat".getBytes ++ payload
+    val f0 = ftyp ++ mdatEof
+    assert(Multimodal.mdatRange(f0).contains((ftyp.length + 8, payload.length)))
+    // truncated largesize header / largesize overrunning the buffer → None
+    assert(Multimodal.mdatRange(ftyp ++ be32(1) ++ "mdat".getBytes ++ be32(0)).isEmpty)
+    assert(Multimodal.mdatRange(
+      ftyp ++ be32(1) ++ "mdat".getBytes ++ be64(1L << 40) ++ payload).isEmpty)
+    // the top-level walk in mp4Header steps over a largesize box too
+    def mvhd0 = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(600) ++ be32(1200) ++ new Array[Byte](80))
+    val withMoov = ftyp ++ mdatLarge ++ box("moov", mvhd0 ++ box("trak", Array[Byte]()))
+    assert(Multimodal.mp4Header(withMoov).contains((600, 1200L, 1)))
+  }
+
   test("decimateWav keeps exactly every nth PCM sample and halves the rate") {
     val wav = Multimodal.renderWav(frames = 101, sampleRate = 10000, seed = 5L)
     val out = Multimodal.decimateWav(wav, factor = 2).get

@@ -42,6 +42,33 @@ class PlanAuditSpec extends SparkTestBase {
     "v28_abtt_whiten", "v32_source_centroid_drift", "v33_sq8_calibrated",
     "v34_ivf_sq8_topk", "v35_maxsim_topk", "v36_two_stage_retrieval")
 
+  // Partition-less WindowExec survivors ("Moving all data to a single
+  // partition"): acceptable ONLY when the window input is provably
+  // bounded — a LIMIT-k seed/codebook table, a fixed bucket/stage
+  // spine, or a documented exact-audit tier whose scale path is a
+  // different registry entry. Reviewed 2026-08-15 (rationale rows in
+  // SCALE.md "Partition-less window inventory"):
+  //  - q31_ntile_quartiles: exact NTILE needs a total order by
+  //    definition; documented audit tier (scale path = q25's
+  //    approx-percentile family, no global sort).
+  //  - q84_market_basket: final top-20 rank over the brand-pair
+  //    AGGREGATE (|brands|² rows max, cab>=20 filtered), not baskets.
+  //  - t48_bpe_merges: row_number over an already-LIMIT(10) set.
+  //  - t56_quantile_normalize: documented exact-audit global rank
+  //    (scale path = rank-free quantile mapping via percent_rank per
+  //    source + approx target quantiles).
+  //  - t58_zipf_fit: rank over the LIMIT(1000) head of the vocab.
+  //  - t67_heaps_law_fit: running sums over the 10-row bucket fold.
+  //  - t91_curation_funnel: running sum over the 4-row stage spine.
+  //  - v14/v17/v19/v26/v34/v36: row_number over LIMIT(k) codebook /
+  //    centroid seed tables (k·dim driver models, corpus-independent).
+  private val reviewedGlobalWindows = Set(
+    "q31_ntile_quartiles", "q84_market_basket", "t48_bpe_merges",
+    "t56_quantile_normalize", "t58_zipf_fit", "t67_heaps_law_fit",
+    "t91_curation_funnel", "v14_pq_encode", "v17_pq_adc_topk",
+    "v19_ivf_pq_topk", "v26_pq_rerank_topk", "v34_ivf_sq8_topk",
+    "v36_two_stage_retrieval")
+
   test("no registry plan contains a CartesianProduct; BNLJ set is the reviewed one") {
     val audit = PlanAudit.audit(spark, "/root/testdata/sf0.001")
     assert(audit.failed.isEmpty,
@@ -58,5 +85,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gone.isEmpty,
       s"stale reviewedBnlj entries (plan no longer has BNLJ — remove them): " +
         gone.toSeq.sorted.mkString(", "))
+    val newGw = audit.globalWindows.toSet -- reviewedGlobalWindows
+    val goneGw = reviewedGlobalWindows -- audit.globalWindows.toSet
+    assert(newGw.isEmpty,
+      s"NEW partition-less WindowExec in ${newGw.toSeq.sorted.mkString(", ")} — " +
+        "a global window sorts ALL rows onto one task. Verify the window " +
+        "input is bounded (LIMIT-k model table / fixed spine) or rewrite " +
+        "via Ranking.globalRank, record the rationale in SCALE.md, then " +
+        "add the name to reviewedGlobalWindows")
+    assert(goneGw.isEmpty,
+      s"stale reviewedGlobalWindows entries (plan no longer has a global " +
+        s"window — remove them): ${goneGw.toSeq.sorted.mkString(", ")}")
   }
 }
