@@ -370,9 +370,8 @@ object Bench {
     def runWindowDaemon(
         metric: String, extraWindowYaml: String): (String, Double) = {
       val nFiles = math.max(1, (nMsgs / batchSize).toInt)
-      // the daemon sets spark.sql.shuffle.partitions for its state
-      // layout (state_partitions) — restore for subsequent benches
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      // (the daemon's state_partitions no longer dirties the session
+      // conf — StateStores restores it at start, not stop)
       // warmup daemon on 2 files: RocksDB pays native-library load +
       // column-family init on its first store open, and every backend
       // pays streaming codegen — neither belongs in the measured rate
@@ -380,11 +379,9 @@ object Bench {
       val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_nw_w")
       writeEventFiles(warmDir, 2)
       runDaemon(windowConf(warmDir, extraWindowYaml))
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
       writeEventFiles(inDir, nFiles)
       val sec = runDaemon(windowConf(inDir, extraWindowYaml))
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       metric -> (nFiles.toLong * batchSize / sec)
     }
 
@@ -433,8 +430,12 @@ object Bench {
     val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    lazy val inJvm = pipelineThunks(spark).toMap
-    val names = pipelineThunks(spark).map(_._1)
+    // built ONCE: the thunk constructor eagerly materializes the 50k
+    // batch-line array, which the parent only needs for the fallback
+    // path — but it needs the names either way, so share one build
+    val thunks = pipelineThunks(spark)
+    val inJvm = thunks.toMap
+    val names = thunks.map(_._1)
     val measured = names.map { name =>
       val vs = (1 to reps).flatMap { _ =>
         forkOnly(name) match {

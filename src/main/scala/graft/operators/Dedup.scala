@@ -413,19 +413,30 @@ object Dedup {
       // Hadoop FS, not java.io.File — stateDir is HDFS/S3 on a cluster
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
-        // the dir can exist with zero committed data files (a
-        // first-commit crash leaves only _temporary; a pre-created
-        // empty dir) — schema inference would then throw on EVERY
-        // replay and wedge the stream, so no-committed-data reads as
-        // absent state, same as no dir
-        try Some(spark.read.parquet(s"$stateDir/$sub")
-          .filter(col("bid") < batchId))
+      if (!fs.exists(p)) return None
+      // the dir can exist with zero committed data files (a
+      // first-commit crash leaves only _temporary; a pre-created
+      // empty dir) — schema inference would then throw on EVERY
+      // replay and wedge the stream, so THAT specific failure reads
+      // as absent state. Any other AnalysisException (schema drift,
+      // missing bid column) still propagates: swallowing it would
+      // fail OPEN into first-batch semantics — silent zero recall
+      // against everything admitted.
+      val df =
+        try spark.read.parquet(s"$stateDir/$sub")
+          .filter(col("bid") < batchId)
         catch {
-          case _: org.apache.spark.sql.AnalysisException => None
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            return None
         }
-      }
+      // visible state is only what EARLIER batches committed
+      // (bid < batchId). A crash between a commit's two writes leaves
+      // an orphan bid == batchId partition on one side — invisible to
+      // this batch's probe and overwritten by its own re-commit, so
+      // an artifact with no earlier-bid rows reads as absent rather
+      // than torn (the replay must proceed, not wedge).
+      if (df.isEmpty) None else Some(df)
     }
     // 1. within-batch: LSH pairs + min-id canonical survives
     val pairs = minhashLshPairs(batch, idCol, textCol, n, threshold,

@@ -1535,13 +1535,18 @@ object Multimodal {
             case "mvhd" =>
               // mvhd is a ~108-byte FullBox — a 64-bit-size header
               // here means a malformed file, and the fixed field
-              // offsets below assume the 8-byte header
-              if (bHdr != 8) return None
+              // offsets below assume the 8-byte header. The box size
+              // must also COVER those offsets: a truncated mvhd
+              // (bs 8..39) would index past the buffer and kill the
+              // Spark task where the contract is None.
+              if (bHdr != 8 || bs < 9) return None
               val v = content(in + 8) & 0xFF
               if (v == 1) { // 64-bit times: ts at +28, dur at +32 (8B)
+                if (bs < 40) return None
                 ts = u32(in + 28).toInt
                 dur = (u32(in + 32) << 32) | u32(in + 36)
               } else {
+                if (bs < 28) return None
                 ts = u32(in + 20).toInt
                 dur = u32(in + 24)
               }

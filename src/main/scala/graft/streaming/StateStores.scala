@@ -26,13 +26,15 @@ import org.apache.spark.sql.SparkSession
   *    partition count or a daemon's provider class, even while the
   *    daemon runs.
   *
-  * Every streaming start in the engine funnels through this: the YAML
-  * pipeline daemons (`StreamingPipeline.start`, both the foreachBatch
-  * and NativeWindow paths) honor `state_store` / `state_partitions`
-  * from config, and programmatic daemons (Sessionize / Funnel /
-  * StreamCdc / StreamHeavyHitters / StreamAsof — the
-  * flatMapGroupsWithState family, the state-heaviest paths) wrap
-  * their `writeStream.start()` in [[withStateConf]] directly.
+  * The YAML pipeline daemons (`StreamingPipeline.start`, both the
+  * foreachBatch and NativeWindow paths) funnel through this and honor
+  * `state_store` / `state_partitions` from config. The programmatic
+  * daemons (Sessionize / Funnel / StreamCdc / StreamHeavyHitters /
+  * StreamAsof — the flatMapGroupsWithState family, the state-heaviest
+  * paths) return a DataFrame and leave `.writeStream.start()` to the
+  * CALLER, so backend selection is the caller's one-line wrap:
+  * `StateStores.withStateConf(spark, Some("rocksdb")) { out.writeStream
+  * ....start() }` — exactly what SessionizeSpec's RocksDB test does.
   */
 object StateStores {
 
@@ -64,15 +66,20 @@ object StateStores {
       stateStore: Option[String],
       statePartitions: Option[Int] = None)(startQuery: => T): T = {
     if (stateStore.isEmpty && statePartitions.isEmpty) return startQuery
+    // validate EVERYTHING before the first conf mutation: a failed
+    // require/providerClass after a set would escape with the shared
+    // session conf polluted (nothing below the sets may throw outside
+    // the try/finally)
+    val cls = stateStore.map(providerClass)
+    statePartitions.foreach(n =>
+      require(n >= 1, "state_partitions must be >= 1"))
     startLock.synchronized {
-      val prevProvider = stateStore.map { s =>
-        val cls = providerClass(s)
+      val prevProvider = cls.map { c =>
         val prev = spark.conf.getOption(ProviderKey)
-        spark.conf.set(ProviderKey, cls)
+        spark.conf.set(ProviderKey, c)
         prev
       }
       val prevShuffle = statePartitions.map { n =>
-        require(n >= 1, "state_partitions must be >= 1")
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", n)
         prev

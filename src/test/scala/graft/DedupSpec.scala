@@ -438,5 +438,14 @@ class DedupSpec extends SparkTestBase {
         torn.toString, batchId = 1L, n = 3, threshold = 0.5)
     }
     assert(err.getMessage.contains("torn"), err.getMessage)
+    // ...but a crash BETWEEN a commit's two writes must NOT wedge the
+    // replay of that same batch: the orphan partition is
+    // bid == batchId — invisible to the probe (bid < batchId) and
+    // overwritten by the re-commit — so replaying batch 0 with only
+    // bands/bid=0 on disk proceeds with first-batch semantics
+    val replayed = Dedup.nearDupFilterBatch(docsDf, "doc_id", "text",
+        torn.toString, batchId = 0L, n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(1L))
   }
 }

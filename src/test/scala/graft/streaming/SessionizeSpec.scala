@@ -75,6 +75,25 @@ class SessionizeSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("withStateConf validates args BEFORE mutating the shared conf") {
+    // a require/providerClass failure after the provider set would
+    // escape with the session conf permanently polluted — every later
+    // streaming query silently on the wrong backend
+    val before = spark.conf.getOption(StateStores.ProviderKey)
+    intercept[IllegalArgumentException] {
+      StateStores.withStateConf(spark, Some("rocksdb"), Some(0)) {
+        fail("query must not start on invalid state_partitions")
+      }
+    }
+    assert(spark.conf.getOption(StateStores.ProviderKey) == before)
+    intercept[IllegalArgumentException] {
+      StateStores.withStateConf(spark, Some("bogus-backend"), None) {
+        fail("query must not start on unknown state_store")
+      }
+    }
+    assert(spark.conf.getOption(StateStores.ProviderKey) == before)
+  }
+
   test("sessionize on the RocksDB state backend via StateStores") {
     // the flatMapGroupsWithState state (open-session lists per key) on
     // RocksDBStateStoreProvider: same split/close semantics, state
