@@ -226,6 +226,46 @@ class ExamplesSpec extends SparkTestBase {
     } finally broker.stop()
   }
 
+  test("native.window.rocksdb example EXECUTES as a config: pipeline-level state_store reaches the daemon's state store") {
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    try {
+      broker.publish("input-rocksdb-window", Seq(
+        """{"timestamp":"2015-12-12T19:11:01.249Z","event":"search","properties":{"city":"New York"}}""",
+        """{"timestamp":"2015-12-12T19:12:02.000Z","event":"search","properties":{"city":"New York"}}""",
+        """{"timestamp":"2015-12-12T19:13:03.000Z","event":"search","properties":{"city":"Baltimore"}}""",
+        // watermark pusher: closes the 19:00 window so it emits
+        """{"timestamp":"2015-12-12T21:00:00.000Z","event":"search","properties":{"city":"Austin"}}"""),
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/native.window.rocksdb.yml",
+        Map("QUEUE_BROKERS" -> broker.address))
+      val before = spark.conf.getOption(
+        graft.streaming.StateStores.ProviderKey)
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        // the shared conf restored at start; the RUNNING query holds
+        // the RocksDB provider in its own snapshot — proven by the
+        // rocksdb* custom state metrics in its progress
+        assert(spark.conf.getOption(
+          graft.streaming.StateStores.ProviderKey) == before)
+        import scala.jdk.CollectionConverters._
+        val lp = running.query.lastProgress
+        assert(lp != null && lp.stateOperators.nonEmpty &&
+          lp.stateOperators.exists(_.customMetrics.keySet.asScala
+            .exists(_.startsWith("rocksdb"))),
+          s"expected rocksdb state metrics, got: $lp")
+      } finally running.stop()
+      val rows = sink.allRows.filter(_.contains("19:00")).sorted
+      assert(rows == Seq(
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"Baltimore","count":1}""",
+        """{"bucket":"2015-12-12T19:00:00.000Z","city":"New York","count":2}"""),
+        sink.allRows.toString)
+    } finally broker.stop()
+  }
+
   test("queue.structured.mem example EXECUTES as a config: StructuredBatch over the queue transport") {
     val broker = new graft.streaming.GraftQueueBroker()
     broker.start()
