@@ -107,8 +107,28 @@ final case class NativeWindowConf(
       * checkpoint dir). Unset = session default (hdfs). */
     stateStore: Option[String] = None)
 
+/** Streaming near-dup admission handler (`handlers.NearDupFilter`):
+  * the `Dedup.streamingNearDupFilter` discipline declared in YAML.
+  * Every micro-batch is deduped within itself (MinHash-LSH pairs,
+  * min-id canonical survives) and probed against the PERSISTED band
+  * index of everything previously admitted; survivors flow to the
+  * sink and are then committed to the index under `state_dir`
+  * (parquet artifacts on HDFS/S3 — state is disk, never executor
+  * memory). `id_column` must be numeric, `text_column` a top-level
+  * JSON string field. */
+final case class NearDupConf(
+    idColumn: String,
+    textColumn: String,
+    stateDir: String,
+    ngram: Int = 3,
+    threshold: Double = 0.7,
+    numHashes: Int = 64,
+    bands: Int = 32,
+    seed: Long = 42L)
+
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
-    window: Option[NativeWindowConf] = None)
+    window: Option[NativeWindowConf] = None,
+    nearDup: Option[NearDupConf] = None)
 
 final case class KafkaSinkConf(
     brokers: Seq[String], topic: String,
@@ -268,6 +288,23 @@ object Config {
                 Some(w.path("state_partitions").asInt()) else None,
               stateStore = if (w.has("state_store"))
                 Some(w.path("state_store").asText()) else None))
+          } else None,
+          nearDup = if (h.has("near_dup")) {
+            val nd = h.path("near_dup")
+            def req(k: String): String = {
+              if (!nd.has(k)) throw new IllegalArgumentException(
+                s"near_dup requires `$k`")
+              nd.path(k).asText()
+            }
+            Some(NearDupConf(
+              idColumn = req("id_column"),
+              textColumn = req("text_column"),
+              stateDir = req("state_dir"),
+              ngram = nd.path("ngram").asInt(3),
+              threshold = nd.path("threshold").asDouble(0.7),
+              numHashes = nd.path("num_hashes").asInt(64),
+              bands = nd.path("bands").asInt(32),
+              seed = nd.path("seed").asLong(42L)))
           } else None)
       },
       sink = parseSink(p.path("sink")),

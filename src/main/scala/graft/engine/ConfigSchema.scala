@@ -218,11 +218,29 @@ object ConfigSchema {
 
       if (pl.has("handler")) {
         val h = pl.path("handler"); val hp = "$.pipeline.handler"
-        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window"))
+        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window", "near_dup"))
         enumOf(h, hp, "type", Set("handlers.InferredDiskBatch",
           "handlers.InferredMemBatch", "handlers.StructuredBatch",
-          "handlers.NativeWindow"))
-        if (h.path("type").asText() == "handlers.NativeWindow") {
+          "handlers.NativeWindow", "handlers.NearDupFilter"))
+        if (h.path("type").asText() == "handlers.NearDupFilter") {
+          requireKeys(h, hp, Seq("type", "near_dup"))
+          val nd = h.path("near_dup"); val np = s"$hp.near_dup"
+          requireKeys(nd, np, Seq("id_column", "text_column", "state_dir"))
+          checkKeys(nd, np, Set("id_column", "text_column", "state_dir",
+            "ngram", "threshold", "num_hashes", "bands", "seed"))
+          str(nd, np, "id_column"); str(nd, np, "text_column")
+          str(nd, np, "state_dir")
+          int(nd, np, "ngram"); int(nd, np, "num_hashes")
+          int(nd, np, "bands"); int(nd, np, "seed")
+          if (nd.has("threshold") && !nd.path("threshold").isNumber)
+            err(s"$np.threshold", "must be a number")
+          // bands must divide num_hashes — the operator requires it
+          // at start; reject at load like the window cross-checks
+          val nh = nd.path("num_hashes").asInt(64)
+          val nb = nd.path("bands").asInt(32)
+          if (nb <= 0 || nh % nb != 0)
+            err(s"$np.bands", s"must divide num_hashes ($nh)")
+        } else if (h.path("type").asText() == "handlers.NativeWindow") {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"
           requireKeys(w, wp, Seq("time_column", "keys", "duration", "watermark"))

@@ -172,6 +172,27 @@ object NativeWindowBatchHandler {
   }
 }
 
+/** `handlers.NearDupFilter` in BATCH mode (dev invoke): one admission
+  * pass of the batch against the CURRENT persisted state under
+  * `state_dir` — within-batch canonicalization plus the cross-batch
+  * probe, WITHOUT committing (bid = Long.MaxValue sees all committed
+  * state; nothing is written). The preview of "what would this crawl
+  * admit right now". The streaming daemon routes this handler to the
+  * continuous filter-then-commit loop instead
+  * (StreamingPipeline.startNearDupFilter). */
+final class NearDupBatchHandler(nd: NearDupConf) extends Handler {
+  override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val projected = batch.select(
+      col(nd.idColumn).cast("long").as(nd.idColumn),
+      col(nd.textColumn).cast("string").as(nd.textColumn))
+      .filter(col(nd.idColumn).isNotNull && col(nd.textColumn).isNotNull)
+    graft.operators.Dedup.nearDupFilterBatch(projected,
+      nd.idColumn, nd.textColumn, nd.stateDir, Long.MaxValue,
+      nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed)
+  }
+}
+
 object Handlers {
   def build(conf: HandlerConf, tables: Map[String, StateTable]): Handler =
     conf.kind match {
@@ -186,6 +207,10 @@ object Handlers {
         new NativeWindowBatchHandler(conf.window.getOrElse(
           throw new IllegalArgumentException(
             "NativeWindow handler requires `window`")))
+      case "handlers.NearDupFilter" =>
+        new NearDupBatchHandler(conf.nearDup.getOrElse(
+          throw new IllegalArgumentException(
+            "NearDupFilter handler requires `near_dup`")))
       case other => throw new IllegalArgumentException(s"unknown handler type: $other")
     }
 }

@@ -507,11 +507,14 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 32,
-      seed: Long = 42L)(
-      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      seed: Long = 42L,
+      checkpointDir: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$stateDir/checkpoint"))
       .foreachBatch { (b: DataFrame, bid: Long) =>
         val survivors = nearDupFilterBatch(b, idCol, textCol, stateDir,
           bid, n, threshold, numHashes, bands, seed).cache()
@@ -521,7 +524,9 @@ object Dedup {
             n, numHashes, bands, seed)
         } finally survivors.unpersist()
       }
-      .start()
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
 
   /** Remove boilerplate lines: drop every line whose document
     * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav

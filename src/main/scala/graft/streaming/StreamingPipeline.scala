@@ -96,6 +96,17 @@ object StreamingPipeline {
           checkpointDir)
       case _ =>
     }
+    // `handlers.NearDupFilter`: the pipeline IS a continuous near-dup
+    // admission daemon — survivors to the sink, then committed to the
+    // persisted band/text index (emit-before-commit = at-least-once;
+    // survivor sets are deterministic per bid, so an idempotent sink
+    // upgrades it)
+    conf.pipeline.handler.nearDup match {
+      case Some(nd) if conf.pipeline.handler.kind == "handlers.NearDupFilter" =>
+        return startNearDupFilter(spark, conf, nd, session, source, batches,
+          checkpointDir)
+      case _ =>
+    }
 
     val writer = source.df.writeStream
       .option("checkpointLocation", checkpointDir.getOrElse(
@@ -126,6 +137,55 @@ object StreamingPipeline {
     // the selected provider
     val query = StateStores.withStateConf(
       spark, conf.pipeline.stateStore)(writer.start())
+    Running(query, session, source.onStop, batches)
+  }
+
+  /** The `handlers.NearDupFilter` daemon: raw JSON values → (id, text)
+    * via one minimal-schema from_json → `Dedup.streamingNearDupFilter`
+    * (within-batch LSH canonicalization, cross-batch probe of the
+    * PERSISTED band index under `state_dir`, survivors to the sink,
+    * commit after emit). Rows whose id or text is missing/unparseable
+    * are dropped before admission (a doc with no id can't be
+    * canonicalized; this handler's decode policy is IGNORE by
+    * construction — route a stricter contract through a SQL handler
+    * first if malformed input must RAISE/DLQ). Columns must be
+    * top-level JSON fields; id must parse as a number. */
+  private def startNearDupFilter(
+      spark: SparkSession,
+      conf: Conf,
+      nd: NearDupConf,
+      session: Invoke.Session,
+      source: Sources.Built,
+      batches: AtomicLong,
+      checkpointDir: Option[String]): Running = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        nd.idColumn, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        nd.textColumn, org.apache.spark.sql.types.StringType)))
+    val decoded = source.df
+      .select(from_json(col("value").cast("string"), schema).as("__j"))
+      .select(col(s"__j.${nd.idColumn}").cast("long").as(nd.idColumn),
+        col(s"__j.${nd.textColumn}").as(nd.textColumn))
+      .filter(col(nd.idColumn).isNotNull && col(nd.textColumn).isNotNull)
+    val trigger = conf.pipeline.flushIntervalSeconds match {
+      case Some(s) => Trigger.ProcessingTime(s"$s seconds")
+      case None => Trigger.ProcessingTime(0L)
+    }
+    val query = StateStores.withStateConf(spark, conf.pipeline.stateStore) {
+      graft.operators.Dedup.streamingNearDupFilter(
+          decoded, nd.idColumn, nd.textColumn, nd.stateDir,
+          nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed,
+          checkpointDir = checkpointDir, trigger = Some(trigger)) {
+        (survivors, _) =>
+          session.lock.synchronized {
+            session.sink.write(survivors)
+            session.sink.flush()
+          }
+          batches.incrementAndGet()
+          ()
+      }
+    }
     Running(query, session, source.onStop, batches)
   }
 

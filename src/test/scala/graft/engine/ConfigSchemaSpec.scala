@@ -102,6 +102,35 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(nw("complete")).exists(_.contains("complete")))
   }
 
+  test("near_dup handler block: requireds, key typos, and band divisibility") {
+    def nd(block: String) =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.NearDupFilter'
+         |    near_dup: {$block}
+         |  sink: {type: noop}
+         |""".stripMargin
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s")).isEmpty)
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "ngram: 3, threshold: 0.7, num_hashes: 64, bands: 32")).isEmpty)
+    // missing state_dir
+    assert(errsOf(nd("id_column: doc_id, text_column: text"))
+      .exists(_.contains("state_dir")))
+    // typo'd key
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, treshold: 0.7"))
+      .exists(_.contains("treshold")))
+    // bands must divide num_hashes (the operator's start-time require,
+    // surfaced at config load)
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "num_hashes: 64, bands: 7")).exists(_.contains("divide")))
+  }
+
   test("window kind enum + slide pairing are enforced both ways") {
     def nw(extra: String) =
       s"""pipeline:

@@ -23,9 +23,11 @@ class ExamplesSpec extends SparkTestBase {
       val errs = ConfigSchema.validate(Config.parseTree(raw))
       assert(errs.isEmpty, s"$p: ${errs.mkString("; ")}")
       val conf = Config.fromString(raw)
-      // NativeWindow handlers declare a window instead of SQL
+      // NativeWindow/NearDupFilter handlers declare a window / an
+      // admission block instead of SQL
       assert(conf.pipeline.handler.sql.nonEmpty ||
-        conf.pipeline.handler.window.nonEmpty, s"$p: empty handler sql")
+        conf.pipeline.handler.window.nonEmpty ||
+        conf.pipeline.handler.nearDup.nonEmpty, s"$p: empty handler sql")
       assert(conf.pipeline.source.kind.nonEmpty, s"$p: missing source type")
     }
   }
@@ -263,6 +265,69 @@ class ExamplesSpec extends SparkTestBase {
         """{"bucket":"2015-12-12T19:00:00.000Z","city":"Baltimore","count":1}""",
         """{"bucket":"2015-12-12T19:00:00.000Z","city":"New York","count":2}"""),
         sink.allRows.toString)
+    } finally broker.stop()
+  }
+
+  test("neardup.filter example in dev-invoke mode: previews admission, commits nothing") {
+    val state = Files.createTempDirectory("graft_inv_neardup").toString
+    val fx = Files.createTempFile("graft_neardup_fx", ".jsonl")
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    Files.writeString(fx,
+      s"""{"doc_id":1,"text":"$base"}
+         |{"doc_id":2,"text":"spark executes declarative plans with catalyst optimizing joins aggregates and scans"}
+         |{"doc_id":3,"text":"${base.replace("woods", "forest")}"}
+         |""".stripMargin)
+    val conf = Config.fromFile("examples/neardup.filter.yml",
+      Map("QUEUE_BROKERS" -> "unused:9099", "NEARDUP_STATE_DIR" -> state))
+    val got = Invoke.invokeConf(spark, conf, fx.toString)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L)) // 3 near-dups 1; min-id canonical wins
+    // preview only: nothing committed to the state dir
+    assert(!Files.exists(Paths.get(state, "texts")) &&
+      !Files.exists(Paths.get(state, "bands")))
+  }
+
+  test("neardup.filter example EXECUTES as a config: continuous admission over persisted index state") {
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    val stateDir = Files.createTempDirectory("graft_ex_neardup").toString
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+      val other = "spark executes declarative plans with catalyst optimizing joins aggregates and scans across many partitions"
+      broker.publish("input-documents", Seq(
+        s"""{"doc_id":1,"text":"$base"}""",
+        s"""{"doc_id":2,"text":"$other"}""",
+        s"""{"doc_id":3,"text":"${base.replace("woods", "forest")}"}""",
+        s"""{"doc_id":4,"text":"not even json"}""".replace("\"text\"", "\"body\""),
+        s"""{"doc_id":5,"text":"completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"}"""),
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/neardup.filter.yml",
+        Map("QUEUE_BROKERS" -> broker.address,
+          "NEARDUP_STATE_DIR" -> stateDir))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        // doc 3 near-dups doc 1 (dropped, min-id canonical); doc 4 has
+        // no text field (dropped by the IGNORE decode contract);
+        // 1/2/5 admitted — regardless of how the queue batched them
+        // (within-batch and cross-batch drops agree by construction)
+        val admitted = sink.allRows
+          .map(r => r.split("\"doc_id\":")(1).split("[,}]")(0).toLong).sorted
+        assert(admitted == Seq(1L, 2L, 5L), sink.allRows.toString)
+        // an exact replay of an admitted doc in a LATER batch is
+        // caught by the persisted index
+        broker.publish("input-documents",
+          Seq(s"""{"doc_id":6,"text":"$base"}"""), partitions = 1)
+        running.processAllAvailable()
+        assert(!sink.allRows.exists(_.contains("\"doc_id\":6")),
+          sink.allRows.toString)
+      } finally running.stop()
+      // the committed state is the persistable artifact: band index +
+      // admitted texts landed under the configured state_dir
+      assert(spark.read.parquet(s"$stateDir/texts").count() == 3L)
     } finally broker.stop()
   }
 
