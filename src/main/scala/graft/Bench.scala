@@ -385,6 +385,74 @@ object Bench {
       metric -> (nFiles.toLong * batchSize / sec)
     }
 
+    // near-dup admission daemon (handlers.NearDupFilter): per-trigger
+    // LSH banding + within-batch canonicalization + persisted-index
+    // probe + commit — the compute-heaviest daemon shape. Synthetic
+    // ~40-token docs; every 10th doc repeats an earlier doc in the
+    // SAME trigger and every 7th doc past the first trigger repeats a
+    // doc from a PREVIOUS trigger, so both drop paths do real work.
+    def nearDupDocLine(i: Long, batch: Int): String = {
+      val base =
+        if (i % 10 == 9) i - 5 // within-trigger near-history copy
+        else if (i % 7 == 0 && i >= batch) i - batch // cross-trigger copy
+        else i
+      // word values mix the base through multipliers coprime to the
+      // 50k vocab, so texts are identical IFF bases match — the first
+      // cut of this generator reused a 5000-word cycle and every
+      // 5000th doc was an accidental verbatim copy (the bench measured
+      // a pathological ~90%-dup corpus instead of the intended ~20%)
+      val words = new StringBuilder("d").append(base)
+      var w = 1
+      while (w < 40) {
+        words.append(" w").append(
+          math.floorMod(base * 2654435761L + w * 1099511628211L, 50000L))
+        w += 1
+      }
+      s"""{"doc_id":$i,"text":"$words"}"""
+    }
+
+    def runNearDup(): (String, Double) = {
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "50000").toLong
+      val docBatch = math.min(10000L, nDocs).toInt
+      val nFiles = math.max(1, (nDocs / docBatch).toInt)
+      def writeDocFiles(dir: java.nio.file.Path, files: Int): Unit =
+        (0 until files).foreach { f =>
+          val sb = new StringBuilder
+          var i = f.toLong * docBatch
+          while (i < (f + 1).toLong * docBatch) {
+            sb.append(nearDupDocLine(i, docBatch)); sb.append('\n')
+            i += 1
+          }
+          java.nio.file.Files.writeString(dir.resolve(f"d$f%05d.jsonl"), sb.toString)
+        }
+      def conf(inDir: java.nio.file.Path): graft.engine.Conf = {
+        val state = java.nio.file.Files.createTempDirectory("graft_bench_nd_state")
+        graft.engine.Config.fromString(
+          s"""pipeline:
+             |  batch_size: $docBatch
+             |  source:
+             |    type: file
+             |    file: {path: '$inDir', format: json}
+             |  handler:
+             |    type: 'handlers.NearDupFilter'
+             |    near_dup:
+             |      id_column: doc_id
+             |      text_column: text
+             |      state_dir: '$state'
+             |      ngram: 3
+             |      threshold: 0.7
+             |  sink: {type: noop}
+             |""".stripMargin)
+      }
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_nd_w")
+      writeDocFiles(warmDir, 1)
+      runDaemon(conf(warmDir))
+      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nd")
+      writeDocFiles(inDir, nFiles)
+      val sec = runDaemon(conf(inDir))
+      "neardup_filter_docs_per_sec" -> (nFiles.toLong * docBatch / sec)
+    }
+
     Seq(
       "agg_mem_msgs_per_sec" -> (() => runPipe("agg_mem_msgs_per_sec",
         """SELECT properties.city as city, count(*) as city_count
@@ -413,7 +481,8 @@ object Bench {
           "      state_store: rocksdb\n")._2),
       "session_window_msgs_per_sec" ->
         (() => runWindowDaemon("session_window_msgs_per_sec",
-          "      kind: session\n")._2))
+          "      kind: session\n")._2),
+      "neardup_filter_docs_per_sec" -> (() => runNearDup()._2))
   }
 
   /** Returns (median metrics, spread metrics): every pipeline metric

@@ -346,15 +346,21 @@ object Dedup {
     }: _*)
     val bBuckets = b.select(col("batch_id"),
       posexplode(bandHashes).as(Seq("band", "bh")))
+    // Candidate pairs materialize EAGERLY (localCheckpoint — 16-byte
+    // id pairs): `cand` feeds two plan subtrees (the history semi-join
+    // and the verify chain), and without the cut each consumer re-runs
+    // the batch sketch + the full index scan. The eager evaluation at
+    // call time is exactly the micro-batch boundary the streaming
+    // caller already has.
     val cand = bBuckets.join(index, Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
+      .localCheckpoint(true)
     // Shingle ONLY the colliding history rows: a semi-join first, so
     // per-probe text work is bounded by the candidate set, not the
     // admitted corpus (without it the shingle projection sits below
     // the candidate join and every history row is re-shingled on
     // every probe — O(history) compute per trigger in the streaming
-    // caller). The candidate join runs twice (here and below), but it
-    // carries 24-byte id rows — the cheap side of the trade.
+    // caller).
     val hSets = history
       .join(cand.select(col("hist_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
@@ -438,11 +444,20 @@ object Dedup {
       // than torn (the replay must proceed, not wedge).
       if (df.isEmpty) None else Some(df)
     }
-    // 1. within-batch: LSH pairs + min-id canonical survives
+    // 1. within-batch: LSH pairs + min-id canonical survives. The
+    // dropped-id set is materialized eagerly (localCheckpoint — tiny:
+    // one long per dropped doc), truncating the LSH + connected-
+    // components lineage out of `within`: the probe below sketches
+    // `within` in TWO plan subtrees (band buckets + verify join-back)
+    // and the emit/commit callers execute the survivor plan again —
+    // without the cut, every one of those re-runs the whole
+    // within-batch dedup (measured: the probe stage GREW per batch in
+    // NearDupProbe purely from this re-execution).
     val pairs = minhashLshPairs(batch, idCol, textCol, n, threshold,
       numHashes, bands, seed)
     val dropped = dropNonCanonical(batch, pairs, idCol, lit(0))
       .select(col("doc_id").as("__drop_id"))
+      .localCheckpoint(true)
     val within = batch.join(dropped,
       col(idCol).cast("long") === col("__drop_id"), "left_anti")
     // 2. cross-batch: probe the persisted band index, exact-verify
@@ -490,6 +505,42 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
     survivors.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$stateDir/texts/bid=$batchId")
+  }
+
+  /** Compact the near-dup state: fold every `bid <= upToBid` partition
+    * of both artifacts into ONE partition (`bid = upToBid`) under
+    * `newStateDir`. A month-long stream accumulates one band + one
+    * text partition per micro-batch; each trigger's probe then pays
+    * file listing and small-file open costs linear in TRIGGER COUNT,
+    * not data — compaction resets that to one partition while probe
+    * results stay identical (the probe reads `bid < batchId`, and
+    * every folded row keeps a bid strictly below any future batch).
+    *
+    * Written to a NEW directory rather than in place: the output is
+    * all-or-nothing (a crashed compaction leaves the live state
+    * untouched), and the swap — point the daemon's `state_dir` at the
+    * compacted dir, or rename directories — is the deployment-level
+    * atomic step, done while the daemon is stopped or between
+    * triggers. Band-sketch column metadata (n/numHashes/bands/seed)
+    * rides through the parquet round trip, so probe-parameter
+    * validation keeps working against the compacted index.
+    *
+    * @return (band rows, text rows) folded, for the maintenance log */
+  def compactNearDupState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      newStateDir: String,
+      upToBid: Long): (Long, Long) = {
+    require(stateDir != newStateDir,
+      "compaction must target a new directory (all-or-nothing output)")
+    def fold(sub: String): Long = {
+      val df = spark.read.parquet(s"$stateDir/$sub")
+        .filter(col("bid") <= upToBid).drop("bid")
+      df.write.mode("errorifexists")
+        .parquet(s"$newStateDir/$sub/bid=$upToBid")
+      spark.read.parquet(s"$newStateDir/$sub/bid=$upToBid").count()
+    }
+    (fold("bands"), fold("texts"))
   }
 
   /** Wire [[nearDupFilterBatch]] + [[nearDupCommitBatch]] into a
@@ -818,6 +869,44 @@ object Dedup {
 
     var edges = init.localCheckpoint(true)
     var sig = signature(edges)
+    // small-graph fast path: below `driverEdgeCap` edges, a driver
+    // union-find replaces the distributed loop. Each large/small-star
+    // round costs several scheduler round-trips (two keyed shuffles +
+    // checkpoint + signature) — on the per-micro-batch dup graphs the
+    // streaming admission filter sees (~10³ edges), that loop is pure
+    // overhead (measured 8-13 s/trigger in NearDupProbe, vs <0.1 s on
+    // the driver). The cap bounds driver memory: 1M edges ≈ 16 MB of
+    // longs, far under any driver heap; above it the alternating-star
+    // loop (which scales to corpus-sized graphs) takes over. Same
+    // result either way — component id = min doc id in component.
+    val driverEdgeCap = 1000000L
+    if (sig._1 > 0L && sig._1 <= driverEdgeCap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      edges.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN root so the final root IS the component min
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      edges.unpersist()
+      import scala.jdk.CollectionConverters._
+      val labeled = parent.keySet().asScala.toSeq
+        .map(nd => (nd, find(nd)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labeled.toDF("doc_id", "component_id")
+    }
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged) {

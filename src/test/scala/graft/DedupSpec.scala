@@ -413,6 +413,47 @@ class DedupSpec extends SparkTestBase {
     assert(texts.filter(col("doc_id") === 5L).count() == 1L)
   }
 
+  test("compactNearDupState folds bid partitions; probes are identical after the swap") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ndf_compact_src").toString
+    val docsPerBid = Map(
+      0L -> Seq((1L, "the quick brown fox jumps over the lazy dog tonight in the woods")),
+      1L -> Seq((2L, "spark executes declarative plans with catalyst optimizing joins and scans")),
+      2L -> Seq((3L, "completely unrelated content about volcanic geology and tidal measurements")))
+    docsPerBid.foreach { case (bid, rows) =>
+      Dedup.nearDupCommitBatch(rows.toDF("doc_id", "text"),
+        "doc_id", "text", stateDir, bid, n = 3)
+    }
+    val newDir = java.nio.file.Files
+      .createTempDirectory("graft_ndf_compact_dst").toString + "/state"
+    val (bRows, tRows) = Dedup.compactNearDupState(
+      spark, stateDir, newDir, upToBid = 2L)
+    assert(tRows == 3L && bRows > 0L)
+    // one folded partition per artifact
+    def bidDirs(root: String, sub: String) =
+      new java.io.File(s"$root/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bid=")).toSeq
+    assert(bidDirs(stateDir, "bands").size == 3)
+    assert(bidDirs(newDir, "bands").map(_.getName) == Seq("bid=2"))
+    assert(bidDirs(newDir, "texts").map(_.getName) == Seq("bid=2"))
+    // probe equivalence: a batch with one exact replay (of the bid=0
+    // admit) and one fresh doc filters identically on both state dirs
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight in the woods"),
+      (11L, "a genuinely new document about deep sea hydrothermal vents"))
+      .toDF("doc_id", "text")
+    def survivors(dir: String) =
+      Dedup.nearDupFilterBatch(probe, "doc_id", "text", dir,
+        batchId = 3L, n = 3, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+    assert(survivors(stateDir) == Set(11L))
+    assert(survivors(newDir) == Set(11L))
+    // in-place compaction is refused (all-or-nothing contract)
+    intercept[IllegalArgumentException] {
+      Dedup.compactNearDupState(spark, stateDir, stateDir, 2L)
+    }
+  }
+
   test("nearDupFilterBatch: empty state dirs read as first batch; torn state fails loudly") {
     val docsDf = Seq((1L, "a perfectly ordinary document about nothing in particular"))
       .toDF("doc_id", "text")
