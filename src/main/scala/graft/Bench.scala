@@ -441,6 +441,7 @@ object Bench {
              |      state_dir: '$state'
              |      ngram: 3
              |      threshold: 0.7
+             |      shuffle_partitions: 8
              |  sink: {type: noop}
              |""".stripMargin)
       }

@@ -124,7 +124,15 @@ final case class NearDupConf(
     threshold: Double = 0.7,
     numHashes: Int = 64,
     bands: Int = 32,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    /** Shuffle-partition count for the daemon's per-trigger joins
+      * (band self-join, candidate verify, probe) — snapshotted into
+      * the query's cloned session at start, exactly like the window
+      * daemon's `state_partitions`. Size to the per-TRIGGER batch,
+      * not the cluster: a 50k-doc trigger on 8 partitions beats 32
+      * (the joins are small; task-scheduling floor dominates).
+      * Unset = session default. */
+    shufflePartitions: Option[Int] = None)
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None,
@@ -304,7 +312,9 @@ object Config {
               threshold = nd.path("threshold").asDouble(0.7),
               numHashes = nd.path("num_hashes").asInt(64),
               bands = nd.path("bands").asInt(32),
-              seed = nd.path("seed").asLong(42L)))
+              seed = nd.path("seed").asLong(42L),
+              shufflePartitions = if (nd.has("shuffle_partitions"))
+                Some(nd.path("shuffle_partitions").asInt()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),

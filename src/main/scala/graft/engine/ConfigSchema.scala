@@ -227,10 +227,12 @@ object ConfigSchema {
           val nd = h.path("near_dup"); val np = s"$hp.near_dup"
           requireKeys(nd, np, Seq("id_column", "text_column", "state_dir"))
           checkKeys(nd, np, Set("id_column", "text_column", "state_dir",
-            "ngram", "threshold", "num_hashes", "bands", "seed"))
+            "ngram", "threshold", "num_hashes", "bands", "seed",
+            "shuffle_partitions"))
           str(nd, np, "id_column"); str(nd, np, "text_column")
           str(nd, np, "state_dir")
           int(nd, np, "ngram"); int(nd, np, "num_hashes")
+          int(nd, np, "shuffle_partitions")
           int(nd, np, "bands"); int(nd, np, "seed")
           if (nd.has("threshold") && !nd.path("threshold").isNumber)
             err(s"$np.threshold", "must be a number")

@@ -172,7 +172,8 @@ object StreamingPipeline {
       case Some(s) => Trigger.ProcessingTime(s"$s seconds")
       case None => Trigger.ProcessingTime(0L)
     }
-    val query = StateStores.withStateConf(spark, conf.pipeline.stateStore) {
+    val query = StateStores.withStateConf(spark,
+        conf.pipeline.stateStore, nd.shufflePartitions) {
       graft.operators.Dedup.streamingNearDupFilter(
           decoded, nd.idColumn, nd.textColumn, nd.stateDir,
           nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed,

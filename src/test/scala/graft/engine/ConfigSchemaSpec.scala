@@ -116,7 +116,8 @@ class ConfigSchemaSpec extends AnyFunSuite {
       "id_column: doc_id, text_column: text, state_dir: /tmp/s")).isEmpty)
     assert(errsOf(nd(
       "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
-        "ngram: 3, threshold: 0.7, num_hashes: 64, bands: 32")).isEmpty)
+        "ngram: 3, threshold: 0.7, num_hashes: 64, bands: 32, " +
+        "shuffle_partitions: 8")).isEmpty)
     // missing state_dir
     assert(errsOf(nd("id_column: doc_id, text_column: text"))
       .exists(_.contains("state_dir")))
