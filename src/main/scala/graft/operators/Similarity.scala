@@ -85,6 +85,92 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Persistable hyperplane band index over a corpus — the vector
+    * analog of `Dedup.minhashBandBuckets`: (hist_id, band, v) rows a
+    * later [[cosineProbeIndex]] collides new batches against. Build
+    * params (dim/bands/rowsPerBand/seed) ride as column metadata
+    * through parquet footers so a mismatched probe fails loudly
+    * instead of silently returning zero collisions (the same
+    * silent-recall-loss hole the MinHash index closed in round 7). */
+  def hyperplaneBandBuckets(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.hyperplane.dim", dim.toLong)
+      .putLong("graft.hyperplane.bands", bands.toLong)
+      .putLong("graft.hyperplane.rowsPerBand", rowsPerBand.toLong)
+      .putLong("graft.hyperplane.seed", seed)
+      .build()
+    graft.queries.Tables.spread(emb)
+      .select(col(idCol).as("hist_id"),
+        posexplode(graft.functions.HashFunctions.hyperplane_bands(
+          col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
+      .withColumn("v", col("v").as("v", md))
+  }
+
+  /** Probe a (possibly persisted) hyperplane band index with a new
+    * batch: candidates from the CROSS-SET (band, value) join, exact
+    * cosine verify against the history vectors (the index carries
+    * only band values; vectors join back per surviving candidate,
+    * history semi-joined to colliding ids first so per-probe vector
+    * work is candidate-bounded). Precision 1.0; recall is
+    * [[lshCosinePairs]]' banding recall — near 1 for the
+    * near-identical pairs incremental dedup hunts, fading below
+    * cosine ~0.8 (use exact pairing there).
+    * @return (batch_id, hist_id, cosine) with cosine ≥ threshold */
+  def cosineProbeIndex(
+      index: DataFrame, history: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, dim: Int,
+      bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
+    index.schema.fields.find(_.name == "v").map(_.metadata)
+      .filter(_.contains("graft.hyperplane.dim")).foreach { m =>
+        val built = (m.getLong("graft.hyperplane.dim"),
+          m.getLong("graft.hyperplane.bands"),
+          m.getLong("graft.hyperplane.rowsPerBand"),
+          m.getLong("graft.hyperplane.seed"))
+        val probed = (dim.toLong, bands.toLong, rowsPerBand.toLong, seed)
+        require(built == probed,
+          s"hyperplane index built with (dim,bands,rows,seed)=$built but " +
+            s"probed with $probed — band values would never collide")
+      }
+    val b = withNorm(graft.queries.Tables.spread(batch), idCol, vecCol)
+    val bBuckets = b.select(col(idCol).as("batch_id"),
+      posexplode(graft.functions.HashFunctions.hyperplane_bands(
+        col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
+    val cand = bBuckets.join(index, Seq("band", "v"))
+      .select("batch_id", "hist_id").distinct()
+      .localCheckpoint(true)
+    val hVecs = withNorm(
+      history.join(cand.select(col("hist_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"), idCol, vecCol)
+      .select(col(idCol).as("hist_id"), col(vecCol).as("v_h"),
+        col("nrm").as("n_h"))
+    cand
+      .join(b.select(col(idCol).as("batch_id"), col(vecCol).as("v_b"),
+        col("nrm").as("n_b")), "batch_id")
+      .join(hVecs, "hist_id")
+      .withColumn("cosine",
+        round(vec_dot(col("v_b"), col("v_h")) / (col("n_b") * col("n_h")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("batch_id", "hist_id", "cosine")
+  }
+
+  /** Incremental embedding near-dup: which new-batch vectors
+    * near-duplicate a historical corpus — `Dedup
+    * .minhashIncrementalPairs`' exact analog for cosine space, and
+    * the missing leg of the t109 crawl chain when documents arrive
+    * as embeddings. History is banded ONCE (persistable via
+    * [[hyperplaneBandBuckets]]); each batch probes cross-set only,
+    * so daily cost is O(|batch|·bands) + candidate verifies, never
+    * O(corpus²). */
+  def lshCosineIncrementalPairs(
+      history: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, dim: Int,
+      bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame =
+    cosineProbeIndex(
+      hyperplaneBandBuckets(history, idCol, vecCol, dim, bands, rowsPerBand, seed),
+      history, batch, idCol, vecCol, threshold, dim, bands, rowsPerBand, seed)
+
   /** Brute-force top-k cosine neighbors for a (small, broadcast) query
     * set: one linear scan of the corpus per partition — the exact
     * baseline every ANN variant is measured against. Ranking is by

@@ -1702,7 +1702,45 @@ object VectorOps {
             SELECT vec_id, CAST(cell AS INT) AS cell
             FROM asg ORDER BY vec_id"""))
 
+  // Incremental embedding near-dup — minhashIncrementalPairs' exact
+  // analog for cosine space (Similarity.lshCosineIncrementalPairs):
+  // history is banded once into a PERSISTABLE hyperplane index, each
+  // arriving batch probes cross-set only (daily cost O(|batch|·bands)
+  // + candidate verifies, never corpus²). Batch = near-identical
+  // scaled copies (cosine 1.0 with their base — banding recall ~1
+  // there, v06's planted discipline) + NEGATED copies (cosine −1, a
+  // non-vacuous never-matches cohort). Oracle = exact cross-set
+  // cosine pairs at the same rounded threshold.
+  private val v39 = GraftQuery(
+    "v39_cosine_incremental_dedup",
+    (s, dir) => {
+      val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = hist.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+        .unionByName(hist.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      Similarity.lshCosineIncrementalPairs(hist, batch,
+          "vec_id", "embedding", threshold = 0.85, dim = 64)
+        .orderBy("batch_id", "hist_id")
+    },
+    Some(s"""WITH hist AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+             batch AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM hist
+               WHERE vec_id % 5 = 0
+               UNION ALL
+               SELECT vec_id + 2000000, list_transform(v, x -> -x)
+               FROM hist WHERE vec_id % 7 = 0)
+             SELECT b.vec_id AS batch_id, h.vec_id AS hist_id,
+               ${duckCos("b.v", "h.v", 4)} AS cosine
+             FROM batch b JOIN hist h
+               ON ${duckCos("b.v", "h.v", 4)} >= 0.85
+             ORDER BY batch_id, hist_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
-    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38)
+    v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38,
+    v39)
 }

@@ -560,4 +560,39 @@ class AnnSpec extends SparkTestBase {
       assert(rank1(q) == q + 1000000L, s"query $q rank1=${rank1(q)}")
     }
   }
+
+  test("hyperplane band index: parquet round trip probes identically; mismatched params rejected") {
+    val hist = mkClustered.cache()
+    // batch: near-identical copies (cosine 1.0) of every 4th vector +
+    // negated copies (cosine -1, must never match)
+    val batch = hist.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0005f)).as("embedding"))
+      .unionByName(hist.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 2000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    val direct = Similarity.lshCosineIncrementalPairs(hist, batch,
+        "vec_id", "embedding", threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every planted near-copy must find its base; no negated vector may
+    assert((0 until 400 by 4).forall(i =>
+      direct.exists(p => p._1 == i + 1000L && p._2 == i.toLong)), direct.size.toString)
+    assert(!direct.exists(_._1 >= 2000L))
+    // the index persists: probing the parquet round trip is identical
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_hpidx")
+    Similarity.hyperplaneBandBuckets(hist, "vec_id", "embedding", dim)
+      .write.mode("overwrite").parquet(idxDir.toString)
+    val persisted = spark.read.parquet(idxDir.toString)
+    val viaIndex = Similarity.cosineProbeIndex(persisted, hist, batch,
+        "vec_id", "embedding", threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+    // build params ride the artifact: a probe with a different seed or
+    // geometry must fail loudly, not silently lose all recall
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineProbeIndex(persisted, hist, batch,
+        "vec_id", "embedding", threshold = 0.9, dim = dim, seed = 7L)
+    }
+    assert(err.getMessage.contains("never collide"), err.getMessage)
+  }
 }
