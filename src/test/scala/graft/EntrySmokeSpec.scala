@@ -37,21 +37,16 @@ class EntrySmokeSpec extends SparkTestBase {
   }
 
   test("documented registry counts match Registry.all.size (drift guard)") {
-    // count drift across README/COVERAGE bit twice in round 6 (judge
-    // flagged 267 vs 262 vs 258); pin every "N operators"-style claim
-    // to the actual registry size so a forgotten doc edit fails here
+    // count drift across README/COVERAGE bit three rounds running; the
+    // checked sites live in ONE place (tools.CountSync.sites) and the
+    // fix is one command. Failure lists every stale site at once.
     val n = queries.Registry.all.size
-    val readme = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("README.md"))
-    assert(readme.contains(s"registry: $n operators"),
-      s"README 'registry: N operators' must say $n")
-    assert(readme.contains(s"($n/$n hash-checked)"),
-      s"README hash-checked count must say $n/$n")
-    assert(readme.contains(s"plans all $n registry"),
-      s"README PlanAudit bullet must say $n")
-    val coverage = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("COVERAGE.md"))
-    assert(coverage.contains(s"plans all $n queries"),
-      s"COVERAGE PlanAudit row must say $n")
+    val stale = tools.CountSync.expected(n).filterNot { case (file, s) =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(file)).contains(s)
+    }
+    assert(stale.isEmpty,
+      s"Registry.all.size = $n but these doc sites are stale:\n" +
+        stale.map { case (f, s) => s"  $f: expected \"$s\"" }.mkString("\n") +
+        "\nFix with: sbt \"runMain graft.tools.CountSync\"")
   }
 }
