@@ -132,7 +132,14 @@ final case class NearDupConf(
       * not the cluster: a 50k-doc trigger on 8 partitions beats 32
       * (the joins are small; task-scheduling floor dominates).
       * Unset = session default. */
-    shufflePartitions: Option[Int] = None)
+    shufflePartitions: Option[Int] = None,
+    /** Fold the state's per-trigger bid partitions into a bucketed
+      * compact version every k triggers (replay-safe floor `bid - 1`;
+      * `Dedup.compactNearDupState`). This is what keeps per-trigger
+      * probe IO batch-proportional on a long-lived stream — without
+      * it the band/text scans grow with the admitted corpus. Unset =
+      * never compact (short-lived or externally-maintained state). */
+    compactEveryNTriggers: Option[Int] = None)
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None,
@@ -314,7 +321,9 @@ object Config {
               bands = nd.path("bands").asInt(32),
               seed = nd.path("seed").asLong(42L),
               shufflePartitions = if (nd.has("shuffle_partitions"))
-                Some(nd.path("shuffle_partitions").asInt()) else None))
+                Some(nd.path("shuffle_partitions").asInt()) else None,
+              compactEveryNTriggers = if (nd.has("compact_every_n_triggers"))
+                Some(nd.path("compact_every_n_triggers").asInt()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),

@@ -43,6 +43,12 @@ object ConfigSchema {
     def int(n: JsonNode, path: String, key: String): Unit =
       if (n.has(key) && !n.path(key).canConvertToInt) err(s"$path.$key", "must be an integer")
 
+    // for fields parsed as Long (e.g. hash seeds): canConvertToInt
+    // rejects legitimate 64-bit values with "must be an integer"
+    def lng(n: JsonNode, path: String, key: String): Unit =
+      if (n.has(key) && !n.path(key).canConvertToLong)
+        err(s"$path.$key", "must be an integer (64-bit)")
+
     def strArray(n: JsonNode, path: String, key: String): Unit =
       if (n.has(key)) {
         val v = n.path(key)
@@ -228,12 +234,16 @@ object ConfigSchema {
           requireKeys(nd, np, Seq("id_column", "text_column", "state_dir"))
           checkKeys(nd, np, Set("id_column", "text_column", "state_dir",
             "ngram", "threshold", "num_hashes", "bands", "seed",
-            "shuffle_partitions"))
+            "shuffle_partitions", "compact_every_n_triggers"))
           str(nd, np, "id_column"); str(nd, np, "text_column")
           str(nd, np, "state_dir")
           int(nd, np, "ngram"); int(nd, np, "num_hashes")
           int(nd, np, "shuffle_partitions")
-          int(nd, np, "bands"); int(nd, np, "seed")
+          int(nd, np, "bands"); lng(nd, np, "seed")
+          int(nd, np, "compact_every_n_triggers")
+          if (nd.has("compact_every_n_triggers") &&
+              nd.path("compact_every_n_triggers").asInt(1) < 1)
+            err(s"$np.compact_every_n_triggers", "must be >= 1")
           if (nd.has("threshold") && !nd.path("threshold").isNumber)
             err(s"$np.threshold", "must be a number")
           // bands must divide num_hashes — the operator requires it
@@ -242,6 +252,20 @@ object ConfigSchema {
           val nb = nd.path("bands").asInt(32)
           if (nb <= 0 || nh % nb != 0)
             err(s"$np.bands", s"must divide num_hashes ($nh)")
+          // this handler's decode policy is IGNORE by construction
+          // (a doc with no id/text can't be canonicalized, so
+          // malformed rows are dropped pre-admission) — an explicit
+          // stricter on_error policy would be silently dishonored;
+          // reject it at load like the window cross-checks
+          val explicitPolicy = pl.path("on_error").path("policy").asText("")
+          if (explicitPolicy.nonEmpty &&
+              explicitPolicy.toUpperCase != "IGNORE")
+            err("$.pipeline.on_error.policy",
+              "handlers.NearDupFilter drops undecodable rows by " +
+                "construction (IGNORE); RAISE/DLQ would be silently " +
+                "dishonored — remove on_error or set policy: IGNORE, " +
+                "or front the daemon with a SQL handler for a " +
+                "stricter decode contract")
         } else if (h.path("type").asText() == "handlers.NativeWindow") {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"

@@ -322,11 +322,30 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
+    checkBandIndexParams(index, n, numHashes, bands, seed)
+    val (b, bBuckets) =
+      sketchBatchForProbe(batch, idCol, textCol, n, numHashes, bands, seed)
+    // Candidate pairs materialize EAGERLY (localCheckpoint — 16-byte
+    // id pairs): `cand` feeds two plan subtrees (the history semi-join
+    // and the verify chain), and without the cut each consumer re-runs
+    // the batch sketch + the full index scan. The eager evaluation at
+    // call time is exactly the micro-batch boundary the streaming
+    // caller already has.
+    val cand = bBuckets.join(index, Seq("band", "bh"))
+      .select("batch_id", "hist_id").distinct()
+      .localCheckpoint(true)
+    verifyCandidates(cand, history,
+      b.select(col("batch_id"), col("sh").as("sh_b")),
+      idCol, textCol, n, threshold)
+  }
+
+  /** If the index carries build params (written by minhashBandBuckets
+    * since r7), a probe with different params would compute band
+    * hashes that never collide — fail loudly instead of silently
+    * losing all recall. */
+  private def checkBandIndexParams(
+      index: DataFrame, n: Int, numHashes: Int, bands: Int, seed: Long): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // If the index carries build params (written by minhashBandBuckets
-    // since r7), a probe with different params would compute band
-    // hashes that never collide — fail loudly instead of silently
-    // losing all recall.
     index.schema.fields.find(_.name == "bh").map(_.metadata)
       .filter(_.contains("graft.minhash.n")).foreach { m =>
         val built = (m.getLong("graft.minhash.n"),
@@ -337,6 +356,14 @@ object Dedup {
           s"band index built with (n,numHashes,bands,seed)=$built but " +
             s"probed with $probed — band hashes would never collide")
       }
+  }
+
+  /** Sketch a probe batch once: (batch_id, sh, sig) plus its exploded
+    * (batch_id, band, bh) band rows — the probe-side mirror of
+    * [[minhashBandBuckets]]. */
+  private def sketchBatchForProbe(
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, seed: Long): (DataFrame, DataFrame) = {
     val b = graft.queries.Tables.spread(batch)
       .select(col(idCol).as("batch_id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
@@ -344,30 +371,26 @@ object Dedup {
     val bandHashes = array((0 until bands).map { bIdx =>
       xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))
     }: _*)
-    val bBuckets = b.select(col("batch_id"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
-    // Candidate pairs materialize EAGERLY (localCheckpoint — 16-byte
-    // id pairs): `cand` feeds two plan subtrees (the history semi-join
-    // and the verify chain), and without the cut each consumer re-runs
-    // the batch sketch + the full index scan. The eager evaluation at
-    // call time is exactly the micro-batch boundary the streaming
-    // caller already has.
-    val cand = bBuckets.join(index, Seq("band", "bh"))
-      .select("batch_id", "hist_id").distinct()
-      .localCheckpoint(true)
-    // Shingle ONLY the colliding history rows: a semi-join first, so
-    // per-probe text work is bounded by the candidate set, not the
-    // admitted corpus (without it the shingle projection sits below
-    // the candidate join and every history row is re-shingled on
-    // every probe — O(history) compute per trigger in the streaming
-    // caller).
+    (b, b.select(col("batch_id"), posexplode(bandHashes).as(Seq("band", "bh"))))
+  }
+
+  /** Exact-Jaccard verify of (batch_id, hist_id) candidates.
+    * Shingles ONLY the colliding history rows: a semi-join first, so
+    * per-probe text work is bounded by the candidate set, not the
+    * admitted corpus (without it the shingle projection sits below
+    * the candidate join and every history row is re-shingled on
+    * every probe — O(history) compute per trigger in the streaming
+    * caller). */
+  private def verifyCandidates(
+      cand: DataFrame, history: DataFrame, bSh: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
     val hSets = history
       .join(cand.select(col("hist_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("hist_id"),
         wordShingles(col(textCol), n).as("sh_h"))
     cand
-      .join(b.select(col("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(bSh, "batch_id")
       .join(hSets, "hist_id")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_b"), col("sh_h"))).cast("double") /
@@ -379,15 +402,20 @@ object Dedup {
   /** STREAMING near-dup admission — the [[minhashIncrementalPairs]]
     * discipline as a continuously-running filter. State is the
     * PERSISTED index artifacts under `stateDir` (band rows + admitted
-    * texts, both micro-batch-partitioned parquet), never executor
-    * memory: open-state size is O(admitted corpus) on DISK. Per
-    * trigger: O(|batch|) sketching, one scan of the persisted band
-    * index (24-byte id/hash rows — linear in admitted corpus but
-    * IO-only; prune it with a bid floor or periodic compaction when
-    * the stream is long-lived), and text/shingle work bounded by the
-    * CANDIDATE set only (history is semi-joined to colliding ids
-    * before any shingling) — the shape that survives an unbounded
-    * stream.
+    * texts, both micro-batch-partitioned parquet; see
+    * [[IndexState]] for the layout), never executor memory:
+    * open-state size is O(admitted corpus) on DISK. Per trigger:
+    * O(|batch|) sketching, a probe of the persisted band index whose
+    * IO is pruned to the `__pb` buckets the batch's own band hashes
+    * occupy once the state has been compacted (bytes ∝ batch keys ×
+    * bucket size + uncompacted recent bids, NOT ∝ admitted corpus —
+    * the cost law and measured numbers are in SCALE.md), and
+    * text/shingle work bounded by the CANDIDATE set only (history is
+    * semi-joined to colliding ids before any shingling; the admitted-
+    * text read is likewise pruned to the candidates' buckets) — the
+    * shape that survives an unbounded stream when
+    * [[compactNearDupState]] runs periodically (see
+    * `compactEveryNTriggers` on [[streamingNearDupFilter]]).
     *
     * Micro-batch-retry idempotence comes from bid-versioned state:
     * every probe reads only `bid < batchId` partitions and every
@@ -415,35 +443,28 @@ object Dedup {
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     val spark = batch.sparkSession
-    def state(sub: String): Option[DataFrame] = {
-      // Hadoop FS, not java.io.File — stateDir is HDFS/S3 on a cluster
-      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) return None
-      // the dir can exist with zero committed data files (a
-      // first-commit crash leaves only _temporary; a pre-created
-      // empty dir) — schema inference would then throw on EVERY
-      // replay and wedge the stream, so THAT specific failure reads
-      // as absent state. Any other AnalysisException (schema drift,
-      // missing bid column) still propagates: swallowing it would
-      // fail OPEN into first-batch semantics — silent zero recall
-      // against everything admitted.
-      val df =
-        try spark.read.parquet(s"$stateDir/$sub")
-          .filter(col("bid") < batchId)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-            return None
-        }
-      // visible state is only what EARLIER batches committed
-      // (bid < batchId). A crash between a commit's two writes leaves
-      // an orphan bid == batchId partition on one side — invisible to
-      // this batch's probe and overwritten by its own re-commit, so
-      // an artifact with no earlier-bid rows reads as absent rather
-      // than torn (the replay must proceed, not wedge).
-      if (df.isEmpty) None else Some(df)
+    // Probe-visible state = the newest committed compact version (all
+    // bids <= its fold floor) plus live bid partitions STRICTLY between
+    // the floor and this batch id. The floor itself must sit below this
+    // batch: a replayed batch at-or-below it would see its own folded
+    // commits as history and drop every doc as a self-dup — fail loudly
+    // (recovery: re-point at a pre-fold state copy, or accept the fold
+    // and restart the stream past it) instead of silently losing the
+    // batch. First-commit crashes / pre-created empty dirs read as
+    // absent state (IndexState.readLive), so replays proceed; an orphan
+    // bid == batchId partition from a crashed commit is invisible
+    // (bid < batchId) and overwritten by the re-commit.
+    val ci = IndexState.currentCompact(spark, stateDir)
+    ci.foreach { c =>
+      require(c.upToBid < batchId,
+        s"near-dup state under $stateDir is compacted through " +
+          s"bid=${c.upToBid} but batch $batchId is being (re)run — a " +
+          "fold must never cover a replayable batch (pass " +
+          "minReplayableBid to compactNearDupState)")
     }
+    val floor = ci.map(_.upToBid).getOrElse(-1L)
+    def live(sub: String): Option[DataFrame] =
+      IndexState.readLive(spark, stateDir, sub, floor, batchId)
     // 1. within-batch: LSH pairs + min-id canonical survives. The
     // dropped-id set is materialized eagerly (localCheckpoint — tiny:
     // one long per dropped doc), truncating the LSH + connected-
@@ -460,28 +481,61 @@ object Dedup {
       .localCheckpoint(true)
     val within = batch.join(dropped,
       col(idCol).cast("long") === col("__drop_id"), "left_anti")
-    // 2. cross-batch: probe the persisted band index, exact-verify
-    // against the admitted-text store, drop colliders
-    (state("bands"), state("texts")) match {
-      case (Some(idx), Some(texts)) =>
-        val hist = texts.select(col(idCol), col(textCol))
-        val hits = minhashProbeIndex(idx.drop("bid"), hist, within,
-            idCol, textCol, n, threshold, numHashes, bands, seed)
-          .select(col("batch_id").as("__dup_id")).distinct()
-        within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
-      case (None, None) => within // first batch: nothing admitted yet
-      case (bandsState, textsState) =>
-        // exactly one artifact readable: the state is torn (a commit
-        // wrote one dir and crashed before the other). Skipping the
-        // probe here would be silent zero-recall against everything
-        // already admitted — fail loudly instead; recovery is
-        // deleting the orphan bid partition (or the whole stateDir).
-        throw new IllegalStateException(
-          s"torn near-dup state under $stateDir: bands " +
-            s"${if (bandsState.isDefined) "readable" else "missing"}, " +
-            s"texts ${if (textsState.isDefined) "readable" else "missing"} " +
-            "— both must exist (or neither); remove the orphaned " +
-            "artifact and retry")
+    // 2. cross-batch: probe the persisted band index (compact region
+    // pruned to the buckets the batch's own band hashes hit), exact-
+    // verify against the admitted-text store (pruned to the CANDIDATE
+    // ids' buckets — texts are the byte-heavy artifact, so this is the
+    // larger IO win), drop colliders
+    val liveBands = live("bands")
+    val liveTexts = live("texts")
+    def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
+      ci.flatMap(c => IndexState.readCompact(spark, stateDir, c, sub, prune))
+    val bandsAvail = compactPart("bands", None).isDefined || liveBands.isDefined
+    val textsAvail = compactPart("texts", None).isDefined || liveTexts.isDefined
+    if (!bandsAvail && !textsAvail) within // first batch: nothing admitted yet
+    else if (bandsAvail != textsAvail)
+      // exactly one artifact readable: the state is torn (a commit
+      // wrote one dir and crashed before the other). Skipping the
+      // probe here would be silent zero-recall against everything
+      // already admitted — fail loudly instead; recovery is
+      // deleting the orphan bid partition (or the whole stateDir).
+      throw new IllegalStateException(
+        s"torn near-dup state under $stateDir: bands " +
+          s"${if (bandsAvail) "readable" else "missing"}, " +
+          s"texts ${if (textsAvail) "readable" else "missing"} " +
+          "— both must exist (or neither); remove the orphaned " +
+          "artifact and retry")
+    else {
+      // sketch ONCE; the band rows are checkpointed because two
+      // consumers follow (the bucket-set collect and the candidate
+      // join) and re-sketching the batch per consumer doubled the
+      // probe stage in NearDupProbe
+      val (b, bb0) =
+        sketchBatchForProbe(within, idCol, textCol, n, numHashes, bands, seed)
+      val bb = bb0.localCheckpoint(true)
+      val compactBands = ci.flatMap { c =>
+        val hit = IndexState.probeBuckets(bb,
+          pmod(col("bh"), lit(c.buckets("bands"))))
+        compactPart("bands", Some(hit))
+      }
+      val idxParts = compactBands.toSeq ++ liveBands.toSeq
+      idxParts.foreach(checkBandIndexParams(_, n, numHashes, bands, seed))
+      val idx = idxParts.reduce(_ unionByName _)
+      val cand = bb.join(idx, Seq("band", "bh"))
+        .select("batch_id", "hist_id").distinct()
+        .localCheckpoint(true)
+      val compactTexts = ci.flatMap { c =>
+        val hit = IndexState.probeBuckets(cand,
+          pmod(xxhash64(col("hist_id")), lit(c.buckets("texts"))))
+        compactPart("texts", Some(hit))
+      }
+      val hist = (compactTexts.toSeq ++ liveTexts.toSeq)
+        .reduce(_ unionByName _).select(col(idCol), col(textCol))
+      val hits = verifyCandidates(cand, hist,
+          b.select(col("batch_id"), col("sh").as("sh_b")),
+          idCol, textCol, n, threshold)
+        .select(col("batch_id").as("__dup_id")).distinct()
+      within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
     }
   }
 
@@ -507,40 +561,51 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$stateDir/texts/bid=$batchId")
   }
 
-  /** Compact the near-dup state: fold every `bid <= upToBid` partition
-    * of both artifacts into ONE partition (`bid = upToBid`) under
-    * `newStateDir`. A month-long stream accumulates one band + one
-    * text partition per micro-batch; each trigger's probe then pays
-    * file listing and small-file open costs linear in TRIGGER COUNT,
-    * not data — compaction resets that to one partition while probe
-    * results stay identical (the probe reads `bid < batchId`, and
-    * every folded row keeps a bid strictly below any future batch).
+  /** Compact the near-dup state IN PLACE: fold every `bid <= upToBid`
+    * live partition of both artifacts (plus any previous fold) into a
+    * new bucketed compact version under `stateDir/compact/v=N` —
+    * band rows hash-partitioned by `pmod(bh, B)`, texts by
+    * `pmod(xxhash64(id), B)`, bucket counts sized so each bucket holds
+    * ~`targetRowsPerBucket` rows. This is what turns the per-trigger
+    * probe's IO from corpus-proportional to batch-proportional: a
+    * probe reads only the buckets its own keys hit, and bucket SIZE is
+    * fixed (bucket COUNT grows with the corpus). It also resets the
+    * file-listing cost that otherwise grows one partition per trigger.
     *
-    * Written to a NEW directory rather than in place: the output is
-    * all-or-nothing (a crashed compaction leaves the live state
-    * untouched), and the swap — point the daemon's `state_dir` at the
-    * compacted dir, or rename directories — is the deployment-level
-    * atomic step, done while the daemon is stopped or between
-    * triggers. Band-sketch column metadata (n/numHashes/bands/seed)
-    * rides through the parquet round trip, so probe-parameter
-    * validation keeps working against the compacted index.
+    * All-or-nothing without any directory swap: artifact dirs are
+    * written first, `meta.json` last (its presence commits the
+    * version); folded bid partitions and older versions are deleted
+    * only after the commit, and a crash anywhere leaves probes on the
+    * previous state (see [[IndexState]]). Probe results are identical
+    * before and after — DedupSpec proves the identity. Band-sketch
+    * column metadata (n/numHashes/bands/seed) rides through the
+    * parquet round trip, so probe-parameter validation keeps working
+    * against the compacted index.
+    *
+    * SAFETY: `upToBid` must stay strictly below every batch id the
+    * stream could re-run, or a replayed batch would collide with its
+    * own folded state (total recall loss). Pass `minReplayableBid` =
+    * the current batch id when calling from inside foreachBatch (its
+    * commit-log entry is not yet written; every earlier bid's is), or
+    * the next bid to process for a stopped daemon. The streaming
+    * wrapper's `compactEveryNTriggers` does this automatically.
     *
     * @return (band rows, text rows) folded, for the maintenance log */
   def compactNearDupState(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      newStateDir: String,
-      upToBid: Long): (Long, Long) = {
-    require(stateDir != newStateDir,
-      "compaction must target a new directory (all-or-nothing output)")
-    def fold(sub: String): Long = {
-      val df = spark.read.parquet(s"$stateDir/$sub")
-        .filter(col("bid") <= upToBid).drop("bid")
-      df.write.mode("errorifexists")
-        .parquet(s"$newStateDir/$sub/bid=$upToBid")
-      spark.read.parquet(s"$newStateDir/$sub/bid=$upToBid").count()
-    }
-    (fold("bands"), fold("texts"))
+      upToBid: Long,
+      minReplayableBid: Long,
+      bandRowsPerBucket: Long = 1L << 16,
+      textRowsPerBucket: Long = 1L << 13): (Long, Long) = {
+    val counts = IndexState.compact(spark, stateDir, Seq(
+      IndexState.Artifact("bands",
+        (_, b) => pmod(col("bh"), lit(b)), bandRowsPerBucket),
+      IndexState.Artifact("texts",
+        (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)),
+        textRowsPerBucket)),
+      upToBid, minReplayableBid)
+    (counts.getOrElse("bands", 0L), counts.getOrElse("texts", 0L))
   }
 
   /** Wire [[nearDupFilterBatch]] + [[nearDupCommitBatch]] into a
@@ -548,7 +613,16 @@ object Dedup {
     * against the persisted state, survivors are handed to `emit`
     * (the user's sink), and only then committed to state. Returns
     * the started query; the checkpoint lives under `stateDir` so a
-    * restart resumes with consistent (offsets, state) pairs. */
+    * restart resumes with consistent (offsets, state) pairs.
+    *
+    * `compactEveryNTriggers = Some(k)` runs [[compactNearDupState]]
+    * between triggers (inside foreachBatch, after the commit, every
+    * k-th batch) with the replay-safe fold floor `bid - 1`: the
+    * current batch's commit-log entry is not yet written so `bid`
+    * itself may re-run, but every earlier bid is checkpoint-committed
+    * and can never replay. Probe results are byte-identical across
+    * the fold (DedupSpec + ExamplesSpec prove it); a crash mid-
+    * compaction is invisible (meta-last commit, see [[IndexState]]). */
   def streamingNearDupFilter(
       stream: DataFrame,
       idCol: String,
@@ -560,7 +634,8 @@ object Dedup {
       bands: Int = 32,
       seed: Long = 42L,
       checkpointDir: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEveryNTriggers: Option[Int] = None)(
       emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("append")
@@ -574,6 +649,11 @@ object Dedup {
           nearDupCommitBatch(survivors, idCol, textCol, stateDir, bid,
             n, numHashes, bands, seed)
         } finally survivors.unpersist()
+        compactEveryNTriggers.filter(k => k > 0 && bid > 0 && bid % k == 0)
+          .foreach { _ =>
+            compactNearDupState(b.sparkSession, stateDir,
+              upToBid = bid - 1, minReplayableBid = bid)
+          }
       }
     trigger.foreach(writer.trigger)
     writer.start()

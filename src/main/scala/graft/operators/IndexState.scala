@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned on-disk layout shared by the incremental-dedup admission
+  * daemons (text MinHash, embedding cosine). Two regions per state dir:
+  *
+  * {{{
+  * stateDir/<artifact>/bid=K/...            per-trigger commits
+  * stateDir/compact/v=N/<artifact>/__pb=J/  bucketed fold of bids <= upToBid
+  * stateDir/compact/v=N/meta.json           {upToBid, buckets} — written LAST
+  * }}}
+  *
+  * The live region keeps the daemons' bid-versioned idempotence
+  * (probes read `bid < batchId`; a replayed commit overwrites its own
+  * partition). The compact region is what makes per-trigger probe IO
+  * batch-proportional instead of history-proportional: folded rows are
+  * hash-partitioned into `__pb` buckets of bounded ROW COUNT (bucket
+  * count grows with the corpus, bucket size stays fixed), so a probe
+  * that knows its own bucket set reads `hitBuckets × bucketBytes`
+  * bytes — bounded by the batch's key count once the corpus outgrows
+  * `targetRowsPerBucket × batchKeys`, never the whole index. The cost
+  * law and its measured numbers live in SCALE.md ("Near-dup daemon:
+  * probe IO"); the remaining knob is `targetRowsPerBucket`, which
+  * trades read amplification (bucket bytes per hit key) against
+  * file/partition count (listing cost).
+  *
+  * Crash discipline (no rename-atomicity assumed, works on S3-like
+  * stores): a compaction writes every artifact dir first and
+  * `meta.json` last — meta's presence is the commit marker, so a
+  * crashed compaction is invisible (probes keep using the previous
+  * version + live bids, which are deleted only AFTER the new meta
+  * exists). Leftover folded bids / old versions from a crash between
+  * meta-write and cleanup stay invisible (probes read only
+  * `bid > upToBid` live partitions and only the NEWEST committed
+  * version) and are removed by the next compaction.
+  *
+  * Replay safety (the round-8 advisor's fold-overwrite hazard): a fold
+  * must never cover a batch id that Structured Streaming could still
+  * re-run — a replayed batch at-or-below the fold floor would see its
+  * own folded commits as "history" and drop every one of its docs as
+  * a self-dup. [[compact]] therefore requires
+  * `upToBid < minReplayableBid` (in a foreachBatch daemon the current
+  * batch id: its commit-log entry is not yet written, every earlier
+  * bid's is), and the probe-side readers fail loudly if they ever see
+  * `upToBid >= batchId` instead of proceeding with silent recall loss.
+  */
+private[graft] object IndexState {
+
+  /** One state artifact. `pb(df, buckets)` derives the bucket id of a
+    * row (must hash VALUES only — column names may differ probe-side). */
+  final case class Artifact(
+      name: String,
+      pb: (DataFrame, Int) => Column,
+      targetRowsPerBucket: Long)
+
+  final case class CompactInfo(
+      version: Long, upToBid: Long, buckets: Map[String, Int])
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Newest compact version whose meta.json exists (= committed). */
+  def currentCompact(spark: SparkSession, stateDir: String): Option[CompactInfo] = {
+    val fs = hfs(spark, stateDir)
+    val root = new Path(s"$stateDir/compact")
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => readMeta(spark, stateDir, v))
+      .nextOption()
+  }
+
+  private def readMeta(spark: SparkSession, stateDir: String, v: Long): Option[CompactInfo] = {
+    val fs = hfs(spark, stateDir)
+    val p = new Path(s"$stateDir/compact/v=$v/meta.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val b = node.path("buckets")
+    val buckets = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(b.fieldNames()).asScala
+      .map(k => k -> b.get(k).asInt()).toMap
+    Some(CompactInfo(v, node.path("upToBid").asLong(), buckets))
+  }
+
+  /** Read the live (bid-partitioned) region of one artifact, visible
+    * window `loBidExclusive < bid < hiBidExclusive`, bid dropped.
+    * None = absent/uncommitted/empty-in-window. A dir whose only
+    * contents are uncommitted writes (first-commit crash) reads as
+    * absent rather than wedging every replay. */
+  def readLive(
+      spark: SparkSession, stateDir: String, sub: String,
+      loBidExclusive: Long, hiBidExclusive: Long): Option[DataFrame] = {
+    val p = new Path(s"$stateDir/$sub")
+    if (!hfs(spark, stateDir).exists(p)) return None
+    val df =
+      try spark.read.parquet(s"$stateDir/$sub")
+        .filter(col("bid") > loBidExclusive && col("bid") < hiBidExclusive)
+        .drop("bid")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return None
+      }
+    if (df.isEmpty) None else Some(df)
+  }
+
+  /** Read one artifact of a committed compact version, optionally
+    * pruned to a set of `__pb` buckets (partition filters — the scan
+    * lists and reads ONLY the hit bucket dirs). None = the artifact
+    * folded to zero rows (nothing ever admitted). */
+  def readCompact(
+      spark: SparkSession, stateDir: String, ci: CompactInfo, sub: String,
+      pruneTo: Option[Seq[Int]]): Option[DataFrame] = {
+    val dir = s"$stateDir/compact/v=${ci.version}/$sub"
+    if (!hfs(spark, stateDir).exists(new Path(dir))) return None
+    val df = spark.read.parquet(dir)
+    val pruned = pruneTo match {
+      case Some(vals) => df.filter(col("__pb").isin(vals: _*))
+      case None => df
+    }
+    Some(pruned.drop("__pb"))
+  }
+
+  /** Distinct `__pb` bucket ids a probe's key column hits, given the
+    * committed bucket count — drives [[readCompact]] pruning. Bounded
+    * by the bucket count (driver-side result ≤ `buckets` ints). */
+  def probeBuckets(keys: DataFrame, pbExpr: Column): Seq[Int] =
+    keys.select(pbExpr.cast("int").as("__pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Fold the current compact version (if any) plus live bids in
+    * `(prevUpToBid, upToBid]` into a new bucketed version, then delete
+    * the folded bid partitions and older versions. Content-preserving:
+    * probes at any `batchId > upToBid` see identical state before and
+    * after. Returns per-artifact folded row counts.
+    *
+    * @param minReplayableBid lowest batch id the caller's streaming
+    *   checkpoint could ever re-run — the CURRENT batch id when called
+    *   from inside foreachBatch (its commit-log entry is not yet
+    *   written), or the next bid to be processed for a stopped daemon.
+    */
+  def compact(
+      spark: SparkSession, stateDir: String, artifacts: Seq[Artifact],
+      upToBid: Long, minReplayableBid: Long): Map[String, Long] = {
+    require(upToBid < minReplayableBid,
+      s"compaction upToBid=$upToBid must stay strictly below every " +
+        s"replayable batch id (given minReplayableBid=$minReplayableBid): " +
+        "a replayed batch at-or-below the fold floor would collide with " +
+        "its own folded state")
+    val cur = currentCompact(spark, stateDir)
+    val floor = cur.map(_.upToBid).getOrElse(-1L)
+    require(upToBid >= floor,
+      s"cannot compact to upToBid=$upToBid below the existing fold " +
+        s"floor $floor")
+    if (upToBid == floor) return Map.empty // nothing new to fold
+    val fs = hfs(spark, stateDir)
+    // clear UNCOMMITTED (meta-less) version dirs left by a crashed
+    // compaction: they are invisible to probes, but mode errorifexists
+    // below would otherwise wedge every retry on the leftover dir
+    val croot0 = new Path(s"$stateDir/compact")
+    val leftover = if (fs.exists(croot0))
+      fs.listStatus(croot0).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") &&
+          readMeta(spark, stateDir, p.getName.stripPrefix("v=").toLong).isEmpty)
+      else Array.empty[Path]
+    leftover.foreach(fs.delete(_, true))
+    val newV = cur.map(_.version + 1).getOrElse(0L)
+    val results = artifacts.map { a =>
+      val parts =
+        readLive(spark, stateDir, a.name, floor, upToBid + 1).toSeq ++
+          cur.flatMap(ci => readCompact(spark, stateDir, ci, a.name, None)).toSeq
+      parts.reduceOption(_ unionByName _) match {
+        case None => (a.name, 0L, 1)
+        case Some(df) =>
+          val rows = df.count()
+          val buckets = math.max(1L, math.min(4096L,
+            (rows + a.targetRowsPerBucket - 1) / a.targetRowsPerBucket)).toInt
+          df.withColumn("__pb", a.pb(df, buckets).cast("int"))
+            .write.partitionBy("__pb").mode("errorifexists")
+            .parquet(s"$stateDir/compact/v=$newV/${a.name}")
+          (a.name, rows, buckets)
+      }
+    }
+    // a torn fold (one artifact with rows, its sibling empty) can only
+    // come from torn INPUT state, which the probe path throws on long
+    // before compaction runs — but fail here too rather than commit it
+    require(results.forall(_._2 > 0L) || results.forall(_._2 == 0L),
+      s"refusing to commit a torn fold: ${results.map(r => s"${r._1}=${r._2}").mkString(", ")}")
+    // meta.json LAST: its presence commits the version
+    val meta = s"""{"upToBid":$upToBid,"buckets":{${
+      results.map(r => s""""${r._1}":${r._3}""").mkString(",")}}}"""
+    val out = fs.create(new Path(s"$stateDir/compact/v=$newV/meta.json"), false)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    // cleanup (safe to crash anywhere in here: probes see only the new
+    // version and bid > upToBid; the next compaction re-deletes)
+    artifacts.foreach { a =>
+      val root = new Path(s"$stateDir/${a.name}")
+      if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath).filter { p =>
+          p.getName.startsWith("bid=") &&
+            p.getName.stripPrefix("bid=").toLong <= upToBid
+        }.foreach(fs.delete(_, true))
+    }
+    val croot = new Path(s"$stateDir/compact")
+    fs.listStatus(croot).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        p.getName.stripPrefix("v=").toLong < newV)
+      .foreach(fs.delete(_, true))
+    // earlier probes cached these directories' file listings in the
+    // session's FileStatusCache; without invalidation the NEXT trigger
+    // would plan scans over the just-deleted bid files and crash
+    artifacts.foreach(a => spark.catalog.refreshByPath(s"$stateDir/${a.name}"))
+    spark.catalog.refreshByPath(s"$stateDir/compact")
+    results.map(r => r._1 -> r._2).toMap
+  }
+}

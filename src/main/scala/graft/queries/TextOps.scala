@@ -4778,14 +4778,31 @@ object TextOps {
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat(col("text"), lit(" "), col("text")).as("text")))
       val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_t108_state").toString
-      Seq(b0, b1, b2).zipWithIndex.map { case (b, bid) =>
-        val surv = Dedup.nearDupFilterBatch(b, "doc_id", "text", stateDir,
-          bid.toLong, n = 3, threshold = 0.7)
-        Dedup.nearDupCommitBatch(surv, "doc_id", "text", stateDir,
+        .createTempDirectory("graft_t108_state")
+      // survivor ids are CHECKPOINTED per batch (not left as lazy plans
+      // over the state parquet) so the state dir can be deleted before
+      // the result materializes — a registry query must not leak /tmp
+      // state across gate/bench invocations. Compacting between bids 1
+      // and 2 (replay-safe floor: bid 2 is the next to run) also gates
+      // the bucketed-fold probe path: bid 2's admissions must be
+      // byte-identical over folded state, which the oracle checks.
+      val perBid = Seq(b0, b1, b2).zipWithIndex.map { case (b, bid) =>
+        val surv = Dedup.nearDupFilterBatch(b, "doc_id", "text",
+          stateDir.toString, bid.toLong, n = 3, threshold = 0.7)
+        Dedup.nearDupCommitBatch(surv, "doc_id", "text", stateDir.toString,
           bid.toLong, n = 3)
-        surv.select(lit(bid.toLong).as("bid"), col("doc_id"))
-      }.reduce(_ unionByName _).orderBy("bid", "doc_id")
+        // checkpoint BEFORE compacting: surv is a lazy plan over the
+        // pre-fold state files, which the fold deletes
+        val ids = surv.select(lit(bid.toLong).as("bid"), col("doc_id"))
+          .localCheckpoint(true)
+        if (bid == 1) Dedup.compactNearDupState(s, stateDir.toString,
+          upToBid = 1L, minReplayableBid = 2L)
+        ids
+      }
+      java.nio.file.Files.walk(stateDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      perBid.reduce(_ unionByName _).orderBy("bid", "doc_id")
     },
     Some(s"""WITH RECURSIVE
              tk AS (SELECT doc_id, $duckToks AS toks FROM documents),

@@ -177,7 +177,8 @@ object StreamingPipeline {
       graft.operators.Dedup.streamingNearDupFilter(
           decoded, nd.idColumn, nd.textColumn, nd.stateDir,
           nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed,
-          checkpointDir = checkpointDir, trigger = Some(trigger)) {
+          checkpointDir = checkpointDir, trigger = Some(trigger),
+          compactEveryNTriggers = nd.compactEveryNTriggers) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)

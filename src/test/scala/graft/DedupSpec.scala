@@ -413,10 +413,10 @@ class DedupSpec extends SparkTestBase {
     assert(texts.filter(col("doc_id") === 5L).count() == 1L)
   }
 
-  test("compactNearDupState folds bid partitions; probes are identical after the swap") {
+  test("compactNearDupState: bucketed in-place fold; pruned probe ≡ uncompacted probe; replay guards") {
     val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_ndf_compact_src").toString
-    val docsPerBid = Map(
+      .createTempDirectory("graft_ndf_compact").toString
+    val docsPerBid = Seq(
       0L -> Seq((1L, "the quick brown fox jumps over the lazy dog tonight in the woods")),
       1L -> Seq((2L, "spark executes declarative plans with catalyst optimizing joins and scans")),
       2L -> Seq((3L, "completely unrelated content about volcanic geology and tidal measurements")))
@@ -424,34 +424,86 @@ class DedupSpec extends SparkTestBase {
       Dedup.nearDupCommitBatch(rows.toDF("doc_id", "text"),
         "doc_id", "text", stateDir, bid, n = 3)
     }
-    val newDir = java.nio.file.Files
-      .createTempDirectory("graft_ndf_compact_dst").toString + "/state"
+    // control copy: SAME commits, never compacted → the unpruned path
+    val control = java.nio.file.Files
+      .createTempDirectory("graft_ndf_control").toString
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(stateDir), java.nio.file.Paths.get(control))
+    // tiny buckets so the fold produces MANY __pb partitions and the
+    // probe genuinely prunes (not a one-bucket degenerate layout)
     val (bRows, tRows) = Dedup.compactNearDupState(
-      spark, stateDir, newDir, upToBid = 2L)
+      spark, stateDir, upToBid = 2L, minReplayableBid = 3L,
+      bandRowsPerBucket = 2L, textRowsPerBucket = 1L)
     assert(tRows == 3L && bRows > 0L)
-    // one folded partition per artifact
-    def bidDirs(root: String, sub: String) =
-      new java.io.File(s"$root/$sub").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("bid=")).toSeq
-    assert(bidDirs(stateDir, "bands").size == 3)
-    assert(bidDirs(newDir, "bands").map(_.getName) == Seq("bid=2"))
-    assert(bidDirs(newDir, "texts").map(_.getName) == Seq("bid=2"))
-    // probe equivalence: a batch with one exact replay (of the bid=0
-    // admit) and one fresh doc filters identically on both state dirs
+    def dirs(root: String, prefix: String) = {
+      val f = new java.io.File(root)
+      if (!f.exists()) Seq.empty
+      else f.listFiles().filter(d => d.isDirectory &&
+        d.getName.startsWith(prefix)).toSeq
+    }
+    // folded bid partitions are gone; the bucketed version is committed
+    assert(dirs(s"$stateDir/bands", "bid=").isEmpty)
+    assert(dirs(s"$stateDir/texts", "bid=").isEmpty)
+    assert(new java.io.File(s"$stateDir/compact/v=0/meta.json").exists())
+    assert(dirs(s"$stateDir/compact/v=0/bands", "__pb=").size > 1)
+    assert(dirs(s"$stateDir/compact/v=0/texts", "__pb=").size > 1)
+    // probe identity: one near-dup of a folded admit + one fresh doc
+    // filter IDENTICALLY against compacted (pruned read) and control
+    // (full bid-partition scan) state
     val probe = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight in the woods"),
       (11L, "a genuinely new document about deep sea hydrothermal vents"))
       .toDF("doc_id", "text")
-    def survivors(dir: String) =
+    def survivors(dir: String, bid: Long) =
       Dedup.nearDupFilterBatch(probe, "doc_id", "text", dir,
-        batchId = 3L, n = 3, threshold = 0.5)
+        batchId = bid, n = 3, threshold = 0.5)
         .collect().map(_.getLong(0)).toSet
-    assert(survivors(stateDir) == Set(11L))
-    assert(survivors(newDir) == Set(11L))
-    // in-place compaction is refused (all-or-nothing contract)
-    intercept[IllegalArgumentException] {
-      Dedup.compactNearDupState(spark, stateDir, stateDir, 2L)
+    assert(survivors(stateDir, 3L) == Set(11L))
+    assert(survivors(control, 3L) == Set(11L))
+    // replaying a batch at-or-below the fold floor fails LOUDLY (its
+    // own folded commits would read as history = total recall loss)
+    val atFloor = intercept[IllegalArgumentException](survivors(stateDir, 2L))
+    assert(atFloor.getMessage.contains("compacted through"), atFloor.getMessage)
+    // folding a replayable bid is refused up front
+    val unsafe = intercept[IllegalArgumentException] {
+      Dedup.compactNearDupState(spark, stateDir,
+        upToBid = 5L, minReplayableBid = 5L)
     }
+    assert(unsafe.getMessage.contains("replayable"), unsafe.getMessage)
+    // a SECOND fold stacks: new commit + re-compaction re-folds the
+    // previous version, bumps v=1, deletes v=0, and probes still match
+    Dedup.nearDupCommitBatch(
+      Seq((4L, "fresh admitted text about glacier dynamics and isotope dating"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, batchId = 3L, n = 3)
+    Dedup.nearDupCommitBatch(
+      Seq((4L, "fresh admitted text about glacier dynamics and isotope dating"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", control, batchId = 3L, n = 3)
+    val (b2, t2) = Dedup.compactNearDupState(
+      spark, stateDir, upToBid = 3L, minReplayableBid = 4L,
+      bandRowsPerBucket = 2L, textRowsPerBucket = 1L)
+    assert(t2 == 4L && b2 > bRows)
+    assert(!new java.io.File(s"$stateDir/compact/v=0").exists())
+    assert(new java.io.File(s"$stateDir/compact/v=1/meta.json").exists())
+    val probe2 = Seq(
+      (20L, "fresh admitted text about glacier dynamics and isotope dating"),
+      (21L, "yet another novel doc on coral reef bleaching thresholds"))
+      .toDF("doc_id", "text")
+    def surv2(dir: String) =
+      Dedup.nearDupFilterBatch(probe2, "doc_id", "text", dir,
+        batchId = 4L, n = 3, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+    assert(surv2(stateDir) == Set(21L))
+    assert(surv2(control) == Set(21L))
   }
 
   test("nearDupFilterBatch: empty state dirs read as first batch; torn state fails loudly") {

@@ -130,6 +130,40 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(nd(
       "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
         "num_hashes: 64, bands: 7")).exists(_.contains("divide")))
+    // seed parses as a Long — a 64-bit seed must validate (r8 advisor:
+    // canConvertToInt rejected legitimate values)
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "seed: 99999999999")).isEmpty)
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "seed: not_a_number")).exists(_.contains("seed")))
+    // compaction cadence: integer >= 1
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "compact_every_n_triggers: 5")).isEmpty)
+    assert(errsOf(nd(
+      "id_column: doc_id, text_column: text, state_dir: /tmp/s, " +
+        "compact_every_n_triggers: 0")).exists(_.contains(">= 1")))
+  }
+
+  test("near_dup handler rejects a stricter explicit on_error policy (decode is IGNORE by construction)") {
+    def cfg(onError: String) =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.NearDupFilter'
+         |    near_dup: {id_column: doc_id, text_column: text, state_dir: /tmp/s}
+         |  sink: {type: noop}$onError
+         |""".stripMargin
+    assert(errsOf(cfg("")).isEmpty) // no on_error: implicit IGNORE
+    assert(errsOf(cfg("\n  on_error: {policy: IGNORE}")).isEmpty)
+    assert(errsOf(cfg("\n  on_error: {policy: RAISE}"))
+      .exists(_.contains("IGNORE")))
+    assert(errsOf(cfg(
+      "\n  on_error: {policy: DLQ, dlq: {type: noop}}"))
+      .exists(_.contains("dishonored")))
   }
 
   test("window kind enum + slide pairing are enforced both ways") {

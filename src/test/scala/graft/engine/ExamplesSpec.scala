@@ -324,10 +324,36 @@ class ExamplesSpec extends SparkTestBase {
         running.processAllAvailable()
         assert(!sink.allRows.exists(_.contains("\"doc_id\":6")),
           sink.allRows.toString)
+        // the config's compact_every_n_triggers: 1 folded the state
+        // MID-STREAM (after each non-zero trigger) — and admissions
+        // against the folded, bucket-pruned state stay identical: a
+        // third batch replays an admitted doc (dropped) next to a
+        // fresh one (admitted)
+        assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
+          "expected a committed compact version under state_dir")
+        broker.publish("input-documents", Seq(
+          s"""{"doc_id":7,"text":"$other"}""",
+          s"""{"doc_id":8,"text":"a genuinely new document about deep sea hydrothermal vents and chemosynthesis"}"""),
+          partitions = 1)
+        running.processAllAvailable()
+        assert(!sink.allRows.exists(_.contains("\"doc_id\":7")),
+          sink.allRows.toString)
+        assert(sink.allRows.exists(_.contains("\"doc_id\":8")),
+          sink.allRows.toString)
       } finally running.stop()
-      // the committed state is the persistable artifact: band index +
-      // admitted texts landed under the configured state_dir
-      assert(spark.read.parquet(s"$stateDir/texts").count() == 3L)
+      // the committed state is the persistable artifact: the folded
+      // compact version plus any not-yet-folded live bids together
+      // hold every admitted text (1, 2, 5, 8)
+      val compactRoot = Files.list(Paths.get(stateDir, "compact"))
+        .filter(p => p.getFileName.toString.startsWith("v="))
+        .sorted(java.util.Comparator.reverseOrder()).findFirst().get()
+      val folded = spark.read.parquet(s"$compactRoot/texts").count()
+      val live =
+        if (Files.exists(Paths.get(stateDir, "texts")) &&
+            Files.list(Paths.get(stateDir, "texts")).count() > 0)
+          spark.read.parquet(s"$stateDir/texts").count()
+        else 0L
+      assert(folded + live == 4L, s"folded=$folded live=$live")
     } finally broker.stop()
   }
 
