@@ -490,8 +490,10 @@ object Dedup {
     val liveTexts = live("texts")
     def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
       ci.flatMap(c => IndexState.readCompact(spark, stateDir, c, sub, prune))
-    val bandsAvail = compactPart("bands", None).isDefined || liveBands.isDefined
-    val textsAvail = compactPart("texts", None).isDefined || liveTexts.isDefined
+    def compactHas(sub: String): Boolean =
+      ci.exists(c => IndexState.compactHas(spark, stateDir, c, sub))
+    val bandsAvail = compactHas("bands") || liveBands.isDefined
+    val textsAvail = compactHas("texts") || liveTexts.isDefined
     if (!bandsAvail && !textsAvail) within // first batch: nothing admitted yet
     else if (bandsAvail != textsAvail)
       // exactly one artifact readable: the state is torn (a commit

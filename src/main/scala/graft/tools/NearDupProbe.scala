@@ -25,7 +25,153 @@ object NearDupProbe {
     s"""{"doc_id":$i,"text":"${words.mkString(" ")}"}"""
   }
 
+  /** `bytes` mode — the scale-evidence run for the bucketed compact
+    * layout: how many BYTES a fixed-size probe reads from the
+    * persisted state, before vs after compaction, as admitted history
+    * grows. Usage:
+    *   sbt "runMain graft.tools.NearDupProbe bytes <histDocs> [probeDocs]"
+    * Run at two history sizes (e.g. 25000 and 250000) and compare the
+    * `compacted` rows: uncompacted probe bytes grow ~linearly with
+    * history, compacted probe bytes stay ~flat once the bucket count
+    * outgrows the probe's key count (the SCALE.md cost law). */
+  private def bytesMain(histDocs: Int, probeDocs: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // Neither task inputMetrics nor Hadoop FS statistics see the
+    // vectorized parquet reader's positioned reads on file:// (both
+    // reported 0.12 MB for a 6.4 MB full scan) — so measure at the
+    // PLAN level instead: FileSourceScanExec's `filesSize` metric is
+    // the bytes selected for read AFTER partition pruning, which is
+    // exactly the quantity the bucketed layout is supposed to shrink.
+    // Only scans rooted under the state dir count (probe-side reads
+    // excluded).
+    val stateBytes = new java.util.concurrent.atomic.AtomicLong
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      // AQE materializes stages as CHILDLESS QueryStageExec leaves —
+      // without recursing `.plan` every scan inside a stage is missed
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scansOf)
+    }
+    @volatile var stateDirForListener: String = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          scansOf(qe.executedPlan).foreach { s =>
+            val under = s.relation.location.rootPaths.exists(
+              _.toString.contains(stateDirForListener))
+            if (under && stateDirForListener.nonEmpty) {
+              val sz = s.metrics.get("filesSize").map(_.value).getOrElse(0L)
+              stateBytes.addAndGet(sz)
+              if (sys.env.contains("GRAFT_NDPROBE_DEBUG"))
+                println(f"    [scan] $funcName sz=${sz / 1e6}%.3f MB " +
+                  s"parts=${s.relation.location.rootPaths.head}")
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    object bytesRead {
+      def get(): Long = {
+        // the execution-listener bus is async — drain it first
+        org.apache.spark.graftx.Listeners
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        stateBytes.get()
+      }
+    }
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ndbytes").toString
+    stateDirForListener = stateDir
+    // admit history in 10k-doc trigger commits. Texts use per-(doc,
+    // position) tokens — ZERO accidental overlap: Bench's small-vocab
+    // generator has modular word-shift cycles (docs i and i+451 share
+    // 37/39 tokens → genuine near-dups) that make candidate counts —
+    // and therefore the text-side pruning — grow with history for
+    // reasons that are fixture artifacts, not engine behavior
+    def histText(i: Long): String =
+      s"d$i " + (1 to 39).map(w => s"w${i}x$w").mkString(" ")
+    val chunk = 10000
+    val nBids = (histDocs + chunk - 1) / chunk
+    (0 until nBids).foreach { bid =>
+      val lines = (bid.toLong * chunk until math.min((bid + 1).toLong * chunk,
+        histDocs.toLong))
+        .map(i => s"""{"doc_id":$i,"text":"${histText(i)}"}""")
+      val b = spark.read.json(lines.toDS())
+      graft.operators.Dedup.nearDupCommitBatch(b, "doc_id", "text",
+        stateDir, bid.toLong, n = 3)
+    }
+    // fixed probe: mostly novel + 2 exact dups of history (so the
+    // candidate/verify path and the text read are exercised)
+    val probe = ((0 until probeDocs - 2).map(i =>
+      (1000000L + i, s"novel probe document $i " + (1 to 38).map(w =>
+        s"p${i}y$w").mkString(" "))) ++ Seq(
+      (2000000L, histText(0L)), (2000001L, histText(7L))))
+      .toDF("doc_id", "text").cache()
+    probe.count()
+    def measure(label: String): Long = {
+      spark.catalog.clearCache(); probe.cache(); probe.count()
+      val t0 = System.nanoTime(); val b0 = bytesRead.get()
+      val surv = graft.operators.Dedup.nearDupFilterBatch(probe,
+        "doc_id", "text", stateDir, nBids.toLong, n = 3, threshold = 0.7)
+      val n = surv.count()
+      val db = bytesRead.get() - b0
+      println(f"  $label%-12s probe bytes read = ${db / 1e6}%9.2f MB   " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s   survivors=$n")
+      n
+    }
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(c => du(c.getPath)).sum
+    }
+    println(s"history=$histDocs docs ($nBids bids), probe=$probeDocs docs, " +
+      f"state on disk = ${du(stateDir) / 1e6}%.2f MB ($stateDir)")
+    // calibration: what a FULL scan of each artifact reports
+    val c0 = bytesRead.get()
+    val nb = spark.read.parquet(s"$stateDir/bands").agg(max(col("bh"))).collect()
+    val c1 = bytesRead.get()
+    val nt = spark.read.parquet(s"$stateDir/texts")
+      .agg(sum(length(col("text")))).collect()
+    println(f"  on disk: bands ${du(s"$stateDir/bands") / 1e6}%.2f MB, " +
+      f"texts ${du(s"$stateDir/texts") / 1e6}%.2f MB; full-scan " +
+      f"calibration: bands ${(c1 - c0) / 1e6}%.2f MB, " +
+      f"texts ${(bytesRead.get() - c1) / 1e6}%.2f MB " +
+      s"(${nb.head} ${nt.head})")
+    val sUnc = measure("uncompacted")
+    graft.operators.Dedup.compactNearDupState(spark, stateDir,
+      upToBid = nBids - 1L, minReplayableBid = nBids.toLong,
+      bandRowsPerBucket = 1024L, textRowsPerBucket = 128L)
+    println(f"  state on disk after fold = ${du(stateDir) / 1e6}%.2f MB; " +
+      s"band buckets = ${new java.io.File(s"$stateDir/compact")
+        .listFiles().head.toPath.resolve("bands").toFile.listFiles().length}")
+    val sCom = measure("compacted")
+    assert(sUnc == sCom, s"survivor mismatch: $sUnc vs $sCom")
+    println(s"  (survivor count identical pre/post fold: $sUnc)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bytes")) {
+      bytesMain(args.lift(1).map(_.toInt).getOrElse(25000),
+        args.lift(2).map(_.toInt).getOrElse(16))
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nDocs = args.headOption.map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
