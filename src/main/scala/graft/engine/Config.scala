@@ -141,9 +141,28 @@ final case class NearDupConf(
       * never compact (short-lived or externally-maintained state). */
     compactEveryNTriggers: Option[Int] = None)
 
+/** Streaming embedding near-dup admission handler
+  * (`handlers.CosineDupFilter`): `CosineDedup.streamingCosineDupFilter`
+  * declared in YAML — the NearDupFilter discipline for embedding
+  * streams. `id_column` must be numeric, `vec_column` a top-level JSON
+  * array of numbers (decoded to float32, the embedding storage type).
+  * `dim` is the embedding dimensionality (hyperplane count input). */
+final case class CosineDupConf(
+    idColumn: String,
+    vecColumn: String,
+    stateDir: String,
+    dim: Int,
+    threshold: Double = 0.95,
+    bands: Int = 16,
+    rowsPerBand: Int = 12,
+    seed: Long = 42L,
+    shufflePartitions: Option[Int] = None,
+    compactEveryNTriggers: Option[Int] = None)
+
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None,
-    nearDup: Option[NearDupConf] = None)
+    nearDup: Option[NearDupConf] = None,
+    cosineDup: Option[CosineDupConf] = None)
 
 final case class KafkaSinkConf(
     brokers: Seq[String], topic: String,
@@ -324,6 +343,27 @@ object Config {
                 Some(nd.path("shuffle_partitions").asInt()) else None,
               compactEveryNTriggers = if (nd.has("compact_every_n_triggers"))
                 Some(nd.path("compact_every_n_triggers").asInt()) else None))
+          } else None,
+          cosineDup = if (h.has("cosine_dup")) {
+            val cd = h.path("cosine_dup")
+            def req(k: String): String = {
+              if (!cd.has(k)) throw new IllegalArgumentException(
+                s"cosine_dup requires `$k`")
+              cd.path(k).asText()
+            }
+            Some(CosineDupConf(
+              idColumn = req("id_column"),
+              vecColumn = req("vec_column"),
+              stateDir = req("state_dir"),
+              dim = { req("dim"); cd.path("dim").asInt() },
+              threshold = cd.path("threshold").asDouble(0.95),
+              bands = cd.path("bands").asInt(16),
+              rowsPerBand = cd.path("rows_per_band").asInt(12),
+              seed = cd.path("seed").asLong(42L),
+              shufflePartitions = if (cd.has("shuffle_partitions"))
+                Some(cd.path("shuffle_partitions").asInt()) else None,
+              compactEveryNTriggers = if (cd.has("compact_every_n_triggers"))
+                Some(cd.path("compact_every_n_triggers").asInt()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),

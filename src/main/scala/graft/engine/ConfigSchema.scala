@@ -224,10 +224,11 @@ object ConfigSchema {
 
       if (pl.has("handler")) {
         val h = pl.path("handler"); val hp = "$.pipeline.handler"
-        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window", "near_dup"))
+        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window", "near_dup", "cosine_dup"))
         enumOf(h, hp, "type", Set("handlers.InferredDiskBatch",
           "handlers.InferredMemBatch", "handlers.StructuredBatch",
-          "handlers.NativeWindow", "handlers.NearDupFilter"))
+          "handlers.NativeWindow", "handlers.NearDupFilter",
+          "handlers.CosineDupFilter"))
         if (h.path("type").asText() == "handlers.NearDupFilter") {
           requireKeys(h, hp, Seq("type", "near_dup"))
           val nd = h.path("near_dup"); val np = s"$hp.near_dup"
@@ -266,6 +267,36 @@ object ConfigSchema {
                 "dishonored — remove on_error or set policy: IGNORE, " +
                 "or front the daemon with a SQL handler for a " +
                 "stricter decode contract")
+        } else if (h.path("type").asText() == "handlers.CosineDupFilter") {
+          requireKeys(h, hp, Seq("type", "cosine_dup"))
+          val cd = h.path("cosine_dup"); val cp = s"$hp.cosine_dup"
+          requireKeys(cd, cp, Seq("id_column", "vec_column", "state_dir",
+            "dim"))
+          checkKeys(cd, cp, Set("id_column", "vec_column", "state_dir",
+            "dim", "threshold", "bands", "rows_per_band", "seed",
+            "shuffle_partitions", "compact_every_n_triggers"))
+          str(cd, cp, "id_column"); str(cd, cp, "vec_column")
+          str(cd, cp, "state_dir")
+          int(cd, cp, "dim"); int(cd, cp, "bands")
+          int(cd, cp, "rows_per_band"); lng(cd, cp, "seed")
+          int(cd, cp, "shuffle_partitions")
+          int(cd, cp, "compact_every_n_triggers")
+          if (cd.has("compact_every_n_triggers") &&
+              cd.path("compact_every_n_triggers").asInt(1) < 1)
+            err(s"$cp.compact_every_n_triggers", "must be >= 1")
+          if (cd.has("threshold") && !cd.path("threshold").isNumber)
+            err(s"$cp.threshold", "must be a number")
+          if (cd.has("dim") && cd.path("dim").asInt(1) < 1)
+            err(s"$cp.dim", "must be >= 1")
+          // same decode contract as NearDupFilter: rows without a
+          // numeric id / array vector are dropped pre-admission
+          val explicitCosPolicy = pl.path("on_error").path("policy").asText("")
+          if (explicitCosPolicy.nonEmpty &&
+              explicitCosPolicy.toUpperCase != "IGNORE")
+            err("$.pipeline.on_error.policy",
+              "handlers.CosineDupFilter drops undecodable rows by " +
+                "construction (IGNORE); RAISE/DLQ would be silently " +
+                "dishonored — remove on_error or set policy: IGNORE")
         } else if (h.path("type").asText() == "handlers.NativeWindow") {
           requireKeys(h, hp, Seq("type", "window"))
           val w = h.path("window"); val wp = s"$hp.window"

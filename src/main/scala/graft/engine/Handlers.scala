@@ -193,6 +193,26 @@ final class NearDupBatchHandler(nd: NearDupConf) extends Handler {
   }
 }
 
+/** `handlers.CosineDupFilter` in BATCH mode (dev invoke): one
+  * admission pass of the batch's embeddings against the CURRENT
+  * persisted state — [[NearDupBatchHandler]]'s preview contract in
+  * cosine space (bid = Long.MaxValue sees all committed state, nothing
+  * is written). The streaming daemon routes this handler to the
+  * continuous filter-then-commit loop
+  * (StreamingPipeline.startCosineDupFilter). */
+final class CosineDupBatchHandler(cd: CosineDupConf) extends Handler {
+  override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val projected = batch.select(
+      col(cd.idColumn).cast("long").as(cd.idColumn),
+      col(cd.vecColumn).cast("array<float>").as(cd.vecColumn))
+      .filter(col(cd.idColumn).isNotNull && col(cd.vecColumn).isNotNull)
+    graft.operators.CosineDedup.cosineDupFilterBatch(projected,
+      cd.idColumn, cd.vecColumn, cd.stateDir, Long.MaxValue,
+      cd.threshold, cd.dim, cd.bands, cd.rowsPerBand, cd.seed)
+  }
+}
+
 object Handlers {
   def build(conf: HandlerConf, tables: Map[String, StateTable]): Handler =
     conf.kind match {
@@ -211,6 +231,10 @@ object Handlers {
         new NearDupBatchHandler(conf.nearDup.getOrElse(
           throw new IllegalArgumentException(
             "NearDupFilter handler requires `near_dup`")))
+      case "handlers.CosineDupFilter" =>
+        new CosineDupBatchHandler(conf.cosineDup.getOrElse(
+          throw new IllegalArgumentException(
+            "CosineDupFilter handler requires `cosine_dup`")))
       case other => throw new IllegalArgumentException(s"unknown handler type: $other")
     }
 }

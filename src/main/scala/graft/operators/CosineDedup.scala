@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STREAMING embedding near-dup admission — the cosine-space twin of
+  * `Dedup.streamingNearDupFilter`, giving embedding streams the same
+  * admission discipline text streams have (reference behavior: the
+  * continuously-running dedup front door of a training-data ingest;
+  * cf. turbolytics/sql-flow pipelines that filter a stream against
+  * accumulated state, `sqlflow/handlers.py`). State is the PERSISTED
+  * hyperplane band index plus admitted vectors under `stateDir`
+  * ([[IndexState]] layout: bid-versioned live commits + bucketed
+  * compact folds), never executor memory. Per trigger: O(|batch|·
+  * bands) sketching, a compact-region read pruned to the buckets the
+  * batch's own band values hit, exact-cosine verify bounded by the
+  * CANDIDATE set, then probe-then-commit with the same replay
+  * discipline as the text daemon (probes see `bid < batchId`; a
+  * replayed commit overwrites its own partition; folds stay strictly
+  * below every replayable bid).
+  *
+  * Recall contract = [[Similarity.lshCosinePairs]]' banding recall:
+  * ~1 for the near-identical pairs admission filtering hunts (a
+  * positively-scaled copy collides in EVERY band — hyperplane signs
+  * are scale-invariant), fading below cosine ~0.8. Precision is 1.0
+  * (every candidate is exact-verified at the rounded threshold). */
+object CosineDedup {
+
+  private val bandArtifact =
+    IndexState.Artifact("bands",
+      (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)), 1L << 16)
+  private val vecArtifact =
+    IndexState.Artifact("vecs",
+      (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)), 1L << 13)
+
+  /** Filter one micro-batch against the persisted state: within-batch
+    * near-dups collapse to the min-id canonical first, then the
+    * cross-batch probe drops everything colliding with an admitted
+    * vector at `threshold`. Deterministic per (state, batchId) — a
+    * replayed batch reproduces its own survivor set. `idCol` must be
+    * numeric (canonicalization compares ids). */
+  def cosineDupFilterBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stateDir: String,
+      batchId: Long,
+      threshold: Double,
+      dim: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val spark = batch.sparkSession
+    val ci = IndexState.currentCompact(spark, stateDir)
+    ci.foreach { c =>
+      require(c.upToBid < batchId,
+        s"cosine-dup state under $stateDir is compacted through " +
+          s"bid=${c.upToBid} but batch $batchId is being (re)run — a " +
+          "fold must never cover a replayable batch (pass " +
+          "minReplayableBid to compactCosineDupState)")
+    }
+    val floor = ci.map(_.upToBid).getOrElse(-1L)
+    // 1. within-batch: LSH cosine pairs + min-id canonical survives
+    // (dropped ids localCheckpoint inside dropNonCanonical's CC pass;
+    // the anti-join keeps lineage off the pair generation)
+    val pairs = Similarity.lshCosinePairs(batch, idCol, vecCol,
+        threshold, dim, bands, rowsPerBand, seed)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val dropped = Dedup.dropNonCanonical(batch, pairs, idCol, lit(0))
+      .select(col("doc_id").as("__drop_id"))
+      .localCheckpoint(true)
+    val within = batch.join(dropped,
+      col(idCol).cast("long") === col("__drop_id"), "left_anti")
+    // 2. cross-batch: probe the persisted band index (compact region
+    // pruned to the batch's band-value buckets), exact-cosine verify
+    // against the admitted vectors (pruned to the candidates' buckets)
+    val liveBands = IndexState.readLive(spark, stateDir, "bands", floor, batchId)
+    val liveVecs = IndexState.readLive(spark, stateDir, "vecs", floor, batchId)
+    def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
+      ci.flatMap(c => IndexState.readCompact(spark, stateDir, c, sub, prune))
+    def compactHas(sub: String): Boolean =
+      ci.exists(c => IndexState.compactHas(spark, stateDir, c, sub))
+    val bandsAvail = compactHas("bands") || liveBands.isDefined
+    val vecsAvail = compactHas("vecs") || liveVecs.isDefined
+    if (!bandsAvail && !vecsAvail) within // first batch
+    else if (bandsAvail != vecsAvail)
+      throw new IllegalStateException(
+        s"torn cosine-dup state under $stateDir: bands " +
+          s"${if (bandsAvail) "readable" else "missing"}, vecs " +
+          s"${if (vecsAvail) "readable" else "missing"} — both must " +
+          "exist (or neither); remove the orphaned artifact and retry")
+    else {
+      val (b, bb0) = Similarity.sketchVecBatchForProbe(
+        within, idCol, vecCol, dim, bands, rowsPerBand, seed)
+      val bb = bb0.localCheckpoint(true)
+      val compactBands = ci.flatMap { c =>
+        val hit = IndexState.probeBuckets(bb,
+          pmod(xxhash64(col("band"), col("v")), lit(c.buckets("bands"))))
+        compactPart("bands", Some(hit))
+      }
+      val idxParts = compactBands.toSeq ++ liveBands.toSeq
+      idxParts.foreach(
+        Similarity.checkHyperplaneIndexParams(_, dim, bands, rowsPerBand, seed))
+      val idx = idxParts.reduce(_ unionByName _)
+      val cand = bb.join(idx, Seq("band", "v"))
+        .select("batch_id", "hist_id").distinct()
+        .localCheckpoint(true)
+      val compactVecs = ci.flatMap { c =>
+        val hit = IndexState.probeBuckets(cand,
+          pmod(xxhash64(col("hist_id")), lit(c.buckets("vecs"))))
+        compactPart("vecs", Some(hit))
+      }
+      val hist = (compactVecs.toSeq ++ liveVecs.toSeq)
+        .reduce(_ unionByName _).select(col(idCol), col(vecCol))
+      val hits = Similarity.verifyCosineCandidates(cand, hist,
+          b.select(col("batch_id"), col(vecCol).as("v_b"),
+            col("nrm").as("n_b")),
+          idCol, vecCol, threshold)
+        .select(col("batch_id").as("__dup_id")).distinct()
+      within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
+    }
+  }
+
+  /** Commit one micro-batch's survivors: hyperplane band rows (what
+    * future probes collide against) and admitted vectors (what they
+    * exact-verify against), each overwriting its own `bid=batchId`
+    * partition — a retried batch replaces, never duplicates. */
+  def cosineDupCommitBatch(
+      survivors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stateDir: String,
+      batchId: Long,
+      dim: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L): Unit = {
+    Similarity.hyperplaneBandBuckets(survivors, idCol, vecCol,
+        dim, bands, rowsPerBand, seed)
+      .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
+    survivors.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$stateDir/vecs/bid=$batchId")
+  }
+
+  /** Fold live bid partitions (plus any previous fold) into a new
+    * bucketed compact version — `Dedup.compactNearDupState` semantics
+    * (all-or-nothing meta-last commit, replay-safe floor, probe
+    * identity) over the cosine artifacts. */
+  def compactCosineDupState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      upToBid: Long,
+      minReplayableBid: Long,
+      bandRowsPerBucket: Long = 1L << 16,
+      vecRowsPerBucket: Long = 1L << 13): (Long, Long) = {
+    val counts = IndexState.compact(spark, stateDir, Seq(
+      bandArtifact.copy(targetRowsPerBucket = bandRowsPerBucket),
+      vecArtifact.copy(targetRowsPerBucket = vecRowsPerBucket)),
+      upToBid, minReplayableBid)
+    (counts.getOrElse("bands", 0L), counts.getOrElse("vecs", 0L))
+  }
+
+  /** Wire filter + commit into a Structured Streaming query —
+    * emit-before-commit (at-least-once; survivors deterministic per
+    * bid, so an idempotent sink upgrades it), checkpoint under
+    * `stateDir`, optional periodic compaction with the replay-safe
+    * floor `bid - 1`. */
+  def streamingCosineDupFilter(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stateDir: String,
+      threshold: Double,
+      dim: Int,
+      bands: Int = 16,
+      rowsPerBand: Int = 12,
+      seed: Long = 42L,
+      checkpointDir: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEveryNTriggers: Option[Int] = None)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$stateDir/checkpoint"))
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val survivors = cosineDupFilterBatch(b, idCol, vecCol, stateDir,
+          bid, threshold, dim, bands, rowsPerBand, seed).cache()
+        try {
+          emit(survivors, bid)
+          cosineDupCommitBatch(survivors, idCol, vecCol, stateDir, bid,
+            dim, bands, rowsPerBand, seed)
+        } finally survivors.unpersist()
+        compactEveryNTriggers.filter(k => k > 0 && bid > 0 && bid % k == 0)
+          .foreach { _ =>
+            compactCosineDupState(b.sparkSession, stateDir,
+              upToBid = bid - 1, minReplayableBid = bid)
+          }
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+}

@@ -122,6 +122,23 @@ object Similarity {
       index: DataFrame, history: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double, dim: Int,
       bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
+    checkHyperplaneIndexParams(index, dim, bands, rowsPerBand, seed)
+    val (b, bBuckets) =
+      sketchVecBatchForProbe(batch, idCol, vecCol, dim, bands, rowsPerBand, seed)
+    val cand = bBuckets.join(index, Seq("band", "v"))
+      .select("batch_id", "hist_id").distinct()
+      .localCheckpoint(true)
+    verifyCosineCandidates(cand, history,
+      b.select(col("batch_id"), col(vecCol).as("v_b"), col("nrm").as("n_b")),
+      idCol, vecCol, threshold)
+  }
+
+  /** Fail loudly on a probe whose hyperplane params differ from the
+    * index's build params (band values would never collide — silent
+    * zero recall otherwise). */
+  private[operators] def checkHyperplaneIndexParams(
+      index: DataFrame, dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long): Unit =
     index.schema.fields.find(_.name == "v").map(_.metadata)
       .filter(_.contains("graft.hyperplane.dim")).foreach { m =>
         val built = (m.getLong("graft.hyperplane.dim"),
@@ -133,21 +150,35 @@ object Similarity {
           s"hyperplane index built with (dim,bands,rows,seed)=$built but " +
             s"probed with $probed — band values would never collide")
       }
+
+  /** Sketch a probe batch once: normed vectors as `batch_id` plus the
+    * exploded (batch_id, band, v) hyperplane band rows — the
+    * probe-side mirror of [[hyperplaneBandBuckets]]. */
+  private[operators] def sketchVecBatchForProbe(
+      batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, rowsPerBand: Int, seed: Long)
+      : (DataFrame, DataFrame) = {
     val b = withNorm(graft.queries.Tables.spread(batch), idCol, vecCol)
-    val bBuckets = b.select(col(idCol).as("batch_id"),
+      .withColumnRenamed(idCol, "batch_id")
+    val bBuckets = b.select(col("batch_id"),
       posexplode(graft.functions.HashFunctions.hyperplane_bands(
         col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
-    val cand = bBuckets.join(index, Seq("band", "v"))
-      .select("batch_id", "hist_id").distinct()
-      .localCheckpoint(true)
+    (b, bBuckets)
+  }
+
+  /** Exact-cosine verify of (batch_id, hist_id) candidates; history
+    * vectors are semi-joined to the candidate ids first, so per-probe
+    * vector work is candidate-bounded. */
+  private[operators] def verifyCosineCandidates(
+      cand: DataFrame, history: DataFrame, bVec: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val hVecs = withNorm(
       history.join(cand.select(col("hist_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi"), idCol, vecCol)
       .select(col(idCol).as("hist_id"), col(vecCol).as("v_h"),
         col("nrm").as("n_h"))
     cand
-      .join(b.select(col(idCol).as("batch_id"), col(vecCol).as("v_b"),
-        col("nrm").as("n_b")), "batch_id")
+      .join(bVec, "batch_id")
       .join(hVecs, "hist_id")
       .withColumn("cosine",
         round(vec_dot(col("v_b"), col("v_h")) / (col("n_b") * col("n_h")), 4))

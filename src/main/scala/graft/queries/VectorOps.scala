@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{CosineDedup, Similarity}
 
 /** Vector similarity / ANN operators over the `embeddings` table
   * (array<float> column) — training-data-pipeline extension surface.
@@ -1739,8 +1739,129 @@ object VectorOps {
                ON ${duckCos("b.v", "h.v", 4)} >= 0.85
              ORDER BY batch_id, hist_id"""))
 
+  // STREAMING cosine admission (CosineDedup.streamingCosineDupFilter),
+  // gated as a deterministic batch REPLAY — t108's discipline in
+  // cosine space: the registry can't run a StreamingQuery, but the
+  // daemon's whole contract lives in its per-trigger body
+  // (cosineDupFilterBatch → cosineDupCommitBatch over persisted
+  // parquet state), so replaying a fixed 3-batch schedule through
+  // exactly those calls gates the same code the foreachBatch daemon
+  // runs (CosineDedupSpec covers the wiring: retries, replay
+  // idempotence, compaction, torn state). Schedule: batch0 = %9==0;
+  // batch1 adds 2×-scaled copies of batch0 (cross-batch dups);
+  // batch2 adds 0.5×-scaled copies of batch1's class (cross-batch),
+  // 3×-scaled copies of its own class (WITHIN-batch dups, min-id
+  // canonical survives) and NEGATED copies of batch0 (cosine −1 — the
+  // never-match cohort, admitted). The state is compacted between
+  // bids 1 and 2 (replay-safe floor), so bid 2 gates the folded,
+  // bucket-pruned probe path. Recall is exactly 1 for every planted
+  // pair: hyperplane signs are invariant under positive scaling, so a
+  // scaled copy collides in EVERY band; precision is exact on both
+  // sides (rounded-cosine verify vs the oracle's exact pairs). The
+  // oracle replays probe-then-commit per bid in recursive CTEs (exact
+  // cosine pairs → min-label connected components → min-id canonical
+  // → NOT EXISTS vs earlier admits).
+  private val v40 = GraftQuery(
+    "v40_streaming_cosine_dedup_replay",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def cls(k: Int) = e.filter(pmod(col("vec_id"), lit(9)) === k)
+      def scaled(df: org.apache.spark.sql.DataFrame, off: Long, f: Float) =
+        df.select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x * lit(f)).as("embedding"))
+      val b0 = cls(0)
+      val b1 = cls(1).unionByName(scaled(cls(0), 1000000L, 2f))
+      val b2 = cls(2)
+        .unionByName(scaled(cls(1), 2000000L, 0.5f))
+        .unionByName(scaled(cls(2), 3000000L, 3f))
+        .unionByName(scaled(cls(0), 4000000L, -1f))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_v40_state")
+      val perBid = Seq(b0, b1, b2).zipWithIndex.map { case (b, bid) =>
+        val surv = CosineDedup.cosineDupFilterBatch(b, "vec_id",
+          "embedding", stateDir.toString, bid.toLong,
+          threshold = 0.95, dim = 64)
+        CosineDedup.cosineDupCommitBatch(surv, "vec_id", "embedding",
+          stateDir.toString, bid.toLong, dim = 64)
+        // checkpoint BEFORE the fold deletes the pre-fold state files
+        val ids = surv.select(lit(bid.toLong).as("bid"), col("vec_id"))
+          .localCheckpoint(true)
+        if (bid == 1) CosineDedup.compactCosineDupState(s,
+          stateDir.toString, upToBid = 1L, minReplayableBid = 2L)
+        ids
+      }
+      java.nio.file.Files.walk(stateDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      perBid.reduce(_ unionByName _).orderBy("bid", "vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 9 = 0),
+             b1 AS (SELECT vec_id, v FROM e WHERE vec_id % 9 = 1
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+               FROM e WHERE vec_id % 9 = 0),
+             b2 AS (SELECT vec_id, v FROM e WHERE vec_id % 9 = 2
+               UNION ALL
+               SELECT vec_id + 2000000, list_transform(v, x -> x * 0.5)
+               FROM e WHERE vec_id % 9 = 1
+               UNION ALL
+               SELECT vec_id + 3000000, list_transform(v, x -> x * 3)
+               FROM e WHERE vec_id % 9 = 2
+               UNION ALL
+               SELECT vec_id + 4000000, list_transform(v, x -> -x)
+               FROM e WHERE vec_id % 9 = 0),
+             p0 AS (SELECT a.vec_id AS u, b.vec_id AS w FROM b0 a
+               JOIN b0 b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v", 4)} >= 0.95),
+             e0 AS (SELECT u, w FROM p0 UNION ALL SELECT w, u FROM p0),
+             cc0 AS (SELECT u AS node, u AS label FROM e0
+               UNION
+               SELECT g.w AS node, c.label FROM cc0 c JOIN e0 g
+                 ON c.node = g.u),
+             s0 AS (SELECT vec_id, v FROM b0 WHERE vec_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc0
+                  GROUP BY node) WHERE node <> m)),
+             p1 AS (SELECT a.vec_id AS u, b.vec_id AS w FROM b1 a
+               JOIN b1 b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v", 4)} >= 0.95),
+             e1 AS (SELECT u, w FROM p1 UNION ALL SELECT w, u FROM p1),
+             cc1 AS (SELECT u AS node, u AS label FROM e1
+               UNION
+               SELECT g.w AS node, c.label FROM cc1 c JOIN e1 g
+                 ON c.node = g.u),
+             s1w AS (SELECT vec_id, v FROM b1 WHERE vec_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc1
+                  GROUP BY node) WHERE node <> m)),
+             s1 AS (SELECT w.vec_id, w.v FROM s1w w WHERE NOT EXISTS
+               (SELECT 1 FROM s0 h
+                WHERE ${duckCos("w.v", "h.v", 4)} >= 0.95)),
+             a1 AS (SELECT vec_id, v FROM s0
+               UNION ALL SELECT vec_id, v FROM s1),
+             p2 AS (SELECT a.vec_id AS u, b.vec_id AS w FROM b2 a
+               JOIN b2 b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v", 4)} >= 0.95),
+             e2 AS (SELECT u, w FROM p2 UNION ALL SELECT w, u FROM p2),
+             cc2 AS (SELECT u AS node, u AS label FROM e2
+               UNION
+               SELECT g.w AS node, c.label FROM cc2 c JOIN e2 g
+                 ON c.node = g.u),
+             s2w AS (SELECT vec_id, v FROM b2 WHERE vec_id NOT IN
+               (SELECT node FROM (SELECT node, min(label) AS m FROM cc2
+                  GROUP BY node) WHERE node <> m)),
+             s2 AS (SELECT w.vec_id, w.v FROM s2w w WHERE NOT EXISTS
+               (SELECT 1 FROM a1 h
+                WHERE ${duckCos("w.v", "h.v", 4)} >= 0.95))
+             SELECT CAST(bid AS BIGINT) AS bid,
+               CAST(vec_id AS BIGINT) AS vec_id FROM (
+                 SELECT 0 AS bid, vec_id FROM s0
+                 UNION ALL SELECT 1, vec_id FROM s1
+                 UNION ALL SELECT 2, vec_id FROM s2)
+             ORDER BY bid, vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09,
     v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24,
     v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38,
-    v39)
+    v39, v40)
 }

@@ -107,6 +107,15 @@ object StreamingPipeline {
           checkpointDir)
       case _ =>
     }
+    // `handlers.CosineDupFilter`: the NearDupFilter discipline for
+    // embedding streams — survivors to the sink, then committed to the
+    // persisted hyperplane-band/vector index
+    conf.pipeline.handler.cosineDup match {
+      case Some(cd) if conf.pipeline.handler.kind == "handlers.CosineDupFilter" =>
+        return startCosineDupFilter(spark, conf, cd, session, source,
+          batches, checkpointDir)
+      case _ =>
+    }
 
     val writer = source.df.writeStream
       .option("checkpointLocation", checkpointDir.getOrElse(
@@ -179,6 +188,54 @@ object StreamingPipeline {
           nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed,
           checkpointDir = checkpointDir, trigger = Some(trigger),
           compactEveryNTriggers = nd.compactEveryNTriggers) {
+        (survivors, _) =>
+          session.lock.synchronized {
+            session.sink.write(survivors)
+            session.sink.flush()
+          }
+          batches.incrementAndGet()
+          ()
+      }
+    }
+    Running(query, session, source.onStop, batches)
+  }
+
+  /** The `handlers.CosineDupFilter` daemon: raw JSON values →
+    * (id, embedding) via one minimal-schema from_json (vector decoded
+    * as array<double>, cast to float32 — the embedding storage type) →
+    * `CosineDedup.streamingCosineDupFilter`. Rows whose id or vector
+    * is missing/unparseable are dropped before admission (IGNORE by
+    * construction, enforced at config load like NearDupFilter). */
+  private def startCosineDupFilter(
+      spark: SparkSession,
+      conf: Conf,
+      cd: CosineDupConf,
+      session: Invoke.Session,
+      source: Sources.Built,
+      batches: AtomicLong,
+      checkpointDir: Option[String]): Running = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        cd.idColumn, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(cd.vecColumn,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val decoded = source.df
+      .select(from_json(col("value").cast("string"), schema).as("__j"))
+      .select(col(s"__j.${cd.idColumn}").cast("long").as(cd.idColumn),
+        col(s"__j.${cd.vecColumn}").cast("array<float>").as(cd.vecColumn))
+      .filter(col(cd.idColumn).isNotNull && col(cd.vecColumn).isNotNull)
+    val trigger = conf.pipeline.flushIntervalSeconds match {
+      case Some(s) => Trigger.ProcessingTime(s"$s seconds")
+      case None => Trigger.ProcessingTime(0L)
+    }
+    val query = StateStores.withStateConf(spark,
+        conf.pipeline.stateStore, cd.shufflePartitions) {
+      graft.operators.CosineDedup.streamingCosineDupFilter(
+          decoded, cd.idColumn, cd.vecColumn, cd.stateDir,
+          cd.threshold, cd.dim, cd.bands, cd.rowsPerBand, cd.seed,
+          checkpointDir = checkpointDir, trigger = Some(trigger),
+          compactEveryNTriggers = cd.compactEveryNTriggers) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)

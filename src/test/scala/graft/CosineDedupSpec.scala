@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CosineDedup
+
+/** The streaming embedding-admission daemon: within/cross-batch drops,
+  * replay idempotence, compaction identity, torn-state handling —
+  * `DedupSpec`'s streaming contract, in cosine space. Fixture vectors
+  * are axis-aligned so every cosine is exact: scaled copies are 1.0
+  * (hyperplane signs are scale-invariant → banding recall exactly 1),
+  * distinct axes are 0.0, negations are −1.0 (the never-match cohort). */
+class CosineDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+  private def axis(i: Int, scale: Float = 1f): Seq[Float] =
+    (0 until dim).map(j => if (j == i % dim) scale else 0f)
+
+  test("streamingCosineDupFilter admits novel vectors, drops within- and cross-batch scaled copies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_cosdedup").toString
+    val emitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = CosineDedup.streamingCosineDupFilter(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        stateDir, threshold = 0.95, dim = dim) { (survivors, bid) =>
+      emitted(bid) = survivors.collect().map(_.getLong(0)).toSet
+    }
+    try {
+      // batch 0: axes 0 and 1 distinct; 3 = 2× axis0 (WITHIN-batch
+      // scaled copy) → min-id canonical 1 survives
+      mem.addData((1L, axis(0)), (2L, axis(1)), (3L, axis(0, 2f)))
+      q.processAllAvailable()
+      assert(emitted(0L) == Set(1L, 2L), emitted.toString)
+      // batch 1: 4 = 3× axis1 (CROSS-batch, caught via the persisted
+      // hyperplane index); 5 is a fresh axis
+      mem.addData((4L, axis(1, 3f)), (5L, axis(2)))
+      q.processAllAvailable()
+      assert(emitted(1L) == Set(5L), emitted.toString)
+      // batch 2: 6 = −axis0 (cosine −1: NOT a dup — admitted); 7 is an
+      // exact copy of a vector admitted two batches ago (still caught)
+      mem.addData((6L, axis(0, -1f)), (7L, axis(0)))
+      q.processAllAvailable()
+      assert(emitted(2L) == Set(6L), emitted.toString)
+    } finally q.stop()
+    // retry idempotence: re-running a committed batch id reproduces
+    // ITS OWN survivor set (probe reads bid < batchId only)
+    val replay = CosineDedup.cosineDupFilterBatch(
+        Seq((4L, axis(1, 3f)), (5L, axis(2))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", stateDir, batchId = 1L,
+        threshold = 0.95, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == Set(5L), replay.toString)
+  }
+
+  test("compactCosineDupState: fold is probe-identical; replay guards fire") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cos_compact").toString
+    val control = java.nio.file.Files
+      .createTempDirectory("graft_cos_control").toString
+    Seq(stateDir, control).foreach { dir =>
+      Seq(0L -> axis(0), 1L -> axis(1), 2L -> axis(2)).zipWithIndex
+        .foreach { case ((id, v), bid) =>
+          CosineDedup.cosineDupCommitBatch(
+            Seq((id * 10 + 1, v)).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", dir, bid.toLong, dim = dim)
+        }
+    }
+    val (bRows, vRows) = CosineDedup.compactCosineDupState(
+      spark, stateDir, upToBid = 2L, minReplayableBid = 3L,
+      bandRowsPerBucket = 4L, vecRowsPerBucket = 1L)
+    assert(vRows == 3L && bRows > 0L)
+    assert(new java.io.File(s"$stateDir/compact/v=0/meta.json").exists())
+    // probe: a scaled copy of the bid=0 admit + a fresh axis — both
+    // state dirs (folded+pruned vs live bid scan) filter identically
+    val probe = Seq((100L, axis(0, 5f)), (101L, axis(3)))
+      .toDF("vec_id", "embedding")
+    def survivors(dir: String) =
+      CosineDedup.cosineDupFilterBatch(probe, "vec_id", "embedding",
+        dir, batchId = 3L, threshold = 0.95, dim = dim)
+        .collect().map(_.getLong(0)).toSet
+    assert(survivors(stateDir) == Set(101L))
+    assert(survivors(control) == Set(101L))
+    // replaying a batch at-or-below the fold floor fails loudly
+    val atFloor = intercept[IllegalArgumentException] {
+      CosineDedup.cosineDupFilterBatch(probe, "vec_id", "embedding",
+        stateDir, batchId = 2L, threshold = 0.95, dim = dim)
+    }
+    assert(atFloor.getMessage.contains("compacted through"), atFloor.getMessage)
+    // folding a replayable bid is refused
+    val unsafe = intercept[IllegalArgumentException] {
+      CosineDedup.compactCosineDupState(spark, stateDir,
+        upToBid = 7L, minReplayableBid = 7L)
+    }
+    assert(unsafe.getMessage.contains("replayable"), unsafe.getMessage)
+  }
+
+  test("torn cosine state (one artifact only) fails loudly; empty dirs read as first batch") {
+    val probe = Seq((1L, axis(0))).toDF("vec_id", "embedding")
+    val empty = java.nio.file.Files.createTempDirectory("graft_cos_empty")
+    java.nio.file.Files.createDirectories(empty.resolve("bands"))
+    java.nio.file.Files.createDirectories(empty.resolve("vecs"))
+    val surv = CosineDedup.cosineDupFilterBatch(probe, "vec_id", "embedding",
+        empty.toString, batchId = 3L, threshold = 0.95, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L))
+    val torn = java.nio.file.Files.createTempDirectory("graft_cos_torn")
+    graft.operators.Similarity.hyperplaneBandBuckets(
+        probe, "vec_id", "embedding", dim)
+      .write.parquet(torn.resolve("bands/bid=0").toString)
+    val err = intercept[IllegalStateException] {
+      CosineDedup.cosineDupFilterBatch(probe, "vec_id", "embedding",
+        torn.toString, batchId = 1L, threshold = 0.95, dim = dim)
+    }
+    assert(err.getMessage.contains("torn"), err.getMessage)
+    // replaying bid 0 itself must proceed (orphan is bid == batchId)
+    val replayed = CosineDedup.cosineDupFilterBatch(probe, "vec_id",
+        "embedding", torn.toString, batchId = 0L,
+        threshold = 0.95, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(1L))
+  }
+}

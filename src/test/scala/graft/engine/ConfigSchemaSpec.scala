@@ -147,6 +147,35 @@ class ConfigSchemaSpec extends AnyFunSuite {
         "compact_every_n_triggers: 0")).exists(_.contains(">= 1")))
   }
 
+  test("cosine_dup handler block: requireds, typos, dim bound, on_error cross-check") {
+    def cd(block: String, onError: String = "") =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.CosineDupFilter'
+         |    cosine_dup: {$block}
+         |  sink: {type: noop}$onError
+         |""".stripMargin
+    assert(errsOf(cd(
+      "id_column: vec_id, vec_column: embedding, state_dir: /tmp/s, dim: 64")).isEmpty)
+    assert(errsOf(cd(
+      "id_column: vec_id, vec_column: embedding, state_dir: /tmp/s, " +
+        "dim: 64, threshold: 0.95, bands: 16, rows_per_band: 12, " +
+        "compact_every_n_triggers: 4")).isEmpty)
+    assert(errsOf(cd("id_column: vec_id, vec_column: embedding, state_dir: /tmp/s"))
+      .exists(_.contains("dim")))
+    assert(errsOf(cd(
+      "id_column: vec_id, vec_column: embedding, state_dir: /tmp/s, " +
+        "dim: 64, treshold: 0.9")).exists(_.contains("treshold")))
+    assert(errsOf(cd(
+      "id_column: vec_id, vec_column: embedding, state_dir: /tmp/s, dim: 0"))
+      .exists(_.contains(">= 1")))
+    assert(errsOf(cd(
+      "id_column: vec_id, vec_column: embedding, state_dir: /tmp/s, dim: 64",
+      "\n  on_error: {policy: RAISE}")).exists(_.contains("IGNORE")))
+  }
+
   test("near_dup handler rejects a stricter explicit on_error policy (decode is IGNORE by construction)") {
     def cfg(onError: String) =
       s"""pipeline:

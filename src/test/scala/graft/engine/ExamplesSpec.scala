@@ -23,11 +23,12 @@ class ExamplesSpec extends SparkTestBase {
       val errs = ConfigSchema.validate(Config.parseTree(raw))
       assert(errs.isEmpty, s"$p: ${errs.mkString("; ")}")
       val conf = Config.fromString(raw)
-      // NativeWindow/NearDupFilter handlers declare a window / an
-      // admission block instead of SQL
+      // NativeWindow/NearDupFilter/CosineDupFilter handlers declare a
+      // window / an admission block instead of SQL
       assert(conf.pipeline.handler.sql.nonEmpty ||
         conf.pipeline.handler.window.nonEmpty ||
-        conf.pipeline.handler.nearDup.nonEmpty, s"$p: empty handler sql")
+        conf.pipeline.handler.nearDup.nonEmpty ||
+        conf.pipeline.handler.cosineDup.nonEmpty, s"$p: empty handler sql")
       assert(conf.pipeline.source.kind.nonEmpty, s"$p: missing source type")
     }
   }
@@ -354,6 +355,69 @@ class ExamplesSpec extends SparkTestBase {
           spark.read.parquet(s"$stateDir/texts").count()
         else 0L
       assert(folded + live == 4L, s"folded=$folded live=$live")
+    } finally broker.stop()
+  }
+
+  test("cosinedup.filter example in dev-invoke mode: previews admission, commits nothing") {
+    val state = Files.createTempDirectory("graft_inv_cosdedup").toString
+    val fx = Files.createTempFile("graft_cosdedup_fx", ".jsonl")
+    Files.writeString(fx,
+      """{"vec_id":1,"embedding":[1.0,0,0,0,0,0,0,0]}
+        |{"vec_id":2,"embedding":[0,1.0,0,0,0,0,0,0]}
+        |{"vec_id":3,"embedding":[2.0,0,0,0,0,0,0,0]}
+        |""".stripMargin)
+    val conf = Config.fromFile("examples/cosinedup.filter.yml",
+      Map("QUEUE_BROKERS" -> "unused:9099", "COSINEDUP_STATE_DIR" -> state))
+    val got = Invoke.invokeConf(spark, conf, fx.toString)
+      .select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L)) // 3 = 2× vec 1 (cosine 1.0); min id wins
+    assert(!Files.exists(Paths.get(state, "vecs")) &&
+      !Files.exists(Paths.get(state, "bands")))
+  }
+
+  test("cosinedup.filter example EXECUTES as a config: continuous embedding admission with mid-stream compaction") {
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    val stateDir = Files.createTempDirectory("graft_ex_cosdedup").toString
+    try {
+      def vec(axis: Int, scale: Double) = (0 until 8)
+        .map(j => if (j == axis) scale else 0.0).mkString("[", ",", "]")
+      broker.publish("input-embeddings", Seq(
+        s"""{"vec_id":1,"embedding":${vec(0, 1.0)}}""",
+        s"""{"vec_id":2,"embedding":${vec(1, 1.0)}}""",
+        s"""{"vec_id":3,"embedding":${vec(0, 2.0)}}""",
+        """{"vec_id":4,"vector":"wrong field"}""",
+        s"""{"vec_id":5,"embedding":${vec(2, 1.0)}}"""),
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/cosinedup.filter.yml",
+        Map("QUEUE_BROKERS" -> broker.address,
+          "COSINEDUP_STATE_DIR" -> stateDir))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        // 3 is a scaled copy of 1 (dropped, min-id canonical); 4 has
+        // no embedding field (IGNORE decode); 1/2/5 admitted
+        val admitted = sink.allRows
+          .map(r => r.split("\"vec_id\":")(1).split("[,}]")(0).toLong).sorted
+        assert(admitted == Seq(1L, 2L, 5L), sink.allRows.toString)
+        // a LATER batch: scaled copy of an admit is caught via the
+        // persisted (and — compact_every_n_triggers: 1 — FOLDED)
+        // index; a fresh axis passes
+        broker.publish("input-embeddings", Seq(
+          s"""{"vec_id":6,"embedding":${vec(1, 0.5)}}""",
+          s"""{"vec_id":7,"embedding":${vec(3, 1.0)}}"""),
+          partitions = 1)
+        running.processAllAvailable()
+        assert(!sink.allRows.exists(_.contains("\"vec_id\":6")),
+          sink.allRows.toString)
+        assert(sink.allRows.exists(_.contains("\"vec_id\":7")),
+          sink.allRows.toString)
+        assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
+          "expected a committed compact version under state_dir")
+      } finally running.stop()
     } finally broker.stop()
   }
 
