@@ -237,8 +237,12 @@ object Bench {
     def runPipe(name: String, handlerSql: String): (String, Double) = {
       val handler = new graft.engine.InferredBatchHandler(handlerSql, Map())
       val sink = new graft.engine.NoopSink
-      // warmup batch
-      runBatch(spark, handler, sink, batchLines)
+      // warmup: THREE batches, not one — each forked child starts JIT-
+      // cold, and one 50k-row batch left agg_mem's codegen (JSON
+      // inference + hash agg) half-compiled, spreading the min rep 35%
+      // below the median (r8 band 55.7k–90.8k); the extra two batches
+      // cost ~1 s and pull the floor up
+      (0 until 3).foreach(_ => runBatch(spark, handler, sink, batchLines))
       name -> bestHalf(nBatches, () => runBatch(spark, handler, sink, batchLines))
     }
 
@@ -412,8 +416,13 @@ object Bench {
     }
 
     def runNearDup(): (String, Double) = {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "50000").toLong
-      val docBatch = math.min(10000L, nDocs).toInt
+      // 50k-doc triggers: the measured cost law (SCALE.md) is a ~3 s
+      // fixed floor per trigger + ~0.1 ms/doc, so 10k-doc triggers
+      // (r8) measured mostly floor — 547–1,576 docs/s, a 2.9× band of
+      // noise around 3 s. At the amortizing trigger size the floor is
+      // ~25% of the trigger, and the metric is decision-grade.
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+      val docBatch = math.min(50000L, nDocs).toInt
       val nFiles = math.max(1, (nDocs / docBatch).toInt)
       def writeDocFiles(dir: java.nio.file.Path, files: Int): Unit =
         (0 until files).foreach { f =>
