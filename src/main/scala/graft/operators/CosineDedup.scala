@@ -50,16 +50,6 @@ object CosineDedup {
       bands: Int = 16,
       rowsPerBand: Int = 12,
       seed: Long = 42L): DataFrame = {
-    val spark = batch.sparkSession
-    val ci = IndexState.currentCompact(spark, stateDir)
-    ci.foreach { c =>
-      require(c.upToBid < batchId,
-        s"cosine-dup state under $stateDir is compacted through " +
-          s"bid=${c.upToBid} but batch $batchId is being (re)run — a " +
-          "fold must never cover a replayable batch (pass " +
-          "minReplayableBid to compactCosineDupState)")
-    }
-    val floor = ci.map(_.upToBid).getOrElse(-1L)
     // 1. within-batch: LSH cosine pairs + min-id canonical survives
     // (dropped ids localCheckpoint inside dropNonCanonical's CC pass;
     // the anti-join keeps lineage off the pair generation)
@@ -74,50 +64,27 @@ object CosineDedup {
     // 2. cross-batch: probe the persisted band index (compact region
     // pruned to the batch's band-value buckets), exact-cosine verify
     // against the admitted vectors (pruned to the candidates' buckets)
-    val liveBands = IndexState.readLive(spark, stateDir, "bands", floor, batchId)
-    val liveVecs = IndexState.readLive(spark, stateDir, "vecs", floor, batchId)
-    def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
-      ci.flatMap(c => IndexState.readCompact(spark, stateDir, c, sub, prune))
-    def compactHas(sub: String): Boolean =
-      ci.exists(c => IndexState.compactHas(spark, stateDir, c, sub))
-    val bandsAvail = compactHas("bands") || liveBands.isDefined
-    val vecsAvail = compactHas("vecs") || liveVecs.isDefined
-    if (!bandsAvail && !vecsAvail) within // first batch
-    else if (bandsAvail != vecsAvail)
-      throw new IllegalStateException(
-        s"torn cosine-dup state under $stateDir: bands " +
-          s"${if (bandsAvail) "readable" else "missing"}, vecs " +
-          s"${if (vecsAvail) "readable" else "missing"} — both must " +
-          "exist (or neither); remove the orphaned artifact and retry")
-    else {
-      val (b, bb0) = Similarity.sketchVecBatchForProbe(
-        within, idCol, vecCol, dim, bands, rowsPerBand, seed)
-      val bb = bb0.localCheckpoint(true)
-      val compactBands = ci.flatMap { c =>
-        val hit = IndexState.probeBuckets(bb,
-          pmod(xxhash64(col("band"), col("v")), lit(c.buckets("bands"))))
-        compactPart("bands", Some(hit))
-      }
-      val idxParts = compactBands.toSeq ++ liveBands.toSeq
-      idxParts.foreach(
-        Similarity.checkHyperplaneIndexParams(_, dim, bands, rowsPerBand, seed))
-      val idx = idxParts.reduce(_ unionByName _)
-      val cand = bb.join(idx, Seq("band", "v"))
-        .select("batch_id", "hist_id").distinct()
-        .localCheckpoint(true)
-      val compactVecs = ci.flatMap { c =>
-        val hit = IndexState.probeBuckets(cand,
-          pmod(xxhash64(col("hist_id")), lit(c.buckets("vecs"))))
-        compactPart("vecs", Some(hit))
-      }
-      val hist = (compactVecs.toSeq ++ liveVecs.toSeq)
-        .reduce(_ unionByName _).select(col(idCol), col(vecCol))
-      val hits = Similarity.verifyCosineCandidates(cand, hist,
+    // — the replay/crash/torn-state discipline is the shared
+    // IndexState.probeAdmitted skeleton
+    IndexState.probeAdmitted(stateDir, batchId, within,
+      payloadName = "vecs", label = "cosine-dup",
+      sketch = w => Similarity.sketchVecBatchForProbe(
+        w, idCol, vecCol, dim, bands, rowsPerBand, seed),
+      indexPb = buckets =>
+        pmod(xxhash64(col("band"), col("v")), lit(buckets)),
+      joinKeys = Seq("band", "v"),
+      checkIndex = Similarity.checkHyperplaneIndexParams(
+        _, dim, bands, rowsPerBand, seed),
+      verify = (cand, hist, b) =>
+        Similarity.verifyCosineCandidates(cand,
+          hist.select(col(idCol), col(vecCol)),
           b.select(col("batch_id"), col(vecCol).as("v_b"),
             col("nrm").as("n_b")),
-          idCol, vecCol, threshold)
-        .select(col("batch_id").as("__dup_id")).distinct()
-      within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
+          idCol, vecCol, threshold)) match {
+      case None => within // first batch
+      case Some(hitPairs) =>
+        val hits = hitPairs.select(col("batch_id").as("__dup_id")).distinct()
+        within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
     }
   }
 
@@ -178,26 +145,13 @@ object CosineDedup {
       checkpointDir: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       compactEveryNTriggers: Option[Int] = None)(
-      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$stateDir/checkpoint"))
-      .foreachBatch { (b: DataFrame, bid: Long) =>
-        val survivors = cosineDupFilterBatch(b, idCol, vecCol, stateDir,
-          bid, threshold, dim, bands, rowsPerBand, seed).cache()
-        try {
-          emit(survivors, bid)
-          cosineDupCommitBatch(survivors, idCol, vecCol, stateDir, bid,
-            dim, bands, rowsPerBand, seed)
-        } finally survivors.unpersist()
-        compactEveryNTriggers.filter(k => k > 0 && bid > 0 && bid % k == 0)
-          .foreach { _ =>
-            compactCosineDupState(b.sparkSession, stateDir,
-              upToBid = bid - 1, minReplayableBid = bid)
-          }
-      }
-    trigger.foreach(writer.trigger)
-    writer.start()
-  }
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexState.streamingAdmission(stream, stateDir, checkpointDir,
+      trigger, compactEveryNTriggers,
+      filterBatch = (b, bid) => cosineDupFilterBatch(b, idCol, vecCol,
+        stateDir, bid, threshold, dim, bands, rowsPerBand, seed),
+      commitBatch = (survivors, bid) => cosineDupCommitBatch(survivors,
+        idCol, vecCol, stateDir, bid, dim, bands, rowsPerBand, seed),
+      compactTo = (spark, upToBid, minReplayable) =>
+        compactCosineDupState(spark, stateDir, upToBid, minReplayable))(emit)
 }

@@ -442,29 +442,13 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val spark = batch.sparkSession
     // Probe-visible state = the newest committed compact version (all
     // bids <= its fold floor) plus live bid partitions STRICTLY between
-    // the floor and this batch id. The floor itself must sit below this
-    // batch: a replayed batch at-or-below it would see its own folded
-    // commits as history and drop every doc as a self-dup — fail loudly
-    // (recovery: re-point at a pre-fold state copy, or accept the fold
-    // and restart the stream past it) instead of silently losing the
-    // batch. First-commit crashes / pre-created empty dirs read as
-    // absent state (IndexState.readLive), so replays proceed; an orphan
-    // bid == batchId partition from a crashed commit is invisible
-    // (bid < batchId) and overwritten by the re-commit.
-    val ci = IndexState.currentCompact(spark, stateDir)
-    ci.foreach { c =>
-      require(c.upToBid < batchId,
-        s"near-dup state under $stateDir is compacted through " +
-          s"bid=${c.upToBid} but batch $batchId is being (re)run — a " +
-          "fold must never cover a replayable batch (pass " +
-          "minReplayableBid to compactNearDupState)")
-    }
-    val floor = ci.map(_.upToBid).getOrElse(-1L)
-    def live(sub: String): Option[DataFrame] =
-      IndexState.readLive(spark, stateDir, sub, floor, batchId)
+    // the floor and this batch id — IndexState.probeAdmitted holds the
+    // shared replay/crash/torn-state discipline (the floor must sit
+    // below this batch; first-commit crashes and pre-created empty dirs
+    // read as absent; an orphan bid == batchId partition from a crashed
+    // commit is invisible and overwritten by the re-commit).
     // 1. within-batch: LSH pairs + min-id canonical survives. The
     // dropped-id set is materialized eagerly (localCheckpoint — tiny:
     // one long per dropped doc), truncating the LSH + connected-
@@ -486,58 +470,21 @@ object Dedup {
     // verify against the admitted-text store (pruned to the CANDIDATE
     // ids' buckets — texts are the byte-heavy artifact, so this is the
     // larger IO win), drop colliders
-    val liveBands = live("bands")
-    val liveTexts = live("texts")
-    def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
-      ci.flatMap(c => IndexState.readCompact(spark, stateDir, c, sub, prune))
-    def compactHas(sub: String): Boolean =
-      ci.exists(c => IndexState.compactHas(spark, stateDir, c, sub))
-    val bandsAvail = compactHas("bands") || liveBands.isDefined
-    val textsAvail = compactHas("texts") || liveTexts.isDefined
-    if (!bandsAvail && !textsAvail) within // first batch: nothing admitted yet
-    else if (bandsAvail != textsAvail)
-      // exactly one artifact readable: the state is torn (a commit
-      // wrote one dir and crashed before the other). Skipping the
-      // probe here would be silent zero-recall against everything
-      // already admitted — fail loudly instead; recovery is
-      // deleting the orphan bid partition (or the whole stateDir).
-      throw new IllegalStateException(
-        s"torn near-dup state under $stateDir: bands " +
-          s"${if (bandsAvail) "readable" else "missing"}, " +
-          s"texts ${if (textsAvail) "readable" else "missing"} " +
-          "— both must exist (or neither); remove the orphaned " +
-          "artifact and retry")
-    else {
-      // sketch ONCE; the band rows are checkpointed because two
-      // consumers follow (the bucket-set collect and the candidate
-      // join) and re-sketching the batch per consumer doubled the
-      // probe stage in NearDupProbe
-      val (b, bb0) =
-        sketchBatchForProbe(within, idCol, textCol, n, numHashes, bands, seed)
-      val bb = bb0.localCheckpoint(true)
-      val compactBands = ci.flatMap { c =>
-        val hit = IndexState.probeBuckets(bb,
-          pmod(col("bh"), lit(c.buckets("bands"))))
-        compactPart("bands", Some(hit))
-      }
-      val idxParts = compactBands.toSeq ++ liveBands.toSeq
-      idxParts.foreach(checkBandIndexParams(_, n, numHashes, bands, seed))
-      val idx = idxParts.reduce(_ unionByName _)
-      val cand = bb.join(idx, Seq("band", "bh"))
-        .select("batch_id", "hist_id").distinct()
-        .localCheckpoint(true)
-      val compactTexts = ci.flatMap { c =>
-        val hit = IndexState.probeBuckets(cand,
-          pmod(xxhash64(col("hist_id")), lit(c.buckets("texts"))))
-        compactPart("texts", Some(hit))
-      }
-      val hist = (compactTexts.toSeq ++ liveTexts.toSeq)
-        .reduce(_ unionByName _).select(col(idCol), col(textCol))
-      val hits = verifyCandidates(cand, hist,
+    IndexState.probeAdmitted(stateDir, batchId, within,
+      payloadName = "texts", label = "near-dup",
+      sketch = w =>
+        sketchBatchForProbe(w, idCol, textCol, n, numHashes, bands, seed),
+      indexPb = buckets => pmod(col("bh"), lit(buckets)),
+      joinKeys = Seq("band", "bh"),
+      checkIndex = checkBandIndexParams(_, n, numHashes, bands, seed),
+      verify = (cand, hist, b) =>
+        verifyCandidates(cand, hist.select(col(idCol), col(textCol)),
           b.select(col("batch_id"), col("sh").as("sh_b")),
-          idCol, textCol, n, threshold)
-        .select(col("batch_id").as("__dup_id")).distinct()
-      within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
+          idCol, textCol, n, threshold)) match {
+      case None => within // first batch: nothing admitted yet
+      case Some(pairs) =>
+        val hits = pairs.select(col("batch_id").as("__dup_id")).distinct()
+        within.join(hits, col(idCol) === col("__dup_id"), "left_anti")
     }
   }
 
@@ -638,28 +585,15 @@ object Dedup {
       checkpointDir: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       compactEveryNTriggers: Option[Int] = None)(
-      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$stateDir/checkpoint"))
-      .foreachBatch { (b: DataFrame, bid: Long) =>
-        val survivors = nearDupFilterBatch(b, idCol, textCol, stateDir,
-          bid, n, threshold, numHashes, bands, seed).cache()
-        try {
-          emit(survivors, bid)
-          nearDupCommitBatch(survivors, idCol, textCol, stateDir, bid,
-            n, numHashes, bands, seed)
-        } finally survivors.unpersist()
-        compactEveryNTriggers.filter(k => k > 0 && bid > 0 && bid % k == 0)
-          .foreach { _ =>
-            compactNearDupState(b.sparkSession, stateDir,
-              upToBid = bid - 1, minReplayableBid = bid)
-          }
-      }
-    trigger.foreach(writer.trigger)
-    writer.start()
-  }
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexState.streamingAdmission(stream, stateDir, checkpointDir,
+      trigger, compactEveryNTriggers,
+      filterBatch = (b, bid) => nearDupFilterBatch(b, idCol, textCol,
+        stateDir, bid, n, threshold, numHashes, bands, seed),
+      commitBatch = (survivors, bid) => nearDupCommitBatch(survivors,
+        idCol, textCol, stateDir, bid, n, numHashes, bands, seed),
+      compactTo = (spark, upToBid, minReplayable) =>
+        compactNearDupState(spark, stateDir, upToBid, minReplayable))(emit)
 
   /** Remove boilerplate lines: drop every line whose document
     * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav

@@ -68,14 +68,21 @@ private[graft] object IndexState {
   private def hfs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
+  // dir-name parses tolerate strays: an operator who renames an orphan
+  // (bid=3.bak, v=0.old) instead of deleting it must not wedge every
+  // later trigger with a NumberFormatException
+  private def suffixLong(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
+    else None
+
   /** Newest compact version whose meta.json exists (= committed). */
   def currentCompact(spark: SparkSession, stateDir: String): Option[CompactInfo] = {
     val fs = hfs(spark, stateDir)
     val root = new Path(s"$stateDir/compact")
     if (!fs.exists(root)) return None
     fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).sorted(Ordering[Long].reverse)
+      .flatMap(st => suffixLong(st.getPath.getName, "v="))
+      .sorted(Ordering[Long].reverse)
       .iterator
       .flatMap(v => readMeta(spark, stateDir, v))
       .nextOption()
@@ -116,12 +123,8 @@ private[graft] object IndexState {
     val root = new Path(s"$stateDir/$sub")
     if (!fs.exists(root)) return None
     val bidDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("bid=") && {
-          val b = p.getName.stripPrefix("bid=").toLong
-          b > loBidExclusive && b < hiBidExclusive
-        }
-      }
+      .filter(p => suffixLong(p.getName, "bid=")
+        .exists(b => b > loBidExclusive && b < hiBidExclusive))
       .filter(p => fs.listStatus(p).exists(f => f.isFile &&
         !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith(".")))
@@ -160,7 +163,8 @@ private[graft] object IndexState {
       case Some(vals) =>
         val present = fs.listStatus(new Path(dir)).filter(_.isDirectory)
           .map(_.getPath).filter(_.getName.startsWith("__pb="))
-          .map(p => p.getName.stripPrefix("__pb=").toInt -> p).toMap
+          .flatMap(p => suffixLong(p.getName, "__pb=")
+            .map(v => v.toInt -> p)).toMap
         val hit = vals.distinct.flatMap(present.get)
         if (present.isEmpty) None // dir exists but holds no buckets
         else if (hit.isEmpty)
@@ -177,6 +181,123 @@ private[graft] object IndexState {
   def probeBuckets(keys: DataFrame, pbExpr: Column): Seq[Int] =
     keys.select(pbExpr.cast("int").as("__pb")).distinct()
       .collect().map(_.getInt(0)).toSeq
+
+  /** The cross-batch probe skeleton both admission daemons share
+    * (text MinHash and embedding cosine differ only in how a batch is
+    * sketched, how index rows bucket, the join keys, and the verify) —
+    * one implementation so a replay/crash/prune fix can never land in
+    * one daemon and silently miss the other.
+    *
+    * Visible state = newest committed compact version (pruned to the
+    * batch's own buckets) + live bids strictly inside (foldFloor,
+    * batchId). Returns None when nothing was ever admitted (first
+    * batch); throws on torn state and on a replay at-or-below the
+    * fold floor. Returns the verified hit frame (whatever `verify`
+    * emits; callers anti-join its batch_id against the batch).
+    *
+    * @param sketch     within-batch frame → (b, bandRows); bandRows
+    *                   must carry `batch_id` plus the join keys
+    * @param indexPb    bucket expr over PROBE band rows, given the
+    *                   committed index bucket count
+    * @param checkIndex loud param-mismatch check, run on every index
+    *                   part before the union */
+  def probeAdmitted(
+      stateDir: String,
+      batchId: Long,
+      within: DataFrame,
+      payloadName: String,
+      label: String,
+      sketch: DataFrame => (DataFrame, DataFrame),
+      indexPb: Int => Column,
+      joinKeys: Seq[String],
+      checkIndex: DataFrame => Unit,
+      verify: (DataFrame, DataFrame, DataFrame) => DataFrame): Option[DataFrame] = {
+    val spark = within.sparkSession
+    val ci = currentCompact(spark, stateDir)
+    ci.foreach { c =>
+      require(c.upToBid < batchId,
+        s"$label state under $stateDir is compacted through " +
+          s"bid=${c.upToBid} but batch $batchId is being (re)run — a " +
+          "fold must never cover a replayable batch (pass " +
+          "minReplayableBid when compacting)")
+    }
+    val floor = ci.map(_.upToBid).getOrElse(-1L)
+    val liveIdx = readLive(spark, stateDir, "bands", floor, batchId)
+    val livePay = readLive(spark, stateDir, payloadName, floor, batchId)
+    def compactPart(sub: String, prune: Option[Seq[Int]]): Option[DataFrame] =
+      ci.flatMap(c => readCompact(spark, stateDir, c, sub, prune))
+    def has(sub: String): Boolean =
+      ci.exists(c => compactHas(spark, stateDir, c, sub))
+    val idxAvail = has("bands") || liveIdx.isDefined
+    val payAvail = has(payloadName) || livePay.isDefined
+    if (!idxAvail && !payAvail) return None // first batch
+    if (idxAvail != payAvail)
+      // exactly one artifact readable: a commit wrote one dir and
+      // crashed before the other. Skipping the probe would be silent
+      // zero-recall against everything admitted — fail loudly;
+      // recovery is deleting the orphaned bid partition.
+      throw new IllegalStateException(
+        s"torn $label state under $stateDir: bands " +
+          s"${if (idxAvail) "readable" else "missing"}, $payloadName " +
+          s"${if (payAvail) "readable" else "missing"} — both must " +
+          "exist (or neither); remove the orphaned artifact and retry")
+    // sketch ONCE; the band rows are checkpointed because two
+    // consumers follow (the bucket-set collect and the candidate join)
+    // and re-sketching the batch per consumer doubled the probe stage
+    val (b, bb0) = sketch(within)
+    val bb = bb0.localCheckpoint(true)
+    val compactIdx = ci.flatMap { c =>
+      compactPart("bands",
+        Some(probeBuckets(bb, indexPb(c.buckets("bands")))))
+    }
+    val idxParts = compactIdx.toSeq ++ liveIdx.toSeq
+    idxParts.foreach(checkIndex)
+    val idx = idxParts.reduce(_ unionByName _)
+    val cand = bb.join(idx, joinKeys)
+      .select("batch_id", "hist_id").distinct()
+      .localCheckpoint(true)
+    // the payload (texts/vectors — the byte-heavy artifact) prunes by
+    // CANDIDATE id bucket: reads ∝ near-dup suspects, not corpus
+    val compactPay = ci.flatMap { c =>
+      compactPart(payloadName,
+        Some(probeBuckets(cand,
+          pmod(xxhash64(col("hist_id")), lit(c.buckets(payloadName))))))
+    }
+    val hist = (compactPay.toSeq ++ livePay.toSeq).reduce(_ unionByName _)
+    Some(verify(cand, hist, b))
+  }
+
+  /** The foreachBatch wrapper both daemons share: filter → emit →
+    * commit (at-least-once; survivor sets deterministic per bid) →
+    * optional periodic fold with the replay-safe floor `bid - 1` (the
+    * current batch's commit-log entry is not yet written, every
+    * earlier one is — so bid is the only replayable id). */
+  def streamingAdmission(
+      stream: DataFrame,
+      stateDir: String,
+      checkpointDir: Option[String],
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      compactEveryNTriggers: Option[Int],
+      filterBatch: (DataFrame, Long) => DataFrame,
+      commitBatch: (DataFrame, Long) => Unit,
+      compactTo: (SparkSession, Long, Long) => Unit)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$stateDir/checkpoint"))
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val survivors = filterBatch(b, bid).cache()
+        try {
+          emit(survivors, bid)
+          commitBatch(survivors, bid)
+        } finally survivors.unpersist()
+        compactEveryNTriggers.filter(k => k > 0 && bid > 0 && bid % k == 0)
+          .foreach(_ => compactTo(b.sparkSession, bid - 1, bid))
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
 
   /** Fold the current compact version (if any) plus live bids in
     * `(prevUpToBid, upToBid]` into a new bucketed version, then delete
@@ -210,8 +331,8 @@ private[graft] object IndexState {
     val croot0 = new Path(s"$stateDir/compact")
     val leftover = if (fs.exists(croot0))
       fs.listStatus(croot0).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("v=") &&
-          readMeta(spark, stateDir, p.getName.stripPrefix("v=").toLong).isEmpty)
+        .filter(p => suffixLong(p.getName, "v=")
+          .exists(v => readMeta(spark, stateDir, v).isEmpty))
       else Array.empty[Path]
     leftover.foreach(fs.delete(_, true))
     val newV = cur.map(_.version + 1).getOrElse(0L)
@@ -221,20 +342,27 @@ private[graft] object IndexState {
           cur.flatMap(ci => readCompact(spark, stateDir, ci, a.name, None)).toSeq
       parts.reduceOption(_ unionByName _) match {
         case None => (a.name, 0L, 1)
-        case Some(df) =>
-          val rows = df.count()
-          val buckets = math.max(1L, math.min(a.maxBuckets.toLong,
-            (rows + a.targetRowsPerBucket - 1) / a.targetRowsPerBucket)).toInt
-          // repartition BY the bucket column before partitionBy: without
-          // it every write task emits a sliver into every bucket dir —
-          // buckets × tasks files whose footers dwarf the data (measured
-          // 3× on-disk blowup and a probe that read MORE bytes than the
-          // unfolded state); with it each bucket is one file
-          df.withColumn("__pb", a.pb(df, buckets).cast("int"))
-            .repartition(col("__pb"))
-            .write.partitionBy("__pb").mode("errorifexists")
-            .parquet(s"$stateDir/compact/v=$newV/${a.name}")
-          (a.name, rows, buckets)
+        case Some(df0) =>
+          // persist across the two consumers (bucket-sizing count +
+          // write): without it the fold reads the full corpus from
+          // disk TWICE per compaction
+          val df = df0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val rows = df.count()
+            val buckets = math.max(1L, math.min(a.maxBuckets.toLong,
+              (rows + a.targetRowsPerBucket - 1) / a.targetRowsPerBucket)).toInt
+            // repartition BY the bucket column before partitionBy: without
+            // it every write task emits a sliver into every bucket dir —
+            // buckets × tasks files whose footers dwarf the data (measured
+            // 3× on-disk blowup and a probe that read MORE bytes than the
+            // unfolded state); with it each bucket is one file
+            df.withColumn("__pb", a.pb(df, buckets).cast("int"))
+              .repartition(col("__pb"))
+              .write.partitionBy("__pb").mode("errorifexists")
+              .parquet(s"$stateDir/compact/v=$newV/${a.name}")
+            (a.name, rows, buckets)
+          } finally df.unpersist()
       }
     }
     // a torn fold (one artifact with rows, its sibling empty) can only
@@ -252,15 +380,13 @@ private[graft] object IndexState {
     artifacts.foreach { a =>
       val root = new Path(s"$stateDir/${a.name}")
       if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath).filter { p =>
-          p.getName.startsWith("bid=") &&
-            p.getName.stripPrefix("bid=").toLong <= upToBid
-        }.foreach(fs.delete(_, true))
+        .map(_.getPath)
+        .filter(p => suffixLong(p.getName, "bid=").exists(_ <= upToBid))
+        .foreach(fs.delete(_, true))
     }
     val croot = new Path(s"$stateDir/compact")
     fs.listStatus(croot).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") &&
-        p.getName.stripPrefix("v=").toLong < newV)
+      .filter(p => suffixLong(p.getName, "v=").exists(_ < newV))
       .foreach(fs.delete(_, true))
     // earlier probes cached these directories' file listings in the
     // session's FileStatusCache; without invalidation the NEXT trigger

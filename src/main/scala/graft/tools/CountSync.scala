@@ -31,13 +31,25 @@ object CountSync {
 
   def main(args: Array[String]): Unit = {
     val n = graft.queries.Registry.all.size
+    val missed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     sites.groupBy(_._1).foreach { case (file, pairs) =>
       val p = Paths.get(file)
       var s = Files.readString(p)
       pairs.foreach { case (_, t) =>
-        s = s.replaceAll(asRegex(t), t.replace("@N@", n.toString))
+        val re = asRegex(t).r
+        if (re.findFirstIn(s).isEmpty) missed += ((file, t))
+        else s = s.replaceAll(re.regex, t.replace("@N@", n.toString))
       }
       Files.writeString(p, s)
+    }
+    // a template that matches NOTHING means the doc wording drifted —
+    // printing success would leave the drift spec failing with a
+    // remedy that no-ops; fail loudly naming the site instead
+    if (missed.nonEmpty) {
+      System.err.println("CountSync: these templates matched nothing " +
+        "(doc wording drifted — fix the doc or the template):\n" +
+        missed.map { case (f, t) => s"  $f: \"$t\"" }.mkString("\n"))
+      sys.exit(1)
     }
     println(s"CountSync: documented counts set to $n in " +
       sites.map(_._1).distinct.mkString(", "))
