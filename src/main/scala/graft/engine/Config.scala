@@ -159,10 +159,27 @@ final case class CosineDupConf(
     shufflePartitions: Option[Int] = None,
     compactEveryNTriggers: Option[Int] = None)
 
+/** Streaming perceptual-fingerprint admission handler
+  * (`handlers.HammingDupFilter`): `HammingDedup.streamingHammingDupFilter`
+  * declared in YAML — media fingerprints (two 64-bit hash words, the
+  * layout every aHash/pHash/audio/keyframe signature emits) are
+  * admitted unless within `max_hamming` bits of anything already
+  * admitted. Recall is exact for `max_hamming` ≤ 15 (pigeonhole over
+  * the fixed 16-chunk banding). */
+final case class HammingDupConf(
+    idColumn: String,
+    w0Column: String,
+    w1Column: String,
+    stateDir: String,
+    maxHamming: Int = 3,
+    shufflePartitions: Option[Int] = None,
+    compactEveryNTriggers: Option[Int] = None)
+
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None,
     nearDup: Option[NearDupConf] = None,
-    cosineDup: Option[CosineDupConf] = None)
+    cosineDup: Option[CosineDupConf] = None,
+    hammingDup: Option[HammingDupConf] = None)
 
 final case class KafkaSinkConf(
     brokers: Seq[String], topic: String,
@@ -364,6 +381,24 @@ object Config {
                 Some(cd.path("shuffle_partitions").asInt()) else None,
               compactEveryNTriggers = if (cd.has("compact_every_n_triggers"))
                 Some(cd.path("compact_every_n_triggers").asInt()) else None))
+          } else None,
+          hammingDup = if (h.has("hamming_dup")) {
+            val hd = h.path("hamming_dup")
+            def req(k: String): String = {
+              if (!hd.has(k)) throw new IllegalArgumentException(
+                s"hamming_dup requires `$k`")
+              hd.path(k).asText()
+            }
+            Some(HammingDupConf(
+              idColumn = req("id_column"),
+              w0Column = req("w0_column"),
+              w1Column = req("w1_column"),
+              stateDir = req("state_dir"),
+              maxHamming = hd.path("max_hamming").asInt(3),
+              shufflePartitions = if (hd.has("shuffle_partitions"))
+                Some(hd.path("shuffle_partitions").asInt()) else None,
+              compactEveryNTriggers = if (hd.has("compact_every_n_triggers"))
+                Some(hd.path("compact_every_n_triggers").asInt()) else None))
           } else None)
       },
       sink = parseSink(p.path("sink")),

@@ -224,11 +224,11 @@ object ConfigSchema {
 
       if (pl.has("handler")) {
         val h = pl.path("handler"); val hp = "$.pipeline.handler"
-        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window", "near_dup", "cosine_dup"))
+        checkKeys(h, hp, Set("type", "sql", "sql_results_cache_dir", "table", "window", "near_dup", "cosine_dup", "hamming_dup"))
         enumOf(h, hp, "type", Set("handlers.InferredDiskBatch",
           "handlers.InferredMemBatch", "handlers.StructuredBatch",
           "handlers.NativeWindow", "handlers.NearDupFilter",
-          "handlers.CosineDupFilter"))
+          "handlers.CosineDupFilter", "handlers.HammingDupFilter"))
         if (h.path("type").asText() == "handlers.NearDupFilter") {
           requireKeys(h, hp, Seq("type", "near_dup"))
           val nd = h.path("near_dup"); val np = s"$hp.near_dup"
@@ -295,6 +295,35 @@ object ConfigSchema {
               explicitCosPolicy.toUpperCase != "IGNORE")
             err("$.pipeline.on_error.policy",
               "handlers.CosineDupFilter drops undecodable rows by " +
+                "construction (IGNORE); RAISE/DLQ would be silently " +
+                "dishonored — remove on_error or set policy: IGNORE")
+        } else if (h.path("type").asText() == "handlers.HammingDupFilter") {
+          requireKeys(h, hp, Seq("type", "hamming_dup"))
+          val hd = h.path("hamming_dup"); val dp = s"$hp.hamming_dup"
+          requireKeys(hd, dp, Seq("id_column", "w0_column", "w1_column",
+            "state_dir"))
+          checkKeys(hd, dp, Set("id_column", "w0_column", "w1_column",
+            "state_dir", "max_hamming", "shuffle_partitions",
+            "compact_every_n_triggers"))
+          str(hd, dp, "id_column"); str(hd, dp, "w0_column")
+          str(hd, dp, "w1_column"); str(hd, dp, "state_dir")
+          int(hd, dp, "max_hamming"); int(hd, dp, "shuffle_partitions")
+          int(hd, dp, "compact_every_n_triggers")
+          if (hd.has("compact_every_n_triggers") &&
+              hd.path("compact_every_n_triggers").asInt(1) < 1)
+            err(s"$dp.compact_every_n_triggers", "must be >= 1")
+          // > 15 silently breaks the 16-chunk pigeonhole recall
+          // guarantee — the operator's own require, surfaced at load
+          if (hd.has("max_hamming") &&
+              (hd.path("max_hamming").asInt(3) < 0 ||
+                hd.path("max_hamming").asInt(3) > 15))
+            err(s"$dp.max_hamming",
+              "must be in [0, 15] (16-chunk banding pigeonhole bound)")
+          val explicitHamPolicy = pl.path("on_error").path("policy").asText("")
+          if (explicitHamPolicy.nonEmpty &&
+              explicitHamPolicy.toUpperCase != "IGNORE")
+            err("$.pipeline.on_error.policy",
+              "handlers.HammingDupFilter drops undecodable rows by " +
                 "construction (IGNORE); RAISE/DLQ would be silently " +
                 "dishonored — remove on_error or set policy: IGNORE")
         } else if (h.path("type").asText() == "handlers.NativeWindow") {

@@ -183,8 +183,11 @@ object NativeWindowBatchHandler {
 final class NearDupBatchHandler(nd: NearDupConf) extends Handler {
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // try_cast, not cast: the preview's decode contract is IGNORE
+    // (drop undecodable rows); an ANSI cast would throw on the first
+    // malformed id instead
     val projected = batch.select(
-      col(nd.idColumn).cast("long").as(nd.idColumn),
+      expr(s"try_cast(`${nd.idColumn}` AS BIGINT)").as(nd.idColumn),
       col(nd.textColumn).cast("string").as(nd.textColumn))
       .filter(col(nd.idColumn).isNotNull && col(nd.textColumn).isNotNull)
     graft.operators.Dedup.nearDupFilterBatch(projected,
@@ -204,12 +207,31 @@ final class CosineDupBatchHandler(cd: CosineDupConf) extends Handler {
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val projected = batch.select(
-      col(cd.idColumn).cast("long").as(cd.idColumn),
-      col(cd.vecColumn).cast("array<float>").as(cd.vecColumn))
+      expr(s"try_cast(`${cd.idColumn}` AS BIGINT)").as(cd.idColumn),
+      expr(s"try_cast(`${cd.vecColumn}` AS ARRAY<FLOAT>)").as(cd.vecColumn))
       .filter(col(cd.idColumn).isNotNull && col(cd.vecColumn).isNotNull)
     graft.operators.CosineDedup.cosineDupFilterBatch(projected,
       cd.idColumn, cd.vecColumn, cd.stateDir, Long.MaxValue,
       cd.threshold, cd.dim, cd.bands, cd.rowsPerBand, cd.seed)
+  }
+}
+
+/** `handlers.HammingDupFilter` in BATCH mode (dev invoke): one
+  * admission pass of the batch's fingerprints against the CURRENT
+  * persisted state — preview semantics (bid = Long.MaxValue, nothing
+  * written), streaming routes to the continuous loop. */
+final class HammingDupBatchHandler(hd: HammingDupConf) extends Handler {
+  override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val projected = batch.select(
+      expr(s"try_cast(`${hd.idColumn}` AS BIGINT)").as(hd.idColumn),
+      expr(s"try_cast(`${hd.w0Column}` AS BIGINT)").as(hd.w0Column),
+      expr(s"try_cast(`${hd.w1Column}` AS BIGINT)").as(hd.w1Column))
+      .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
+        col(hd.w1Column).isNotNull)
+    graft.operators.HammingDedup.hammingDupFilterBatch(projected,
+      hd.idColumn, hd.w0Column, hd.w1Column, hd.stateDir, Long.MaxValue,
+      hd.maxHamming)
   }
 }
 
@@ -235,6 +257,10 @@ object Handlers {
         new CosineDupBatchHandler(conf.cosineDup.getOrElse(
           throw new IllegalArgumentException(
             "CosineDupFilter handler requires `cosine_dup`")))
+      case "handlers.HammingDupFilter" =>
+        new HammingDupBatchHandler(conf.hammingDup.getOrElse(
+          throw new IllegalArgumentException(
+            "HammingDupFilter handler requires `hamming_dup`")))
       case other => throw new IllegalArgumentException(s"unknown handler type: $other")
     }
 }

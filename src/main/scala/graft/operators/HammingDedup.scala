@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** STREAMING Hamming-space admission — the third instantiation of the
+  * shared [[IndexState]] admission discipline, for PERCEPTUAL
+  * FINGERPRINT streams: images/audio/video arrive as two 64-bit hash
+  * words (`Multimodal.imageAHash64`/`imagePHash64`/audio and keyframe
+  * signatures all emit this layout), and a re-upload or re-encode of
+  * admitted media differs in ≤ k bits. Text gets Jaccard
+  * (`Dedup.streamingNearDupFilter`), embeddings get cosine
+  * (`CosineDedup`), fingerprints get Hamming — together the full
+  * multimodal ingest front door.
+  *
+  * Banding is 16 fixed chunks of 8 bits (8 per word). By pigeonhole a
+  * pair within Hamming distance ≤ 15 differs in at most 15 chunks, so
+  * it MATCHES in at least one — recall is EXACTLY 1.0 for any
+  * `maxHamming` ≤ 15 (not probabilistic, unlike MinHash/hyperplane
+  * banding), and the `bit_count` verify makes precision exactly 1.0.
+  * The whole operator is integer arithmetic end-to-end, so its oracle
+  * replays bit-for-bit in any SQL engine.
+  *
+  * State/replay/crash semantics are [[IndexState]]'s: bid-versioned
+  * probe-then-commit, bucketed compact folds with replay-safe floors,
+  * probe IO pruned to the batch's own chunk buckets. */
+object HammingDedup {
+
+  private val chunksPerWord = 8
+  private val chunkBits = 8
+
+  /** The 16 (band, value) rows of one fingerprint; band 0–7 chunk w0,
+    * band 8–15 chunk w1. Chunk values are 8-bit ints. */
+  private def bandValues(w0: Column, w1: Column): Column =
+    array((0 until 2 * chunksPerWord).map { i =>
+      val word = if (i < chunksPerWord) w0 else w1
+      shiftright(word, chunkBits * (i % chunksPerWord))
+        .bitwiseAND(lit((1L << chunkBits) - 1))
+    }: _*)
+
+  private def hammingExpr(a0: Column, a1: Column, b0: Column, b1: Column): Column =
+    bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))
+
+  /** Within-corpus near-dup pairs at Hamming distance ≤ `maxHamming`:
+    * banded candidates (never all-pairs) + exact bit_count verify.
+    * Output (doc_a, doc_b, hamming), doc_a < doc_b. Exact recall for
+    * maxHamming ≤ 15 (pigeonhole over the 16 chunks). */
+  def hammingDupPairs(
+      docs: DataFrame, idCol: String, w0Col: String, w1Col: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 2 * chunksPerWord - 1,
+      s"maxHamming > ${2 * chunksPerWord - 1} breaks the pigeonhole " +
+        "recall guarantee of 16-chunk banding")
+    val d = graft.queries.Tables.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(w0Col).cast("long").as("w0"), col(w1Col).cast("long").as("w1"))
+    val buckets = d.select(col("doc_id"), col("w0"), col("w1"),
+      posexplode(bandValues(col("w0"), col("w1"))).as(Seq("band", "v")))
+      .select("doc_id", "band", "v")
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sides = d
+    cand
+      .join(sides.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
+        col("w1").as("a1")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("w0").as("b0"),
+        col("w1").as("b1")), "doc_b")
+      .withColumn("hamming",
+        hammingExpr(col("a0"), col("a1"), col("b0"), col("b1")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Persistable band index over admitted fingerprints — (hist_id,
+    * band, v) rows, the Hamming analog of `Dedup.minhashBandBuckets`. */
+  def hammingBandBuckets(
+      docs: DataFrame, idCol: String, w0Col: String, w1Col: String): DataFrame =
+    graft.queries.Tables.spread(docs)
+      .select(col(idCol).cast("long").as("hist_id"),
+        posexplode(bandValues(col(w0Col).cast("long"),
+          col(w1Col).cast("long"))).as(Seq("band", "v")))
+
+  private def sketchForProbe(
+      batch: DataFrame, idCol: String, w0Col: String, w1Col: String)
+      : (DataFrame, DataFrame) = {
+    val b = batch.select(col(idCol).cast("long").as("batch_id"),
+      col(w0Col).cast("long").as("w0"), col(w1Col).cast("long").as("w1"))
+    (b, b.select(col("batch_id"),
+      posexplode(bandValues(col("w0"), col("w1"))).as(Seq("band", "v"))))
+  }
+
+  private def verifyHamming(
+      cand: DataFrame, history: DataFrame, b: DataFrame,
+      idCol: String, w0Col: String, w1Col: String,
+      maxHamming: Int): DataFrame = {
+    val h = history
+      .join(cand.select(col("hist_id").cast("long").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).cast("long").as("hist_id"),
+        col(w0Col).cast("long").as("h0"), col(w1Col).cast("long").as("h1"))
+    cand
+      .join(b, "batch_id")
+      .join(h, "hist_id")
+      .withColumn("hamming",
+        hammingExpr(col("w0"), col("w1"), col("h0"), col("h1")))
+      .filter(col("hamming") <= maxHamming)
+      .select("batch_id", "hist_id", "hamming")
+  }
+
+  /** Filter one micro-batch of fingerprints against the persisted
+    * state: within-batch Hamming dups collapse to the min-id
+    * canonical, then the cross-batch probe drops everything within
+    * `maxHamming` of an admitted fingerprint. Deterministic per
+    * (state, batchId). */
+  def hammingDupFilterBatch(
+      batch: DataFrame,
+      idCol: String,
+      w0Col: String,
+      w1Col: String,
+      stateDir: String,
+      batchId: Long,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 2 * chunksPerWord - 1,
+      s"maxHamming > ${2 * chunksPerWord - 1} breaks the pigeonhole " +
+        "recall guarantee of 16-chunk banding")
+    // 1. within-batch: banded pairs + min-id canonical survives
+    val pairs = hammingDupPairs(batch, idCol, w0Col, w1Col, maxHamming)
+    val dropped = Dedup.dropNonCanonical(batch, pairs, idCol, lit(0))
+      .select(col("doc_id").as("__drop_id"))
+      .localCheckpoint(true)
+    val within = batch.join(dropped,
+      col(idCol).cast("long") === col("__drop_id"), "left_anti")
+    // 2. cross-batch: the shared probe skeleton (replay/crash/torn
+    // discipline in IndexState.probeAdmitted); the payload is the
+    // fingerprint words themselves — tiny, but pruned the same way
+    IndexState.probeAdmitted(stateDir, batchId, within,
+      payloadName = "hashes", label = "hamming-dup",
+      sketch = w => sketchForProbe(w, idCol, w0Col, w1Col),
+      indexPb = buckets =>
+        pmod(xxhash64(col("band"), col("v")), lit(buckets)),
+      joinKeys = Seq("band", "v"),
+      checkIndex = _ => (), // chunk layout is fixed; no tunable params
+      verify = (cand, hist, b) =>
+        verifyHamming(cand, hist, b, idCol, w0Col, w1Col, maxHamming)) match {
+      case None => within // first batch
+      case Some(hitPairs) =>
+        val hits = hitPairs.select(col("batch_id").as("__dup_id")).distinct()
+        within.join(hits, col(idCol).cast("long") === col("__dup_id"),
+          "left_anti")
+    }
+  }
+
+  /** Commit survivors: band rows + fingerprint words, each
+    * overwriting its own `bid=batchId` partition. */
+  def hammingDupCommitBatch(
+      survivors: DataFrame,
+      idCol: String,
+      w0Col: String,
+      w1Col: String,
+      stateDir: String,
+      batchId: Long): Unit = {
+    hammingBandBuckets(survivors, idCol, w0Col, w1Col)
+      .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
+    survivors.select(col(idCol), col(w0Col), col(w1Col))
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/bid=$batchId")
+  }
+
+  /** Fold live bids into a bucketed compact version — shared
+    * IndexState.compact semantics. Fingerprint rows are 24 bytes, so
+    * both artifacts default to dense buckets. */
+  def compactHammingDupState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      upToBid: Long,
+      minReplayableBid: Long,
+      bandRowsPerBucket: Long = 1L << 16,
+      hashRowsPerBucket: Long = 1L << 14): (Long, Long) = {
+    val counts = IndexState.compact(spark, stateDir, Seq(
+      IndexState.Artifact("bands",
+        (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)),
+        bandRowsPerBucket),
+      IndexState.Artifact("hashes",
+        (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)),
+        hashRowsPerBucket)),
+      upToBid, minReplayableBid)
+    (counts.getOrElse("bands", 0L), counts.getOrElse("hashes", 0L))
+  }
+
+  /** Wire filter + commit into a Structured Streaming query — shared
+    * emit-before-commit wrapper with replay-safe periodic folds. */
+  def streamingHammingDupFilter(
+      stream: DataFrame,
+      idCol: String,
+      w0Col: String,
+      w1Col: String,
+      stateDir: String,
+      maxHamming: Int,
+      checkpointDir: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEveryNTriggers: Option[Int] = None)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexState.streamingAdmission(stream, stateDir, checkpointDir,
+      trigger, compactEveryNTriggers,
+      filterBatch = (b, bid) => hammingDupFilterBatch(b, idCol, w0Col,
+        w1Col, stateDir, bid, maxHamming),
+      commitBatch = (survivors, bid) => hammingDupCommitBatch(survivors,
+        idCol, w0Col, w1Col, stateDir, bid),
+      compactTo = (spark, upToBid, minReplayable) =>
+        compactHammingDupState(spark, stateDir, upToBid, minReplayable))(emit)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{HammingDedup, Multimodal}
 
 /** Multimodal-column plumbing over a media table synthesized from
   * `documents` (this environment ships no media files or codecs; the
@@ -1393,7 +1393,149 @@ object MultimodalOps {
              ORDER BY media_id, cell"""))
   }
 
+  // STREAMING Hamming admission (HammingDedup.streamingHammingDupFilter)
+  // gated as a deterministic batch replay — t108/v40's discipline for
+  // PERCEPTUAL FINGERPRINTS (the (w0, w1) two-word layout every m-family
+  // signature emits: aHash/pHash/audio/keyframe). Unlike the MinHash and
+  // hyperplane daemons, recall here is EXACT by pigeonhole (16 chunks of
+  // 8 bits; a pair within Hamming ≤ 15 must match in some chunk), and
+  // the whole operator — fingerprints, banding, verify — is integer
+  // arithmetic, so the oracle replays it bit-for-bit. Fingerprints are
+  // two 60-bit words built from md5 halves (30-bit pieces, so no BIGINT
+  // overflow in either engine); batch1 re-uploads batch0's media with 2
+  // flipped bits (cross-batch dup), batch2 re-uploads batch1's class
+  // with 1 flip (cross-batch, against FOLDED state — compaction runs
+  // between bids 1 and 2), adds 3-flip copies of its own class
+  // (within-batch, exactly at maxHamming = 3) and 28-flip copies of
+  // batch0 (the never-match cohort, admitted). The oracle replays
+  // probe-then-commit per bid in recursive CTEs over
+  // bit_count(xor(...)) distances.
+  private val m32 = {
+    def w(tag: String, piece: Int) =
+      s"(CAST(concat('0x', substr(md5(doc_id::VARCHAR || '_$tag$piece'), 1, 8)) AS BIGINT) % 1073741824)"
+    def word(tag: String) = s"(${w(tag, 0)} * 1073741824 + ${w(tag, 1)})"
+    val ham = "(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))"
+    def hamTo(h: String) =
+      s"(bit_count(xor(w.w0, $h.w0)) + bit_count(xor(w.w1, $h.w1)))"
+    GraftQuery(
+      "m32_streaming_hamming_dedup_replay",
+      (s, dir) => {
+        def h30(c: org.apache.spark.sql.Column, tag: String) =
+          conv(substring(md5(concat(c.cast("string"), lit("_" + tag))), 1, 8),
+            16, 10).cast("long") % lit(1073741824L)
+        // project to doc_id BEFORE spread: the synthetic fingerprints
+        // derive from ids alone, and the explicit projection keeps the
+        // text column out of the parquet scan (measured 432 MB → 0.4 MB
+        // input at sf0.1)
+        // checkpoint the synthesized fingerprints ONCE: the replay's
+        // many consumers (banded self-joins, CC rounds, probes,
+        // commits) each re-ran the scan+md5 lineage otherwise —
+        // measured 432 MB of repeated input over a 0.6 MB table
+        val fp = Tables.spread(t(s, dir, "documents").select("doc_id"))
+          .select(
+            col("doc_id"),
+            (h30(col("doc_id"), "p0") * lit(1073741824L) +
+              h30(col("doc_id"), "p1")).as("w0"),
+            (h30(col("doc_id"), "q0") * lit(1073741824L) +
+              h30(col("doc_id"), "q1")).as("w1"))
+          .localCheckpoint(true)
+        def cls(k: Int) = fp.filter(pmod(col("doc_id"), lit(9)) === k)
+        def flipped(df: org.apache.spark.sql.DataFrame, off: Long, mask: Long) =
+          df.select((col("doc_id") + off).as("doc_id"),
+            col("w0").bitwiseXOR(lit(mask)).as("w0"), col("w1"))
+        val b0 = cls(0)
+        val b1 = cls(1).unionByName(flipped(cls(0), 1000000L, 5L))
+        val b2 = cls(2)
+          .unionByName(flipped(cls(1), 2000000L, 1L))
+          .unionByName(flipped(cls(2), 3000000L, 7L))
+          .unionByName(flipped(cls(0), 4000000L, 0xFFFFFFFL))
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_m32_state")
+        val perBid = Seq(b0, b1, b2).zipWithIndex.map { case (b, bid) =>
+          val surv = HammingDedup.hammingDupFilterBatch(b, "doc_id",
+            "w0", "w1", stateDir.toString, bid.toLong, maxHamming = 3)
+          HammingDedup.hammingDupCommitBatch(surv, "doc_id", "w0", "w1",
+            stateDir.toString, bid.toLong)
+          // checkpoint BEFORE the fold deletes the pre-fold state files
+          val ids = surv.select(lit(bid.toLong).as("bid"), col("doc_id"))
+            .localCheckpoint(true)
+          if (bid == 1) HammingDedup.compactHammingDupState(s,
+            stateDir.toString, upToBid = 1L, minReplayableBid = 2L)
+          ids
+        }
+        java.nio.file.Files.walk(stateDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        perBid.reduce(_ unionByName _).orderBy("bid", "doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+               f AS (SELECT doc_id, ${word("p")} AS w0, ${word("q")} AS w1
+                 FROM documents),
+               b0 AS (SELECT doc_id, w0, w1 FROM f WHERE doc_id % 9 = 0),
+               b1 AS (SELECT doc_id, w0, w1 FROM f WHERE doc_id % 9 = 1
+                 UNION ALL
+                 SELECT doc_id + 1000000, xor(w0, 5), w1 FROM f
+                 WHERE doc_id % 9 = 0),
+               b2 AS (SELECT doc_id, w0, w1 FROM f WHERE doc_id % 9 = 2
+                 UNION ALL
+                 SELECT doc_id + 2000000, xor(w0, 1), w1 FROM f
+                 WHERE doc_id % 9 = 1
+                 UNION ALL
+                 SELECT doc_id + 3000000, xor(w0, 7), w1 FROM f
+                 WHERE doc_id % 9 = 2
+                 UNION ALL
+                 SELECT doc_id + 4000000, xor(w0, 268435455), w1 FROM f
+                 WHERE doc_id % 9 = 0),
+               p0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+                 FROM b0 a JOIN b0 b ON a.doc_id < b.doc_id
+                 WHERE $ham <= 3),
+               e0 AS (SELECT u, v FROM p0 UNION ALL SELECT v, u FROM p0),
+               cc0 AS (SELECT u AS node, u AS label FROM e0
+                 UNION
+                 SELECT g.v AS node, c.label FROM cc0 c JOIN e0 g
+                   ON c.node = g.u),
+               s0 AS (SELECT doc_id, w0, w1 FROM b0 WHERE doc_id NOT IN
+                 (SELECT node FROM (SELECT node, min(label) AS m FROM cc0
+                    GROUP BY node) WHERE node <> m)),
+               p1 AS (SELECT a.doc_id AS u, b.doc_id AS v
+                 FROM b1 a JOIN b1 b ON a.doc_id < b.doc_id
+                 WHERE $ham <= 3),
+               e1 AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+               cc1 AS (SELECT u AS node, u AS label FROM e1
+                 UNION
+                 SELECT g.v AS node, c.label FROM cc1 c JOIN e1 g
+                   ON c.node = g.u),
+               s1w AS (SELECT doc_id, w0, w1 FROM b1 WHERE doc_id NOT IN
+                 (SELECT node FROM (SELECT node, min(label) AS m FROM cc1
+                    GROUP BY node) WHERE node <> m)),
+               s1 AS (SELECT w.doc_id, w.w0, w.w1 FROM s1w w
+                 WHERE NOT EXISTS
+                 (SELECT 1 FROM s0 h WHERE ${hamTo("h")} <= 3)),
+               a1 AS (SELECT doc_id, w0, w1 FROM s0
+                 UNION ALL SELECT doc_id, w0, w1 FROM s1),
+               p2 AS (SELECT a.doc_id AS u, b.doc_id AS v
+                 FROM b2 a JOIN b2 b ON a.doc_id < b.doc_id
+                 WHERE $ham <= 3),
+               e2 AS (SELECT u, v FROM p2 UNION ALL SELECT v, u FROM p2),
+               cc2 AS (SELECT u AS node, u AS label FROM e2
+                 UNION
+                 SELECT g.v AS node, c.label FROM cc2 c JOIN e2 g
+                   ON c.node = g.u),
+               s2w AS (SELECT doc_id, w0, w1 FROM b2 WHERE doc_id NOT IN
+                 (SELECT node FROM (SELECT node, min(label) AS m FROM cc2
+                    GROUP BY node) WHERE node <> m)),
+               s2 AS (SELECT w.doc_id, w.w0, w.w1 FROM s2w w
+                 WHERE NOT EXISTS
+                 (SELECT 1 FROM a1 h WHERE ${hamTo("h")} <= 3))
+               SELECT CAST(bid AS BIGINT) AS bid,
+                 CAST(doc_id AS BIGINT) AS doc_id FROM (
+                   SELECT 0 AS bid, doc_id FROM s0
+                   UNION ALL SELECT 1, doc_id FROM s1
+                   UNION ALL SELECT 2, doc_id FROM s2)
+               ORDER BY bid, doc_id"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
     m10, m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23,
-    m24, m25, m26, m27, m28, m29, m30, m31)
+    m24, m25, m26, m27, m28, m29, m30, m31, m32)
 }

@@ -116,6 +116,14 @@ object StreamingPipeline {
           batches, checkpointDir)
       case _ =>
     }
+    // `handlers.HammingDupFilter`: the admission discipline for
+    // perceptual-fingerprint streams (two 64-bit hash words per medium)
+    conf.pipeline.handler.hammingDup match {
+      case Some(hd) if conf.pipeline.handler.kind == "handlers.HammingDupFilter" =>
+        return startHammingDupFilter(spark, conf, hd, session, source,
+          batches, checkpointDir)
+      case _ =>
+    }
 
     val writer = source.df.writeStream
       .option("checkpointLocation", checkpointDir.getOrElse(
@@ -167,14 +175,17 @@ object StreamingPipeline {
       source: Sources.Built,
       batches: AtomicLong,
       checkpointDir: Option[String]): Running = {
+    // id parses DIRECTLY as LongType: from_json (PERMISSIVE) nulls a
+    // field that doesn't parse, whereas the old string→long cast threw
+    // under ANSI mode on the first malformed id and killed the stream
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
-        nd.idColumn, org.apache.spark.sql.types.StringType),
+        nd.idColumn, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField(
         nd.textColumn, org.apache.spark.sql.types.StringType)))
     val decoded = source.df
       .select(from_json(col("value").cast("string"), schema).as("__j"))
-      .select(col(s"__j.${nd.idColumn}").cast("long").as(nd.idColumn),
+      .select(col(s"__j.${nd.idColumn}").as(nd.idColumn),
         col(s"__j.${nd.textColumn}").as(nd.textColumn))
       .filter(col(nd.idColumn).isNotNull && col(nd.textColumn).isNotNull)
     val trigger = conf.pipeline.flushIntervalSeconds match {
@@ -214,15 +225,19 @@ object StreamingPipeline {
       source: Sources.Built,
       batches: AtomicLong,
       checkpointDir: Option[String]): Running = {
+    // id parses DIRECTLY as LongType (see startNearDupFilter: a post-
+    // hoc ANSI cast would kill the stream on one malformed id); the
+    // vector decodes as array<double> and narrows to float32 — a
+    // numeric cast, which never throws
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
-        cd.idColumn, org.apache.spark.sql.types.StringType),
+        cd.idColumn, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField(cd.vecColumn,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
     val decoded = source.df
       .select(from_json(col("value").cast("string"), schema).as("__j"))
-      .select(col(s"__j.${cd.idColumn}").cast("long").as(cd.idColumn),
+      .select(col(s"__j.${cd.idColumn}").as(cd.idColumn),
         col(s"__j.${cd.vecColumn}").cast("array<float>").as(cd.vecColumn))
       .filter(col(cd.idColumn).isNotNull && col(cd.vecColumn).isNotNull)
     val trigger = conf.pipeline.flushIntervalSeconds match {
@@ -236,6 +251,61 @@ object StreamingPipeline {
           cd.threshold, cd.dim, cd.bands, cd.rowsPerBand, cd.seed,
           checkpointDir = checkpointDir, trigger = Some(trigger),
           compactEveryNTriggers = cd.compactEveryNTriggers) {
+        (survivors, _) =>
+          session.lock.synchronized {
+            session.sink.write(survivors)
+            session.sink.flush()
+          }
+          batches.incrementAndGet()
+          ()
+      }
+    }
+    Running(query, session, source.onStop, batches)
+  }
+
+  /** The `handlers.HammingDupFilter` daemon: raw JSON values →
+    * (id, w0, w1) via one minimal-schema from_json →
+    * `HammingDedup.streamingHammingDupFilter`. Rows missing any of the
+    * three numeric fields are dropped before admission (IGNORE by
+    * construction, enforced at config load). */
+  private def startHammingDupFilter(
+      spark: SparkSession,
+      conf: Conf,
+      hd: HammingDupConf,
+      session: Invoke.Session,
+      source: Sources.Built,
+      batches: AtomicLong,
+      checkpointDir: Option[String]): Running = {
+    // parse DIRECTLY into the typed schema: from_json (PERMISSIVE)
+    // nulls a field that doesn't parse as its type, whereas a post-hoc
+    // string→long cast THROWS under ANSI mode and kills the stream on
+    // the first malformed message — the opposite of this handler's
+    // IGNORE decode contract
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        hd.idColumn, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        hd.w0Column, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        hd.w1Column, org.apache.spark.sql.types.LongType)))
+    val decoded = source.df
+      .select(from_json(col("value").cast("string"), schema).as("__j"))
+      .select(col(s"__j.${hd.idColumn}").as(hd.idColumn),
+        col(s"__j.${hd.w0Column}").as(hd.w0Column),
+        col(s"__j.${hd.w1Column}").as(hd.w1Column))
+      .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
+        col(hd.w1Column).isNotNull)
+    val trigger = conf.pipeline.flushIntervalSeconds match {
+      case Some(s) => Trigger.ProcessingTime(s"$s seconds")
+      case None => Trigger.ProcessingTime(0L)
+    }
+    val query = StateStores.withStateConf(spark,
+        conf.pipeline.stateStore, hd.shufflePartitions) {
+      graft.operators.HammingDedup.streamingHammingDupFilter(
+          decoded, hd.idColumn, hd.w0Column, hd.w1Column, hd.stateDir,
+          hd.maxHamming, checkpointDir = checkpointDir,
+          trigger = Some(trigger),
+          compactEveryNTriggers = hd.compactEveryNTriggers) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)

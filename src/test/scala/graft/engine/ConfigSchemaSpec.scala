@@ -176,6 +176,33 @@ class ConfigSchemaSpec extends AnyFunSuite {
       "\n  on_error: {policy: RAISE}")).exists(_.contains("IGNORE")))
   }
 
+  test("hamming_dup handler block: requireds, pigeonhole bound, on_error cross-check") {
+    def hd(block: String, onError: String = "") =
+      s"""pipeline:
+         |  batch_size: 1
+         |  source: {type: kafka, kafka: {brokers: [b:9092], group_id: g, topics: [t], auto_offset_reset: earliest}}
+         |  handler:
+         |    type: 'handlers.HammingDupFilter'
+         |    hamming_dup: {$block}
+         |  sink: {type: noop}$onError
+         |""".stripMargin
+    assert(errsOf(hd(
+      "id_column: media_id, w0_column: w0, w1_column: w1, state_dir: /tmp/s")).isEmpty)
+    assert(errsOf(hd(
+      "id_column: media_id, w0_column: w0, w1_column: w1, " +
+        "state_dir: /tmp/s, max_hamming: 15, compact_every_n_triggers: 2")).isEmpty)
+    assert(errsOf(hd("id_column: media_id, w0_column: w0, state_dir: /tmp/s"))
+      .exists(_.contains("w1_column")))
+    // > 15 silently breaks the 16-chunk pigeonhole recall guarantee
+    assert(errsOf(hd(
+      "id_column: media_id, w0_column: w0, w1_column: w1, " +
+        "state_dir: /tmp/s, max_hamming: 16")).exists(_.contains("pigeonhole")))
+    assert(errsOf(hd(
+      "id_column: media_id, w0_column: w0, w1_column: w1, state_dir: /tmp/s",
+      "\n  on_error: {policy: DLQ, dlq: {type: noop}}"))
+      .exists(_.contains("dishonored")))
+  }
+
   test("near_dup handler rejects a stricter explicit on_error policy (decode is IGNORE by construction)") {
     def cfg(onError: String) =
       s"""pipeline:

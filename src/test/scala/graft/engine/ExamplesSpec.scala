@@ -28,7 +28,8 @@ class ExamplesSpec extends SparkTestBase {
       assert(conf.pipeline.handler.sql.nonEmpty ||
         conf.pipeline.handler.window.nonEmpty ||
         conf.pipeline.handler.nearDup.nonEmpty ||
-        conf.pipeline.handler.cosineDup.nonEmpty, s"$p: empty handler sql")
+        conf.pipeline.handler.cosineDup.nonEmpty ||
+        conf.pipeline.handler.hammingDup.nonEmpty, s"$p: empty handler sql")
       assert(conf.pipeline.source.kind.nonEmpty, s"$p: missing source type")
     }
   }
@@ -301,6 +302,9 @@ class ExamplesSpec extends SparkTestBase {
         s"""{"doc_id":2,"text":"$other"}""",
         s"""{"doc_id":3,"text":"${base.replace("woods", "forest")}"}""",
         s"""{"doc_id":4,"text":"not even json"}""".replace("\"text\"", "\"body\""),
+        // malformed id: must be DROPPED (IGNORE decode), not kill the
+        // stream with an ANSI cast error
+        s"""{"doc_id":"oops","text":"malformed id row"}""",
         s"""{"doc_id":5,"text":"completely unrelated fresh content about volcanic geology and tidal measurements nine hundred"}"""),
         partitions = 1)
       val sink = new MemorySink
@@ -414,6 +418,48 @@ class ExamplesSpec extends SparkTestBase {
         assert(!sink.allRows.exists(_.contains("\"vec_id\":6")),
           sink.allRows.toString)
         assert(sink.allRows.exists(_.contains("\"vec_id\":7")),
+          sink.allRows.toString)
+        assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
+          "expected a committed compact version under state_dir")
+      } finally running.stop()
+    } finally broker.stop()
+  }
+
+  test("hammingdup.filter example EXECUTES as a config: fingerprint admission with mid-stream compaction") {
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    val stateDir = Files.createTempDirectory("graft_ex_hamdedup").toString
+    try {
+      broker.publish("input-fingerprints", Seq(
+        """{"media_id":1,"w0":78187493530,"w1":68374141319}""",
+        """{"media_id":2,"w0":525658232410,"w1":78187110964}""",
+        s"""{"media_id":3,"w0":${78187493530L ^ 5L},"w1":68374141319}""",
+        """{"media_id":4,"w0":"not a number","w1":1}""",
+        """{"media_id":5,"w0":64710616335,"w1":513105085303}"""),
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/hammingdup.filter.yml",
+        Map("QUEUE_BROKERS" -> broker.address,
+          "HAMMINGDUP_STATE_DIR" -> stateDir))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        // 3 is a 2-bit flip of 1 (dropped, min-id canonical); 4 has a
+        // non-numeric word (IGNORE decode); 1/2/5 admitted
+        val admitted = sink.allRows
+          .map(r => r.split("\"media_id\":")(1).split("[,}]")(0).toLong).sorted
+        assert(admitted == Seq(1L, 2L, 5L), sink.allRows.toString)
+        // later batch probes the FOLDED state (compact every trigger):
+        // a 1-bit flip of admit 2 is dropped, a far fingerprint passes
+        broker.publish("input-fingerprints", Seq(
+          s"""{"media_id":6,"w0":${525658232410L ^ 1L},"w1":78187110964}""",
+          """{"media_id":7,"w0":123456789,"w1":987654321}"""),
+          partitions = 1)
+        running.processAllAvailable()
+        assert(!sink.allRows.exists(_.contains("\"media_id\":6")),
+          sink.allRows.toString)
+        assert(sink.allRows.exists(_.contains("\"media_id\":7")),
           sink.allRows.toString)
         assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
           "expected a committed compact version under state_dir")
