@@ -36,6 +36,26 @@ import graft.queries.Registry
   */
 object Bench {
 
+  /** Every temp artifact a bench run writes (daemon input files,
+    * near-dup state, checkpoints) lives under ONE per-process root,
+    * deleted on JVM exit: a full forked run otherwise leaves ~3 GB of
+    * 163 MB event-file dirs in /tmp per invocation (measured 28 GB /
+    * 478 dirs of accumulated litter), and the page-cache pressure it
+    * creates is exactly the kind of sequence-position noise the
+    * forked-rep design exists to eliminate. */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_benchrun")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    root
+  }
+  private def tmpDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix)
+
   def main(args: Array[String]): Unit = {
     val only = args.sliding(2).collectFirst {
       case Array("--only", m) => m
@@ -274,7 +294,7 @@ object Bench {
     // disk-join variant (reference csv.filesystem.join.yml): the CSV is
     // re-read from disk on every invocation
     lazy val csvPath = {
-      val p = java.nio.file.Files.createTempFile("graft_bench_loc", ".csv")
+      val p = java.nio.file.Files.createTempFile(tmpRoot, "graft_bench_loc", ".csv")
       java.nio.file.Files.writeString(p,
         "city|state_short|state_full\n" + cities.zipWithIndex.map {
           case (c, i) => s"$c|ST$i|State $i"
@@ -337,10 +357,10 @@ object Bench {
       val nFiles = math.max(1, (nMsgs / batchSize).toInt)
       // daemon warmup: a 2-file run absorbs codegen + streaming-engine
       // init so a fresh fork's first trigger doesn't pollute the rate
-      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_stream_w")
+      val warmDir = tmpDir("graft_bench_stream_w")
       writeEventFiles(warmDir, 2)
       runDaemon(streamingConf(warmDir))
-      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      val inDir = tmpDir("graft_bench_stream")
       writeEventFiles(inDir, nFiles)
       val sec = runDaemon(streamingConf(inDir))
       "streaming_agg_msgs_per_sec" -> (nFiles.toLong * batchSize / sec)
@@ -380,10 +400,10 @@ object Bench {
       // column-family init on its first store open, and every backend
       // pays streaming codegen — neither belongs in the measured rate
       // (r7's rocksdb reps spread 5× with no warmup)
-      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_nw_w")
+      val warmDir = tmpDir("graft_bench_nw_w")
       writeEventFiles(warmDir, 2)
       runDaemon(windowConf(warmDir, extraWindowYaml))
-      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nw")
+      val inDir = tmpDir("graft_bench_nw")
       writeEventFiles(inDir, nFiles)
       val sec = runDaemon(windowConf(inDir, extraWindowYaml))
       metric -> (nFiles.toLong * batchSize / sec)
@@ -435,7 +455,7 @@ object Bench {
           java.nio.file.Files.writeString(dir.resolve(f"d$f%05d.jsonl"), sb.toString)
         }
       def conf(inDir: java.nio.file.Path): graft.engine.Conf = {
-        val state = java.nio.file.Files.createTempDirectory("graft_bench_nd_state")
+        val state = tmpDir("graft_bench_nd_state")
         graft.engine.Config.fromString(
           s"""pipeline:
              |  batch_size: $docBatch
@@ -454,10 +474,10 @@ object Bench {
              |  sink: {type: noop}
              |""".stripMargin)
       }
-      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_nd_w")
+      val warmDir = tmpDir("graft_bench_nd_w")
       writeDocFiles(warmDir, 1)
       runDaemon(conf(warmDir))
-      val inDir = java.nio.file.Files.createTempDirectory("graft_bench_nd")
+      val inDir = tmpDir("graft_bench_nd")
       writeDocFiles(inDir, nFiles)
       val sec = runDaemon(conf(inDir))
       "neardup_filter_docs_per_sec" -> (nFiles.toLong * docBatch / sec)
