@@ -425,6 +425,24 @@ class ExamplesSpec extends SparkTestBase {
     } finally broker.stop()
   }
 
+  test("hammingdup.filter example in dev-invoke mode: previews admission, commits nothing") {
+    val state = Files.createTempDirectory("graft_inv_hamdedup").toString
+    val fx = Files.createTempFile("graft_hamdedup_fx", ".jsonl")
+    Files.writeString(fx,
+      s"""{"media_id":1,"w0":78187493530,"w1":68374141319}
+         |{"media_id":2,"w0":525658232410,"w1":78187110964}
+         |{"media_id":3,"w0":${78187493530L ^ 5L},"w1":68374141319}
+         |""".stripMargin)
+    val conf = Config.fromFile("examples/hammingdup.filter.yml",
+      Map("QUEUE_BROKERS" -> "unused:9099", "HAMMINGDUP_STATE_DIR" -> state))
+    val got = Invoke.invokeConf(spark, conf, fx.toString)
+      .select("media_id").orderBy("media_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L)) // 3 is a 2-bit flip of 1; min id wins
+    assert(!Files.exists(Paths.get(state, "hashes")) &&
+      !Files.exists(Paths.get(state, "bands")))
+  }
+
   test("hammingdup.filter example EXECUTES as a config: fingerprint admission with mid-stream compaction") {
     val broker = new graft.streaming.GraftQueueBroker()
     broker.start()
