@@ -40,7 +40,14 @@ object SqlFlowCli {
             java.nio.charset.StandardCharsets.UTF_8)
           ConfigSchema.validateString(raw)
           val conf = Config.fromString(raw)
-          require(conf.pipeline.handler.sql.nonEmpty, "handler.sql is required")
+          // window/admission handlers declare their block instead of
+          // SQL — requiring sql here rejected every shipped non-SQL
+          // example config
+          val h = conf.pipeline.handler
+          require(h.sql.nonEmpty || h.window.nonEmpty ||
+            h.nearDup.nonEmpty || h.cosineDup.nonEmpty ||
+            h.hammingDup.nonEmpty,
+            "handler.sql (or a window/near_dup/cosine_dup/hamming_dup block) is required")
           println(s"OK: source=${conf.pipeline.source.kind} " +
             s"handler=${conf.pipeline.handler.kind} sink=${conf.pipeline.sink.kind} " +
             s"tables=${conf.tables.map(_.name).mkString(",")}")
@@ -51,6 +58,30 @@ object SqlFlowCli {
         }
       case "example" =>
         println(exampleYaml)
+      case "compact-state" =>
+        // offline state maintenance for the admission daemons: fold a
+        // STOPPED daemon's per-trigger bid partitions into a bucketed
+        // compact version (the in-lifecycle path is the
+        // compact_every_n_triggers knob; this is the ops escape hatch
+        // for daemons run without it). minReplayableBid = the next
+        // batch id the restarted stream will process — the fold
+        // refuses to cover anything at or above it.
+        require(args.length == 5,
+          "usage: compact-state <state_dir> <text|cosine|hamming> <upToBid> <minReplayableBid>")
+        val (dir, upTo, minReplay) = (args(1), args(3).toLong, args(4).toLong)
+        val spark = session()
+        val (a, b) = args(2) match {
+          case "text" => graft.operators.Dedup
+            .compactNearDupState(spark, dir, upTo, minReplay)
+          case "cosine" => graft.operators.CosineDedup
+            .compactCosineDupState(spark, dir, upTo, minReplay)
+          case "hamming" => graft.operators.HammingDedup
+            .compactHammingDupState(spark, dir, upTo, minReplay)
+          case other => throw new IllegalArgumentException(
+            s"unknown state kind '$other' (text|cosine|hamming)")
+        }
+        println(s"compacted $dir through bid=$upTo: index rows=$a, payload rows=$b")
+        spark.stop()
       case "run" =>
         val maxBatches = args.sliding(2).collectFirst {
           case Array("--max-batches", n) => n.toInt
@@ -68,7 +99,7 @@ object SqlFlowCli {
 
   private def usage(): Unit =
     System.err.println(
-      "usage: SqlFlowCli (invoke|validate|example|run) <config.yml> ...")
+      "usage: SqlFlowCli (invoke|validate|example|run|compact-state) <config.yml> ...")
 
   /** Canonical example config: every top-level section, the common
     * source/sink kinds, a managed table, a UDF and an error policy —
