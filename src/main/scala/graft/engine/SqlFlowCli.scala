@@ -21,8 +21,17 @@ import org.apache.spark.sql.SparkSession
   * variables, as in the reference.
   */
 object SqlFlowCli {
+  /** Outermost layer only: translate [[dispatch]]'s status into the
+    * process exit code. Everything below main returns or throws — an
+    * in-process caller (tests, embedding) must never have its JVM
+    * terminated by a validation failure. */
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { usage(); sys.exit(2) }
+    val rc = dispatch(args)
+    if (rc != 0) sys.exit(rc)
+  }
+
+  private[engine] def dispatch(args: Array[String]): Int = {
+    if (args.isEmpty) { usage(); return 2 }
     args(0) match {
       case "invoke" =>
         val (flags, pos) = args.drop(1).partition(_.startsWith("--"))
@@ -54,7 +63,7 @@ object SqlFlowCli {
         } catch {
           case e: Exception =>
             System.err.println(s"INVALID: ${e.getMessage}")
-            sys.exit(1)
+            return 1
         }
       case "example" =>
         println(exampleYaml)
@@ -93,8 +102,9 @@ object SqlFlowCli {
         graft.streaming.StreamingPipeline.run(spark, args(1), maxBatches, metricsPort)
         spark.stop()
       case other =>
-        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+        System.err.println(s"unknown command: $other"); usage(); return 2
     }
+    0
   }
 
   private def usage(): Unit =

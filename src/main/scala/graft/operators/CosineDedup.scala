@@ -28,10 +28,9 @@ object CosineDedup {
 
   private val bandArtifact =
     IndexState.Artifact("bands",
-      (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)), 1L << 16)
-  private val vecArtifact =
-    IndexState.Artifact("vecs",
-      (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)), 1L << 13)
+      (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)), 1L << 16,
+      sortCols = _ => Seq(col("band"), col("v")))
+  private val vecArtifact = IndexState.payloadArtifact("vecs", 1L << 13)
 
   /** Filter one micro-batch against the persisted state: within-batch
     * near-dups collapse to the min-id canonical first, then the
@@ -119,10 +118,13 @@ object CosineDedup {
       upToBid: Long,
       minReplayableBid: Long,
       bandRowsPerBucket: Long = 1L << 16,
-      vecRowsPerBucket: Long = 1L << 13): (Long, Long) = {
+      vecRowsPerBucket: Long = 1L << 13,
+      maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
-      bandArtifact.copy(targetRowsPerBucket = bandRowsPerBucket),
-      vecArtifact.copy(targetRowsPerBucket = vecRowsPerBucket)),
+      bandArtifact.copy(targetRowsPerBucket = bandRowsPerBucket,
+        maxBuckets = maxBuckets),
+      vecArtifact.copy(targetRowsPerBucket = vecRowsPerBucket,
+        maxBuckets = maxBuckets)),
       upToBid, minReplayableBid)
     (counts.getOrElse("bands", 0L), counts.getOrElse("vecs", 0L))
   }

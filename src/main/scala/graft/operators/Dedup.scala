@@ -546,13 +546,13 @@ object Dedup {
       upToBid: Long,
       minReplayableBid: Long,
       bandRowsPerBucket: Long = 1L << 16,
-      textRowsPerBucket: Long = 1L << 13): (Long, Long) = {
+      textRowsPerBucket: Long = 1L << 13,
+      maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
       IndexState.Artifact("bands",
-        (_, b) => pmod(col("bh"), lit(b)), bandRowsPerBucket),
-      IndexState.Artifact("texts",
-        (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)),
-        textRowsPerBucket)),
+        (_, b) => pmod(col("bh"), lit(b)), bandRowsPerBucket, maxBuckets,
+        sortCols = _ => Seq(col("bh"))),
+      IndexState.payloadArtifact("texts", textRowsPerBucket, maxBuckets)),
       upToBid, minReplayableBid)
     (counts.getOrElse("bands", 0L), counts.getOrElse("texts", 0L))
   }

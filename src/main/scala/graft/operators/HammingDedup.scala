@@ -153,7 +153,13 @@ object HammingDedup {
   }
 
   /** Commit survivors: band rows + fingerprint words, each
-    * overwriting its own `bid=batchId` partition. */
+    * overwriting its own `bid=batchId` partition. All three columns
+    * are cast to long — [[hammingBandBuckets]] already casts its
+    * `hist_id`, and a payload persisted under the id's ORIGINAL type
+    * would fold into buckets the probe (which prunes by the LongType
+    * `hist_id` from the index join) never reads: silent admission of
+    * near-dups for any non-long id column (round-9 advisor finding;
+    * HammingDedupSpec holds the int-id regression). */
   def hammingDupCommitBatch(
       survivors: DataFrame,
       idCol: String,
@@ -163,7 +169,8 @@ object HammingDedup {
       batchId: Long): Unit = {
     hammingBandBuckets(survivors, idCol, w0Col, w1Col)
       .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
-    survivors.select(col(idCol), col(w0Col), col(w1Col))
+    survivors.select(col(idCol).cast("long").as(idCol),
+        col(w0Col).cast("long").as(w0Col), col(w1Col).cast("long").as(w1Col))
       .write.mode("overwrite").parquet(s"$stateDir/hashes/bid=$batchId")
   }
 
@@ -176,14 +183,14 @@ object HammingDedup {
       upToBid: Long,
       minReplayableBid: Long,
       bandRowsPerBucket: Long = 1L << 16,
-      hashRowsPerBucket: Long = 1L << 14): (Long, Long) = {
+      hashRowsPerBucket: Long = 1L << 14,
+      maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
       IndexState.Artifact("bands",
         (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)),
-        bandRowsPerBucket),
-      IndexState.Artifact("hashes",
-        (df, b) => pmod(xxhash64(col(df.columns.head)), lit(b)),
-        hashRowsPerBucket)),
+        bandRowsPerBucket, maxBuckets,
+        sortCols = _ => Seq(col("band"), col("v"))),
+      IndexState.payloadArtifact("hashes", hashRowsPerBucket, maxBuckets)),
       upToBid, minReplayableBid)
     (counts.getOrElse("bands", 0L), counts.getOrElse("hashes", 0L))
   }

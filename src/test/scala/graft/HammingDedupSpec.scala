@@ -69,6 +69,31 @@ class HammingDedupSpec extends SparkTestBase {
     assert(atFloor.getMessage.contains("compacted through"), atFloor.getMessage)
   }
 
+  test("non-long id column: probe still hits the compacted payload's buckets (round-9 advisor regression)") {
+    // Spark's xxhash64 is type-sensitive, so before the long-cast fix a
+    // payload committed under an INT id folded into buckets the probe
+    // (which prunes by the LongType hist_id of the index join) never
+    // read — the near-dup below was silently ADMITTED after the fold.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hamdedup_intid").toString
+    val b0 = Seq((1, f1._1, f1._2), (2, f2._1, f2._2), (3, f3._1, f3._2))
+      .toDF("media_id", "w0", "w1") // media_id is IntegerType
+    val s0 = HammingDedup.hammingDupFilterBatch(b0, "media_id", "w0", "w1",
+      stateDir, batchId = 0L, maxHamming = 3)
+    assert(s0.count() == 3)
+    HammingDedup.hammingDupCommitBatch(s0, "media_id", "w0", "w1",
+      stateDir, batchId = 0L)
+    HammingDedup.compactHammingDupState(spark, stateDir,
+      upToBid = 0L, minReplayableBid = 1L)
+    val b1 = Seq((4, f1._1 ^ 1L, f1._2), (5, f2._1 ^ 0xFFFFFFFL, f2._2))
+      .toDF("media_id", "w0", "w1")
+    val s1 = HammingDedup.hammingDupFilterBatch(b1, "media_id", "w0", "w1",
+        stateDir, batchId = 1L, maxHamming = 3)
+      .collect().map(_.getInt(0)).toSet
+    assert(s1 == Set(5), s"near-dup of an admitted fingerprint must be " +
+      s"dropped after the fold even with a non-long id column; got $s1")
+  }
+
   test("hammingDupPairs: exact recall at the pigeonhole bound, maxHamming guardrail") {
     val docs = Seq(
       (1L, f1._1, f1._2),

@@ -20,13 +20,22 @@ class CliExampleSpec extends AnyFunSuite {
   test("validate accepts the shipped non-SQL handler configs (window/admission blocks instead of sql)") {
     // the old validate required handler.sql and REJECTED every shipped
     // daemon example; run the real subcommand (no Spark session on
-    // this path) over each
+    // this path) over each. dispatch returns a status instead of
+    // calling sys.exit, so a regression fails THIS test rather than
+    // terminating the sbt test JVM (round-9 advisor finding).
     Seq("examples/neardup.filter.yml", "examples/cosinedup.filter.yml",
       "examples/hammingdup.filter.yml", "examples/native.window.yml")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .foreach { p =>
-        SqlFlowCli.main(Array("validate", p)) // exits nonzero on failure
+        assert(SqlFlowCli.dispatch(Array("validate", p)) == 0, p)
       }
+  }
+
+  test("validate returns nonzero (without exiting the JVM) on a broken config") {
+    val p = java.nio.file.Files.createTempFile("graft_badcfg", ".yml")
+    java.nio.file.Files.writeString(p, "pipeline:\n  source: {type: nope}\n")
+    try assert(SqlFlowCli.dispatch(Array("validate", p.toString)) == 1)
+    finally java.nio.file.Files.deleteIfExists(p)
   }
 
   test("compact-state rejects wrong arity before touching any session") {
