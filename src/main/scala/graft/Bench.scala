@@ -56,6 +56,39 @@ object Bench {
   private def tmpDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(tmpRoot, prefix)
 
+  /** Startup sweep of CRASH litter: the shutdown hook above only
+    * covers clean exits, and stale per-run roots measurably depress
+    * later runs (r9 root-caused 28 GB / 478 dirs of accumulation;
+    * the driver's own r9 bench still showed agg_mem's min rep 17%
+    * below median in a dirty /tmp vs the clean-run ±1.6% band). Any
+    * `graft_*` dir in the system temp dir older than `maxAgeMs` is
+    * not a live concurrent run (a full bench finishes well inside an
+    * hour; live runs keep fresh mtimes) — delete it. */
+  private[graft] def sweepStaleTmp(
+      maxAgeMs: Long = 60L * 60 * 1000): (Int, Long) = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("graft_") &&
+        d.lastModified() < cutoff)
+    var bytes = 0L
+    stale.foreach { d =>
+      bytes += size(d)
+      try rm(d) catch { case scala.util.control.NonFatal(_) => }
+    }
+    if (stale.nonEmpty)
+      System.err.println(f"[bench] swept ${stale.length} stale graft_* " +
+        f"temp roots (${bytes / 1e9}%.1f GB of crash litter)")
+    (stale.length, bytes)
+  }
+
   def main(args: Array[String]): Unit = {
     val only = args.sliding(2).collectFirst {
       case Array("--only", m) => m
@@ -76,6 +109,8 @@ object Bench {
         spark.stop()
         return
       case None =>
+        // parent only: children's fresh roots are never stale
+        sweepStaleTmp()
     }
 
     // One failing query must degrade, not destroy, the round's bench
@@ -483,6 +518,106 @@ object Bench {
       "neardup_filter_docs_per_sec" -> (nFiles.toLong * docBatch / sec)
     }
 
+    // the cosine and Hamming admission daemons share the text daemon's
+    // IndexState skeleton but NOT its payload economics (float vectors
+    // / 24-byte fingerprint rows vs shingled text), so each gets its
+    // own measured rate at the same amortizing 50k-doc trigger size.
+    // Dup pattern mirrors nearDupDocLine: every 10th doc repeats a doc
+    // in the SAME trigger, every 7th past the first trigger repeats a
+    // PREVIOUS trigger's doc — both drop paths do real work.
+    def dupBase(i: Long, batch: Int): Long =
+      if (i % 10 == 9) i - 5
+      else if (i % 7 == 0 && i >= batch) i - batch
+      else i
+
+    def mix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+
+    def runAdmissionDaemon(metric: String, filePrefix: String,
+        handlerYaml: String => String,
+        line: (Long, Int) => String): (String, Double) = {
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+      val docBatch = math.min(50000L, nDocs).toInt
+      val nFiles = math.max(1, (nDocs / docBatch).toInt)
+      def writeFiles(dir: java.nio.file.Path, files: Int): Unit =
+        (0 until files).foreach { f =>
+          val sb = new StringBuilder
+          var i = f.toLong * docBatch
+          while (i < (f + 1).toLong * docBatch) {
+            sb.append(line(i, docBatch)); sb.append('\n')
+            i += 1
+          }
+          java.nio.file.Files.writeString(dir.resolve(f"d$f%05d.jsonl"), sb.toString)
+        }
+      def conf(inDir: java.nio.file.Path): graft.engine.Conf =
+        graft.engine.Config.fromString(
+          s"""pipeline:
+             |  batch_size: $docBatch
+             |  source:
+             |    type: file
+             |    file: {path: '$inDir', format: json}
+             |  handler:
+             |${handlerYaml(tmpDir(s"${filePrefix}_state").toString)}
+             |  sink: {type: noop}
+             |""".stripMargin)
+      val warmDir = tmpDir(s"${filePrefix}_w")
+      writeFiles(warmDir, 1)
+      runDaemon(conf(warmDir))
+      val inDir = tmpDir(filePrefix)
+      writeFiles(inDir, nFiles)
+      val sec = runDaemon(conf(inDir))
+      metric -> (nFiles.toLong * docBatch / sec)
+    }
+
+    def runCosineDup(): (String, Double) = {
+      val dim = 16
+      def vecLine(i: Long, batch: Int): String = {
+        val base = dupBase(i, batch)
+        // components are small dyadic rationals of a 64-bit mix —
+        // vectors identical IFF bases match, near-orthogonal otherwise
+        val comps = (0 until dim).map { j =>
+          (math.floorMod(mix64(base * dim + j), 128L) - 64L) / 16.0
+        }
+        s"""{"vec_id":$i,"embedding":[${comps.mkString(",")}]}"""
+      }
+      runAdmissionDaemon("cosinedup_filter_docs_per_sec", "graft_bench_cd",
+        state =>
+          s"""    type: 'handlers.CosineDupFilter'
+             |    cosine_dup:
+             |      id_column: vec_id
+             |      vec_column: embedding
+             |      state_dir: '$state'
+             |      dim: $dim
+             |      threshold: 0.95
+             |      shuffle_partitions: 8""".stripMargin,
+        vecLine)
+    }
+
+    def runHammingDup(): (String, Double) = {
+      def fpLine(i: Long, batch: Int): String = {
+        val base = dupBase(i, batch)
+        // copies flip one bit (hamming 1 <= max_hamming 3) so the
+        // cross/within drops exercise the verify, not just exact match
+        val flip = if (base != i) 1L << (i % 37).toInt else 0L
+        s"""{"media_id":$i,"w0":${mix64(base) ^ flip},"w1":${mix64(base * 3 + 1)}}"""
+      }
+      runAdmissionDaemon("hammingdup_filter_docs_per_sec", "graft_bench_hd",
+        state =>
+          s"""    type: 'handlers.HammingDupFilter'
+             |    hamming_dup:
+             |      id_column: media_id
+             |      w0_column: w0
+             |      w1_column: w1
+             |      state_dir: '$state'
+             |      max_hamming: 3
+             |      shuffle_partitions: 8""".stripMargin,
+        fpLine)
+    }
+
     Seq(
       "agg_mem_msgs_per_sec" -> (() => runPipe("agg_mem_msgs_per_sec",
         """SELECT properties.city as city, count(*) as city_count
@@ -512,7 +647,9 @@ object Bench {
       "session_window_msgs_per_sec" ->
         (() => runWindowDaemon("session_window_msgs_per_sec",
           "      kind: session\n")._2),
-      "neardup_filter_docs_per_sec" -> (() => runNearDup()._2))
+      "neardup_filter_docs_per_sec" -> (() => runNearDup()._2),
+      "cosinedup_filter_docs_per_sec" -> (() => runCosineDup()._2),
+      "hammingdup_filter_docs_per_sec" -> (() => runHammingDup()._2))
   }
 
   /** Returns (median metrics, spread metrics): every pipeline metric

@@ -159,13 +159,23 @@ final case class CosineDupConf(
     shufflePartitions: Option[Int] = None,
     compactEveryNTriggers: Option[Int] = None)
 
+/** Optional in-daemon fingerprinting for [[HammingDupConf]]: messages
+  * carry RAW MEDIA BYTES (base64 in the JSON envelope) instead of
+  * precomputed hash words, and the daemon derives the two 64-bit
+  * words itself — `kind: ahash` → `Multimodal.imageAHash64`, `kind:
+  * phash` → `imagePHash64`. Undecodable bytes null out and the row is
+  * dropped (the handler's IGNORE decode contract). */
+final case class FingerprintConf(contentColumn: String, kind: String)
+
 /** Streaming perceptual-fingerprint admission handler
   * (`handlers.HammingDupFilter`): `HammingDedup.streamingHammingDupFilter`
   * declared in YAML — media fingerprints (two 64-bit hash words, the
   * layout every aHash/pHash/audio/keyframe signature emits) are
   * admitted unless within `max_hamming` bits of anything already
   * admitted. Recall is exact for `max_hamming` ≤ 15 (pigeonhole over
-  * the fixed 16-chunk banding). */
+  * the fixed 16-chunk banding). With a `fingerprint` block the stream
+  * carries the media bytes themselves and the daemon hashes them
+  * in-flight (PNG → aHash/pHash → admission, end to end). */
 final case class HammingDupConf(
     idColumn: String,
     w0Column: String,
@@ -173,7 +183,8 @@ final case class HammingDupConf(
     stateDir: String,
     maxHamming: Int = 3,
     shufflePartitions: Option[Int] = None,
-    compactEveryNTriggers: Option[Int] = None)
+    compactEveryNTriggers: Option[Int] = None,
+    fingerprint: Option[FingerprintConf] = None)
 
 final case class HandlerConf(kind: String, sql: String, table: Option[String],
     window: Option[NativeWindowConf] = None,
@@ -389,16 +400,31 @@ object Config {
                 s"hamming_dup requires `$k`")
               hd.path(k).asText()
             }
+            val fp = if (hd.has("fingerprint")) {
+              val f = hd.path("fingerprint")
+              def freq(k: String): String = {
+                if (!f.has(k)) throw new IllegalArgumentException(
+                  s"hamming_dup.fingerprint requires `$k`")
+                f.path(k).asText()
+              }
+              Some(FingerprintConf(freq("content_column"), freq("kind")))
+            } else None
+            // with in-daemon fingerprinting the hash-word columns are
+            // DERIVED (imageAHash64/imagePHash64 emit w0/w1), so the
+            // column keys default instead of being required
             Some(HammingDupConf(
               idColumn = req("id_column"),
-              w0Column = req("w0_column"),
-              w1Column = req("w1_column"),
+              w0Column = if (fp.isDefined && !hd.has("w0_column")) "w0"
+                else req("w0_column"),
+              w1Column = if (fp.isDefined && !hd.has("w1_column")) "w1"
+                else req("w1_column"),
               stateDir = req("state_dir"),
               maxHamming = hd.path("max_hamming").asInt(3),
               shufflePartitions = if (hd.has("shuffle_partitions"))
                 Some(hd.path("shuffle_partitions").asInt()) else None,
               compactEveryNTriggers = if (hd.has("compact_every_n_triggers"))
-                Some(hd.path("compact_every_n_triggers").asInt()) else None))
+                Some(hd.path("compact_every_n_triggers").asInt()) else None,
+              fingerprint = fp))
           } else None)
       },
       sink = parseSink(p.path("sink")),

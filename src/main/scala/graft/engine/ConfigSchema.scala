@@ -300,11 +300,22 @@ object ConfigSchema {
         } else if (h.path("type").asText() == "handlers.HammingDupFilter") {
           requireKeys(h, hp, Seq("type", "hamming_dup"))
           val hd = h.path("hamming_dup"); val dp = s"$hp.hamming_dup"
-          requireKeys(hd, dp, Seq("id_column", "w0_column", "w1_column",
-            "state_dir"))
+          // with a fingerprint block the hash words are DERIVED from
+          // the media bytes in-daemon, so w0/w1 column keys default
+          if (hd.has("fingerprint")) {
+            requireKeys(hd, dp, Seq("id_column", "state_dir"))
+            val f = hd.path("fingerprint"); val fp = s"$dp.fingerprint"
+            requireKeys(f, fp, Seq("content_column", "kind"))
+            checkKeys(f, fp, Set("content_column", "kind"))
+            str(f, fp, "content_column")
+            enumOf(f, fp, "kind", Set("ahash", "phash"))
+          } else {
+            requireKeys(hd, dp, Seq("id_column", "w0_column", "w1_column",
+              "state_dir"))
+          }
           checkKeys(hd, dp, Set("id_column", "w0_column", "w1_column",
             "state_dir", "max_hamming", "shuffle_partitions",
-            "compact_every_n_triggers"))
+            "compact_every_n_triggers", "fingerprint"))
           str(hd, dp, "id_column"); str(hd, dp, "w0_column")
           str(hd, dp, "w1_column"); str(hd, dp, "state_dir")
           int(hd, dp, "max_hamming"); int(hd, dp, "shuffle_partitions")

@@ -219,19 +219,54 @@ final class CosineDupBatchHandler(cd: CosineDupConf) extends Handler {
 /** `handlers.HammingDupFilter` in BATCH mode (dev invoke): one
   * admission pass of the batch's fingerprints against the CURRENT
   * persisted state — preview semantics (bid = Long.MaxValue, nothing
-  * written), streaming routes to the continuous loop. */
+  * written), streaming routes to the continuous loop. With a
+  * `fingerprint` block the batch carries media bytes (base64) and the
+  * words are derived in-handler, same as the daemon. */
 final class HammingDupBatchHandler(hd: HammingDupConf) extends Handler {
   override def invoke(spark: SparkSession, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val projected = batch.select(
-      expr(s"try_cast(`${hd.idColumn}` AS BIGINT)").as(hd.idColumn),
-      expr(s"try_cast(`${hd.w0Column}` AS BIGINT)").as(hd.w0Column),
-      expr(s"try_cast(`${hd.w1Column}` AS BIGINT)").as(hd.w1Column))
-      .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
-        col(hd.w1Column).isNotNull)
+    val projected = hd.fingerprint match {
+      case Some(_) => HammingFingerprint.words(
+        batch.select(
+          expr(s"try_cast(`${hd.idColumn}` AS BIGINT)").as(hd.idColumn),
+          col(hd.fingerprint.get.contentColumn)), hd)
+      case None => batch.select(
+        expr(s"try_cast(`${hd.idColumn}` AS BIGINT)").as(hd.idColumn),
+        expr(s"try_cast(`${hd.w0Column}` AS BIGINT)").as(hd.w0Column),
+        expr(s"try_cast(`${hd.w1Column}` AS BIGINT)").as(hd.w1Column))
+        .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
+          col(hd.w1Column).isNotNull)
+    }
     graft.operators.HammingDedup.hammingDupFilterBatch(projected,
       hd.idColumn, hd.w0Column, hd.w1Column, hd.stateDir, Long.MaxValue,
       hd.maxHamming)
+  }
+}
+
+/** Shared PNG-bytes → hash-words stage of the fingerprinting Hamming
+  * daemon (streaming) and its dev-invoke preview: base64 media bytes →
+  * `Multimodal.imageAHash64`/`imagePHash64` → (id, w0, w1). Rows whose
+  * id is missing or whose bytes don't decode as an image null out and
+  * are DROPPED — the handler's IGNORE decode contract. */
+private[graft] object HammingFingerprint {
+  def words(df: org.apache.spark.sql.DataFrame,
+      hd: HammingDupConf): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = hd.fingerprint.getOrElse(throw new IllegalArgumentException(
+      "fingerprint block required"))
+    val media = df
+      .filter(col(hd.idColumn).isNotNull && col(f.contentColumn).isNotNull)
+      .select(col(hd.idColumn).cast("long").as("media_id"),
+        unbase64(col(f.contentColumn).cast("string")).as("content"))
+    val hashed = f.kind match {
+      case "ahash" => graft.operators.Multimodal.imageAHash64(media)
+      case "phash" => graft.operators.Multimodal.imagePHash64(media)
+      case other => throw new IllegalArgumentException(
+        s"unknown fingerprint kind '$other' (ahash|phash)")
+    }
+    hashed.select(col("media_id").as(hd.idColumn),
+        col("w0").as(hd.w0Column), col("w1").as(hd.w1Column))
+      .filter(col(hd.w0Column).isNotNull && col(hd.w1Column).isNotNull)
   }
 }
 

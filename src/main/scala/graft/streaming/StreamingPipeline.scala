@@ -281,20 +281,38 @@ object StreamingPipeline {
     // string→long cast THROWS under ANSI mode and kills the stream on
     // the first malformed message — the opposite of this handler's
     // IGNORE decode contract
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        hd.idColumn, org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        hd.w0Column, org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        hd.w1Column, org.apache.spark.sql.types.LongType)))
-    val decoded = source.df
-      .select(from_json(col("value").cast("string"), schema).as("__j"))
-      .select(col(s"__j.${hd.idColumn}").as(hd.idColumn),
-        col(s"__j.${hd.w0Column}").as(hd.w0Column),
-        col(s"__j.${hd.w1Column}").as(hd.w1Column))
-      .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
-        col(hd.w1Column).isNotNull)
+    val decoded = hd.fingerprint match {
+      case Some(f) =>
+        // the stream carries MEDIA BYTES (base64): decode the envelope,
+        // derive the hash words in-flight (PNG → aHash/pHash), then the
+        // admission discipline is identical to the precomputed path
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            hd.idColumn, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            f.contentColumn, org.apache.spark.sql.types.StringType)))
+        graft.engine.HammingFingerprint.words(
+          source.df
+            .select(from_json(col("value").cast("string"), schema).as("__j"))
+            .select(col(s"__j.${hd.idColumn}").as(hd.idColumn),
+              col(s"__j.${f.contentColumn}").as(f.contentColumn)),
+          hd)
+      case None =>
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            hd.idColumn, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            hd.w0Column, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            hd.w1Column, org.apache.spark.sql.types.LongType)))
+        source.df
+          .select(from_json(col("value").cast("string"), schema).as("__j"))
+          .select(col(s"__j.${hd.idColumn}").as(hd.idColumn),
+            col(s"__j.${hd.w0Column}").as(hd.w0Column),
+            col(s"__j.${hd.w1Column}").as(hd.w1Column))
+          .filter(col(hd.idColumn).isNotNull && col(hd.w0Column).isNotNull &&
+            col(hd.w1Column).isNotNull)
+    }
     val trigger = conf.pipeline.flushIntervalSeconds match {
       case Some(s) => Trigger.ProcessingTime(s"$s seconds")
       case None => Trigger.ProcessingTime(0L)

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Probe-IO scale evidence for the COSINE and HAMMING admission
+  * daemons — NearDupProbe's `bytes` mode over the other two payload
+  * economies (float vectors / 24-byte fingerprint rows vs shingled
+  * text; they share the IndexState skeleton but not the cost law).
+  * For one history size: commits history in 10k-doc bids, measures a
+  * fixed probe's state bytes before vs after compaction. Run at two
+  * history sizes (e.g. 50000 and 500000) and compare `compacted`
+  * rows: flat bytes across a 10× corpus = batch-proportional IO.
+  * Usage:
+  *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs]"
+  */
+object AdmissionProbe {
+
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val daemon = args.headOption.getOrElse("cosine")
+    val histDocs = args.lift(1).map(_.toInt).getOrElse(50000)
+    val probeDocs = args.lift(2).map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val meter = new StateBytesMeter(spark)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory(s"graft_${daemon}bytes").toString
+    meter.watch(stateDir)
+
+    val dim = 16
+    def vec(base: Long): Seq[Double] =
+      (0 until dim).map(j =>
+        (math.floorMod(mix64(base * dim + j), 128L) - 64L) / 16.0)
+
+    val chunk = 10000
+    val nBids = (histDocs + chunk - 1) / chunk
+    (0 until nBids).foreach { bid =>
+      val ids = (bid.toLong * chunk until
+        math.min((bid + 1).toLong * chunk, histDocs.toLong))
+      daemon match {
+        case "cosine" =>
+          val b = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+          graft.operators.CosineDedup.cosineDupCommitBatch(
+            b, "vec_id", "embedding", stateDir, bid.toLong, dim)
+        case "hamming" =>
+          val b = ids.map(i => (i, mix64(i), mix64(i * 3 + 1)))
+            .toDF("media_id", "w0", "w1")
+          graft.operators.HammingDedup.hammingDupCommitBatch(
+            b, "media_id", "w0", "w1", stateDir, bid.toLong)
+        case other => sys.error(s"unknown daemon '$other' (cosine|hamming)")
+      }
+    }
+    // fixed probe: mostly novel + 2 copies of admitted history (so the
+    // candidate/verify path and the payload read are exercised)
+    val probe = daemon match {
+      case "cosine" =>
+        ((0 until probeDocs - 2).map(i =>
+          (5000000L + i, vec(5000000L + i))) ++
+          Seq((9000000L, vec(0L)), (9000001L, vec(7L))))
+          .toDF("vec_id", "embedding").cache()
+      case _ =>
+        ((0 until probeDocs - 2).map(i =>
+          (5000000L + i, mix64(5000000L + i), mix64((5000000L + i) * 3 + 1))) ++
+          Seq((9000000L, mix64(0L) ^ 1L, mix64(1L)),
+            (9000001L, mix64(7L), mix64(22L) ^ 3L)))
+          .toDF("media_id", "w0", "w1").cache()
+    }
+    probe.count()
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(c => du(c.getPath)).sum
+    }
+    println(s"daemon=$daemon history=$histDocs docs ($nBids bids), " +
+      f"probe=$probeDocs docs, state on disk = ${du(stateDir) / 1e6}%.2f MB")
+    def measure(label: String): Long = {
+      spark.catalog.clearCache(); probe.cache(); probe.count()
+      val t0 = System.nanoTime(); val b0 = meter.bytes()
+      val surv = daemon match {
+        case "cosine" => graft.operators.CosineDedup.cosineDupFilterBatch(
+          probe, "vec_id", "embedding", stateDir, nBids.toLong,
+          threshold = 0.95, dim = dim)
+        case _ => graft.operators.HammingDedup.hammingDupFilterBatch(
+          probe, "media_id", "w0", "w1", stateDir, nBids.toLong,
+          maxHamming = 3)
+      }
+      val n = surv.count()
+      val db = meter.bytes() - b0
+      println(f"  $label%-12s probe bytes read = ${db / 1e6}%9.2f MB   " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s   survivors=$n")
+      n
+    }
+    val sUnc = measure("uncompacted")
+    daemon match {
+      case "cosine" =>
+        graft.operators.CosineDedup.compactCosineDupState(spark, stateDir,
+          upToBid = nBids - 1L, minReplayableBid = nBids.toLong,
+          bandRowsPerBucket = 1024L, vecRowsPerBucket = 256L)
+      case _ =>
+        graft.operators.HammingDedup.compactHammingDupState(spark, stateDir,
+          upToBid = nBids - 1L, minReplayableBid = nBids.toLong,
+          bandRowsPerBucket = 4096L, hashRowsPerBucket = 512L)
+    }
+    println(f"  state on disk after fold = ${du(stateDir) / 1e6}%.2f MB")
+    val sCom = measure("compacted")
+    assert(sUnc == sCom, s"survivor mismatch: $sUnc vs $sCom")
+    println(s"  (survivor count identical pre/post fold: $sUnc)")
+    spark.stop()
+  }
+}

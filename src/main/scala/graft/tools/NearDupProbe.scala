@@ -43,60 +43,13 @@ object NearDupProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    // Neither task inputMetrics nor Hadoop FS statistics see the
-    // vectorized parquet reader's positioned reads on file:// (both
-    // reported 0.12 MB for a 6.4 MB full scan) — so measure at the
-    // PLAN level instead: FileSourceScanExec's `filesSize` metric is
-    // the bytes selected for read AFTER partition pruning, which is
-    // exactly the quantity the bucketed layout is supposed to shrink.
-    // Only scans rooted under the state dir count (probe-side reads
-    // excluded).
-    val stateBytes = new java.util.concurrent.atomic.AtomicLong
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scansOf(a.executedPlan)
-      // AQE materializes stages as CHILDLESS QueryStageExec leaves —
-      // without recursing `.plan` every scan inside a stage is missed
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scansOf(q.plan)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case other =>
-        (other.children ++ other.subqueries).flatMap(scansOf)
-    }
-    @volatile var stateDirForListener: String = ""
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = {
-          scansOf(qe.executedPlan).foreach { s =>
-            val under = s.relation.location.rootPaths.exists(
-              _.toString.contains(stateDirForListener))
-            if (under && stateDirForListener.nonEmpty) {
-              val sz = s.metrics.get("filesSize").map(_.value).getOrElse(0L)
-              stateBytes.addAndGet(sz)
-              if (sys.env.contains("GRAFT_NDPROBE_DEBUG"))
-                println(f"    [scan] $funcName sz=${sz / 1e6}%.3f MB " +
-                  s"parts=${s.relation.location.rootPaths.head}")
-            }
-          }
-        }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
-    object bytesRead {
-      def get(): Long = {
-        // the execution-listener bus is async — drain it first
-        org.apache.spark.graftx.Listeners
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        stateBytes.get()
-      }
-    }
+    // bytes measured at the PLAN level via the shared StateBytesMeter
+    // (see its Scaladoc for why task/FS metrics can't be used here)
+    val meter = new StateBytesMeter(spark)
+    object bytesRead { def get(): Long = meter.bytes() }
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_ndbytes").toString
-    stateDirForListener = stateDir
+    meter.watch(stateDir)
     // admit history in 10k-doc trigger commits. Texts use per-(doc,
     // position) tokens — ZERO accidental overlap: Bench's small-vocab
     // generator has modular word-shift cycles (docs i and i+451 share
@@ -166,7 +119,115 @@ object NearDupProbe {
     spark.stop()
   }
 
+  /** `knee` mode — the round-10 evidence run for the bucket-cap knee:
+    * the SAME admitted corpus folded twice, once with the bucket count
+    * CAPPED below the probe's key count (the old 64k default, scaled
+    * down: the regime SCALE.md's 10⁹-doc projection lands in — every
+    * bucket is hit and the probe re-reads the whole index) and once
+    * with the corpus-proportional count (cap lifted), probed by the
+    * same batch. Prints probe bytes for both plus the survivor
+    * identity. Usage:
+    *   sbt "runMain graft.tools.NearDupProbe knee <histDocs> <probeDocs> [cappedBuckets] [rowsPerBucket]"
+    * Run at two history sizes to see the grown-fold bytes stay FLAT
+    * while the capped-fold bytes track the index. */
+  private def kneeMain(histDocs: Int, probeDocs: Int,
+      cappedBuckets: Int, rowsPerBucket: Long): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val meter = new StateBytesMeter(spark)
+    def histText(i: Long): String =
+      s"d$i " + (1 to 39).map(w => s"w${i}x$w").mkString(" ")
+    val chunk = 20000
+    val nBids = (histDocs + chunk - 1) / chunk
+    val base = java.nio.file.Files.createTempDirectory("graft_ndknee")
+    val capped = s"$base/capped"
+    val grown = s"$base/grown"
+    (0 until nBids).foreach { bid =>
+      val lines = (bid.toLong * chunk until math.min((bid + 1).toLong * chunk,
+        histDocs.toLong))
+        .map(i => s"""{"doc_id":$i,"text":"${histText(i)}"}""")
+      val b = spark.read.json(lines.toDS())
+      graft.operators.Dedup.nearDupCommitBatch(b, "doc_id", "text",
+        capped, bid.toLong, n = 3)
+    }
+    // identical state for the grown fold (fs copy beats re-sketching)
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(capped), java.nio.file.Paths.get(grown))
+    val tCap0 = System.nanoTime()
+    graft.operators.Dedup.compactNearDupState(spark, capped,
+      upToBid = nBids - 1L, minReplayableBid = nBids.toLong,
+      bandRowsPerBucket = rowsPerBucket, textRowsPerBucket = 128L,
+      maxBuckets = cappedBuckets)
+    val tCap = (System.nanoTime() - tCap0) / 1e9
+    val tGro0 = System.nanoTime()
+    graft.operators.Dedup.compactNearDupState(spark, grown,
+      upToBid = nBids - 1L, minReplayableBid = nBids.toLong,
+      bandRowsPerBucket = rowsPerBucket, textRowsPerBucket = 128L)
+    val tGro = (System.nanoTime() - tGro0) / 1e9
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(c => du(c.getPath)).sum
+    }
+    def buckets(dir: String) = new java.io.File(dir)
+      .listFiles().head.toPath.resolve("bands").toFile
+      .listFiles().count(_.getName.startsWith("__pb="))
+    // probe: mostly novel + 2 near-dups of folded history
+    val probe = ((0 until probeDocs - 2).map(i =>
+      (1000000L + i, s"novel probe document $i " + (1 to 38).map(w =>
+        s"p${i}y$w").mkString(" "))) ++ Seq(
+      (2000000L, histText(0L)), (2000001L, histText(7L))))
+      .toDF("doc_id", "text").cache()
+    probe.count()
+    val batchKeys = probeDocs * 32 // 32 bands per doc
+    println(s"history=$histDocs docs ($nBids bids, ${nBids * chunk * 32L} band rows), " +
+      s"probe=$probeDocs docs (~$batchKeys band keys)")
+    println(f"  capped fold:  ${buckets(s"$capped/compact")}%7d band buckets " +
+      f"(cap=$cappedBuckets), index on disk ${du(s"$capped/compact") / 1e6}%9.2f MB, fold $tCap%6.1f s")
+    println(f"  grown fold:   ${buckets(s"$grown/compact")}%7d band buckets " +
+      f"(corpus/rowsPerBucket), index on disk ${du(s"$grown/compact") / 1e6}%9.2f MB, fold $tGro%6.1f s")
+    def measure(label: String, dir: String): Long = {
+      spark.catalog.clearCache(); probe.cache(); probe.count()
+      meter.watch(dir)
+      val t0 = System.nanoTime(); val b0 = meter.bytes()
+      val surv = graft.operators.Dedup.nearDupFilterBatch(probe,
+        "doc_id", "text", dir, nBids.toLong, n = 3, threshold = 0.7)
+      val n = surv.count()
+      val db = meter.bytes() - b0
+      println(f"  $label%-12s probe bytes read = ${db / 1e6}%9.2f MB   " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s   survivors=$n")
+      n
+    }
+    val sCap = measure("capped", capped)
+    val sGro = measure("grown", grown)
+    assert(sCap == sGro,
+      s"pruned ≡ unpruned admission identity violated: $sCap vs $sGro")
+    println(s"  (survivor identity holds: $sCap)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("knee")) {
+      kneeMain(args.lift(1).map(_.toInt).getOrElse(500000),
+        args.lift(2).map(_.toInt).getOrElse(200),
+        args.lift(3).map(_.toInt).getOrElse(2048),
+        args.lift(4).map(_.toLong).getOrElse(512L))
+      return
+    }
     if (args.headOption.contains("bytes")) {
       bytesMain(args.lift(1).map(_.toInt).getOrElse(25000),
         args.lift(2).map(_.toInt).getOrElse(16))

@@ -485,6 +485,69 @@ class ExamplesSpec extends SparkTestBase {
     } finally broker.stop()
   }
 
+  test("image.dedup.hamming example EXECUTES e2e: PNG bytes -> in-daemon aHash -> admission, planted near-dup dropped mid-stream") {
+    // four real PNGs: A = block checkerboard, B = A with one block's
+    // dark gray nudged (same side of the mean -> aHash identical),
+    // C = inverted checkerboard (all 64 bits flip), D (second batch) =
+    // A with a brightness tweak (within max_hamming of A, probed
+    // against the FOLDED state), E = vertical stripes (novel)
+    def png(block: (Int, Int) => Int): String = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val g = block(x / 2, y / 2)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val checker = (bx: Int, by: Int) =>
+      if ((bx + by) % 2 == 0) 200 else 50
+    val a = png(checker)
+    val b = png((bx, by) =>
+      if (bx == 0 && by == 0) 70 else checker(bx, by)) // still < mean
+    val c = png((bx, by) => if ((bx + by) % 2 == 0) 50 else 200)
+    val d = png((bx, by) => // one light block dimmed, stays > mean
+      if (bx == 3 && by == 3) 180 else checker(bx, by))
+    val e = png((bx, _) => if (bx % 2 == 0) 200 else 50)
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    val stateDir = Files.createTempDirectory("graft_ex_imagedup").toString
+    try {
+      broker.publish("input-images", Seq(
+        s"""{"media_id":1,"png":"$a"}""",
+        s"""{"media_id":2,"png":"$b"}""",
+        s"""{"media_id":3,"png":"$c"}""",
+        """{"media_id":4,"png":"bm90IGEgcG5n"}"""), // undecodable: dropped
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/image.dedup.hamming.yml",
+        Map("QUEUE_BROKERS" -> broker.address,
+          "IMAGEDUP_STATE_DIR" -> stateDir))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        def admitted = sink.allRows
+          .map(r => r.split("\"media_id\":")(1).split("[,}]")(0).toLong).sorted
+        // B hashes identically to A (min-id canonical 1 survives);
+        // C is ~64 bits away (admitted); 4 doesn't decode (IGNORE)
+        assert(admitted == Seq(1L, 3L), sink.allRows.toString)
+        // second batch probes the FOLDED state (compact every trigger):
+        // D is a near-dup of admitted image 1 -> dropped; E is novel
+        broker.publish("input-images", Seq(
+          s"""{"media_id":5,"png":"$d"}""",
+          s"""{"media_id":6,"png":"$e"}"""),
+          partitions = 1)
+        running.processAllAvailable()
+        assert(admitted == Seq(1L, 3L, 6L), sink.allRows.toString)
+        assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
+          "expected a committed compact version under state_dir")
+      } finally running.stop()
+    } finally broker.stop()
+  }
+
   test("queue.structured.mem example EXECUTES as a config: StructuredBatch over the queue transport") {
     val broker = new graft.streaming.GraftQueueBroker()
     broker.start()

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# End-of-round preflight: the full gate sequence that produced the
+# first all-green HEAD (round 9), as one command. Run AFTER the last
+# registry/doc edit; stops at the first failure. See README
+# "End-of-round preflight".
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_SMALL=${SF_SMALL:-/root/testdata/sf0.01}
+SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+
+echo "== 1/6 CountSync (documented-count drift guard) =="
+sbt -batch "runMain graft.tools.CountSync"
+
+echo "== 2/6 full test suite =="
+sbt -batch test
+
+echo "== 3/6 correctness gate at $SF_SMALL =="
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_SMALL /tmp/preflight_verify"
+python3 tools/check_correctness.py "$SF_SMALL" /tmp/preflight_verify
+
+echo "== 4/6 oracle type lint =="
+sbt -batch "runMain graft.Verify $SF_SMALL /tmp/preflight_oracles --oracles-only"
+python3 tools/lint_oracle_types.py "$SF_SMALL" /tmp/preflight_oracles
+
+echo "== 5/6 bench at $SF_BENCH =="
+SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  sbt -batch "runMain graft.Bench" | grep '"metric"' | tail -1
+
+echo "== 6/6 reminders =="
+echo "  cp BENCH_LAST.json BENCH_r<N>.full.json   # round-stamp the bench"
+echo "  git add -A && git commit                  # commit at green HEAD"
+echo "PREFLIGHT GREEN"
