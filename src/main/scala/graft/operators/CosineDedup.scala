@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   * (every candidate is exact-verified at the rounded threshold). */
 object CosineDedup {
 
+  // ONE band bucket law, used by the fold-side artifact AND the
+  // probe-side prune (round-9 advisor: nothing else enforces the two
+  // agree; defining it once makes drift impossible)
+  private def bandBucket(b: Int) =
+    pmod(xxhash64(col("band"), col("v")), lit(b))
   private val bandArtifact =
-    IndexState.Artifact("bands",
-      (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)), 1L << 16,
-      sortCols = _ => Seq(col("band"), col("v")))
+    IndexState.Artifact("bands", (_, b) => bandBucket(b), 1L << 16,
+      sortCols = _ => Seq(col("band"), col("v"), col("hist_id")))
   private val vecArtifact = IndexState.payloadArtifact("vecs", 1L << 13)
 
   /** Filter one micro-batch against the persisted state: within-batch
@@ -69,8 +73,7 @@ object CosineDedup {
       payloadName = "vecs", label = "cosine-dup",
       sketch = w => Similarity.sketchVecBatchForProbe(
         w, idCol, vecCol, dim, bands, rowsPerBand, seed),
-      indexPb = buckets =>
-        pmod(xxhash64(col("band"), col("v")), lit(buckets)),
+      indexPb = bandBucket,
       joinKeys = Seq("band", "v"),
       checkIndex = Similarity.checkHyperplaneIndexParams(
         _, dim, bands, rowsPerBand, seed),

@@ -431,6 +431,11 @@ object Dedup {
     * batch first (smallest id is canonical — deterministic), then the
     * cross-batch probe against history. `idCol` must be numeric
     * (canonicalization compares ids). */
+  // ONE band bucket law for fold + probe (round-9 advisor: defining it
+  // once makes write-side/probe-side drift impossible). bh is already
+  // a band-salted xxhash64, so pmod alone is uniform.
+  private def bandBucket(b: Int): Column = pmod(col("bh"), lit(b))
+
   def nearDupFilterBatch(
       batch: DataFrame,
       idCol: String,
@@ -474,7 +479,7 @@ object Dedup {
       payloadName = "texts", label = "near-dup",
       sketch = w =>
         sketchBatchForProbe(w, idCol, textCol, n, numHashes, bands, seed),
-      indexPb = buckets => pmod(col("bh"), lit(buckets)),
+      indexPb = bandBucket,
       joinKeys = Seq("band", "bh"),
       checkIndex = checkBandIndexParams(_, n, numHashes, bands, seed),
       verify = (cand, hist, b) =>
@@ -549,9 +554,9 @@ object Dedup {
       textRowsPerBucket: Long = 1L << 13,
       maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
-      IndexState.Artifact("bands",
-        (_, b) => pmod(col("bh"), lit(b)), bandRowsPerBucket, maxBuckets,
-        sortCols = _ => Seq(col("bh"))),
+      IndexState.Artifact("bands", (_, b) => bandBucket(b),
+        bandRowsPerBucket, maxBuckets,
+        sortCols = _ => Seq(col("bh"), col("hist_id"))),
       IndexState.payloadArtifact("texts", textRowsPerBucket, maxBuckets)),
       upToBid, minReplayableBid)
     (counts.getOrElse("bands", 0L), counts.getOrElse("texts", 0L))

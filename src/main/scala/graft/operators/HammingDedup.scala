@@ -13,30 +13,80 @@ import org.apache.spark.sql.functions._
   * (`CosineDedup`), fingerprints get Hamming — together the full
   * multimodal ingest front door.
   *
-  * Banding is 16 fixed chunks of 8 bits (8 per word). By pigeonhole a
-  * pair within Hamming distance ≤ 15 differs in at most 15 chunks, so
-  * it MATCHES in at least one — recall is EXACTLY 1.0 for any
-  * `maxHamming` ≤ 15 (not probabilistic, unlike MinHash/hyperplane
-  * banding), and the `bit_count` verify makes precision exactly 1.0.
-  * The whole operator is integer arithmetic end-to-end, so its oracle
-  * replays bit-for-bit in any SQL engine.
+  * Banding is ADAPTIVE multi-index chunking (Norvig-style pigeonhole;
+  * cf. the multi-index hashing literature): the 128 bits split into
+  * the smallest word-aligned power-of-two chunk count m ≥
+  * `maxHamming + 1` — a pair within distance ≤ maxHamming differs in
+  * at most maxHamming chunks < m, so it MATCHES in at least one:
+  * recall is EXACTLY 1.0 (not probabilistic, unlike MinHash/
+  * hyperplane banding), and the `bit_count` verify makes precision
+  * exactly 1.0. Chunk count is a CANDIDATE-VOLUME dial, which is why
+  * it adapts instead of being fixed: random fingerprints collide on a
+  * w-bit chunk with probability 2^-w, so the original fixed 16×8-bit
+  * layout cost ~m·N/256 candidates per probe doc (measured round 10:
+  * probe bytes GREW 4.75 → 31 MB across a 10× corpus) while the
+  * default `maxHamming = 3` needs only 4×32-bit chunks — collision
+  * probability 2^-32, candidates ≈ true near-dups only, probe IO
+  * batch-proportional. The chunk count is stamped into the persisted
+  * index (column metadata, like the MinHash sketch params) and a
+  * probe under a different `maxHamming` bucket fails loudly instead
+  * of silently losing recall. The whole operator is integer
+  * arithmetic end-to-end, so its oracle replays bit-for-bit in any
+  * SQL engine (the oracle verifies with exact bit_count — admission
+  * results are chunk-layout-independent).
   *
   * State/replay/crash semantics are [[IndexState]]'s: bid-versioned
   * probe-then-commit, bucketed compact folds with replay-safe floors,
   * probe IO pruned to the batch's own chunk buckets. */
 object HammingDedup {
 
-  private val chunksPerWord = 8
-  private val chunkBits = 8
+  private val maxChunks = 16 // 8-bit chunks; bounds maxHamming at 15
 
-  /** The 16 (band, value) rows of one fingerprint; band 0–7 chunk w0,
-    * band 8–15 chunk w1. Chunk values are 8-bit ints. */
-  private def bandValues(w0: Column, w1: Column): Column =
-    array((0 until 2 * chunksPerWord).map { i =>
-      val word = if (i < chunksPerWord) w0 else w1
-      shiftright(word, chunkBits * (i % chunksPerWord))
-        .bitwiseAND(lit((1L << chunkBits) - 1))
+  /** Smallest word-aligned (power-of-two, ≥ 2) chunk count whose
+    * pigeonhole covers `maxHamming`. */
+  private[graft] def chunksFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= maxChunks - 1,
+      s"maxHamming > ${maxChunks - 1} breaks the pigeonhole recall " +
+        s"guarantee of $maxChunks-chunk banding")
+    var m = 2
+    while (m < maxHamming + 1) m *= 2
+    m
+  }
+
+  /** The m (band, value) rows of one fingerprint; bands 0..m/2-1
+    * chunk w0, the rest w1. Chunk values are 128/m-bit ints. */
+  private def bandValues(w0: Column, w1: Column, chunks: Int): Column = {
+    val perWord = chunks / 2
+    val width = 64 / perWord
+    array((0 until chunks).map { i =>
+      val word = if (i < perWord) w0 else w1
+      val shifted = shiftright(word, width * (i % perWord))
+      if (width == 64) shifted
+      else shifted.bitwiseAND(lit((1L << width) - 1))
     }: _*)
+  }
+
+  private def chunkMeta(chunks: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.hamming.chunks", chunks.toLong).build()
+
+  /** Loud mismatch check: an index banded under a different chunk
+    * count would never collide with this probe's band values —
+    * silent zero recall (the MinHash param-stamp discipline). */
+  private def checkChunkMeta(index: DataFrame, chunks: Int): Unit =
+    index.schema.fields.find(_.name == "v").map(_.metadata)
+      .filter(_.contains("graft.hamming.chunks")).foreach { m =>
+        val built = m.getLong("graft.hamming.chunks")
+        require(built == chunks.toLong,
+          s"hamming band index built with $built chunks but probed " +
+            s"with $chunks (different maxHamming bucket) — band values " +
+            "would never collide; rebuild or probe with a maxHamming " +
+            "in the same chunk bucket")
+      }
+
+  // ONE band bucket law for fold + probe (cannot drift)
+  private def bandBucket(b: Int): Column =
+    pmod(xxhash64(col("band"), col("v")), lit(b))
 
   private def hammingExpr(a0: Column, a1: Column, b0: Column, b1: Column): Column =
     bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))
@@ -44,18 +94,16 @@ object HammingDedup {
   /** Within-corpus near-dup pairs at Hamming distance ≤ `maxHamming`:
     * banded candidates (never all-pairs) + exact bit_count verify.
     * Output (doc_a, doc_b, hamming), doc_a < doc_b. Exact recall for
-    * maxHamming ≤ 15 (pigeonhole over the 16 chunks). */
+    * maxHamming ≤ 15 (pigeonhole over `chunksFor(maxHamming)` chunks). */
   def hammingDupPairs(
       docs: DataFrame, idCol: String, w0Col: String, w1Col: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 2 * chunksPerWord - 1,
-      s"maxHamming > ${2 * chunksPerWord - 1} breaks the pigeonhole " +
-        "recall guarantee of 16-chunk banding")
+    val chunks = chunksFor(maxHamming)
     val d = graft.queries.Tables.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         col(w0Col).cast("long").as("w0"), col(w1Col).cast("long").as("w1"))
     val buckets = d.select(col("doc_id"), col("w0"), col("w1"),
-      posexplode(bandValues(col("w0"), col("w1"))).as(Seq("band", "v")))
+      posexplode(bandValues(col("w0"), col("w1"), chunks)).as(Seq("band", "v")))
       .select("doc_id", "band", "v")
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -74,21 +122,27 @@ object HammingDedup {
   }
 
   /** Persistable band index over admitted fingerprints — (hist_id,
-    * band, v) rows, the Hamming analog of `Dedup.minhashBandBuckets`. */
+    * band, v) rows, the Hamming analog of `Dedup.minhashBandBuckets`.
+    * Chunk count derives from `maxHamming` and is stamped as column
+    * metadata so a mismatched probe fails loudly. */
   def hammingBandBuckets(
-      docs: DataFrame, idCol: String, w0Col: String, w1Col: String): DataFrame =
+      docs: DataFrame, idCol: String, w0Col: String, w1Col: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = chunksFor(maxHamming)
     graft.queries.Tables.spread(docs)
       .select(col(idCol).cast("long").as("hist_id"),
         posexplode(bandValues(col(w0Col).cast("long"),
-          col(w1Col).cast("long"))).as(Seq("band", "v")))
+          col(w1Col).cast("long"), chunks)).as(Seq("band", "v")))
+      .withColumn("v", col("v").as("v", chunkMeta(chunks)))
+  }
 
   private def sketchForProbe(
-      batch: DataFrame, idCol: String, w0Col: String, w1Col: String)
-      : (DataFrame, DataFrame) = {
+      batch: DataFrame, idCol: String, w0Col: String, w1Col: String,
+      chunks: Int): (DataFrame, DataFrame) = {
     val b = batch.select(col(idCol).cast("long").as("batch_id"),
       col(w0Col).cast("long").as("w0"), col(w1Col).cast("long").as("w1"))
     (b, b.select(col("batch_id"),
-      posexplode(bandValues(col("w0"), col("w1"))).as(Seq("band", "v"))))
+      posexplode(bandValues(col("w0"), col("w1"), chunks)).as(Seq("band", "v"))))
   }
 
   private def verifyHamming(
@@ -122,9 +176,7 @@ object HammingDedup {
       stateDir: String,
       batchId: Long,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 2 * chunksPerWord - 1,
-      s"maxHamming > ${2 * chunksPerWord - 1} breaks the pigeonhole " +
-        "recall guarantee of 16-chunk banding")
+    val chunks = chunksFor(maxHamming)
     // 1. within-batch: banded pairs + min-id canonical survives
     val pairs = hammingDupPairs(batch, idCol, w0Col, w1Col, maxHamming)
     val dropped = Dedup.dropNonCanonical(batch, pairs, idCol, lit(0))
@@ -137,11 +189,10 @@ object HammingDedup {
     // fingerprint words themselves — tiny, but pruned the same way
     IndexState.probeAdmitted(stateDir, batchId, within,
       payloadName = "hashes", label = "hamming-dup",
-      sketch = w => sketchForProbe(w, idCol, w0Col, w1Col),
-      indexPb = buckets =>
-        pmod(xxhash64(col("band"), col("v")), lit(buckets)),
+      sketch = w => sketchForProbe(w, idCol, w0Col, w1Col, chunks),
+      indexPb = bandBucket,
       joinKeys = Seq("band", "v"),
-      checkIndex = _ => (), // chunk layout is fixed; no tunable params
+      checkIndex = checkChunkMeta(_, chunks),
       verify = (cand, hist, b) =>
         verifyHamming(cand, hist, b, idCol, w0Col, w1Col, maxHamming)) match {
       case None => within // first batch
@@ -166,8 +217,9 @@ object HammingDedup {
       w0Col: String,
       w1Col: String,
       stateDir: String,
-      batchId: Long): Unit = {
-    hammingBandBuckets(survivors, idCol, w0Col, w1Col)
+      batchId: Long,
+      maxHamming: Int = 3): Unit = {
+    hammingBandBuckets(survivors, idCol, w0Col, w1Col, maxHamming)
       .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
     survivors.select(col(idCol).cast("long").as(idCol),
         col(w0Col).cast("long").as(w0Col), col(w1Col).cast("long").as(w1Col))
@@ -186,10 +238,9 @@ object HammingDedup {
       hashRowsPerBucket: Long = 1L << 14,
       maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
-      IndexState.Artifact("bands",
-        (_, b) => pmod(xxhash64(col("band"), col("v")), lit(b)),
+      IndexState.Artifact("bands", (_, b) => bandBucket(b),
         bandRowsPerBucket, maxBuckets,
-        sortCols = _ => Seq(col("band"), col("v"))),
+        sortCols = _ => Seq(col("band"), col("v"), col("hist_id"))),
       IndexState.payloadArtifact("hashes", hashRowsPerBucket, maxBuckets)),
       upToBid, minReplayableBid)
     (counts.getOrElse("bands", 0L), counts.getOrElse("hashes", 0L))
@@ -213,7 +264,7 @@ object HammingDedup {
       filterBatch = (b, bid) => hammingDupFilterBatch(b, idCol, w0Col,
         w1Col, stateDir, bid, maxHamming),
       commitBatch = (survivors, bid) => hammingDupCommitBatch(survivors,
-        idCol, w0Col, w1Col, stateDir, bid),
+        idCol, w0Col, w1Col, stateDir, bid, maxHamming),
       compactTo = (spark, upToBid, minReplayable) =>
         compactHammingDupState(spark, stateDir, upToBid, minReplayable))(emit)
 }
