@@ -34,7 +34,12 @@ object CosineDedup {
   private val bandArtifact =
     IndexState.Artifact("bands", (_, b) => bandBucket(b), 1L << 16,
       sortCols = _ => Seq(col("band"), col("v"), col("hist_id")))
-  private val vecArtifact = IndexState.payloadArtifact("vecs", 1L << 13)
+  // vector buckets default SMALL (256 rows, vs 8k for text payloads):
+  // the verify read is candidates × vecBucketBytes and an embedding
+  // row is ~100× a band-index row, so bucket size IS the verify
+  // read-amplification dial (SCALE.md round 10, cosine probe table).
+  // At dim=768 float64, 256 rows ≈ 1.5 MB/bucket — object-store sized.
+  private val vecArtifact = IndexState.payloadArtifact("vecs", 256L)
 
   /** Filter one micro-batch against the persisted state: within-batch
     * near-dups collapse to the min-id canonical first, then the
@@ -121,7 +126,7 @@ object CosineDedup {
       upToBid: Long,
       minReplayableBid: Long,
       bandRowsPerBucket: Long = 1L << 16,
-      vecRowsPerBucket: Long = 1L << 13,
+      vecRowsPerBucket: Long = 256L,
       maxBuckets: Int = IndexState.DefaultMaxBuckets): (Long, Long) = {
     val counts = IndexState.compact(spark, stateDir, Seq(
       bandArtifact.copy(targetRowsPerBucket = bandRowsPerBucket,
@@ -157,6 +162,39 @@ object CosineDedup {
         stateDir, bid, threshold, dim, bands, rowsPerBand, seed),
       commitBatch = (survivors, bid) => cosineDupCommitBatch(survivors,
         idCol, vecCol, stateDir, bid, dim, bands, rowsPerBand, seed),
-      compactTo = (spark, upToBid, minReplayable) =>
-        compactCosineDupState(spark, stateDir, upToBid, minReplayable))(emit)
+      compactTo = (spark, upToBid, minReplayable) => {
+        val (_, vecCount) =
+          compactCosineDupState(spark, stateDir, upToBid, minReplayable)
+        signatureSaturationWarning(vecCount, bands, rowsPerBand)
+          .foreach(m => org.slf4j.LoggerFactory
+            .getLogger(getClass).warn(m))
+      })(emit)
+
+  /** The signature-space saturation law, checked at fold time (the one
+    * moment the daemon knows its admitted-corpus size for free): with
+    * r-bit band values, every (band, value) cell is occupied once the
+    * corpus ≫ 2^r, so probe candidates grow ∝ corpus/2^r PER BAND and
+    * the exact-cosine verify — candidate-bounded by design — silently
+    * degrades to reading a constant fraction of the vector store
+    * (measured: 10× corpus → 7.6× probe bytes at 16×12-bit vs 1.05×
+    * at 32×20-bit, SCALE.md round 10). Warns above an average 16
+    * occupants per cell; the suggested `rows_per_band` restores ≤16.
+    * Results are never affected — only probe cost. */
+  def signatureSaturationWarning(
+      admittedDocs: Long, bands: Int, rowsPerBand: Int): Option[String] = {
+    val cells = 1L << math.min(rowsPerBand, 62)
+    if (admittedDocs <= 16L * cells) None
+    else {
+      val suggested = 64 - java.lang.Long
+        .numberOfLeadingZeros(admittedDocs / 16L)
+      Some(s"cosine-dup signature space saturated: $admittedDocs admitted " +
+        s"vectors over $bands bands of $rowsPerBand-bit values is " +
+        f"${admittedDocs.toDouble / cells}%.0f occupants per (band, value) " +
+        s"cell — probe candidates now grow with the corpus, not the batch. " +
+        s"Raise rows_per_band to ~$suggested (and re-tune bands to hold " +
+        s"recall: band-match p^r drops as r grows) on the NEXT state dir; " +
+        s"banding params are stamped into the index, so changing them " +
+        s"requires a fresh state (or a backfill re-commit).")
+    }
+  }
 }

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   * history sizes (e.g. 50000 and 500000) and compare `compacted`
   * rows: flat bytes across a 10× corpus = batch-proportional IO.
   * Usage:
-  *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs]"
+  *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs] [bands] [rowsPerBand]"
+  * The banding args (cosine only) exist to measure the signature-space
+  * saturation law: with B bands of r-bit values, every (band, value)
+  * cell is occupied once the corpus ≫ 2^r, so candidates grow ∝
+  * corpus/2^r per band and the "candidate-bounded" verify stops being
+  * bounded. Size r ≳ log2(corpus) − 8 (YAML `rows_per_band`).
   */
 object AdmissionProbe {
 
@@ -27,6 +32,8 @@ object AdmissionProbe {
     val daemon = args.headOption.getOrElse("cosine")
     val histDocs = args.lift(1).map(_.toInt).getOrElse(50000)
     val probeDocs = args.lift(2).map(_.toInt).getOrElse(64)
+    val bands = args.lift(3).map(_.toInt).getOrElse(16)
+    val rowsPerBand = args.lift(4).map(_.toInt).getOrElse(12)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,7 +61,8 @@ object AdmissionProbe {
         case "cosine" =>
           val b = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
           graft.operators.CosineDedup.cosineDupCommitBatch(
-            b, "vec_id", "embedding", stateDir, bid.toLong, dim)
+            b, "vec_id", "embedding", stateDir, bid.toLong, dim,
+            bands = bands, rowsPerBand = rowsPerBand)
         case "hamming" =>
           val b = ids.map(i => (i, mix64(i), mix64(i * 3 + 1)))
             .toDF("media_id", "w0", "w1")
@@ -86,14 +94,17 @@ object AdmissionProbe {
       else f.listFiles().map(c => du(c.getPath)).sum
     }
     println(s"daemon=$daemon history=$histDocs docs ($nBids bids), " +
-      f"probe=$probeDocs docs, state on disk = ${du(stateDir) / 1e6}%.2f MB")
+      s"probe=$probeDocs docs" +
+      (if (daemon == "cosine") s", bands=$bands x ${rowsPerBand}-bit" else "") +
+      f", state on disk = ${du(stateDir) / 1e6}%.2f MB")
     def measure(label: String): Long = {
       spark.catalog.clearCache(); probe.cache(); probe.count()
       val t0 = System.nanoTime(); val b0 = meter.bytes()
       val surv = daemon match {
         case "cosine" => graft.operators.CosineDedup.cosineDupFilterBatch(
           probe, "vec_id", "embedding", stateDir, nBids.toLong,
-          threshold = 0.95, dim = dim)
+          threshold = 0.95, dim = dim,
+          bands = bands, rowsPerBand = rowsPerBand)
         case _ => graft.operators.HammingDedup.hammingDupFilterBatch(
           probe, "media_id", "w0", "w1", stateDir, nBids.toLong,
           maxHamming = 3)

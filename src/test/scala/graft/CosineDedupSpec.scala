@@ -123,4 +123,18 @@ class CosineDedupSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(replayed == Set(1L))
   }
+
+  test("signatureSaturationWarning fires past 16 occupants/cell with a corpus-sized suggestion") {
+    // below the line: silent (16 × 2^12 = 65,536 docs at the default)
+    assert(CosineDedup.signatureSaturationWarning(65536L, 16, 12).isEmpty)
+    // past it: warns, and the suggested rows_per_band restores ≤16/cell
+    val w = CosineDedup.signatureSaturationWarning(5000000L, 16, 12)
+    assert(w.isDefined && w.get.contains("rows_per_band"))
+    val suggested = "rows_per_band to ~(\\d+)".r
+      .findFirstMatchIn(w.get).get.group(1).toInt
+    assert(5000000L <= 16L * (1L << suggested),
+      s"suggested $suggested bits still saturated")
+    assert(CosineDedup.signatureSaturationWarning(
+      5000000L, 32, suggested).isEmpty)
+  }
 }
