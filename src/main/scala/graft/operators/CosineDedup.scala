@@ -165,36 +165,45 @@ object CosineDedup {
       compactTo = (spark, upToBid, minReplayable) => {
         val (_, vecCount) =
           compactCosineDupState(spark, stateDir, upToBid, minReplayable)
-        signatureSaturationWarning(vecCount, bands, rowsPerBand)
+        signatureSaturationWarning(vecCount, bands, rowsPerBand, dim)
           .foreach(m => org.slf4j.LoggerFactory
             .getLogger(getClass).warn(m))
       })(emit)
 
   /** The signature-space saturation law, checked at fold time (the one
-    * moment the daemon knows its admitted-corpus size for free): with
-    * r-bit band values, every (band, value) cell is occupied once the
-    * corpus ≫ 2^r, so probe candidates grow ∝ corpus/2^r PER BAND and
-    * the exact-cosine verify — candidate-bounded by design — silently
-    * degrades to reading a constant fraction of the vector store
-    * (measured: 10× corpus → 7.6× probe bytes at 16×12-bit vs 1.05×
-    * at 32×20-bit, SCALE.md round 10). Warns above an average 16
-    * occupants per cell; the suggested `rows_per_band` restores ≤16.
-    * Results are never affected — only probe cost. */
+    * moment the daemon knows its admitted-corpus size for free): two
+    * UNRELATED vectors match an r-bit band with probability p^r where
+    * p = 1 − acos(|cos θ_typical|)/π and the typical random cosine in
+    * dim d is ~1/√d — so expected probe candidates are corpus × bands
+    * × p^r per doc, and once that outgrows O(1) per band the
+    * exact-cosine verify — candidate-bounded by design — silently
+    * degrades to reading a corpus-proportional slice of the vector
+    * store. 2^r is the d→∞ idealization; at dim 16, p = 0.58 makes
+    * the effective cell count 1.72^r ≈ 687 at r=12 (measured: the
+    * whole 5M-doc vector store read per 64-doc probe, SCALE.md round
+    * 10; at dim ≥ 256 the idealization is within ~2×). Warns above an
+    * average 16 expected occupants per cell; the suggested
+    * `rows_per_band` restores ≤16 AT THIS dim. Results are never
+    * affected — only probe cost. */
   def signatureSaturationWarning(
-      admittedDocs: Long, bands: Int, rowsPerBand: Int): Option[String] = {
-    val cells = 1L << math.min(rowsPerBand, 62)
-    if (admittedDocs <= 16L * cells) None
+      admittedDocs: Long, bands: Int, rowsPerBand: Int,
+      dim: Int): Option[String] = {
+    val p = 1.0 - math.acos(math.min(1.0, 1.0 / math.sqrt(dim.toDouble))) /
+      math.Pi
+    val occupants = admittedDocs.toDouble * math.pow(p, rowsPerBand)
+    if (occupants <= 16.0) None
     else {
-      val suggested = 64 - java.lang.Long
-        .numberOfLeadingZeros(admittedDocs / 16L)
+      val suggested = math.ceil(
+        math.log(admittedDocs / 16.0) / math.log(1.0 / p)).toInt
       Some(s"cosine-dup signature space saturated: $admittedDocs admitted " +
-        s"vectors over $bands bands of $rowsPerBand-bit values is " +
-        f"${admittedDocs.toDouble / cells}%.0f occupants per (band, value) " +
-        s"cell — probe candidates now grow with the corpus, not the batch. " +
-        s"Raise rows_per_band to ~$suggested (and re-tune bands to hold " +
-        s"recall: band-match p^r drops as r grows) on the NEXT state dir; " +
-        s"banding params are stamped into the index, so changing them " +
-        s"requires a fresh state (or a backfill re-commit).")
+        s"vectors at dim=$dim over $bands bands of $rowsPerBand-bit values " +
+        f"is ~$occupants%.0f expected occupants per (band, value) cell " +
+        f"(random per-bit match p=$p%.2f at this dim) — probe candidates " +
+        s"now grow with the corpus, not the batch. Raise rows_per_band to " +
+        s"~$suggested (and re-tune bands to hold recall: band-match p^r " +
+        s"drops as r grows) on the NEXT state dir; banding params are " +
+        s"stamped into the index, so changing them requires a fresh state " +
+        s"(or a backfill re-commit).")
     }
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * history sizes (e.g. 50000 and 500000) and compare `compacted`
   * rows: flat bytes across a 10× corpus = batch-proportional IO.
   * Usage:
-  *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs] [bands] [rowsPerBand]"
+  *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs] [bands] [rowsPerBand] [dim]"
   * The banding args (cosine only) exist to measure the signature-space
   * saturation law: with B bands of r-bit values, every (band, value)
   * cell is occupied once the corpus ≫ 2^r, so candidates grow ∝
@@ -34,6 +34,12 @@ object AdmissionProbe {
     val probeDocs = args.lift(2).map(_.toInt).getOrElse(64)
     val bands = args.lift(3).map(_.toInt).getOrElse(16)
     val rowsPerBand = args.lift(4).map(_.toInt).getOrElse(12)
+    // dim matters to the COST LAW, not just fixture shape: the typical
+    // |cosine| between unrelated vectors is ~1/sqrt(dim), so per-bit
+    // band match is p = 1 - acos(1/sqrt(dim))/pi (0.58 at dim 16, 0.51
+    // at dim 768) and random band collisions are p^r, not 2^-r — toy
+    // dims inflate the candidate volume by orders of magnitude.
+    val dimArg = args.lift(5).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,18 +49,24 @@ object AdmissionProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val meter = new StateBytesMeter(spark)
-    val stateDir = java.nio.file.Files
-      .createTempDirectory(s"graft_${daemon}bytes").toString
+    // GRAFT_PROBE_STATE_DIR reuses an already-committed (and folded)
+    // state dir from a previous run: skips the commit loop and the
+    // fold, runs ONLY the compacted measure — pair with
+    // GRAFT_NDPROBE_DEBUG=1 for the per-scan byte breakdown without
+    // paying the multi-minute history re-commit.
+    val reuse = sys.env.get("GRAFT_PROBE_STATE_DIR")
+    val stateDir = reuse.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft_${daemon}bytes").toString)
     meter.watch(stateDir)
 
-    val dim = 16
+    val dim = dimArg.getOrElse(16)
     def vec(base: Long): Seq[Double] =
       (0 until dim).map(j =>
         (math.floorMod(mix64(base * dim + j), 128L) - 64L) / 16.0)
 
     val chunk = 10000
     val nBids = (histDocs + chunk - 1) / chunk
-    (0 until nBids).foreach { bid =>
+    (if (reuse.isDefined) Seq.empty else 0 until nBids).foreach { bid =>
       val ids = (bid.toLong * chunk until
         math.min((bid + 1).toLong * chunk, histDocs.toLong))
       daemon match {
@@ -115,6 +127,7 @@ object AdmissionProbe {
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s   survivors=$n")
       n
     }
+    if (reuse.isDefined) { measure("compacted"); spark.stop(); return }
     val sUnc = measure("uncompacted")
     daemon match {
       case "cosine" =>

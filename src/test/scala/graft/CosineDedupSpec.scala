@@ -124,17 +124,26 @@ class CosineDedupSpec extends SparkTestBase {
     assert(replayed == Set(1L))
   }
 
-  test("signatureSaturationWarning fires past 16 occupants/cell with a corpus-sized suggestion") {
-    // below the line: silent (16 × 2^12 = 65,536 docs at the default)
-    assert(CosineDedup.signatureSaturationWarning(65536L, 16, 12).isEmpty)
+  test("signatureSaturationWarning fires past 16 occupants/cell with a dim-aware suggestion") {
+    // below the line: silent (p → 0.5 at huge dim; 60k × 0.5^12 < 16)
+    assert(CosineDedup.signatureSaturationWarning(
+      60000L, 16, 12, dim = 1000000).isEmpty)
     // past it: warns, and the suggested rows_per_band restores ≤16/cell
-    val w = CosineDedup.signatureSaturationWarning(5000000L, 16, 12)
+    val w = CosineDedup.signatureSaturationWarning(5000000L, 16, 12, 768)
     assert(w.isDefined && w.get.contains("rows_per_band"))
     val suggested = "rows_per_band to ~(\\d+)".r
       .findFirstMatchIn(w.get).get.group(1).toInt
-    assert(5000000L <= 16L * (1L << suggested),
-      s"suggested $suggested bits still saturated")
     assert(CosineDedup.signatureSaturationWarning(
-      5000000L, 32, suggested).isEmpty)
+      5000000L, 32, suggested, 768).isEmpty,
+      s"suggested $suggested bits still saturated at dim 768")
+    // low dim needs materially LONGER signatures for the same corpus
+    // (p = 0.58 at dim 16 vs 0.51 at dim 768 — the measured toy-dim
+    // inflation): the suggestion must grow as dim shrinks
+    val w16 = CosineDedup.signatureSaturationWarning(5000000L, 16, 12, 16)
+    val s16 = "rows_per_band to ~(\\d+)".r
+      .findFirstMatchIn(w16.get).get.group(1).toInt
+    assert(s16 > suggested)
+    assert(CosineDedup.signatureSaturationWarning(
+      5000000L, 32, s16, 16).isEmpty)
   }
 }
