@@ -160,12 +160,19 @@ final case class CosineDupConf(
     compactEveryNTriggers: Option[Int] = None)
 
 /** Optional in-daemon fingerprinting for [[HammingDupConf]]: messages
-  * carry RAW MEDIA BYTES (base64 in the JSON envelope) instead of
-  * precomputed hash words, and the daemon derives the two 64-bit
-  * words itself — `kind: ahash` → `Multimodal.imageAHash64`, `kind:
-  * phash` → `imagePHash64`. Undecodable bytes null out and the row is
-  * dropped (the handler's IGNORE decode contract). */
-final case class FingerprintConf(contentColumn: String, kind: String)
+  * carry RAW CONTENT instead of precomputed hash words, and the daemon
+  * derives the two 64-bit words itself — `kind: ahash`/`phash` decode
+  * base64 PNG bytes (`Multimodal.imageAHash64`/`imagePHash64`);
+  * `kind: simhash` takes an EMBEDDING array (requires `dim`) and packs
+  * the signs of 128 seeded hyperplane projections — the exact-copy
+  * front door for embedding streams (positively-scaled copies flip
+  * zero bits; expected flips between vectors at cosine t are
+  * 128·acos(t)/π, so `max_hamming` 3 admits only near-identical
+  * vectors while staying pigeonhole-exact). Undecodable content nulls
+  * out and the row is dropped (the handler's IGNORE decode
+  * contract). */
+final case class FingerprintConf(contentColumn: String, kind: String,
+    dim: Option[Int] = None)
 
 /** Streaming perceptual-fingerprint admission handler
   * (`handlers.HammingDupFilter`): `HammingDedup.streamingHammingDupFilter`
@@ -407,7 +414,9 @@ object Config {
                   s"hamming_dup.fingerprint requires `$k`")
                 f.path(k).asText()
               }
-              Some(FingerprintConf(freq("content_column"), freq("kind")))
+              Some(FingerprintConf(freq("content_column"), freq("kind"),
+                dim = if (f.has("dim")) Some(f.path("dim").asInt())
+                  else None))
             } else None
             // with in-daemon fingerprinting the hash-word columns are
             // DERIVED (imageAHash64/imagePHash64 emit w0/w1), so the

@@ -306,9 +306,16 @@ object ConfigSchema {
             requireKeys(hd, dp, Seq("id_column", "state_dir"))
             val f = hd.path("fingerprint"); val fp = s"$dp.fingerprint"
             requireKeys(f, fp, Seq("content_column", "kind"))
-            checkKeys(f, fp, Set("content_column", "kind"))
+            checkKeys(f, fp, Set("content_column", "kind", "dim"))
             str(f, fp, "content_column")
-            enumOf(f, fp, "kind", Set("ahash", "phash"))
+            enumOf(f, fp, "kind", Set("ahash", "phash", "simhash"))
+            int(f, fp, "dim")
+            // simhash derives words from an embedding array — the
+            // hyperplane projection needs the vector width up front
+            if (f.path("kind").asText() == "simhash" && !f.has("dim"))
+              err(s"$fp.dim", "required for kind 'simhash'")
+            if (f.path("kind").asText() != "simhash" && f.has("dim"))
+              err(s"$fp.dim", "only valid for kind 'simhash'")
           } else {
             requireKeys(hd, dp, Seq("id_column", "w0_column", "w1_column",
               "state_dir"))

@@ -243,26 +243,62 @@ final class HammingDupBatchHandler(hd: HammingDupConf) extends Handler {
   }
 }
 
-/** Shared PNG-bytes → hash-words stage of the fingerprinting Hamming
+/** Shared content → hash-words stage of the fingerprinting Hamming
   * daemon (streaming) and its dev-invoke preview: base64 media bytes →
-  * `Multimodal.imageAHash64`/`imagePHash64` → (id, w0, w1). Rows whose
-  * id is missing or whose bytes don't decode as an image null out and
-  * are DROPPED — the handler's IGNORE decode contract. */
+  * `Multimodal.imageAHash64`/`imagePHash64`, or an embedding array →
+  * packed 128-bit SimHash (`kind: simhash`) → (id, w0, w1). Rows whose
+  * id is missing or whose content doesn't decode null out and are
+  * DROPPED — the handler's IGNORE decode contract. */
 private[graft] object HammingFingerprint {
   def words(df: org.apache.spark.sql.DataFrame,
       hd: HammingDupConf): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val f = hd.fingerprint.getOrElse(throw new IllegalArgumentException(
       "fingerprint block required"))
-    val media = df
+    val keyed = df
       .filter(col(hd.idColumn).isNotNull && col(f.contentColumn).isNotNull)
-      .select(col(hd.idColumn).cast("long").as("media_id"),
-        unbase64(col(f.contentColumn).cast("string")).as("content"))
     val hashed = f.kind match {
-      case "ahash" => graft.operators.Multimodal.imageAHash64(media)
-      case "phash" => graft.operators.Multimodal.imagePHash64(media)
+      case "ahash" | "phash" =>
+        val media = keyed.select(
+          col(hd.idColumn).cast("long").as("media_id"),
+          unbase64(col(f.contentColumn).cast("string")).as("content"))
+        if (f.kind == "ahash") graft.operators.Multimodal.imageAHash64(media)
+        else graft.operators.Multimodal.imagePHash64(media)
+      case "simhash" =>
+        // 128-bit SimHash of the embedding: signs of 128 seeded
+        // hyperplane projections (4 bands × 32 bits, packed two bands
+        // per 64-bit word). Signs are scale-invariant, so a positively
+        // scaled copy flips ZERO bits; vectors at cosine t flip
+        // ~128·acos(t)/π in expectation. `dim` (and the implicit seed)
+        // must stay constant for the lifetime of a state_dir — words
+        // derived under different params share no bits.
+        val dim = f.dim.getOrElse(throw new IllegalArgumentException(
+          "hamming_dup.fingerprint kind 'simhash' requires `dim`"))
+        // the daemon's typed JSON decode carries nested values as
+        // strings — parse those with from_json (malformed → null →
+        // dropped, the IGNORE contract); already-typed arrays cast
+        val emb = keyed.schema(f.contentColumn).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            from_json(col(f.contentColumn),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType))
+          case _ => col(f.contentColumn).cast("array<float>")
+        }
+        val bands = graft.functions.HashFunctions.hyperplane_bands(
+          emb, dim, bands = 4, rowsPerBand = 32, seed = 42L)
+        def pack(hi: org.apache.spark.sql.Column,
+            lo: org.apache.spark.sql.Column) =
+          shiftleft(hi, 32).bitwiseOR(lo)
+        keyed.select(col(hd.idColumn).cast("long").as("media_id"),
+            bands.as("__sh"))
+          .filter(col("media_id").isNotNull && col("__sh").isNotNull)
+          .select(col("media_id"),
+            pack(element_at(col("__sh"), 1),
+              element_at(col("__sh"), 2)).as("w0"),
+            pack(element_at(col("__sh"), 3),
+              element_at(col("__sh"), 4)).as("w1"))
       case other => throw new IllegalArgumentException(
-        s"unknown fingerprint kind '$other' (ahash|phash)")
+        s"unknown fingerprint kind '$other' (ahash|phash|simhash)")
     }
     hashed.select(col("media_id").as(hd.idColumn),
         col("w0").as(hd.w0Column), col("w1").as(hd.w1Column))

@@ -24,7 +24,9 @@ class CliExampleSpec extends AnyFunSuite {
     // calling sys.exit, so a regression fails THIS test rather than
     // terminating the sbt test JVM (round-9 advisor finding).
     Seq("examples/neardup.filter.yml", "examples/cosinedup.filter.yml",
-      "examples/hammingdup.filter.yml", "examples/native.window.yml")
+      "examples/hammingdup.filter.yml", "examples/native.window.yml",
+      "examples/image.dedup.hamming.yml",
+      "examples/embedding.dedup.simhash.yml")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .foreach { p =>
         assert(SqlFlowCli.dispatch(Array("validate", p)) == 0, p)

@@ -201,6 +201,16 @@ class ConfigSchemaSpec extends AnyFunSuite {
       "id_column: media_id, w0_column: w0, w1_column: w1, state_dir: /tmp/s",
       "\n  on_error: {policy: DLQ, dlq: {type: noop}}"))
       .exists(_.contains("dishonored")))
+    // fingerprint kinds: simhash requires dim, image kinds forbid it
+    assert(errsOf(hd("id_column: vec_id, state_dir: /tmp/s, " +
+      "fingerprint: {content_column: embedding, kind: simhash, dim: 8}"))
+      .isEmpty)
+    assert(errsOf(hd("id_column: vec_id, state_dir: /tmp/s, " +
+      "fingerprint: {content_column: embedding, kind: simhash}"))
+      .exists(_.contains("dim")))
+    assert(errsOf(hd("id_column: m, state_dir: /tmp/s, " +
+      "fingerprint: {content_column: png, kind: ahash, dim: 8}"))
+      .exists(_.contains("only valid for kind 'simhash'")))
   }
 
   test("near_dup handler rejects a stricter explicit on_error policy (decode is IGNORE by construction)") {

@@ -548,6 +548,51 @@ class ExamplesSpec extends SparkTestBase {
     } finally broker.stop()
   }
 
+  test("embedding.dedup.simhash example EXECUTES e2e: embedding -> in-daemon SimHash -> admission, scaled copy dropped mid-stream") {
+    // hyperplane signs are scale-invariant: a positively-scaled copy
+    // flips ZERO of the 128 sign bits, while orthogonal axis vectors
+    // flip ~Binomial(128, 0.5) of them (deterministic under the fixed
+    // seed) — far above max_hamming=3 either way
+    def msg(id: Int, v: Seq[Double]): String =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    def axis(i: Int, s: Double): Seq[Double] =
+      (0 until 8).map(j => if (j == i) s else 0.0)
+    val broker = new graft.streaming.GraftQueueBroker()
+    broker.start()
+    val stateDir = Files.createTempDirectory("graft_ex_embdup").toString
+    try {
+      broker.publish("input-embeddings-simhash", Seq(
+        msg(1, axis(0, 1.0)),
+        msg(2, axis(0, 2.5)), // scaled copy of 1: identical signature
+        msg(3, axis(1, 1.0)), // orthogonal: ~64 bits away, admitted
+        """{"vec_id":4,"embedding":null}"""), // no content: dropped
+        partitions = 1)
+      val sink = new MemorySink
+      val conf = Config.fromFile("examples/embedding.dedup.simhash.yml",
+        Map("QUEUE_BROKERS" -> broker.address,
+          "EMBDUP_STATE_DIR" -> stateDir))
+      val running = graft.streaming.StreamingPipeline.start(
+        spark, conf, sinkOverride = Some(sink))
+      try {
+        running.processAllAvailable()
+        def admitted = sink.allRows
+          .map(r => r.split("\"vec_id\":")(1).split("[,}]")(0).toLong).sorted
+        assert(admitted == Seq(1L, 3L), sink.allRows.toString)
+        // second batch probes the FOLDED state (compact every trigger):
+        // another scaling of admitted vector 1 is dropped, a third
+        // axis direction is novel
+        broker.publish("input-embeddings-simhash", Seq(
+          msg(5, axis(0, 0.7)),
+          msg(6, axis(2, 1.0))),
+          partitions = 1)
+        running.processAllAvailable()
+        assert(admitted == Seq(1L, 3L, 6L), sink.allRows.toString)
+        assert(Files.list(Paths.get(stateDir, "compact")).count() > 0,
+          "expected a committed compact version under state_dir")
+      } finally running.stop()
+    } finally broker.stop()
+  }
+
   test("queue.structured.mem example EXECUTES as a config: StructuredBatch over the queue transport") {
     val broker = new graft.streaming.GraftQueueBroker()
     broker.start()
