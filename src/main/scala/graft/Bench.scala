@@ -135,12 +135,13 @@ object Bench {
           errors += s"corpus:${e.getClass.getSimpleName}"
           Seq.empty[(String, Double)]
       }
-    val (pipeline, pipelineSpread) =
+    val (pipeline, pipelineSpread, dirtyMetrics) =
       try benchPipelinesForked(spark, errors)
       catch {
         case scala.util.control.NonFatal(e) =>
           errors += s"pipeline:${e.getClass.getSimpleName}"
-          (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+          (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
+            Seq.empty[String])
       }
 
     def obj(kv: Seq[(String, Double)]) =
@@ -148,11 +149,19 @@ object Bench {
     val es = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum
     val auditTotal = auditTimes.map(_._2).sum
+    // decision-grade stamp gate: a loaded machine spreads forked reps
+    // far beyond the engine's own variance (clean-run band ±2%; the
+    // r10 dirty stamp spread 3.4×). A run whose reps disagree by more
+    // than ±25% around the median on any metric is marked dirty so it
+    // CANNOT be silently round-stamped — preflight step 5 fails on it.
+    val dm = dirtyMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(queryTimes)},""" +
         s""""audit_total":$auditTotal,"audit_queries":${obj(auditTimes)},""" +
         s""""corpus":${obj(corpus)},"pipeline":${obj(pipeline)},""" +
-        s""""pipeline_spread":${obj(pipelineSpread)},"errors":$es,"sf":"$sfDir"}"""
+        s""""pipeline_spread":${obj(pipelineSpread)},""" +
+        s""""dirty":${dirtyMetrics.nonEmpty},"dirty_metrics":$dm,""" +
+        s""""errors":$es,"sf":"$sfDir"}"""
     println(line)
     // durable copies — stdout tails truncate (BENCH_r07 lost its map)
     for (p <- Seq("/tmp/bench.json", "BENCH_LAST.json")) {
@@ -584,6 +593,14 @@ object Bench {
         }
         s"""{"vec_id":$i,"embedding":[${comps.mkString(",")}]}"""
       }
+      // rows_per_band sized to the bench's own corpus per the README
+      // law (corpus × p^r ≤ 16; p = 0.58 at dim 16 → r = 18 for the
+      // ~100k-doc history the last trigger probes): the default 12-bit
+      // banding is SATURATED at this corpus/dim — measured 74.8M
+      // band-join candidates (1,496/doc) and an 87 s probe for one
+      // 50k-doc trigger vs 6.1M (123/doc) and 19 s at r=18 (SCALE.md
+      // round 11). The old number benchmarked the misconfiguration the
+      // daemon itself warns about, not the engine.
       runAdmissionDaemon("cosinedup_filter_docs_per_sec", "graft_bench_cd",
         state =>
           s"""    type: 'handlers.CosineDupFilter'
@@ -593,6 +610,7 @@ object Bench {
              |      state_dir: '$state'
              |      dim: $dim
              |      threshold: 0.95
+             |      rows_per_band: 18
              |      shuffle_partitions: 8""".stripMargin,
         vecLine)
     }
@@ -660,9 +678,17 @@ object Bench {
     * 8.5× and agg_mem 20%, and fork isolation is what makes a
     * cross-round delta attributable to the engine. The headline value
     * is the MEDIAN; `<name>_min`/`<name>_max` record the spread. */
+  /** The spread gate's law, shared with its spec: reps outside a
+    * ±25% band around the median mean the MACHINE was loaded during
+    * the run (clean-run bands measure ±2%; the committed r10 dirty
+    * stamp spread 3.4× on four metrics) — the stamp is not evidence
+    * of anything and must say so in the artifact itself. */
+  private[graft] def spreadDirty(med: Double, lo: Double, hi: Double): Boolean =
+    med > 0.0 && (lo < 0.75 * med || hi > 1.25 * med)
+
   private def benchPipelinesForked(spark: SparkSession,
       errors: scala.collection.mutable.ArrayBuffer[String])
-      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
     val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -698,7 +724,14 @@ object Bench {
     val spread = measured.flatMap { case (n, _, lo, hi) =>
       Seq(s"${n}_min" -> lo, s"${n}_max" -> hi)
     }
-    (medians, spread)
+    val dirty = measured.collect {
+      case (n, med, lo, hi) if reps > 1 && spreadDirty(med, lo, hi) => n
+    }
+    dirty.foreach(n => System.err.println(
+      s"[bench] DIRTY: $n reps spread beyond ±25% of the median — " +
+        "machine load, not engine; re-run on an idle machine before " +
+        "round-stamping"))
+    (medians, spread, dirty)
   }
 
   // the module opens Spark 4 needs on JDK 17+ when launched as a bare

@@ -311,10 +311,15 @@ object ConfigSchema {
             enumOf(f, fp, "kind", Set("ahash", "phash", "simhash"))
             int(f, fp, "dim")
             // simhash derives words from an embedding array — the
-            // hyperplane projection needs the vector width up front
-            if (f.path("kind").asText() == "simhash" && !f.has("dim"))
+            // hyperplane projection needs the vector width up front.
+            // Gated on kind being a VALID enum value: a missing or
+            // invalid kind already errors above, and running the dim
+            // checks against its empty text would stack a misleading
+            // "only valid for kind 'simhash'" on top
+            val kindText = f.path("kind").asText()
+            if (kindText == "simhash" && !f.has("dim"))
               err(s"$fp.dim", "required for kind 'simhash'")
-            if (f.path("kind").asText() != "simhash" && f.has("dim"))
+            if (Set("ahash", "phash").contains(kindText) && f.has("dim"))
               err(s"$fp.dim", "only valid for kind 'simhash'")
           } else {
             requireKeys(hd, dp, Seq("id_column", "w0_column", "w1_column",

@@ -239,7 +239,7 @@ final class HammingDupBatchHandler(hd: HammingDupConf) extends Handler {
     }
     graft.operators.HammingDedup.hammingDupFilterBatch(projected,
       hd.idColumn, hd.w0Column, hd.w1Column, hd.stateDir, Long.MaxValue,
-      hd.maxHamming)
+      hd.maxHamming, HammingFingerprint.stamp(hd))
   }
 }
 
@@ -250,6 +250,28 @@ final class HammingDupBatchHandler(hd: HammingDupConf) extends Handler {
   * id is missing or whose content doesn't decode null out and are
   * DROPPED — the handler's IGNORE decode contract. */
 private[graft] object HammingFingerprint {
+  // the simhash recipe constants, defined ONCE so the derivation and
+  // the persisted-state stamp cannot drift: 128 sign bits = 4 bands ×
+  // 32 rows under this seed, packed two bands per 64-bit word
+  val SimhashSeed = 42L
+  val SimhashBands = 4
+  val SimhashRowsPerBand = 32
+
+  /** The fingerprint-recipe identity persisted into the Hamming state
+    * (column metadata on the band index, next to the chunk count) and
+    * required to match at probe time: words derived under a different
+    * kind, dim, seed, or band layout share no bits with the admitted
+    * ones — without the stamp, changing `dim` on an existing state_dir
+    * silently admits every duplicate (round-10 advisor finding). */
+  def stamp(hd: HammingDupConf): Option[String] = hd.fingerprint.map { f =>
+    f.kind match {
+      case "simhash" =>
+        s"simhash:dim=${f.dim.getOrElse(0)}:seed=$SimhashSeed:" +
+          s"bands=${SimhashBands}x$SimhashRowsPerBand"
+      case k => k
+    }
+  }
+
   def words(df: org.apache.spark.sql.DataFrame,
       hd: HammingDupConf): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -277,15 +299,21 @@ private[graft] object HammingFingerprint {
         // the daemon's typed JSON decode carries nested values as
         // strings — parse those with from_json (malformed → null →
         // dropped, the IGNORE contract); already-typed arrays cast
-        val emb = keyed.schema(f.contentColumn).dataType match {
+        val embRaw = keyed.schema(f.contentColumn).dataType match {
           case org.apache.spark.sql.types.StringType =>
             from_json(col(f.contentColumn),
               org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.FloatType))
           case _ => col(f.contentColumn).cast("array<float>")
         }
+        // a vector whose length != dim is undecodable content, not a
+        // shorter signature: HyperplaneBands would silently truncate /
+        // zero-pad it (prefix-sharing vectors would collide), so null
+        // it out → dropped, per the handler's IGNORE decode contract
+        val emb = when(size(embRaw) === dim, embRaw)
         val bands = graft.functions.HashFunctions.hyperplane_bands(
-          emb, dim, bands = 4, rowsPerBand = 32, seed = 42L)
+          emb, dim, bands = SimhashBands, rowsPerBand = SimhashRowsPerBand,
+          seed = SimhashSeed)
         def pack(hi: org.apache.spark.sql.Column,
             lo: org.apache.spark.sql.Column) =
           shiftleft(hi, 32).bitwiseOR(lo)

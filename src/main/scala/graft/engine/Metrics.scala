@@ -38,6 +38,21 @@ final class GraftMetrics {
   val stateRows = new AtomicLong
   val lateRowsDropped = new AtomicLong
   val watermarkEpochMs = new AtomicLong
+  // cosine-daemon signature-space health, set at every compact fold
+  // (CosineDedup.saturationStats): a headless operator reads THESE,
+  // not the daemon's log-line warning. occupants ≫ 16 means probe
+  // candidates grow with the corpus (not the batch) and the suggested
+  // rows_per_band is the value that restores ≤16 at the current
+  // corpus/dim — see README "Admission daemons".
+  private val cosineSaturationBits = new AtomicLong(
+    java.lang.Double.doubleToRawLongBits(0.0))
+  val cosineSuggestedRowsPerBand = new AtomicLong
+  def recordCosineSaturation(occupants: Double, suggestedR: Int): Unit = {
+    cosineSaturationBits.set(java.lang.Double.doubleToRawLongBits(occupants))
+    cosineSuggestedRowsPerBand.set(suggestedR.toLong)
+  }
+  def cosineSaturationOccupants: Double =
+    java.lang.Double.longBitsToDouble(cosineSaturationBits.get)
 
   def recordBatch(nMsgs: Long, seconds: Double): Unit = {
     messageCount.addAndGet(nMsgs)
@@ -66,7 +81,14 @@ final class GraftMetrics {
       m("sqlflow_late_rows_dropped", "rows dropped as later than watermark",
         lateRowsDropped.get) +
       g("sqlflow_watermark_epoch_ms", "current event-time watermark (ms)",
-        watermarkEpochMs.get)
+        watermarkEpochMs.get) +
+      g("graft_cosine_saturation_occupants",
+        "expected occupants per cosine-dup (band, value) cell at last fold" +
+          " (>16 = signature space saturated, probe cost grows with corpus)",
+        cosineSaturationOccupants) +
+      g("graft_cosine_suggested_rows_per_band",
+        "rows_per_band restoring <=16 occupants at the current corpus/dim",
+        cosineSuggestedRowsPerBand.get)
   }
 
   private def g(name: String, help: String, v: Any) =

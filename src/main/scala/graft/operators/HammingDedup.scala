@@ -66,14 +66,26 @@ object HammingDedup {
     }: _*)
   }
 
-  private def chunkMeta(chunks: Int) =
-    new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft.hamming.chunks", chunks.toLong).build()
+  private def chunkMeta(chunks: Int, fpStamp: Option[String]) = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.hamming.chunks", chunks.toLong)
+    fpStamp.foreach(b.putString("graft.hamming.fingerprint", _))
+    b.build()
+  }
 
   /** Loud mismatch check: an index banded under a different chunk
     * count would never collide with this probe's band values —
-    * silent zero recall (the MinHash param-stamp discipline). */
-  private def checkChunkMeta(index: DataFrame, chunks: Int): Unit =
+    * silent zero recall (the MinHash param-stamp discipline). The
+    * FINGERPRINT stamp extends the same discipline to in-daemon
+    * word derivation: hash words derived under a different
+    * fingerprint recipe (kind, or simhash dim/seed/band layout)
+    * share no bits with the admitted ones, so a changed `dim` on an
+    * existing state_dir would otherwise admit every duplicate
+    * silently (round-10 advisor finding). Checked only when the
+    * index carries the stamp (states persisted before the stamp
+    * existed, or raw precomputed-word states, stay probeable). */
+  private def checkChunkMeta(index: DataFrame, chunks: Int,
+      fpStamp: Option[String]): Unit =
     index.schema.fields.find(_.name == "v").map(_.metadata)
       .filter(_.contains("graft.hamming.chunks")).foreach { m =>
         val built = m.getLong("graft.hamming.chunks")
@@ -82,6 +94,15 @@ object HammingDedup {
             s"with $chunks (different maxHamming bucket) — band values " +
             "would never collide; rebuild or probe with a maxHamming " +
             "in the same chunk bucket")
+        if (m.contains("graft.hamming.fingerprint")) {
+          val builtFp = m.getString("graft.hamming.fingerprint")
+          require(fpStamp.contains(builtFp),
+            s"hamming state built from fingerprint '$builtFp' but probed " +
+              s"with '${fpStamp.getOrElse("<none>")}' — words derived " +
+              "under different fingerprint params share no bits (silent " +
+              "zero recall); keep kind/dim constant for the lifetime of " +
+              "a state_dir or start a fresh one")
+        }
       }
 
   // ONE band bucket law for fold + probe (cannot drift)
@@ -127,13 +148,13 @@ object HammingDedup {
     * metadata so a mismatched probe fails loudly. */
   def hammingBandBuckets(
       docs: DataFrame, idCol: String, w0Col: String, w1Col: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, fpStamp: Option[String] = None): DataFrame = {
     val chunks = chunksFor(maxHamming)
     graft.queries.Tables.spread(docs)
       .select(col(idCol).cast("long").as("hist_id"),
         posexplode(bandValues(col(w0Col).cast("long"),
           col(w1Col).cast("long"), chunks)).as(Seq("band", "v")))
-      .withColumn("v", col("v").as("v", chunkMeta(chunks)))
+      .withColumn("v", col("v").as("v", chunkMeta(chunks, fpStamp)))
   }
 
   private def sketchForProbe(
@@ -175,7 +196,8 @@ object HammingDedup {
       w1Col: String,
       stateDir: String,
       batchId: Long,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      fpStamp: Option[String] = None): DataFrame = {
     val chunks = chunksFor(maxHamming)
     // 1. within-batch: banded pairs + min-id canonical survives
     val pairs = hammingDupPairs(batch, idCol, w0Col, w1Col, maxHamming)
@@ -192,7 +214,7 @@ object HammingDedup {
       sketch = w => sketchForProbe(w, idCol, w0Col, w1Col, chunks),
       indexPb = bandBucket,
       joinKeys = Seq("band", "v"),
-      checkIndex = checkChunkMeta(_, chunks),
+      checkIndex = checkChunkMeta(_, chunks, fpStamp),
       verify = (cand, hist, b) =>
         verifyHamming(cand, hist, b, idCol, w0Col, w1Col, maxHamming)) match {
       case None => within // first batch
@@ -218,8 +240,9 @@ object HammingDedup {
       w1Col: String,
       stateDir: String,
       batchId: Long,
-      maxHamming: Int = 3): Unit = {
-    hammingBandBuckets(survivors, idCol, w0Col, w1Col, maxHamming)
+      maxHamming: Int = 3,
+      fpStamp: Option[String] = None): Unit = {
+    hammingBandBuckets(survivors, idCol, w0Col, w1Col, maxHamming, fpStamp)
       .write.mode("overwrite").parquet(s"$stateDir/bands/bid=$batchId")
     survivors.select(col(idCol).cast("long").as(idCol),
         col(w0Col).cast("long").as(w0Col), col(w1Col).cast("long").as(w1Col))
@@ -257,14 +280,15 @@ object HammingDedup {
       maxHamming: Int,
       checkpointDir: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      compactEveryNTriggers: Option[Int] = None)(
+      compactEveryNTriggers: Option[Int] = None,
+      fpStamp: Option[String] = None)(
       emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     IndexState.streamingAdmission(stream, stateDir, checkpointDir,
       trigger, compactEveryNTriggers,
       filterBatch = (b, bid) => hammingDupFilterBatch(b, idCol, w0Col,
-        w1Col, stateDir, bid, maxHamming),
+        w1Col, stateDir, bid, maxHamming, fpStamp),
       commitBatch = (survivors, bid) => hammingDupCommitBatch(survivors,
-        idCol, w0Col, w1Col, stateDir, bid, maxHamming),
+        idCol, w0Col, w1Col, stateDir, bid, maxHamming, fpStamp),
       compactTo = (spark, upToBid, minReplayable) =>
         compactHammingDupState(spark, stateDir, upToBid, minReplayable))(emit)
 }

@@ -113,7 +113,7 @@ object StreamingPipeline {
     conf.pipeline.handler.cosineDup match {
       case Some(cd) if conf.pipeline.handler.kind == "handlers.CosineDupFilter" =>
         return startCosineDupFilter(spark, conf, cd, session, source,
-          batches, checkpointDir)
+          batches, checkpointDir, metrics)
       case _ =>
     }
     // `handlers.HammingDupFilter`: the admission discipline for
@@ -224,7 +224,8 @@ object StreamingPipeline {
       session: Invoke.Session,
       source: Sources.Built,
       batches: AtomicLong,
-      checkpointDir: Option[String]): Running = {
+      checkpointDir: Option[String],
+      metrics: GraftMetrics): Running = {
     // id parses DIRECTLY as LongType (see startNearDupFilter: a post-
     // hoc ANSI cast would kill the stream on one malformed id); the
     // vector decodes as array<double> and narrows to float32 — a
@@ -250,7 +251,8 @@ object StreamingPipeline {
           decoded, cd.idColumn, cd.vecColumn, cd.stateDir,
           cd.threshold, cd.dim, cd.bands, cd.rowsPerBand, cd.seed,
           checkpointDir = checkpointDir, trigger = Some(trigger),
-          compactEveryNTriggers = cd.compactEveryNTriggers) {
+          compactEveryNTriggers = cd.compactEveryNTriggers,
+          onFoldSaturation = metrics.recordCosineSaturation) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)
@@ -323,7 +325,8 @@ object StreamingPipeline {
           decoded, hd.idColumn, hd.w0Column, hd.w1Column, hd.stateDir,
           hd.maxHamming, checkpointDir = checkpointDir,
           trigger = Some(trigger),
-          compactEveryNTriggers = hd.compactEveryNTriggers) {
+          compactEveryNTriggers = hd.compactEveryNTriggers,
+          fpStamp = graft.engine.HammingFingerprint.stamp(hd)) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   sbt "runMain graft.tools.AdmissionProbe <cosine|hamming> <histDocs> [probeDocs] [bands] [rowsPerBand] [dim]"
   * The banding args (cosine only) exist to measure the signature-space
-  * saturation law: with B bands of r-bit values, every (band, value)
-  * cell is occupied once the corpus ≫ 2^r, so candidates grow ∝
-  * corpus/2^r per band and the "candidate-bounded" verify stops being
-  * bounded. Size r ≳ log2(corpus) − 8 (YAML `rows_per_band`).
+  * saturation law: with B bands of r-bit values, unrelated vectors
+  * match an r-bit band with probability p^r where p = 1 −
+  * acos(1/√dim)/π (NOT 2^-r — that is the dim→∞ idealization; see the
+  * dim comment below), so candidates grow ∝ corpus × p^r per band and
+  * the "candidate-bounded" verify stops being bounded once that
+  * outgrows O(1). Size r (YAML `rows_per_band`) so corpus × p^r ≤ 16
+  * — `CosineDedup.saturationStats` computes exactly this suggestion,
+  * and the daemon re-checks it at every fold.
   */
 object AdmissionProbe {
 
@@ -60,37 +64,48 @@ object AdmissionProbe {
     meter.watch(stateDir)
 
     val dim = dimArg.getOrElse(16)
-    def vec(base: Long): Seq[Double] =
-      (0 until dim).map(j =>
-        (math.floorMod(mix64(base * dim + j), 128L) - 64L) / 16.0)
+    // cosine fixtures generate DISTRIBUTED (spark.range + xxhash64-
+    // seeded components, float32 like the daemon's own ingest cast):
+    // the round-10 driver-side Seq generator topped out around dim 16 ×
+    // 5M docs — a production-dim run (256/768, the round-11 ask) pushes
+    // 5–15 GB of vectors, which must never transit the driver.
+    def vecCol(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(idc * dim + j), lit(128)) - 64)
+          .cast("double") / 16.0))
+        .cast("array<float>")
+    def cosineDf(idc: org.apache.spark.sql.DataFrame) =
+      idc.select(col("id").as("vec_id"), vecCol(col("id")).as("embedding"))
 
-    val chunk = 10000
+    val chunk = sys.env.get("GRAFT_PROBE_CHUNK").map(_.toInt).getOrElse(10000)
     val nBids = (histDocs + chunk - 1) / chunk
     (if (reuse.isDefined) Seq.empty else 0 until nBids).foreach { bid =>
-      val ids = (bid.toLong * chunk until
-        math.min((bid + 1).toLong * chunk, histDocs.toLong))
+      val lo = bid.toLong * chunk
+      val hi = math.min((bid + 1).toLong * chunk, histDocs.toLong)
       daemon match {
         case "cosine" =>
-          val b = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
           graft.operators.CosineDedup.cosineDupCommitBatch(
-            b, "vec_id", "embedding", stateDir, bid.toLong, dim,
+            cosineDf(spark.range(lo, hi).toDF("id")),
+            "vec_id", "embedding", stateDir, bid.toLong, dim,
             bands = bands, rowsPerBand = rowsPerBand)
         case "hamming" =>
-          val b = ids.map(i => (i, mix64(i), mix64(i * 3 + 1)))
+          val b = (lo until hi).map(i => (i, mix64(i), mix64(i * 3 + 1)))
             .toDF("media_id", "w0", "w1")
           graft.operators.HammingDedup.hammingDupCommitBatch(
             b, "media_id", "w0", "w1", stateDir, bid.toLong)
         case other => sys.error(s"unknown daemon '$other' (cosine|hamming)")
       }
+      if (bid % 10 == 9) println(s"  committed ${bid + 1}/$nBids bids")
     }
     // fixed probe: mostly novel + 2 copies of admitted history (so the
     // candidate/verify path and the payload read are exercised)
     val probe = daemon match {
       case "cosine" =>
-        ((0 until probeDocs - 2).map(i =>
-          (5000000L + i, vec(5000000L + i))) ++
-          Seq((9000000L, vec(0L)), (9000001L, vec(7L))))
-          .toDF("vec_id", "embedding").cache()
+        cosineDf(spark.range(5000000L, 5000000L + probeDocs - 2).toDF("id"))
+          .union(cosineDf(spark.range(2)
+            .select(when(col("id") === 0, 0L).otherwise(7L).as("id")))
+            .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding")))
+          .cache()
       case _ =>
         ((0 until probeDocs - 2).map(i =>
           (5000000L + i, mix64(5000000L + i), mix64((5000000L + i) * 3 + 1))) ++
@@ -127,7 +142,28 @@ object AdmissionProbe {
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s   survivors=$n")
       n
     }
-    if (reuse.isDefined) { measure("compacted"); spark.stop(); return }
+    // measured (not computed-from-the-law) candidate volume: the
+    // round-10 verdict's one open claim is "single-digit candidates
+    // per probe doc at dim ≥ 256" — count the exact distinct
+    // (batch_id, hist_id) pairs the band join emits, outside the
+    // byte-metered measure so it can't contaminate the IO numbers
+    def candidateStats(): Unit = if (daemon == "cosine") {
+      graft.operators.IndexState.currentCompact(spark, stateDir).foreach { c =>
+        graft.operators.IndexState
+          .readCompact(spark, stateDir, c, "bands", None).foreach { idx =>
+            val pb = graft.operators.Similarity.hyperplaneBandBuckets(
+              probe, "vec_id", "embedding", dim, bands, rowsPerBand)
+              .withColumnRenamed("hist_id", "batch_id")
+            val nCand = pb.join(idx, Seq("band", "v"))
+              .select("batch_id", "hist_id").distinct().count()
+            println(f"  band-join candidates = $nCand (" +
+              f"${nCand.toDouble / probeDocs}%.2f per probe doc)")
+          }
+      }
+    }
+    if (reuse.isDefined) {
+      measure("compacted"); candidateStats(); spark.stop(); return
+    }
     val sUnc = measure("uncompacted")
     daemon match {
       case "cosine" =>
@@ -143,6 +179,7 @@ object AdmissionProbe {
     val sCom = measure("compacted")
     assert(sUnc == sCom, s"survivor mismatch: $sUnc vs $sCom")
     println(s"  (survivor count identical pre/post fold: $sUnc)")
+    candidateStats()
     spark.stop()
   }
 }

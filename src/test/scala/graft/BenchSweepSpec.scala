@@ -10,6 +10,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * live concurrent run) or non-graft dirs. */
 class BenchSweepSpec extends AnyFunSuite {
 
+  test("spreadDirty flags reps beyond ±25% of the median, passes clean bands (round-10 judge)") {
+    // the committed r10 dirty stamp: agg_mem median ~58k, min 27k — a
+    // 2.1× band that got round-stamped; the gate exists to refuse it
+    assert(Bench.spreadDirty(58572.0, 27382.0, 98000.0))
+    // one-sided load (max fine, min depressed) still flags
+    assert(Bench.spreadDirty(100000.0, 60000.0, 101000.0))
+    assert(Bench.spreadDirty(100000.0, 99000.0, 140000.0))
+    // a clean run's ±2% band passes with a wide margin
+    assert(!Bench.spreadDirty(100000.0, 98000.0, 102000.0))
+    // exactly at the band edge passes; just beyond fails
+    assert(!Bench.spreadDirty(100000.0, 75000.0, 125000.0))
+    assert(Bench.spreadDirty(100000.0, 74999.0, 125000.0))
+    // a metric that never measured (0.0 everywhere) is an error case,
+    // not a spread case — the errors array already records it
+    assert(!Bench.spreadDirty(0.0, 0.0, 0.0))
+  }
+
   test("sweepStaleTmp deletes old graft_* roots, keeps fresh and foreign dirs") {
     import java.nio.file.Files
     val stale = Files.createTempDirectory("graft_testsweep_stale")

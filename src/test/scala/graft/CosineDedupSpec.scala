@@ -146,4 +146,18 @@ class CosineDedupSpec extends SparkTestBase {
     assert(CosineDedup.signatureSaturationWarning(
       5000000L, 32, s16, 16).isEmpty)
   }
+
+  test("saturationStats: degenerate dims stay finite (round-10 advisor)") {
+    // dim 1 makes the per-bit match probability exactly 1 (log(1/p)=0
+    // → Int.MaxValue suggestion); dim <= 0 is NaN territory. Both are
+    // reachable from config and clamp to the dim-2 law instead.
+    for (d <- Seq(1, 0, -5)) {
+      val (occ, sug) = CosineDedup.saturationStats(5000000L, 12, d)
+      assert(!occ.isNaN && occ > 0.0, s"dim=$d occupants=$occ")
+      assert(sug > 12 && sug < 200, s"dim=$d suggestion=$sug")
+      assert((occ, sug) == CosineDedup.saturationStats(5000000L, 12, 2))
+    }
+    // tiny corpora never suggest below the configured r
+    assert(CosineDedup.saturationStats(10L, 12, 768)._2 == 12)
+  }
 }

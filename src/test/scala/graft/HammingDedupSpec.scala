@@ -94,6 +94,48 @@ class HammingDedupSpec extends SparkTestBase {
       s"dropped after the fold even with a non-long id column; got $s1")
   }
 
+  test("fingerprint stamp: a state built under one recipe refuses probes under another (round-10 advisor)") {
+    // words derived under a different simhash dim share NO bits with
+    // the admitted ones — before the stamp, changing `dim` on an
+    // existing state_dir silently admitted every duplicate
+    val stamp8 = Some("simhash:dim=8:seed=42:bands=4x32")
+    val stamp16 = Some("simhash:dim=16:seed=42:bands=4x32")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hamdedup_fpstamp").toString
+    val b0 = Seq((1L, f1._1, f1._2), (2L, f2._1, f2._2))
+      .toDF("media_id", "w0", "w1")
+    HammingDedup.hammingDupCommitBatch(b0, "media_id", "w0", "w1",
+      stateDir, batchId = 0L, maxHamming = 3, fpStamp = stamp8)
+    // the stamp must survive the compact fold (it lives in the band
+    // index's column metadata, like the chunk count)
+    HammingDedup.compactHammingDupState(spark, stateDir,
+      upToBid = 0L, minReplayableBid = 1L)
+    val b1 = Seq((3L, f1._1 ^ 1L, f1._2), (4L, f3._1, f3._2))
+      .toDF("media_id", "w0", "w1")
+    def probe(stamp: Option[String]) =
+      HammingDedup.hammingDupFilterBatch(b1, "media_id", "w0", "w1",
+        stateDir, batchId = 1L, maxHamming = 3, fpStamp = stamp)
+        .collect().map(_.getLong(0)).toSet
+    // same recipe: normal admission (3 is a 1-bit flip of admitted 1)
+    assert(probe(stamp8) == Set(4L))
+    // different dim: loud failure, not silent zero recall
+    val dimErr = intercept[IllegalArgumentException] { probe(stamp16) }
+    assert(dimErr.getMessage.contains("fingerprint"), dimErr.getMessage)
+    // raw precomputed words against a fingerprint-built state: loud too
+    val rawErr = intercept[IllegalArgumentException] { probe(None) }
+    assert(rawErr.getMessage.contains("<none>"), rawErr.getMessage)
+    // legacy direction: an UNSTAMPED state stays probeable under any
+    // recipe (check-only-when-present, the hyperplane discipline)
+    val legacyDir = java.nio.file.Files
+      .createTempDirectory("graft_hamdedup_legacy").toString
+    HammingDedup.hammingDupCommitBatch(b0, "media_id", "w0", "w1",
+      legacyDir, batchId = 0L, maxHamming = 3)
+    val s = HammingDedup.hammingDupFilterBatch(b1, "media_id", "w0", "w1",
+        legacyDir, batchId = 1L, maxHamming = 3, fpStamp = stamp8)
+      .collect().map(_.getLong(0)).toSet
+    assert(s == Set(4L))
+  }
+
   test("hammingDupPairs: exact recall at the pigeonhole bound, maxHamming guardrail") {
     val docs = Seq(
       (1L, f1._1, f1._2),

@@ -211,6 +211,14 @@ class ConfigSchemaSpec extends AnyFunSuite {
     assert(errsOf(hd("id_column: m, state_dir: /tmp/s, " +
       "fingerprint: {content_column: png, kind: ahash, dim: 8}"))
       .exists(_.contains("only valid for kind 'simhash'")))
+    // an invalid/missing kind errors ONCE (the enum check) — the dim
+    // checks are gated on a valid kind, so no misleading extra
+    // "only valid for kind 'simhash'" stacks on top (round-10 advisor)
+    val badKind = errsOf(hd("id_column: m, state_dir: /tmp/s, " +
+      "fingerprint: {content_column: png, kind: wavelet, dim: 8}"))
+    assert(badKind.exists(_.contains("kind")), badKind.toString)
+    assert(!badKind.exists(_.contains("only valid for kind 'simhash'")),
+      badKind.toString)
   }
 
   test("near_dup handler rejects a stricter explicit on_error policy (decode is IGNORE by construction)") {

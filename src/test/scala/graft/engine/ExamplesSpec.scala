@@ -583,7 +583,11 @@ class ExamplesSpec extends SparkTestBase {
         // axis direction is novel
         broker.publish("input-embeddings-simhash", Seq(
           msg(5, axis(0, 0.7)),
-          msg(6, axis(2, 1.0))),
+          msg(6, axis(2, 1.0)),
+          // wrong vector width (5 ≠ dim 8): undecodable content, not a
+          // shorter signature — dropped per the IGNORE contract instead
+          // of silently truncating/zero-padding (round-10 advisor)
+          msg(7, Seq(1.0, 2.0, 3.0, 4.0, 5.0))),
           partitions = 1)
         running.processAllAvailable()
         assert(admitted == Seq(1L, 3L, 6L), sink.allRows.toString)

@@ -26,6 +26,15 @@ python3 tools/lint_oracle_types.py "$SF_SMALL" /tmp/preflight_oracles
 echo "== 5/6 bench at $SF_BENCH =="
 SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Bench" | grep '"metric"' | tail -1
+# spread gate: a loaded-machine stamp (reps beyond ±25% of the median)
+# is not evidence — refuse to bless it (round-10 judge: the committed
+# r10.full stamp spread 3.4x and got round-stamped anyway)
+if grep -q '"dirty":true' BENCH_LAST.json; then
+  echo "PREFLIGHT FAILED: bench stamp is DIRTY (rep spread beyond ±25%):"
+  grep -o '"dirty_metrics":\[[^]]*\]' BENCH_LAST.json
+  echo "re-run step 5 on an idle machine before round-stamping"
+  exit 1
+fi
 
 echo "== 6/6 reminders =="
 echo "  cp BENCH_LAST.json BENCH_r<N>.full.json   # round-stamp the bench"
