@@ -122,10 +122,16 @@ object Bench {
     // the exact-audit tiers (t07/v02/v03 — Σf² / all-pairs by
     // construction) are timed separately so a duplicate-dense fixture
     // regeneration can't masquerade as an engine regression
+    // steal sampled around the (unforked) query tier as well: the
+    // round-11 dirty run inflated t11 from 2.6 s to 37 s and the only
+    // way to tell engine from environment after the fact is a
+    // host-steal trace stamped next to the numbers
+    val qt0 = cpuTicks()
     val queryTimes = benchQueries(spark, sfDir,
       Registry.all.filter(q => q.headline && !q.audit), errors)
     val auditTimes = benchQueries(spark, sfDir,
       Registry.all.filter(_.audit), errors)
+    val querySteal = math.rint(stealPctSince(qt0) * 100) / 100
     // corpus-shape stats make cross-round bench deltas interpretable:
     // the audit tiers' cost is a function of these, not of the engine
     val corpus =
@@ -158,6 +164,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(queryTimes)},""" +
         s""""audit_total":$auditTotal,"audit_queries":${obj(auditTimes)},""" +
+        s""""query_steal_pct":$querySteal,""" +
         s""""corpus":${obj(corpus)},"pipeline":${obj(pipeline)},""" +
         s""""pipeline_spread":${obj(pipelineSpread)},""" +
         s""""dirty":${dirtyMetrics.nonEmpty},"dirty_metrics":$dm,""" +
@@ -593,14 +600,16 @@ object Bench {
         }
         s"""{"vec_id":$i,"embedding":[${comps.mkString(",")}]}"""
       }
-      // rows_per_band sized to the bench's own corpus per the README
-      // law (corpus × p^r ≤ 16; p = 0.58 at dim 16 → r = 18 for the
-      // ~100k-doc history the last trigger probes): the default 12-bit
-      // banding is SATURATED at this corpus/dim — measured 74.8M
+      // rows_per_band sized to the bench's own corpus per the VERIFY-
+      // bounded law (bands × corpus × p^r ≤ 8 — CosineDedup.
+      // verifyBoundedRowsPerBand; p = 0.58 at dim 16 → r = 23 for the
+      // ~100k-doc history the last trigger probes at 16 bands): the
+      // default 12-bit banding is SATURATED at this corpus/dim — 74.8M
       // band-join candidates (1,496/doc) and an 87 s probe for one
-      // 50k-doc trigger vs 6.1M (123/doc) and 19 s at r=18 (SCALE.md
-      // round 11). The old number benchmarked the misconfiguration the
-      // daemon itself warns about, not the engine.
+      // 50k-doc trigger; the occupancy-sized r=18 left 6.1M (123/doc)
+      // and 19 s; r=23 leaves ~6/doc — measured 4.2k → 6.3–6.7k docs/s
+      // isolated (SCALE.md round 11). The old number benchmarked the
+      // misconfiguration the daemon itself warns about, not the engine.
       runAdmissionDaemon("cosinedup_filter_docs_per_sec", "graft_bench_cd",
         state =>
           s"""    type: 'handlers.CosineDupFilter'
@@ -610,7 +619,7 @@ object Bench {
              |      state_dir: '$state'
              |      dim: $dim
              |      threshold: 0.95
-             |      rows_per_band: 18
+             |      rows_per_band: 23
              |      shuffle_partitions: 8""".stripMargin,
         vecLine)
     }
@@ -686,6 +695,42 @@ object Bench {
   private[graft] def spreadDirty(med: Double, lo: Double, hi: Double): Boolean =
     med > 0.0 && (lo < 0.75 * med || hi > 1.25 * med)
 
+  /** (busy+steal ticks, steal ticks) from /proc/stat — the guest-
+    * visible trace of host-side CPU contention. Sampled around every
+    * forked rep so a dirty stamp is ATTRIBUTABLE: round-10/11 dirty
+    * runs were hypothesized to be machine load; per-rep steal makes
+    * that a measurement (this VM showed ~10% steal under full load and
+    * burst higher — reps with elevated steal are exactly the
+    * spread-gate outliers). Returns (0,0) where /proc/stat is absent
+    * (non-Linux dev machines) — steal then reads 0%, never crashes. */
+  private def cpuTicks(): (Long, Long) = try {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+    (f.sum, if (f.length > 7) f(7) else 0L)
+  } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+
+  private def stealPctSince(t0: (Long, Long)): Double = {
+    val t1 = cpuTicks()
+    val dt = t1._1 - t0._1
+    if (dt <= 0L) 0.0 else 100.0 * (t1._2 - t0._2) / dt
+  }
+
+  /** Environment-attributed outlier removal, shared with its spec: a
+    * rep that ran under >5% host CPU steal was slowed by the HOST, not
+    * the engine — keep it out of the median/spread when at least 2
+    * clean reps remain (steal is host-caused by definition; guest load
+    * cannot create it, so the exclusion cannot hide an engine
+    * regression). Returns (kept reps, excluded count); excluded counts
+    * are stamped per metric (`<name>_steal_excluded`) so a stamp that
+    * needed this crutch says so. */
+  private[graft] def stealFiltered(
+      reps0: Seq[(Double, Double)],
+      maxStealPct: Double = 5.0): (Seq[(Double, Double)], Int) = {
+    val clean = reps0.filter(_._2 <= maxStealPct)
+    val kept = if (clean.size >= 2) clean else reps0
+    (kept, reps0.size - kept.size)
+  }
+
   private def benchPipelinesForked(spark: SparkSession,
       errors: scala.collection.mutable.ArrayBuffer[String])
       : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
@@ -699,8 +744,9 @@ object Bench {
     val inJvm = thunks.toMap
     val names = thunks.map(_._1)
     val measured = names.map { name =>
-      val vs = (1 to reps).flatMap { _ =>
-        forkOnly(name) match {
+      val reps0 = (1 to reps).flatMap { _ =>
+        val t0 = cpuTicks()
+        val v = forkOnly(name) match {
           case Some(v) => Some(v)
           case None =>
             // fork unavailable (no classpath / child crashed): measure
@@ -713,19 +759,31 @@ object Bench {
                 None
             }
         }
-      }.sorted
-      if (vs.isEmpty) (name, 0.0, 0.0, 0.0)
-      else (name, vs(vs.size / 2), vs.head, vs.last)
+        v.map(_ -> stealPctSince(t0))
+      }
+      val (kept, excluded) = stealFiltered(reps0)
+      val vs = kept.map(_._1).sorted
+      val steal = if (reps0.isEmpty) 0.0 else reps0.map(_._2).max
+      if (vs.isEmpty) (name, 0.0, 0.0, 0.0, steal, excluded)
+      else (name, vs(vs.size / 2), vs.head, vs.last, steal, excluded)
     }
-    val medians = measured.map { case (n, med, _, _) => n -> med } ++ Seq(
+    val medians = measured.map { case (n, med, _, _, _, _) => n -> med } ++ Seq(
       "bench_msgs" -> nMsgs.toDouble,
       "bench_batch_size" -> batchSize.toDouble,
       "bench_reps" -> reps.toDouble)
-    val spread = measured.flatMap { case (n, _, lo, hi) =>
-      Seq(s"${n}_min" -> lo, s"${n}_max" -> hi)
+    val spread = measured.flatMap { case (n, _, lo, hi, steal, excl) =>
+      Seq(s"${n}_min" -> lo, s"${n}_max" -> hi,
+        s"${n}_steal_pct_max" -> math.rint(steal * 100) / 100) ++
+        (if (excl > 0) Seq(s"${n}_steal_excluded" -> excl.toDouble)
+         else Seq.empty)
     }
     val dirty = measured.collect {
-      case (n, med, lo, hi) if reps > 1 && spreadDirty(med, lo, hi) => n
+      case (n, med, lo, hi, _, _) if reps > 1 && spreadDirty(med, lo, hi) => n
+    }
+    measured.foreach { case (n, _, _, _, steal, excl) =>
+      if (steal > 5.0) System.err.println(
+        f"[bench] steal: $n worst rep ran under $steal%.1f%% host CPU steal" +
+          (if (excl > 0) s" — $excl rep(s) excluded from the median" else ""))
     }
     dirty.foreach(n => System.err.println(
       s"[bench] DIRTY: $n reps spread beyond ±25% of the median — " +

@@ -47,9 +47,17 @@ final class GraftMetrics {
   private val cosineSaturationBits = new AtomicLong(
     java.lang.Double.doubleToRawLongBits(0.0))
   val cosineSuggestedRowsPerBand = new AtomicLong
-  def recordCosineSaturation(occupants: Double, suggestedR: Int): Unit = {
+  // the stricter dial (round 11): rows_per_band bounding the exact-
+  // verify READ to O(1) vector buckets per doc — the occupancy-sized
+  // suggestion alone still reads a corpus-proportional store slice
+  // (CosineDedup.verifyBoundedRowsPerBand; measured in SCALE.md
+  // "production dims")
+  val cosineVerifyBoundedRowsPerBand = new AtomicLong
+  def recordCosineSaturation(
+      occupants: Double, suggestedR: Int, verifyBoundedR: Int): Unit = {
     cosineSaturationBits.set(java.lang.Double.doubleToRawLongBits(occupants))
     cosineSuggestedRowsPerBand.set(suggestedR.toLong)
+    cosineVerifyBoundedRowsPerBand.set(verifyBoundedR.toLong)
   }
   def cosineSaturationOccupants: Double =
     java.lang.Double.longBitsToDouble(cosineSaturationBits.get)
@@ -88,7 +96,12 @@ final class GraftMetrics {
         cosineSaturationOccupants) +
       g("graft_cosine_suggested_rows_per_band",
         "rows_per_band restoring <=16 occupants at the current corpus/dim",
-        cosineSuggestedRowsPerBand.get)
+        cosineSuggestedRowsPerBand.get) +
+      g("graft_cosine_verify_bounded_rows_per_band",
+        "rows_per_band bounding the exact-verify read to O(1) vector" +
+          " buckets per probe doc at the current corpus/dim (re-tune" +
+          " bands for recall when raising r)",
+        cosineVerifyBoundedRowsPerBand.get)
   }
 
   private def g(name: String, help: String, v: Any) =

@@ -155,7 +155,7 @@ object CosineDedup {
       checkpointDir: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       compactEveryNTriggers: Option[Int] = None,
-      onFoldSaturation: (Double, Int) => Unit = (_, _) => ())(
+      onFoldSaturation: (Double, Int, Int) => Unit = (_, _, _) => ())(
       emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     IndexState.streamingAdmission(stream, stateDir, checkpointDir,
       trigger, compactEveryNTriggers,
@@ -171,7 +171,8 @@ object CosineDedup {
         // judge — the log line alone "whispers")
         val (occupants, suggested) =
           saturationStats(vecCount, rowsPerBand, dim)
-        onFoldSaturation(occupants, suggested)
+        onFoldSaturation(occupants, suggested,
+          verifyBoundedRowsPerBand(vecCount, bands, dim))
         signatureSaturationWarning(vecCount, bands, rowsPerBand, dim)
           .foreach(m => org.slf4j.LoggerFactory
             .getLogger(getClass).warn(m))
@@ -196,6 +197,37 @@ object CosineDedup {
     (occupants, suggested)
   }
 
+  /** The STRICTER dial: `rows_per_band` keeping the exact-verify READ
+    * candidate-bounded, not just the band join. Expected band-join
+    * candidates per probe doc are bands × corpus × p^r, and the verify
+    * reads one vector bucket per distinct candidate — so the budget
+    * that bounds verify IO is per-DOC candidates, not per-CELL
+    * occupants: the ≤16-occupant `saturationStats` suggestion still
+    * allows bands × 16 ≈ hundreds of candidates per doc, which at a
+    * small probe reads a corpus-proportional slice of the vector store
+    * (measured, SCALE.md round 11 "production dims": at dim 256 / 5M
+    * docs the occupancy-sized r=20 read 590 MB — 24% of the folded
+    * state — per 64-doc probe at 204 candidates/doc; this dial's r=26
+    * read 41 MB (1.3%) at 4.2 candidates/doc). Targets ≤
+    * `targetCandidatesPerDoc` (default 8) expected random candidates
+    * per probe doc. Recall trade is real: band-match for true dups is
+    * p_dup^r (p_dup = 1 − acos(threshold)/π), so a longer r needs more
+    * bands — `bands ≥ ln(1−recall)/ln(1−p_dup^r)` — which grows the
+    * (thin, 24-byte-row) band index to keep the (fat, vector-row)
+    * verify bounded. That exchange is the point: band-index bytes are
+    * ~1% of vector bytes per row. */
+  def verifyBoundedRowsPerBand(
+      admittedDocs: Long, bands: Int, dim: Int,
+      targetCandidatesPerDoc: Double = 8.0): Int = {
+    val p = 1.0 -
+      math.acos(math.min(1.0, 1.0 / math.sqrt(math.max(dim, 2).toDouble))) /
+      math.Pi
+    val load = admittedDocs.toDouble * math.max(bands, 1) /
+      math.max(targetCandidatesPerDoc, 1e-9)
+    if (load <= 1.0) 1
+    else math.ceil(math.log(load) / math.log(1.0 / p)).toInt
+  }
+
   /** The signature-space saturation law, checked at fold time (the one
     * moment the daemon knows its admitted-corpus size for free): two
     * UNRELATED vectors match an r-bit band with probability p^r where
@@ -217,12 +249,15 @@ object CosineDedup {
     val (occupants, suggested) = saturationStats(admittedDocs, rowsPerBand, dim)
     if (occupants <= 16.0) None
     else {
+      val verifyR = verifyBoundedRowsPerBand(admittedDocs, bands, dim)
       Some(s"cosine-dup signature space saturated: $admittedDocs admitted " +
         s"vectors at dim=$dim over $bands bands of $rowsPerBand-bit values " +
         f"is ~$occupants%.0f expected occupants per (band, value) cell " +
         s"(random per-bit match at this dim) — probe candidates " +
         s"now grow with the corpus, not the batch. Raise rows_per_band to " +
-        s"~$suggested (and re-tune bands to hold recall: band-match p^r " +
+        s"~$suggested to restore the band join, or ~$verifyR to also " +
+        s"bound the exact-verify read to O(1) vector buckets per doc " +
+        s"(and re-tune bands to hold recall: band-match p^r " +
         s"drops as r grows) on the NEXT state dir; banding params are " +
         s"stamped into the index, so changing them requires a fresh state " +
         s"(or a backfill re-commit).")

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * acos(1/√dim)/π (NOT 2^-r — that is the dim→∞ idealization; see the
   * dim comment below), so candidates grow ∝ corpus × p^r per band and
   * the "candidate-bounded" verify stops being bounded once that
-  * outgrows O(1). Size r (YAML `rows_per_band`) so corpus × p^r ≤ 16
-  * — `CosineDedup.saturationStats` computes exactly this suggestion,
-  * and the daemon re-checks it at every fold.
+  * outgrows O(1). Size r (YAML `rows_per_band`) for the term you need
+  * bounded: corpus × p^r ≤ 16 restores the band join
+  * (`CosineDedup.saturationStats`), bands × corpus × p^r ≤ 8 bounds
+  * the exact-verify READ to O(1) vector buckets per probe doc
+  * (`CosineDedup.verifyBoundedRowsPerBand` — the stricter dial this
+  * probe measured at production dims, SCALE.md round 11); the daemon
+  * re-checks both at every fold and exports them as gauges.
   */
 object AdmissionProbe {
 

@@ -27,6 +27,25 @@ class BenchSweepSpec extends AnyFunSuite {
     assert(!Bench.spreadDirty(0.0, 0.0, 0.0))
   }
 
+  test("stealFiltered: host-steal reps leave the median, attributably") {
+    // (value, stealPct) triples; the 1,124-docs/s outlier this round
+    // ran under a steal burst — with ≥2 clean reps it must not touch
+    // the median or trip the spread gate
+    val burst = Seq((4210.0, 0.4), (1124.0, 22.0), (4189.0, 1.1))
+    val (kept, excl) = Bench.stealFiltered(burst)
+    assert(kept.map(_._1).sorted == Seq(4189.0, 4210.0) && excl == 1)
+    // but steal exclusion never empties the sample below 2: an
+    // all-stolen run keeps every rep (and the spread gate flags it)
+    val allStolen = Seq((4210.0, 9.0), (1124.0, 22.0), (2000.0, 7.5))
+    assert(Bench.stealFiltered(allStolen) == (allStolen, 0))
+    // one clean rep is not enough to claim a band either
+    val oneClean = Seq((4210.0, 0.4), (1124.0, 22.0))
+    assert(Bench.stealFiltered(oneClean) == (oneClean, 0))
+    // zero-steal runs pass through untouched (non-Linux: steal reads 0)
+    val clean = Seq((100.0, 0.0), (101.0, 0.0), (99.0, 0.0))
+    assert(Bench.stealFiltered(clean) == (clean, 0))
+  }
+
   test("sweepStaleTmp deletes old graft_* roots, keeps fresh and foreign dirs") {
     import java.nio.file.Files
     val stale = Files.createTempDirectory("graft_testsweep_stale")

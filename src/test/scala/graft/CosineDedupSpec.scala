@@ -160,4 +160,28 @@ class CosineDedupSpec extends SparkTestBase {
     // tiny corpora never suggest below the configured r
     assert(CosineDedup.saturationStats(10L, 12, 768)._2 == 12)
   }
+
+  test("verifyBoundedRowsPerBand: the stricter dial (round 11)") {
+    // occupancy sizing bounds the band JOIN (≤16 per cell) but not the
+    // verify READ — per-doc candidates are bands × corpus × p^r, so
+    // the verify dial is always ≥ the occupancy one (bands ≥ 1/2)
+    for ((corpus, bands, dim) <- Seq((5000000L, 32, 256),
+        (500000L, 16, 64), (1000000000L, 48, 768))) {
+      val occR = CosineDedup.saturationStats(corpus, 1, dim)._2
+      val verR = CosineDedup.verifyBoundedRowsPerBand(corpus, bands, dim)
+      assert(verR >= occR, s"($corpus,$bands,$dim): $verR < $occR")
+      // and it actually delivers the ≤8-candidates-per-doc budget
+      val p = 1.0 - math.acos(1.0 / math.sqrt(dim.toDouble)) / math.Pi
+      assert(bands * corpus * math.pow(p, verR) <= 8.0 + 1e-9)
+      assert(bands * corpus * math.pow(p, verR - 1) > 8.0)
+    }
+    // the dim-256 / 5M-doc / 32-band point measured in SCALE.md
+    // "production dims" — pin the number the table was sized with
+    assert(CosineDedup.verifyBoundedRowsPerBand(5000000L, 32, 256) == 26)
+    // degenerate guards: tiny load and bad dims stay finite
+    assert(CosineDedup.verifyBoundedRowsPerBand(4L, 1, 768) == 1)
+    for (d <- Seq(1, 0, -5))
+      assert(CosineDedup.verifyBoundedRowsPerBand(5000000L, 32, d) ==
+        CosineDedup.verifyBoundedRowsPerBand(5000000L, 32, 2))
+  }
 }

@@ -63,9 +63,14 @@ class MetricsSpec extends SparkTestBase {
     assert(m.cosineSaturationOccupants > 16.0,
       s"expected a saturated gauge, got ${m.cosineSaturationOccupants}")
     assert(m.cosineSuggestedRowsPerBand.get > 1L)
+    // the verify dial is strictly stricter: bands × corpus / 8 ≫
+    // corpus / 16 at 16 bands, so its r is always ≥ the occupancy one
+    assert(m.cosineVerifyBoundedRowsPerBand.get >=
+      m.cosineSuggestedRowsPerBand.get)
     val body = m.render
     assert(body.contains("graft_cosine_saturation_occupants"))
     assert(body.contains("graft_cosine_suggested_rows_per_band"))
+    assert(body.contains("graft_cosine_verify_bounded_rows_per_band"))
   }
 
   test("debug endpoint runs SQL on the live session") {
