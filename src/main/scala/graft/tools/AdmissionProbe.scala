@@ -40,8 +40,30 @@ object AdmissionProbe {
     val daemon = args.headOption.getOrElse("cosine")
     val histDocs = args.lift(1).map(_.toInt).getOrElse(50000)
     val probeDocs = args.lift(2).map(_.toInt).getOrElse(64)
-    val bands = args.lift(3).map(_.toInt).getOrElse(16)
-    val rowsPerBand = args.lift(4).map(_.toInt).getOrElse(12)
+    // `auto` in the bands slot sizes the banding from the corpus via
+    // the recall↔r↔bands fixpoint (CosineDedup.sizeBanding at
+    // threshold 0.95, recall 0.99 — override via slot 6 / slot 4) so
+    // the probe measures the plan the sizing function would SHIP, not
+    // hand arithmetic: sbt "runMain graft.tools.AdmissionProbe cosine
+    // 500000 64 auto _ 256" prints the plan and runs it
+    val autoBands = args.lift(3).contains("auto")
+    lazy val autoPlan = {
+      val dim0 = args.lift(5).map(_.toInt).getOrElse(16)
+      val thr = args.lift(6).map(_.toDouble).getOrElse(0.95)
+      val recall = args.lift(4).filterNot(_ == "_")
+        .map(_.toDouble).getOrElse(0.99)
+      val plan = graft.operators.CosineDedup.sizeBanding(
+        histDocs.toLong, dim0, thr, recall, triggerDocs = probeDocs.toLong)
+      println(s"  sized banding for $histDocs docs at dim $dim0 / " +
+        s"threshold $thr / recall $recall: $plan")
+      plan
+    }
+    val bands =
+      if (autoBands) autoPlan.bands
+      else args.lift(3).map(_.toInt).getOrElse(16)
+    val rowsPerBand =
+      if (autoBands) autoPlan.rowsPerBand
+      else args.lift(4).map(_.toInt).getOrElse(12)
     // dim matters to the COST LAW, not just fixture shape: the typical
     // |cosine| between unrelated vectors is ~1/sqrt(dim), so per-bit
     // band match is p = 1 - acos(1/sqrt(dim))/pi (0.58 at dim 16, 0.51
