@@ -122,16 +122,19 @@ object Bench {
     // the exact-audit tiers (t07/v02/v03 — Σf² / all-pairs by
     // construction) are timed separately so a duplicate-dense fixture
     // regeneration can't masquerade as an engine regression
-    // steal sampled around the (unforked) query tier as well: the
-    // round-11 dirty run inflated t11 from 2.6 s to 37 s and the only
-    // way to tell engine from environment after the fact is a
-    // host-steal trace stamped next to the numbers
+    // steal sampled PER TIER (round-11 advisor: one sample spanning
+    // queries + audits misattributes an audit-tier burst to the query
+    // tier): the round-11 dirty run inflated t11 from 2.6 s to 37 s
+    // and the only way to tell engine from environment after the fact
+    // is a host-steal trace stamped next to the numbers it covers
     val qt0 = cpuTicks()
     val queryTimes = benchQueries(spark, sfDir,
       Registry.all.filter(q => q.headline && !q.audit), errors)
+    val querySteal = math.rint(stealPctSince(qt0) * 100) / 100
+    val at0 = cpuTicks()
     val auditTimes = benchQueries(spark, sfDir,
       Registry.all.filter(_.audit), errors)
-    val querySteal = math.rint(stealPctSince(qt0) * 100) / 100
+    val auditSteal = math.rint(stealPctSince(at0) * 100) / 100
     // corpus-shape stats make cross-round bench deltas interpretable:
     // the audit tiers' cost is a function of these, not of the engine
     val corpus =
@@ -141,14 +144,15 @@ object Bench {
           errors += s"corpus:${e.getClass.getSimpleName}"
           Seq.empty[(String, Double)]
       }
-    val (pipeline, pipelineSpread, dirtyMetrics) =
+    val (pipeline, pipelineSpread, dirtyMetrics, windowSteal) =
       try benchPipelinesForked(spark, errors)
       catch {
         case scala.util.control.NonFatal(e) =>
           errors += s"pipeline:${e.getClass.getSimpleName}"
           (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
-            Seq.empty[String])
+            Seq.empty[String], 0.0)
       }
+    windowStealAdvisory(windowSteal).foreach(System.err.println)
 
     def obj(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -164,7 +168,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(queryTimes)},""" +
         s""""audit_total":$auditTotal,"audit_queries":${obj(auditTimes)},""" +
-        s""""query_steal_pct":$querySteal,""" +
+        s""""query_steal_pct":$querySteal,"audit_steal_pct":$auditSteal,""" +
+        s""""steal_pct_window":$windowSteal,""" +
         s""""corpus":${obj(corpus)},"pipeline":${obj(pipeline)},""" +
         s""""pipeline_spread":${obj(pipelineSpread)},""" +
         s""""dirty":${dirtyMetrics.nonEmpty},"dirty_metrics":$dm,""" +
@@ -695,6 +700,26 @@ object Bench {
   private[graft] def spreadDirty(med: Double, lo: Double, hi: Double): Boolean =
     med > 0.0 && (lo < 0.75 * med || hi > 1.25 * med)
 
+  /** SUB-threshold steal gating (round-11 judge ask #2): the 5%
+    * per-rep exclusion plus the ±25% spread gate still let a uniformly
+    * 3–5%-steal window stamp "clean-looking" numbers that understate
+    * the engine by up to ~1.4× (measured: agg_mem 68.8k in a
+    * 4.7%-steal window vs 99,978 sub-1%, SCALE.md). The run-level
+    * `steal_pct_window` (whole pipeline tier, one sample pair) is
+    * stamped into the artifact; above 2% the numbers remain usable for
+    * the ≤2×-of-baseline bar but NOT for round-over-round deltas —
+    * this advisory (also echoed by preflight step 5) says so at run
+    * time instead of leaving the next round to rediscover it. */
+  private[graft] val WindowStealWarnPct = 2.0
+  private[graft] def windowStealAdvisory(stealPctWindow: Double): Option[String] =
+    if (stealPctWindow <= WindowStealWarnPct) None
+    else Some(f"[bench] WINDOW STEAL: the pipeline tier ran under " +
+      f"$stealPctWindow%.2f%% host CPU steal overall (> " +
+      f"$WindowStealWarnPct%.0f%% — sub-threshold steal depresses rows " +
+      "up to ~1.4x): numbers are usable for the <=2x-of-baseline bar, " +
+      "not for round-over-round comparisons; re-run in a quieter window " +
+      "for delta rows")
+
   /** (busy+steal ticks, steal ticks) from /proc/stat — the guest-
     * visible trace of host-side CPU contention. Sampled around every
     * forked rep so a dirty stamp is ATTRIBUTABLE: round-10/11 dirty
@@ -733,10 +758,13 @@ object Bench {
 
   private def benchPipelinesForked(spark: SparkSession,
       errors: scala.collection.mutable.ArrayBuffer[String])
-      : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
+      : (Seq[(String, Double)], Seq[(String, Double)], Seq[String], Double) = {
     val nMsgs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MSGS", "1000000").toLong
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH", "50000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // run-level window steal: one sample pair spanning the whole
+    // pipeline tier, for the sub-threshold gate (windowStealAdvisory)
+    val wt0 = cpuTicks()
     // built ONCE: the thunk constructor eagerly materializes the 50k
     // batch-line array, which the parent only needs for the fallback
     // path — but it needs the names either way, so share one build
@@ -789,7 +817,7 @@ object Bench {
       s"[bench] DIRTY: $n reps spread beyond ±25% of the median — " +
         "machine load, not engine; re-run on an idle machine before " +
         "round-stamping"))
-    (medians, spread, dirty)
+    (medians, spread, dirty, math.rint(stealPctSince(wt0) * 100) / 100)
   }
 
   // the module opens Spark 4 needs on JDK 17+ when launched as a bare

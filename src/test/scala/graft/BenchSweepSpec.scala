@@ -46,6 +46,23 @@ class BenchSweepSpec extends AnyFunSuite {
     assert(Bench.stealFiltered(clean) == (clean, 0))
   }
 
+  test("windowStealAdvisory: sub-threshold window steal warns above 2%, stays usable-for-bar (round-11 judge)") {
+    // the measured failure mode: a uniformly 3-5%-steal window passes
+    // both the 5% per-rep exclusion and the ±25% spread gate while
+    // depressing rows up to ~1.4x (agg_mem 68.8k at 4.7% vs 99,978
+    // sub-1%) — the run-level gauge must call it out
+    val w = Bench.windowStealAdvisory(4.7)
+    assert(w.isDefined && w.get.contains("round-over-round"), w.toString)
+    assert(w.get.contains("4.70"))
+    // at or below the 2% line: silent (clean comparison windows)
+    assert(Bench.windowStealAdvisory(2.0).isEmpty)
+    assert(Bench.windowStealAdvisory(0.19).isEmpty)
+    assert(Bench.windowStealAdvisory(0.0).isEmpty)
+    // a warning, not a gate: preflight step 5 echoes it but only the
+    // ±25% spread dirtiness fails the round-stamp
+    assert(Bench.windowStealAdvisory(2.01).isDefined)
+  }
+
   test("sweepStaleTmp deletes old graft_* roots, keeps fresh and foreign dirs") {
     import java.nio.file.Files
     val stale = Files.createTempDirectory("graft_testsweep_stale")

@@ -35,6 +35,16 @@ if grep -q '"dirty":true' BENCH_LAST.json; then
   echo "re-run step 5 on an idle machine before round-stamping"
   exit 1
 fi
+# sub-threshold steal WARN (not fail): a uniformly 2-5%-steal window
+# passes the spread gate while depressing rows up to ~1.4x (SCALE.md)
+# — such a stamp holds for the <=2x-of-baseline bar, not for
+# round-over-round delta rows
+WINDOW_STEAL=$(grep -o '"steal_pct_window":[0-9.]*' BENCH_LAST.json | cut -d: -f2)
+if [ -n "${WINDOW_STEAL:-}" ] && awk "BEGIN{exit !($WINDOW_STEAL > 2.0)}"; then
+  echo "PREFLIGHT WARNING: pipeline-tier window steal ${WINDOW_STEAL}% > 2%"
+  echo "  numbers usable for the <=2x bar, NOT for round-over-round deltas"
+  grep -o '"[a-z_]*_steal_pct_max":[0-9.]*' BENCH_LAST.json | awk -F: '$2 > 2 {print "  worst-rep steal > 2%: " $0}'
+fi
 
 echo "== 6/6 reminders =="
 echo "  cp BENCH_LAST.json BENCH_r<N>.full.json   # round-stamp the bench"
