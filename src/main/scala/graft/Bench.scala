@@ -624,6 +624,7 @@ object Bench {
              |      state_dir: '$state'
              |      dim: $dim
              |      threshold: 0.95
+             |      expected_corpus: 150000
              |      rows_per_band: 23
              |      shuffle_partitions: 8""".stripMargin,
         vecLine)

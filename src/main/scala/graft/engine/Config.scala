@@ -157,7 +157,18 @@ final case class CosineDupConf(
     rowsPerBand: Int = 12,
     seed: Long = 42L,
     shufflePartitions: Option[Int] = None,
-    compactEveryNTriggers: Option[Int] = None)
+    compactEveryNTriggers: Option[Int] = None,
+    /** Corpus size the banding must hold at. When declared, config
+      * validation REFUSES a `rows_per_band` whose signature space
+      * saturates at this corpus (probe candidates growing with the
+      * corpus, not the batch — the silent round-10 bench
+      * misconfiguration), unless `on_undersized: warn` accepts it;
+      * the daemon logs the computed dials + the converged
+      * `CosineDedup.sizeBanding` plan at startup either way. */
+    expectedCorpus: Option[Long] = None,
+    /** `error` (default): refuse an undersized banding at config
+      * load. `warn`: start anyway, logging the dials loudly. */
+    onUndersized: String = "error")
 
 /** Optional in-daemon fingerprinting for [[HammingDupConf]]: messages
   * carry RAW CONTENT instead of precomputed hash words, and the daemon
@@ -398,7 +409,10 @@ object Config {
               shufflePartitions = if (cd.has("shuffle_partitions"))
                 Some(cd.path("shuffle_partitions").asInt()) else None,
               compactEveryNTriggers = if (cd.has("compact_every_n_triggers"))
-                Some(cd.path("compact_every_n_triggers").asInt()) else None))
+                Some(cd.path("compact_every_n_triggers").asInt()) else None,
+              expectedCorpus = if (cd.has("expected_corpus"))
+                Some(cd.path("expected_corpus").asLong()) else None,
+              onUndersized = cd.path("on_undersized").asText("error")))
           } else None,
           hammingDup = if (h.has("hamming_dup")) {
             val hd = h.path("hamming_dup")

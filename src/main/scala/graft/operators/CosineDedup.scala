@@ -235,6 +235,34 @@ object CosineDedup {
     else math.ceil(math.log(load) / math.log(1.0 / p)).toInt
   }
 
+  /** The daemon's startup sizing line for a declared
+    * `expected_corpus` (logged by StreamingPipeline at start; the
+    * schema gate already refused a saturated banding unless
+    * `on_undersized: warn`): both dials evaluated AT the expected
+    * corpus plus the converged [[sizeBanding]] plan — so the operator
+    * sees at start what the fold gauges will converge to, not after
+    * the state is already committed under the wrong banding.
+    * Returns (line, undersized?). */
+  def startupSizing(
+      expectedCorpus: Long, dim: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): (String, Boolean) = {
+    val (occupants, suggested) =
+      saturationStats(expectedCorpus, rowsPerBand, dim)
+    val verifyR = math.max(rowsPerBand,
+      verifyBoundedRowsPerBand(expectedCorpus, bands, dim))
+    val plan = scala.util.Try(
+      sizeBanding(expectedCorpus, dim, threshold)).toOption
+    val undersized = occupants > 16.0
+    val line = f"cosine-dup startup sizing at expected_corpus=" +
+      f"$expectedCorpus dim=$dim: configured ${bands}x$rowsPerBand → " +
+      f"~$occupants%.1f expected occupants/cell" +
+      (if (undersized) " (SATURATED — probe candidates grow with the " +
+        "corpus, not the batch)" else " (healthy)") +
+      s"; occupancy dial r≈$suggested, verify-bounded dial r≈$verifyR" +
+      plan.map(p => s"; converged 0.99-recall plan: $p").getOrElse("")
+    (line, undersized)
+  }
+
   /** One converged (rows_per_band, bands) operating point from
     * [[sizeBanding]], with the two projections an operator sizes
     * capacity by: `indexBytesPerDoc` (thin band-index growth per

@@ -219,6 +219,25 @@ class CosineDedupSpec extends SparkTestBase {
     assert(CosineDedup.sizeBanding(4L, 768, 0.95).rowsPerBand == 1)
   }
 
+  test("startupSizing: the daemon's start line carries both dials + the converged plan") {
+    // the round-10 misconfiguration as the operator would see it at
+    // START (not at the first fold): 16x12 at 5M docs / dim 768
+    val (line, undersized) =
+      CosineDedup.startupSizing(5000000L, 768, 16, 12, 0.95)
+    assert(undersized, line)
+    assert(line.contains("SATURATED") && line.contains("BandingPlan"), line)
+    // dials in the line match the library functions (clamped)
+    assert(line.contains(
+      s"occupancy dial r≈${CosineDedup.saturationStats(5000000L, 12, 768)._2}"))
+    // a healthy banding reads healthy and still shows the plan
+    val (ok, under2) = CosineDedup.startupSizing(100000L, 8, 16, 26, 0.95)
+    assert(!under2 && ok.contains("healthy"), ok)
+    // a threshold below the random cosine can't converge a plan — the
+    // line must still render (no plan suffix), never throw
+    val (degenerate, _) = CosineDedup.startupSizing(100000L, 8, 16, 26, 0.2)
+    assert(!degenerate.contains("BandingPlan"), degenerate)
+  }
+
   test("fold gauges clamp to configured ≤ occupancy ≤ verify on young corpora (round-11 advisor)") {
     // at 100 docs / 16 bands / dim 768 the RAW verify math reads below
     // the configured r=12 (and below the occupancy gauge) — the
