@@ -104,7 +104,7 @@ object StreamingPipeline {
     conf.pipeline.handler.nearDup match {
       case Some(nd) if conf.pipeline.handler.kind == "handlers.NearDupFilter" =>
         return startNearDupFilter(spark, conf, nd, session, source, batches,
-          checkpointDir)
+          checkpointDir, metrics)
       case _ =>
     }
     // `handlers.CosineDupFilter`: the NearDupFilter discipline for
@@ -174,7 +174,8 @@ object StreamingPipeline {
       session: Invoke.Session,
       source: Sources.Built,
       batches: AtomicLong,
-      checkpointDir: Option[String]): Running = {
+      checkpointDir: Option[String],
+      metrics: GraftMetrics): Running = {
     // id parses DIRECTLY as LongType: from_json (PERMISSIVE) nulls a
     // field that doesn't parse, whereas the old string→long cast threw
     // under ANSI mode on the first malformed id and killed the stream
@@ -198,7 +199,8 @@ object StreamingPipeline {
           decoded, nd.idColumn, nd.textColumn, nd.stateDir,
           nd.ngram, nd.threshold, nd.numHashes, nd.bands, nd.seed,
           checkpointDir = checkpointDir, trigger = Some(trigger),
-          compactEveryNTriggers = nd.compactEveryNTriggers) {
+          compactEveryNTriggers = nd.compactEveryNTriggers,
+          onFoldCandidates = Some(metrics.recordNearDupFold)) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)
