@@ -1,0 +1,117 @@
+#!/usr/bin/env bash
+# Per-metric clean-window bench protocol (round 12).
+#
+# WHY: this VM cannot hold a sub-2%-steal window for the ~45 minutes a
+# full `graft.Bench` run takes (two round-12 full runs bracketed
+# mid-run host bursts of 7-9% steal and stamped honest-dirty; see
+# BENCH_r12.dirty1/2.json and SCALE.md "Bench stamps under a noisy
+# host"). A single metric's isolated rep takes ~20-60 s, which DOES
+# fit inside the clean windows this host provides — so instead of
+# demanding one long window, this script earns each metric its own:
+# per metric, forked single-metric reps (`graft.Bench --only`) are
+# retried until MIN_CLEAN reps ran under <= MAX_STEAL% host CPU steal
+# (sampled from /proc/stat around each rep, same law as
+# Bench.stealFiltered), then the median/min/max of the CLEAN reps is
+# stamped with every rep's steal next to it. A metric that cannot
+# collect clean reps within MAX_TRIES is stamped "exhausted" with its
+# best-effort reps — visible, never silent.
+#
+# Usage: tools/clean_bench.sh [out.json] [metric ...]
+#   (default: all 12 pipeline metrics; requires a compiled repo —
+#    run `sbt compile` first. Classpath is exported once via sbt.)
+# Env: MAX_STEAL (default 1.0), MIN_CLEAN (2), MAX_TRIES (6),
+#      SPARK_GRAFT_CPUS (32) and the usual SPARK_GRAFT_BENCH_* knobs.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+OUT=${1:-BENCH_clean.json}; shift 2>/dev/null || true
+MAX_STEAL=${MAX_STEAL:-1.0}
+MIN_CLEAN=${MIN_CLEAN:-2}
+MAX_TRIES=${MAX_TRIES:-6}
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+
+METRICS=("$@")
+if [ ${#METRICS[@]} -eq 0 ]; then
+  METRICS=(agg_mem_msgs_per_sec enrich_msgs_per_sec
+    csv_mem_join_msgs_per_sec csv_disk_join_msgs_per_sec
+    tumbling_window_msgs_per_sec streaming_agg_msgs_per_sec
+    native_window_msgs_per_sec native_window_rocksdb_msgs_per_sec
+    session_window_msgs_per_sec neardup_filter_docs_per_sec
+    cosinedup_filter_docs_per_sec hammingdup_filter_docs_per_sec)
+fi
+
+CP_FILE=$(mktemp)
+sbt -batch "export Runtime/fullClasspath" 2>/dev/null | tail -1 > "$CP_FILE"
+CP=$(cat "$CP_FILE"); rm -f "$CP_FILE"
+[ -n "$CP" ] || { echo "classpath export failed — run sbt compile"; exit 1; }
+
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+ticks() { awk '/^cpu /{s=0;for(f=2;f<=NF;f++)s+=$f; print s, $9}' /proc/stat; }
+
+# wait (up to 120 s) for a 15 s probe window under MAX_STEAL before
+# spending a rep — cheaper than burning a 60 s rep into a known burst
+wait_quiet() {
+  for _ in $(seq 1 8); do
+    read -r a b <<<"$(ticks)"; sleep 15; read -r c d <<<"$(ticks)"
+    q=$(awk -v a="$a" -v b="$b" -v c="$c" -v d="$d" -v m="$MAX_STEAL" \
+      'BEGIN{dt=c-a; print (dt>0 && 100*(d-b)/dt <= m) ? 1 : 0}')
+    [ "$q" = 1 ] && return 0
+  done
+  return 0  # proceed anyway; the rep's own stamp decides cleanliness
+}
+
+ROWS_FILE=$(mktemp)
+for M in "${METRICS[@]}"; do
+  reps_v=(); reps_s=(); clean=0; tries=0
+  while [ "$clean" -lt "$MIN_CLEAN" ] && [ "$tries" -lt "$MAX_TRIES" ]; do
+    tries=$((tries+1))
+    wait_quiet
+    read -r t0 s0 <<<"$(ticks)"
+    V=$(java $OPENS -Xmx16g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
+      --only "$M" 2>/dev/null | grep -o '"value":[0-9.eE+-]*' | cut -d: -f2)
+    read -r t1 s1 <<<"$(ticks)"
+    ST=$(awk -v a="$t0" -v b="$s0" -v c="$t1" -v d="$s1" \
+      'BEGIN{dt=c-a; printf "%.2f", (dt>0)?100*(d-b)/dt:0}')
+    [ -n "$V" ] || { echo "  $M try $tries: child failed"; continue; }
+    reps_v+=("$V"); reps_s+=("$ST")
+    ok=$(awk -v s="$ST" -v m="$MAX_STEAL" 'BEGIN{print (s<=m)?1:0}')
+    [ "$ok" = 1 ] && clean=$((clean+1))
+    echo "  $M try $tries: $V steal=${ST}% (clean $clean/$MIN_CLEAN)"
+  done
+  STATUS=$([ "$clean" -ge "$MIN_CLEAN" ] && echo clean || echo exhausted)
+  ROW=$(python3 - "$M" "$STATUS" "$MAX_STEAL" <<PYEOF
+import sys, json, statistics
+m, status, max_steal = sys.argv[1], sys.argv[2], float(sys.argv[3])
+vs = [float(x) for x in """${reps_v[@]:-}""".split()]
+ss = [float(x) for x in """${reps_s[@]:-}""".split()]
+clean = [v for v, s in zip(vs, ss) if s <= max_steal] or vs
+row = {"median": statistics.median(clean) if clean else 0.0,
+       "min": min(clean) if clean else 0.0,
+       "max": max(clean) if clean else 0.0,
+       "status": status,
+       "reps": [{"value": v, "steal_pct": s} for v, s in zip(vs, ss)]}
+print(json.dumps({m: row}))
+PYEOF
+)
+  echo "$ROW" >> "$ROWS_FILE"
+done
+
+python3 - "$OUT" "$MAX_STEAL" "$MIN_CLEAN" "$ROWS_FILE" <<PYEOF
+import sys, json
+out, max_steal, min_clean = sys.argv[1], float(sys.argv[2]), int(sys.argv[3])
+merged = {}
+with open(sys.argv[4]) as f:
+    for line in f:
+        if line.strip():
+            merged.update(json.loads(line))
+doc = {"protocol": "per-metric-clean-window",
+       "max_steal_pct": max_steal, "min_clean_reps": min_clean,
+       "all_clean": all(r["status"] == "clean" for r in merged.values()),
+       "metrics": merged}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1)
+print(json.dumps({k: round(v["median"]) for k, v in merged.items()}))
+print("all_clean:", doc["all_clean"], "->", out)
+PYEOF
