@@ -32,7 +32,10 @@ SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 if grep -q '"dirty":true' BENCH_LAST.json; then
   echo "PREFLIGHT FAILED: bench stamp is DIRTY (rep spread beyond ±25%):"
   grep -o '"dirty_metrics":\[[^]]*\]' BENCH_LAST.json
-  echo "re-run step 5 on an idle machine before round-stamping"
+  echo "re-run step 5 on an idle machine, or — when this host will not"
+  echo "hold a 45-minute clean window (round 12) — stamp the dirty"
+  echo "metrics via the per-metric protocol: tools/clean_bench.sh"
+  echo "BENCH_r<N>.clean.json <dirty metrics...>"
   exit 1
 fi
 # sub-threshold steal WARN (not fail): a uniformly 2-5%-steal window
