@@ -391,9 +391,10 @@ object CosineDedup {
         s"~$suggested to restore the band join, or ~$verifyR to also " +
         s"bound the exact-verify read to O(1) vector buckets per doc " +
         s"(and re-tune bands to hold recall: band-match p^r " +
-        s"drops as r grows) on the NEXT state dir; banding params are " +
-        s"stamped into the index, so changing them requires a fresh state " +
-        s"(or a backfill re-commit).")
+        s"drops as r grows — CosineDedup.sizeBanding(corpus, dim, " +
+        s"threshold, recall) converges the pair) on the NEXT state dir; " +
+        s"banding params are stamped into the index, so changing them " +
+        s"requires a fresh state (or a backfill re-commit).")
     }
   }
 }
