@@ -115,3 +115,4 @@ with open(out, "w") as f:
 print(json.dumps({k: round(v["median"]) for k, v in merged.items()}))
 print("all_clean:", doc["all_clean"], "->", out)
 PYEOF
+rm -f "$ROWS_FILE"
