@@ -311,7 +311,17 @@ object CosineDedup {
     * its index-growth and probe-fan-out projections; feed
     * `expected_corpus` in the YAML to have the daemon check a
     * configured banding against this at startup, and
-    * `tools/AdmissionProbe ... auto` to measure a plan's probe IO. */
+    * `tools/AdmissionProbe ... auto` to measure a plan's probe IO.
+    *
+    * VALIDITY BOUNDARY (measured, SCALE.md round 12): the p^r law
+    * assumes band bits are independent, which needs r ≤ dim — r
+    * projections of a dim-dimensional vector carry at most dim
+    * independent signs, so when the converged r exceeds dim the true
+    * collision rate floors ABOVE p^r (AdmissionProbe at 50k docs /
+    * dim 16 / converged r=24: 22 candidates/doc measured vs 6
+    * predicted). At production dims the fixpoint r (26–36) sits well
+    * below dim 256–768 and the law is measured-accurate; at toy dims
+    * treat the plan's candidate budget as a floor, not a promise. */
   def sizeBanding(
       expectedCorpus: Long,
       dim: Int,
