@@ -80,6 +80,18 @@ final class GraftMetrics {
   }
   def neardupExpectedCandidatesPerDoc: Double =
     java.lang.Double.longBitsToDouble(neardupCandidatesBits.get)
+  // the Hamming daemon's twin (round 13 — the last daemon without a
+  // fold gauge): candidates/doc over the folded pigeonhole-band index
+  private val hammingCandidatesBits = new AtomicLong(
+    java.lang.Double.doubleToRawLongBits(0.0))
+  val hammingAdmittedDocs = new AtomicLong
+  def recordHammingFold(candidatesPerDoc: Double, admittedDocs: Long): Unit = {
+    hammingCandidatesBits.set(
+      java.lang.Double.doubleToRawLongBits(candidatesPerDoc))
+    hammingAdmittedDocs.set(admittedDocs)
+  }
+  def hammingExpectedCandidatesPerDoc: Double =
+    java.lang.Double.longBitsToDouble(hammingCandidatesBits.get)
 
   def recordBatch(nMsgs: Long, seconds: Double): Unit = {
     messageCount.addAndGet(nMsgs)
@@ -128,7 +140,17 @@ final class GraftMetrics {
         neardupExpectedCandidatesPerDoc) +
       g("graft_neardup_admitted_docs",
         "admitted docs in the folded near-dup index at last fold",
-        neardupAdmittedDocs.get)
+        neardupAdmittedDocs.get) +
+      g("graft_hammingdup_expected_candidates_per_doc",
+        "expected band-join candidates per corpus-shaped probe doc" +
+          " against the folded pigeonhole-band index (~0 for an" +
+          " admitted index of distinct fingerprints; >O(1) =" +
+          " band-value collapse)",
+        hammingExpectedCandidatesPerDoc) +
+      g("graft_hammingdup_admitted_docs",
+        "admitted fingerprints in the folded hamming-dup index at" +
+          " last fold",
+        hammingAdmittedDocs.get)
   }
 
   private def g(name: String, help: String, v: Any) =

@@ -623,18 +623,9 @@ object Dedup {
   private[graft] def foldedCandidatesPerDoc(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      admittedDocs: Long): Double = {
-    val sf2 = for {
-      ci <- IndexState.currentCompact(spark, stateDir)
-      bandsDf <- IndexState.readCompact(spark, stateDir, ci, "bands", None)
-    } yield {
-      val r = bandsDf.groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("f"))
-        .agg(sum(col("f") * (col("f") - 1L)).as("sff")).head()
-      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
-    }
-    sf2.getOrElse(0.0) / math.max(1L, admittedDocs)
-  }
+      admittedDocs: Long): Double =
+    IndexState.foldedCandidatesPerDoc(spark, stateDir,
+      Seq("band", "bh"), admittedDocs)
 
   /** Remove boilerplate lines: drop every line whose document
     * frequency exceeds `maxDocFrac` of the corpus (ToS footers, nav

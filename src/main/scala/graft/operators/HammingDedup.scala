@@ -281,7 +281,8 @@ object HammingDedup {
       checkpointDir: Option[String] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       compactEveryNTriggers: Option[Int] = None,
-      fpStamp: Option[String] = None)(
+      fpStamp: Option[String] = None,
+      onFoldCandidates: Option[(Double, Long) => Unit] = None)(
       emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     IndexState.streamingAdmission(stream, stateDir, checkpointDir,
       trigger, compactEveryNTriggers,
@@ -289,6 +290,16 @@ object HammingDedup {
         w1Col, stateDir, bid, maxHamming, fpStamp),
       commitBatch = (survivors, bid) => hammingDupCommitBatch(survivors,
         idCol, w0Col, w1Col, stateDir, bid, maxHamming, fpStamp),
-      compactTo = (spark, upToBid, minReplayable) =>
-        compactHammingDupState(spark, stateDir, upToBid, minReplayable))(emit)
+      compactTo = (spark, upToBid, minReplayable) => {
+        val (_, hashCount) =
+          compactHammingDupState(spark, stateDir, upToBid, minReplayable)
+        // candidates-per-doc in pigeonhole-band space (round-13
+        // parity with the text/cosine fold gauges): an admitted
+        // index of distinct fingerprints reads ~0; drift above O(1)
+        // means band-value collapse (near-identical media flooding
+        // one chunk value), which host-load noise cannot produce
+        onFoldCandidates.foreach(
+          _(IndexState.foldedCandidatesPerDoc(
+            spark, stateDir, Seq("band", "v"), hashCount), hashCount))
+      })(emit)
 }

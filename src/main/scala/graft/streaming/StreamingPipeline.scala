@@ -121,7 +121,7 @@ object StreamingPipeline {
     conf.pipeline.handler.hammingDup match {
       case Some(hd) if conf.pipeline.handler.kind == "handlers.HammingDupFilter" =>
         return startHammingDupFilter(spark, conf, hd, session, source,
-          batches, checkpointDir)
+          batches, checkpointDir, metrics)
       case _ =>
     }
 
@@ -289,7 +289,8 @@ object StreamingPipeline {
       session: Invoke.Session,
       source: Sources.Built,
       batches: AtomicLong,
-      checkpointDir: Option[String]): Running = {
+      checkpointDir: Option[String],
+      metrics: GraftMetrics): Running = {
     // parse DIRECTLY into the typed schema: from_json (PERMISSIVE)
     // nulls a field that doesn't parse as its type, whereas a post-hoc
     // string→long cast THROWS under ANSI mode and kills the stream on
@@ -338,7 +339,8 @@ object StreamingPipeline {
           hd.maxHamming, checkpointDir = checkpointDir,
           trigger = Some(trigger),
           compactEveryNTriggers = hd.compactEveryNTriggers,
-          fpStamp = graft.engine.HammingFingerprint.stamp(hd)) {
+          fpStamp = graft.engine.HammingFingerprint.stamp(hd),
+          onFoldCandidates = Some(metrics.recordHammingFold)) {
         (survivors, _) =>
           session.lock.synchronized {
             session.sink.write(survivors)

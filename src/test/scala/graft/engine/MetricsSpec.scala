@@ -109,6 +109,38 @@ class MetricsSpec extends SparkTestBase {
     assert(body.contains("graft_neardup_admitted_docs 3"))
   }
 
+  test("hamming candidates-per-doc gauge is set by the fingerprint daemon's fold (round 13: last daemon without one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = new GraftMetrics
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hd_gauge").toString
+    // three distinct fingerprints far beyond max_hamming from each
+    // other: all admitted, the folded band index holds only unique
+    // (band, v) values → gauge reads exactly 0 (the deduped baseline)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.operators.HammingDedup.streamingHammingDupFilter(
+        mem.toDF().toDF("media_id", "w0", "w1"), "media_id", "w0", "w1",
+        stateDir, maxHamming = 3,
+        compactEveryNTriggers = Some(1),
+        onFoldCandidates = Some(m.recordHammingFold)) { (_, _) => () }
+    try {
+      mem.addData((1L, 0x0L, 0x0L), (2L, -1L, -1L),
+        (3L, 0x5555555555555555L, 0x3333333333333333L))
+      q.processAllAvailable()
+      mem.addData((4L, 0x0F0F0F0F0F0F0F0FL, 0x00FF00FF00FF00FFL))
+      q.processAllAvailable() // this trigger's fold covers batch 0
+    } finally q.stop()
+    assert(m.hammingAdmittedDocs.get == 3L,
+      s"expected 3 admitted fingerprints folded, got ${m.hammingAdmittedDocs.get}")
+    assert(m.hammingExpectedCandidatesPerDoc == 0.0,
+      "distinct fingerprints must fold to a collision-free band index")
+    val body = m.render
+    assert(body.contains("graft_hammingdup_expected_candidates_per_doc"))
+    assert(body.contains("graft_hammingdup_admitted_docs 3"))
+  }
+
   test("debug endpoint runs SQL on the live session") {
     val srv = new MetricsServer(spark, new GraftMetrics, 0)
     srv.start()

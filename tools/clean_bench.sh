@@ -1,6 +1,13 @@
 #!/usr/bin/env bash
 # Per-metric clean-window bench protocol (round 12).
 #
+# NOTE (round 13): this protocol is now the DEFAULT inside
+# `graft.Bench` itself (per-metric retry-until-clean with steal +
+# iowait + disk attribution per rep; `--monolith` for the old tier)
+# — the driver's headline stamp is born clean without this script.
+# The script remains as the standalone re-stamp tool for individual
+# metrics (its original round-12 role).
+#
 # WHY: this VM cannot hold a sub-2%-steal window for the ~45 minutes a
 # full `graft.Bench` run takes (two round-12 full runs bracketed
 # mid-run host bursts of 7-9% steal and stamped honest-dirty; see
@@ -68,9 +75,13 @@ for M in "${METRICS[@]}"; do
     tries=$((tries+1))
     wait_quiet
     read -r t0 s0 <<<"$(ticks)"
+    # LAST match only + numeric validation (round-12 advisor): the
+    # child now prints gauges too, and any extra stdout line carrying
+    # a value field would otherwise splice a multi-line V into reps_v
     V=$(java $OPENS -Xmx16g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-      --only "$M" 2>/dev/null | grep -o '"value":[0-9.eE+-]*' | cut -d: -f2)
+      --only "$M" 2>/dev/null | grep -o '"value":[0-9.eE+-]*' | tail -1 | cut -d: -f2)
+    if ! [[ "$V" =~ ^[0-9]+\.?[0-9]*([eE][+-]?[0-9]+)?$ ]]; then V=""; fi
     read -r t1 s1 <<<"$(ticks)"
     ST=$(awk -v a="$t0" -v b="$s0" -v c="$t1" -v d="$s1" \
       'BEGIN{dt=c-a; printf "%.2f", (dt>0)?100*(d-b)/dt:0}')
