@@ -63,9 +63,18 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    // the index carries xxhash64(shingle), not the shingle STRING: the
+    // keyed shuffle and the Σf² join move 8-byte longs instead of
+    // ~25-byte n-gram text (measured 26 MB → 9 MB exchange at sf0.1),
+    // and the join compares longs. Identical output absent 64-bit
+    // collisions — the same contract stripBoilerplateLines and
+    // contaminationPairs already carry (a collision needs two distinct
+    // shingles of ONE compared pair to hash equal: ~|sh|²·2⁻⁶⁴).
     val sh = graft.queries.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
     val capped = if (maxShingleFreq == Long.MaxValue) sh else sh
       .withColumn("freq", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -81,8 +90,22 @@ object Dedup {
     // round(j, 4) >= threshold, which admits true j down to
     // threshold - 0.00005 — the prefilter bound uses the same margin so
     // it never drops a pair the rounded comparison would keep.
+    //
+    // hint("merge") on the SELF-join: without it the static planner
+    // picks a broadcast join whenever one side's estimate fits, and a
+    // broadcast build DUPLICATES the whole shared subtree (scan +
+    // shingle explode + cap) into both sides — the index pipeline runs
+    // twice per execution (measured in the r13 plan dumps: every
+    // pair-family plan carried two full copies of its index subtree).
+    // Forcing the shuffle join makes both sides identical exchanges,
+    // which ReuseExchange / AQE's stage cache dedup into ONE map pass;
+    // at 100 TB a corpus×corpus band join is shuffle-bound anyway (no
+    // broadcastable side), so this is also the only strategy that
+    // scales. AQE may still convert the reduce side to a broadcast
+    // read of the materialized shuffle — that keeps the single map
+    // pass. Applies to every self-join operator in this family.
     val bound = threshold - 0.00005
-    a.join(b, Seq("shingle"))
+    a.hint("merge").join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * bound &&
         col("sz_b") >= col("sz_a") * bound)
@@ -128,33 +151,68 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     val bound = threshold - 0.00005
+    // shingles are carried as xxhash64 longs end-to-end (index keys,
+    // prefix rank tiebreak, verify arrays): the exchanges move 8-byte
+    // keys instead of n-gram text and the verify intersects longs
+    // instead of strings. The prefix guarantee only needs SOME total
+    // order shared by all docs — (global frequency, hash) is one —
+    // and the verify recomputes the true Jaccard, so the output is
+    // exact regardless of which total order picked the prefixes
+    // (identical absent 64-bit collisions; see jaccardPairsWithCounts).
     val withSh = graft.queries.Tables.spread(docs)
-      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh"))
     val sh = withSh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
-    val freqs = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+    // global frequency via a window over the shingle key — ONE pass of
+    // the exploded index and one exchange, where the old
+    // groupBy+join-back shape computed the explode subtree twice and
+    // paid a second exchange (or a broadcast build) for the join
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("f"), col("shingle"))
-    val prefix = sh.join(freqs, "shingle")
+    val prefix = sh
+      .withColumn("f", count(lit(1)).over(wf))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("sz") - ceil(col("sz") * bound) + 1)
-      .select(col("doc_id"), col("sz"), col("shingle"))
+      .select(col("doc_id"), col("sz"), col("shingle"), col("r"))
     val a = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      col("shingle"))
+      col("shingle"), col("r").as("r_a"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-      col("shingle"))
-    val cand = a.join(b, Seq("shingle"))
+      col("shingle"), col("r").as("r_b"))
+    // hint("merge"): self-join exchange reuse — one index pass, not
+    // two (see jaccardPairsWithCounts for the full rationale).
+    // POSITION filter (the ppjoin bound, Xiao et al. WWW'08): when the
+    // r_a-th and r_b-th shingles under the shared total order match,
+    // every common shingle of the pair sits at-or-after those ranks in
+    // BOTH docs at the pair's FIRST collision, so the overlap is at
+    // most 1 + min(sz_a − r_a, sz_b − r_b); jaccard ≥ t needs overlap
+    // ≥ (sz_a+sz_b)·t/(1+t). Pairs kept if ANY collision passes — a
+    // superset of ppjoin's candidate set, so exactness is untouched;
+    // the verify stage sees the surviving candidates only (measured
+    // 26k → far fewer at t=0.8, the stage that was the t11 tail).
+    val cand = a.hint("merge").join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * bound &&
-        col("sz_b") >= col("sz_a") * bound)
+        col("sz_b") >= col("sz_a") * bound &&
+        (lit(1) + least(col("sz_a") - col("r_a"), col("sz_b") - col("r_b")))
+          .cast("double") >=
+          (col("sz_a") + col("sz_b")) * bound / (1.0 + bound))
       .select("doc_a", "doc_b")
       .distinct()
+    // verify on the hashed arrays: |A∪B| = |A|+|B|−|A∩B| (wordShingles
+    // is distinct-per-doc), so ONE array_intersect replaces
+    // intersect+union — half the per-candidate hash-set work, and it
+    // is let-bound (TextFunctions.bound) so projection collapse can't
+    // re-evaluate it per reference
     cand
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("jaccard", graft.functions.TextFunctions.bound(
+        size(array_intersect(col("sh_a"), col("sh_b")))) { i =>
+          round(i.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - i), 4)
+        })
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -217,18 +275,29 @@ object Dedup {
     }: _*)
     val buckets = withSig
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
-    val cand = buckets.as("x")
+    // hint("merge"): self-join exchange reuse — the signature pipeline
+    // (shingles + k min-hashes) runs ONCE, not once per join side (see
+    // jaccardPairsWithCounts for the full rationale)
+    val cand = buckets.as("x").hint("merge")
       .join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = withSig.select(col("doc_id"), col("sh"))
+    // verify on xxhash64'd shingle arrays with the |A∪B|=|A|+|B|−|A∩B|
+    // identity (wordShingles is distinct-per-doc): the candidate joins
+    // move 8-byte longs instead of n-gram text and ONE array_intersect
+    // of longs replaces intersect+union of strings. Output identical
+    // absent 64-bit collisions (see jaccardPairsWithCounts).
+    val sets = withSig.select(col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh"))
     cand
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("jaccard", graft.functions.TextFunctions.bound(
+        size(array_intersect(col("sh_a"), col("sh_b")))) { i =>
+          round(i.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - i), 4)
+        })
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -384,17 +453,25 @@ object Dedup {
   private def verifyCandidates(
       cand: DataFrame, history: DataFrame, bSh: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    // both sides' shingle sets are xxhash64'd before the per-candidate
+    // intersect, and |A∪B| = |A|+|B|−|A∩B| (wordShingles is
+    // distinct-per-doc) removes the array_union — long equality over
+    // one hash-set build per pair instead of two string-set builds.
+    // Identical output absent 64-bit collisions (jaccardPairsWithCounts).
     val hSets = history
       .join(cand.select(col("hist_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("hist_id"),
-        wordShingles(col(textCol), n).as("sh_h"))
+        transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh_h"))
     cand
-      .join(bSh, "batch_id")
+      .join(bSh.withColumn("sh_b", transform(col("sh_b"), s => xxhash64(s))),
+        "batch_id")
       .join(hSets, "hist_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_b"), col("sh_h"))).cast("double") /
-          size(array_union(col("sh_b"), col("sh_h"))), 4))
+      .withColumn("jaccard", graft.functions.TextFunctions.bound(
+        size(array_intersect(col("sh_b"), col("sh_h")))) { i =>
+          round(i.cast("double") /
+            (size(col("sh_b")) + size(col("sh_h")) - i), 4)
+        })
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "hist_id", "jaccard")
   }
@@ -696,9 +773,12 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    // index keyed by xxhash64(shingle) — 8-byte exchange keys, long
+    // joins (see jaccardPairsWithCounts for the collision contract)
     val sh = graft.queries.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
     val capped = if (maxShingleFreq == Long.MaxValue) sh else sh
       .withColumn("freq", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -708,7 +788,9 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
     val b = capped.select(
       col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // hint("merge"): self-join exchange reuse (see
+    // jaccardPairsWithCounts for the full rationale)
+    a.hint("merge").join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
@@ -785,7 +867,9 @@ object Dedup {
       .drop("freq")
     val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
-    a.join(b, Seq("fp"))
+    // hint("merge"): self-join exchange reuse (see
+    // jaccardPairsWithCounts for the full rationale)
+    a.hint("merge").join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -1043,7 +1127,9 @@ object Dedup {
     val blocks = withSim
       .select(col("doc_id"), col("simhash"), explode(bandCols).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.v"))
-    blocks.as("x").join(blocks.as("y"), Seq("band", "v"))
+    // hint("merge"): self-join exchange reuse (see
+    // jaccardPairsWithCounts for the full rationale)
+    blocks.as("x").hint("merge").join(blocks.as("y"), Seq("band", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -126,7 +126,10 @@ object HammingDedup {
     val buckets = d.select(col("doc_id"), col("w0"), col("w1"),
       posexplode(bandValues(col("w0"), col("w1"), chunks)).as(Seq("band", "v")))
       .select("doc_id", "band", "v")
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "v"))
+    // hint("merge"): self-join exchange reuse (see
+    // Dedup.jaccardPairsWithCounts for the full rationale)
+    val cand = buckets.as("x").hint("merge")
+      .join(buckets.as("y"), Seq("band", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

@@ -1140,7 +1140,9 @@ object Multimodal {
     val blocks = withSim
       .select(col("media_id"), col("sig"), explode(bandCols).as("b"))
       .select(col("media_id"), col("sig"), col("b.band"), col("b.v"))
-    blocks.as("x").join(blocks.as("y"), Seq("band", "v"))
+    // hint("merge"): self-join exchange reuse (see
+    // Dedup.jaccardPairsWithCounts for the full rationale)
+    blocks.as("x").hint("merge").join(blocks.as("y"), Seq("band", "v"))
       .filter(col("x.media_id") < col("y.media_id"))
       .select(
         col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
@@ -1282,7 +1284,9 @@ object Multimodal {
           .filter(col("__n") <= cap).drop("__n")
       case None => f
     }
-    pruned.as("x").join(pruned.as("y"), Seq("frame_sig"))
+    // hint("merge"): self-join exchange reuse (see
+    // Dedup.jaccardPairsWithCounts for the full rationale)
+    pruned.as("x").hint("merge").join(pruned.as("y"), Seq("frame_sig"))
       .filter(col("x.media_id") < col("y.media_id"))
       .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

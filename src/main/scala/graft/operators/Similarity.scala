@@ -69,7 +69,11 @@ object Similarity {
     val buckets = e.select(col(idCol),
         posexplode(graft.functions.HashFunctions.hyperplane_bands(
           col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "v"))
+    // hint("merge"): self-join exchange reuse — the hyperplane-band
+    // pipeline runs ONCE, not once per join side (see
+    // Dedup.jaccardPairsWithCounts for the full rationale)
+    val cand = buckets.as("x").hint("merge")
+      .join(buckets.as("y"), Seq("band", "v"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
@@ -644,33 +648,40 @@ object Similarity {
         vec_dot(v, cl) / sqrt(lit(c.map(x => x.toDouble * x).sum))
     }.toSeq: _*)
 
-    val probed = spread
+    // the probe rows CARRY (vector, norm) through the one cell-keyed
+    // exchange, and the cosine verify runs INSIDE the pair join: one
+    // corpus-sized shuffle of nProbe·|corpus| vector rows replaces the
+    // old ids-only shape's candidate distinct + two vector join-backs
+    // (3 candidate-set exchanges + 2 joins — at a candidate volume of
+    // n·nProbe·targetCellSize/2 the 16-byte pair rows outweighed the
+    // vectors they were saving: measured 7.5 MB of candidate exchanges
+    // vs 2 MB of vectors at sf0.1, and 3 fewer stages). A pair
+    // co-occurring in up to nProbe cells now pays up to nProbe dot
+    // products instead of a 1M-row distinct; survivors dedup at the
+    // end, where the set is output-sized. The per-cell SMJ group
+    // buffer holds one cell's rows (targetCellSize × vector bytes —
+    // ~768 KB at dim 768), executor-safe.
+    val probed = withNorm(spread, idCol, vecCol)
       .withColumn("sims", cellSims(col(vecCol)))
       .withColumn("cells",
         expr(s"slice(array_sort(transform(sims, (s, i) -> struct(-s AS s, i AS i))), 1, $nProbe).i"))
-      .select(col(idCol).as("id"), explode(col("cells")).as("cell"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"),
+        explode(col("cells")).as("cell"))
 
-    // ids-only candidate generation: the cell self-join moves 16-byte
-    // (cell, id) rows; a pair co-occurring in up to nProbe shared
-    // cells dedups BEFORE the vectors are ever fetched
-    val a = probed.select(col("cell"), col("id").as("id_a"))
-    val b = probed.select(col("cell"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("cell"))
+    val a = probed.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = probed.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    // hint("merge"): self-join exchange reuse — the cell-similarity
+    // projection (nCells dot products per row) runs ONCE, not once per
+    // join side (see Dedup.jaccardPairsWithCounts for the rationale)
+    a.hint("merge").join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-
-    val sides = withNorm(spread, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("nrm"))
-    cand
-      .join(sides.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-        col("nrm").as("n_a")), "id_a")
-      .join(sides.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-        col("nrm").as("n_b")), "id_b")
       .withColumn("cosine",
         round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -440,8 +440,15 @@ object StreamingPipeline {
         case None => Trigger.ProcessingTime(0L)
       })
       .foreachBatch { (closed: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!closed.isEmpty) {
-          sink.write(closed.localCheckpoint(true))
+        // localCheckpoint FIRST, emptiness check on the materialized
+        // RDD: a foreachBatch Dataset re-executes the whole micro-batch
+        // plan per action, so the old `isEmpty` probe ran the stateful
+        // aggregation TWICE on every non-empty trigger (the common case
+        // under a flowing stream) — the empty case costs the same
+        // either way (one execution to learn it's empty)
+        val cp = closed.localCheckpoint(true)
+        if (!cp.isEmpty) {
+          sink.write(cp)
           sink.flush()
         }
         batches.incrementAndGet()
