@@ -1235,7 +1235,9 @@ object MultimodalOps {
           cIds, "doc_id", idOffset = 3000000L, block0Value = 255))
       val h = texts.select(col("doc_id"),
         md5(graft.functions.TextFunctions.normalizeText(col("text"))).as("h"))
-      val tp = h.as("x").join(h.as("y"), Seq("h"))
+      // hint("merge"): self-join exchange reuse (see
+      // Dedup.jaccardPairsWithCounts for the full rationale)
+      val tp = h.as("x").hint("merge").join(h.as("y"), Seq("h"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
           lit(true).as("t"))

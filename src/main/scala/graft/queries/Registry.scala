@@ -24,15 +24,29 @@ final case class GraftQuery(
     audit: Boolean = false)
 
 object Tables {
-  /** Ensure at least `defaultParallelism` partitions before
-    * compute-heavy per-row stages (shingling, hashing, dot products).
+  /** Ensure enough partitions before compute-heavy per-row stages
+    * (shingling, hashing, dot products) — SIZED BY INPUT BYTES, capped
+    * at `defaultParallelism`.
     *
     * The driver's testdata is single-row-group parquet, so a scan is
     * irreducibly ONE task — without this, a per-doc pipeline runs on 1
-    * of 32 cores. At production scale inputs arrive with ≥ parallelism
-    * splits and this is a no-op (the guard avoids a pointless shuffle).
-    * Column pruning and filter pushdown pass through Repartition, so
-    * the scan stays pruned.
+    * core. The round-13 optimization pass measured the OTHER failure
+    * mode of the old fixed `repartition(defaultParallelism)`: at small
+    * inputs, 32 concurrent near-empty tasks cost ~100–250 ms EACH on
+    * this host (contention, not steal — the same query tier ran 10.4 s
+    * at 8 cpus vs 13.1 s at 32 cpus in adjacent clean windows, and a
+    * 32-task md5 stage over 1.5 MB of text billed 7.4 s of task time
+    * for 0.3 s of wall). Partition count therefore derives from the
+    * optimizer's size estimate — one compute task per
+    * `graft.spread.targetBytesPerTask` (session conf, default 128 KB
+    * of input per task: ~50–300 ms of shingle/hash work on text) — so
+    * small inputs get few, full tasks. At production scale the
+    * estimate is huge, the cap wins, and this is exactly the old
+    * defaultParallelism spread (guide §2: derive partitioning from
+    * input size, never a constant tuned for one deployment). Unknown
+    * stats estimate as Long.MaxValue → cap, i.e. the conservative old
+    * behavior. Column pruning and filter pushdown pass through
+    * Repartition, so the scan stays pruned.
     *
     * Cost note: the `.rdd` probe plans the upstream query once (tens of
     * ms on the simple scans these operators take). The alternative — an
@@ -42,7 +56,12 @@ object Tables {
     * this is used. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val targetBytes = math.max(1L,
+      df.sparkSession.conf.get("graft.spread.targetBytesPerTask",
+        (128L * 1024).toString).toLong)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / targetBytes + 1).min(BigInt(p)).max(BigInt(1)).toInt
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** All reads go through here so pushdown/pruning behavior is uniform.

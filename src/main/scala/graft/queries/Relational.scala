@@ -2657,7 +2657,10 @@ object Relational {
       val nOrders = li.select("ok").distinct()
         .agg(count(lit(1)).as("n_orders"))
       val single = li.groupBy("b").agg(count(lit(1)).as("cb"))
-      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+      // hint("merge"): self-join exchange reuse (the joined+distinct
+      // basket frame is computed once, not once per side — see
+      // Dedup.jaccardPairsWithCounts for the full rationale)
+      val pairs = li.as("x").hint("merge").join(li.as("y"), Seq("ok"))
         .filter(col("x.b") < col("y.b"))
         .groupBy(col("x.b").as("ba"), col("y.b").as("bb"))
         .agg(count(lit(1)).as("cab"))
@@ -3017,7 +3020,9 @@ object Relational {
         .groupBy(col("o_orderpriority").as("pri"),
           datediff(col("o_orderdate"), epoch).cast("long").as("day"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val slopes = daily.as("a").join(daily.as("b"),
+      // hint("merge"): self-join exchange reuse (the daily aggregate is
+      // computed once, not once per side — Dedup.jaccardPairsWithCounts)
+      val slopes = daily.as("a").hint("merge").join(daily.as("b"),
           col("a.pri") === col("b.pri") && col("a.day") < col("b.day"))
         .select(col("a.pri").as("pri"),
           ((col("b.cents") - col("a.cents")).cast("double") /

@@ -284,9 +284,16 @@ object TextOps {
     "t10_curation_pipeline",
     (s, dir) => {
       val d = docs(s, dir)
-      val keep = Dedup.exactGroups(d, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      d.join(keep, "doc_id")
+      // keep = min doc_id per content hash, as a WINDOW over the hash
+      // instead of exactGroups + join-back: the join-back shape
+      // computed the scan+md5 subtree twice (groupBy side + probe
+      // side) and paid two exchanges plus a join; this is one exchange
+      // keyed by the same 128-bit hash, identical keep set
+      val wKeep = org.apache.spark.sql.expressions.Window.partitionBy(
+        md5(graft.functions.TextFunctions.normalizeText(col("text"))))
+      d.withColumn("__keep_id", min("doc_id").over(wKeep))
+        .filter(col("doc_id") === col("__keep_id"))
+        .drop("__keep_id")
         .withColumn("st", textStats(col("text")))
         .select(col("doc_id"), col("source"),
           col("st.n_tokens").as("n_tokens"),
