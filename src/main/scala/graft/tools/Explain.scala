@@ -11,11 +11,19 @@ import graft.queries.Registry
   * broadcast), WholeStageCodegen spans (hot path stays codegen'd). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    // --executed: run each query (noop sink) first and print the FINAL
+    // AQE-reoptimized plan — the only place runtime artifacts like
+    // ReusedExchange / AQEShuffleRead are visible (the static plan
+    // prints `AdaptiveSparkPlan isFinalPlan=false` with both exchange
+    // copies still present)
+    val executed = args.contains("--executed")
+    val rest = args.filterNot(_ == "--executed")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSet else Set.empty[String]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -25,8 +33,17 @@ object Explain {
       .filter(q => names.isEmpty || names.contains(q.name))
       .foreach { q =>
         println(s"\n========== ${q.name} ==========")
-        try q.run(spark, dir).explain("formatted")
-        catch { case e: Exception => println(s"EXPLAIN FAILED: $e") }
+        try {
+          val df = q.run(spark, dir)
+          if (executed) {
+            // drive the df's OWN QueryExecution (a noop write would
+            // plan a fresh copy and leave this one un-finalized), then
+            // print the AQE-final plan — isFinalPlan=true, with
+            // ReusedExchange / AQEShuffleRead runtime artifacts
+            df.collect()
+            println(df.queryExecution.executedPlan.toString)
+          } else df.explain("formatted")
+        } catch { case e: Exception => println(s"EXPLAIN FAILED: $e") }
       }
     spark.stop()
   }
