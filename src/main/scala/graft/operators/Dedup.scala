@@ -427,15 +427,24 @@ object Dedup {
       }
   }
 
-  /** Sketch a probe batch once: (batch_id, sh, sig) plus its exploded
-    * (batch_id, band, bh) band rows — the probe-side mirror of
-    * [[minhashBandBuckets]]. */
+  /** Sketch a probe batch ONCE and materialize it (localCheckpoint):
+    * (batch_id, sh, sig) plus the exploded (batch_id, band, bh) band
+    * rows DERIVED from the materialized frame — the probe-side mirror
+    * of [[minhashBandBuckets]]. Three consumers follow (the
+    * bucket-prune collect, the candidate join, and the verify's sh_b
+    * side); before the cut each one re-ran the whole upstream batch
+    * pipeline — shingles + 64 min-hashes, and in the streaming daemon
+    * the within-batch dedup's anti-join too (measured r13: the batch
+    * was sketched 2–3× per trigger/probe). The checkpoint is
+    * batch-sized (one trigger's rows), the same lifetime as the
+    * candidate cut below. */
   private def sketchBatchForProbe(
       batch: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, seed: Long): (DataFrame, DataFrame) = {
     val b = graft.queries.Tables.spread(batch)
       .select(col(idCol).as("batch_id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .localCheckpoint(true)
     val rows = numHashes / bands
     val bandHashes = array((0 until bands).map { bIdx =>
       xxhash64(lit(bIdx), slice(col("sig"), bIdx * rows + 1, rows))

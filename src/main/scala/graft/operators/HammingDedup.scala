@@ -160,11 +160,16 @@ object HammingDedup {
       .withColumn("v", col("v").as("v", chunkMeta(chunks, fpStamp)))
   }
 
+  // the batch side is materialized ONCE (localCheckpoint — 24-byte
+  // rows): three consumers follow (bucket-prune collect, candidate
+  // join, verify), and in the streaming daemon each otherwise re-ran
+  // the within-batch dedup's anti-join chain (Dedup.sketchBatchForProbe)
   private def sketchForProbe(
       batch: DataFrame, idCol: String, w0Col: String, w1Col: String,
       chunks: Int): (DataFrame, DataFrame) = {
     val b = batch.select(col(idCol).cast("long").as("batch_id"),
       col(w0Col).cast("long").as("w0"), col(w1Col).cast("long").as("w1"))
+      .localCheckpoint(true)
     (b, b.select(col("batch_id"),
       posexplode(bandValues(col("w0"), col("w1"), chunks)).as(Seq("band", "v"))))
   }

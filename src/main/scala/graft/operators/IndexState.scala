@@ -353,11 +353,14 @@ private[graft] object IndexState {
           s"${if (idxAvail) "readable" else "missing"}, $payloadName " +
           s"${if (payAvail) "readable" else "missing"} — both must " +
           "exist (or neither); remove the orphaned artifact and retry")
-    // sketch ONCE; the band rows are checkpointed because two
-    // consumers follow (the bucket-set collect and the candidate join)
-    // and re-sketching the batch per consumer doubled the probe stage
-    val (b, bb0) = sketch(within)
-    val bb = bb0.localCheckpoint(true)
+    // sketch ONCE: the daemons' sketch functions materialize the batch
+    // frame itself (localCheckpoint inside sketch — see
+    // Dedup.sketchBatchForProbe), so `bb` and the verify's batch side
+    // are cheap derivations of the SAME materialized rows. The old
+    // shape checkpointed only the band rows here, which left the
+    // verify re-running the whole batch pipeline (within-batch dedup +
+    // sketch) a second time per trigger.
+    val (b, bb) = sketch(within)
     // the prune-set collects (one Spark job each) run only when the
     // compact artifact actually exists — a version whose artifact
     // folded to zero rows otherwise pays a wasted job per trigger

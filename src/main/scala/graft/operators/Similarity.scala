@@ -155,15 +155,22 @@ object Similarity {
             s"probed with $probed — band values would never collide")
       }
 
-  /** Sketch a probe batch once: normed vectors as `batch_id` plus the
-    * exploded (batch_id, band, v) hyperplane band rows — the
-    * probe-side mirror of [[hyperplaneBandBuckets]]. */
+  /** Sketch a probe batch ONCE and materialize it (localCheckpoint):
+    * normed vectors as `batch_id` plus the exploded (batch_id, band,
+    * v) hyperplane band rows DERIVED from the materialized frame —
+    * the probe-side mirror of [[hyperplaneBandBuckets]]. Three
+    * consumers follow (bucket-prune collect, candidate join, verify's
+    * vector side); before the cut each re-ran the batch pipeline —
+    * norms + bands·rowsPerBand projections, plus the within-batch
+    * dedup anti-join in the streaming daemon (see
+    * Dedup.sketchBatchForProbe). */
   private[operators] def sketchVecBatchForProbe(
       batch: DataFrame, idCol: String, vecCol: String,
       dim: Int, bands: Int, rowsPerBand: Int, seed: Long)
       : (DataFrame, DataFrame) = {
     val b = withNorm(graft.queries.Tables.spread(batch), idCol, vecCol)
       .withColumnRenamed(idCol, "batch_id")
+      .localCheckpoint(true)
     val bBuckets = b.select(col("batch_id"),
       posexplode(graft.functions.HashFunctions.hyperplane_bands(
         col(vecCol), dim, bands, rowsPerBand, seed)).as(Seq("band", "v")))
