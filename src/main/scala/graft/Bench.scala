@@ -184,8 +184,67 @@ object Bench {
       dirtyMetrics, windowSteal, detail, gauges}
     windowStealAdvisory(windowSteal).foreach(System.err.println)
 
+    val protocol = if (monolith) "monolith" else "per-metric-clean-window"
+    val (line, detailJson) = assembleArtifacts(
+      queryTimes, auditTimes, querySteal, auditSteal, windowSteal,
+      protocol, tier.allClean, corpus, pipeline, pipelineSpread,
+      gauges, detail, dirtyMetrics, errors.toSeq, sfDir)
+    println(line)
+    // durable copies — stdout tails truncate (BENCH_r07 lost its map)
+    for (p <- Seq("/tmp/bench.json", "BENCH_LAST.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    for (p <- Seq("/tmp/bench_detail.json", "BENCH_DETAIL.json")) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), detailJson + "\n")
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    spark.stop()
+  }
+
+  /** Compact JSON number: ≤4 decimal places, no scientific notation,
+    * no trailing zeros. Raw doubles averaged ~17 chars each and blew
+    * the printed line to 10,280 bytes (see [[assembleArtifacts]]);
+    * 0.1 ms / 0.0001-unit precision is far inside every metric's
+    * measurement noise. Non-finite values stamp -1 (a sentinel no real
+    * measurement produces) so the line stays parseable JSON. */
+  private[graft] def num(v: Double): String =
+    if (v.isNaN || v.isInfinite) "-1"
+    else {
+      val s = new java.math.BigDecimal(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+
+  /** Assemble (printed one-line JSON, detail sidecar JSON).
+    *
+    * The LINE is the driver's parse surface and must stay SMALL: the
+    * round-12 and round-13 driver artifacts both carry `parsed: null`
+    * because the line had grown to 10,280 bytes (every rep of every
+    * pipeline metric with 5 attribution fields inlined) and the
+    * driver's stdout-tail capture truncated it mid-object — two rounds
+    * of PERF comparisons lost to line length. The line now carries the
+    * decision fields only (totals, per-query seconds, pipeline
+    * medians, daemon gauges, protocol/clean/dirty flags, errors) and
+    * is budgeted at ≤2 KB (BenchSweepSpec asserts it on a
+    * representative payload); the full per-rep attribution
+    * (`pipeline_detail`), spread extrema (`pipeline_spread`) and
+    * corpus-shape stats move to the SIDECAR, written next to
+    * BENCH_LAST.json as BENCH_DETAIL.json and referenced from the
+    * line via `detail_file`. */
+  private[graft] def assembleArtifacts(
+      queryTimes: Seq[(String, Double)], auditTimes: Seq[(String, Double)],
+      querySteal: Double, auditSteal: Double, windowSteal: Double,
+      protocol: String, allClean: Boolean,
+      corpus: Seq[(String, Double)],
+      pipeline: Seq[(String, Double)], pipelineSpread: Seq[(String, Double)],
+      gauges: Seq[(String, Double)], detail: String,
+      dirtyMetrics: Seq[String], errors: Seq[String],
+      sfDir: String): (String, String) = {
     def obj(kv: Seq[(String, Double)]) =
-      kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      kv.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val es = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum
     val auditTotal = auditTimes.map(_._2).sum
@@ -197,27 +256,21 @@ object Bench {
     // `exhausted` and listed here — either way the stamp CANNOT be
     // silently round-stamped; preflight step 5 reads these fields.
     val dm = dirtyMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val protocol = if (monolith) "monolith" else "per-metric-clean-window"
-    val allClean = tier.allClean
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(queryTimes)},""" +
-        s""""audit_total":$auditTotal,"audit_queries":${obj(auditTimes)},""" +
-        s""""query_steal_pct":$querySteal,"audit_steal_pct":$auditSteal,""" +
-        s""""steal_pct_window":$windowSteal,""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${obj(queryTimes)},""" +
+        s""""audit_total":${num(auditTotal)},"audit_queries":${obj(auditTimes)},""" +
+        s""""query_steal_pct":${num(querySteal)},"audit_steal_pct":${num(auditSteal)},""" +
+        s""""steal_pct_window":${num(windowSteal)},""" +
         s""""protocol":"$protocol","all_clean":$allClean,""" +
-        s""""corpus":${obj(corpus)},"pipeline":${obj(pipeline)},""" +
-        s""""pipeline_spread":${obj(pipelineSpread)},""" +
+        s""""pipeline":${obj(pipeline)},""" +
         s""""pipeline_gauges":${obj(gauges)},""" +
-        s""""pipeline_detail":$detail,""" +
         s""""dirty":${dirtyMetrics.nonEmpty},"dirty_metrics":$dm,""" +
-        s""""errors":$es,"sf":"$sfDir"}"""
-    println(line)
-    // durable copies — stdout tails truncate (BENCH_r07 lost its map)
-    for (p <- Seq("/tmp/bench.json", "BENCH_LAST.json")) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case scala.util.control.NonFatal(_) => }
-    }
-    spark.stop()
+        s""""errors":$es,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    val detailJson =
+      s"""{"corpus":${obj(corpus)},""" +
+        s""""pipeline_spread":${obj(pipelineSpread)},""" +
+        s""""pipeline_detail":$detail}"""
+    (line, detailJson)
   }
 
   /** Single-metric child mode: measure ONE pipeline metric in this

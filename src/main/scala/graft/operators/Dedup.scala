@@ -25,12 +25,17 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact n-gram Jaccard similarity self-join via an inverted index on
-    * shingles. EXACT for any threshold > 0 at the default settings: a
-    * pair with Jaccard ≥ t > 0 shares ≥ 1 shingle, so candidate
-    * generation by shingle co-occurrence loses nothing; the verify step
-    * computes the true Jaccard from intersection counts (no shingle-set
-    * re-join needed — the inverted index already yields |A∩B|), and the
-    * size-ratio prefilter only prunes pairs that cannot reach t.
+    * shingles. EXACT for any threshold > 0 at the default settings,
+    * modulo 64-bit hashing: a pair with Jaccard ≥ t > 0 shares ≥ 1
+    * shingle, so candidate generation by shingle co-occurrence loses
+    * nothing; the verify step computes the true Jaccard from
+    * intersection counts (no shingle-set re-join needed — the inverted
+    * index already yields |A∩B|), and the size-ratio prefilter only
+    * prunes pairs that cannot reach t. Shingles are compared as
+    * xxhash64 longs (round 13), so exactness holds absent 64-bit
+    * collisions between two distinct shingles of one compared pair
+    * (~|sh|²·2⁻⁶⁴ per pair) — still categorically stronger than
+    * [[minhashLshPairs]]'s probabilistic band recall.
     *
     * Cost model: the shuffle is keyed by shingle and the join produces
     * Σ_s f(s)² rows (f = shingle document frequency) — intrinsic to
@@ -75,6 +80,15 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
       .withColumn("shingle", xxhash64(col("shingle")))
+    // A round-14 f ≥ 2 prefilter (drop single-doc shingles before the
+    // self-join — exact: an f = 1 shingle yields only the self-row the
+    // doc_a < doc_b filter removes) was implemented and REJECTED on
+    // interleaved A/B: the frequency window shares the join's exchange
+    // but WindowExec is not whole-stage-codegen'd, so it broke the
+    // codegen span on BOTH reused-exchange sides — wall flat-to-worse
+    // (1.29 vs 1.20/1.33 s) and task time +60% (4.5–5.3 → 7.7–8.3 s) at
+    // sf0.1. The SMJ streams f = 1 groups essentially for free; the
+    // Σf² cost law lives in the f ≥ 2 groups, which the filter keeps.
     val capped = if (maxShingleFreq == Long.MaxValue) sh else sh
       .withColumn("freq", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -120,7 +134,10 @@ object Dedup {
 
   /** EXACT n-gram Jaccard via prefix filtering (PPJoin-style) — same
     * output contract as [[jaccardPairs]], far less join volume on
-    * corpora with common shingles.
+    * corpora with common shingles. Exact modulo the same xxhash64
+    * caveat as [[jaccardPairs]] (shingles compared as 64-bit hashes:
+    * identical output absent ~|sh|²·2⁻⁶⁴-probability collisions within
+    * a compared pair).
     *
     * Principle: order every document's shingles by ascending global
     * frequency (rarest first, ties by shingle). For Jaccard ≥ t, a
@@ -379,7 +396,13 @@ object Dedup {
     * band hashes — shingle sets join back per surviving candidate).
     * `index` must come from [[minhashBandBuckets]] over `history`
     * with the same (n, numHashes, bands, seed), under id column
-    * `hist_id`. */
+    * `hist_id`.
+    *
+    * EAGER: building the returned DataFrame runs Spark jobs at call
+    * time (the batch sketch and the candidate set materialize via
+    * localCheckpoint — see [[sketchBatchForProbe]]); the checkpointed
+    * blocks live until the plan is garbage-collected (ContextCleaner),
+    * which is the micro-batch lifetime in the streaming callers. */
   def minhashProbeIndex(
       index: DataFrame,
       history: DataFrame,
@@ -400,7 +423,15 @@ object Dedup {
     // the batch sketch + the full index scan. The eager evaluation at
     // call time is exactly the micro-batch boundary the streaming
     // caller already has.
-    val cand = bBuckets.join(index, Seq("band", "bh"))
+    //
+    // The batch's band rows are BROADCAST into the index join (round
+    // 14): they are trigger/batch-sized (|batch|·bands 16-byte rows, 24
+    // B/row hashed relation) while the index side is the corpus — a
+    // checkpointed batch side also has no size estimate, so the static
+    // planner otherwise sort-merges, paying an exchange+sort on BOTH
+    // sides per probe (guide §3.1: broadcast the side that fits; the
+    // index side then joins map-side with no exchange at all).
+    val cand = broadcast(bBuckets).join(index, Seq("band", "bh"))
       .select("batch_id", "hist_id").distinct()
       .localCheckpoint(true)
     verifyCandidates(cand, history,
@@ -467,8 +498,18 @@ object Dedup {
     // distinct-per-doc) removes the array_union — long equality over
     // one hash-set build per pair instead of two string-set builds.
     // Identical output absent 64-bit collisions (jaccardPairsWithCounts).
+    // the candidate-id side is BROADCAST, not pre-distinct'd + shuffled
+    // (round 14): left_semi already dedups its build keys, so the old
+    // `.distinct()` bought nothing but an exchange + two hash
+    // aggregates, and without the broadcast hint the static planner
+    // shuffles the HISTORY side by id to semi-join a batch-bounded id
+    // set — the wrong side at any scale (guide §3.1/§3.2: the
+    // candidate set is batch-proportional by the probe discipline —
+    // 8-byte ids, bounded by the candidates-per-doc gauge — while
+    // history is the admitted corpus). Measured: 2 Spark jobs and 2
+    // exchanges off every t101 probe / daemon trigger.
     val hSets = history
-      .join(cand.select(col("hist_id").as(idCol)).distinct(),
+      .join(broadcast(cand.select(col("hist_id").as(idCol))),
         Seq(idCol), "left_semi")
       .select(col(idCol).as("hist_id"),
         transform(wordShingles(col(textCol), n), s => xxhash64(s)).as("sh_h"))

@@ -178,8 +178,11 @@ object HammingDedup {
       cand: DataFrame, history: DataFrame, b: DataFrame,
       idCol: String, w0Col: String, w1Col: String,
       maxHamming: Int): DataFrame = {
+    // broadcast the batch-bounded candidate-id side; left_semi dedups
+    // its build keys, so no pre-distinct (see Dedup.verifyCandidates —
+    // same 2-jobs/2-exchanges-per-probe rationale)
     val h = history
-      .join(cand.select(col("hist_id").cast("long").as(idCol)).distinct(),
+      .join(broadcast(cand.select(col("hist_id").cast("long").as(idCol))),
         Seq(idCol), "left_semi")
       .select(col(idCol).cast("long").as("hist_id"),
         col(w0Col).cast("long").as("h0"), col(w1Col).cast("long").as("h1"))

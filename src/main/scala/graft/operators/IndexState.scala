@@ -371,7 +371,10 @@ private[graft] object IndexState {
     val idxParts = compactIdx.toSeq ++ liveIdx.toSeq
     idxParts.foreach(checkIndex)
     val idx = idxParts.reduce(_ unionByName _)
-    val cand = bb.join(idx, joinKeys)
+    // batch band rows broadcast into the index join: trigger-sized vs
+    // admitted-corpus-sized (and the pruned index read then joins
+    // map-side with no exchange — see Dedup.minhashProbeIndex)
+    val cand = broadcast(bb).join(idx, joinKeys)
       .select("batch_id", "hist_id").distinct()
       .localCheckpoint(true)
     // the payload (texts/vectors — the byte-heavy artifact) prunes by

@@ -25,14 +25,31 @@ object Similarity {
   /** All pairs with cosine ≥ threshold — embedding-space near-dup
     * detection. O(n²) pair enumeration: correct baseline at moderate n;
     * the 100-TB path is [[lshCosinePairs]] (identical output contract,
-    * probabilistic recall). */
+    * probabilistic recall).
+    *
+    * Shape notes (round 14, both measured):
+    *  - the normed frame is cut EAGERLY (localCheckpoint — building
+    *    this DataFrame runs the scan+norm job at construction time):
+    *    the nested-loop cross join otherwise executes the
+    *    scan→norm subtree on BOTH sides (broadcast build + stream),
+    *    doubling the operator's map work;
+    *  - the build side is an EXPLICIT broadcast: a checkpointed
+    *    LogicalRDD has no size estimate, and the planner would fall
+    *    back to CartesianProduct (partitions² tiny tasks). Broadcasting
+    *    the whole corpus is exactly this operator's documented
+    *    moderate-n contract — at scale use [[lshCosinePairs]];
+    *  - the stream side spreads `computeBound` (floor at core count):
+    *    per-row work is O(n) dot products, so byte-derived sizing
+    *    starves the stage (the round-13 v02 2× regression). */
   def cosineDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = withNorm(graft.queries.Tables.spread(emb), idCol, vecCol)
+    val e = withNorm(
+        graft.queries.Tables.spread(emb, computeBound = true), idCol, vecCol)
+      .localCheckpoint(true)
     val a = e.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         round(vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
@@ -129,7 +146,9 @@ object Similarity {
     checkHyperplaneIndexParams(index, dim, bands, rowsPerBand, seed)
     val (b, bBuckets) =
       sketchVecBatchForProbe(batch, idCol, vecCol, dim, bands, rowsPerBand, seed)
-    val cand = bBuckets.join(index, Seq("band", "v"))
+    // batch band rows broadcast into the index join — trigger-sized vs
+    // corpus-sized; kills both SMJ exchanges (see Dedup.minhashProbeIndex)
+    val cand = broadcast(bBuckets).join(index, Seq("band", "v"))
       .select("batch_id", "hist_id").distinct()
       .localCheckpoint(true)
     verifyCosineCandidates(cand, history,
@@ -183,8 +202,11 @@ object Similarity {
   private[operators] def verifyCosineCandidates(
       cand: DataFrame, history: DataFrame, bVec: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // broadcast the batch-bounded candidate-id side; left_semi dedups
+    // its build keys, so no pre-distinct (see Dedup.verifyCandidates —
+    // same 2-jobs/2-exchanges-per-probe rationale)
     val hVecs = withNorm(
-      history.join(cand.select(col("hist_id").as(idCol)).distinct(),
+      history.join(broadcast(cand.select(col("hist_id").as(idCol))),
         Seq(idCol), "left_semi"), idCol, vecCol)
       .select(col(idCol).as("hist_id"), col(vecCol).as("v_h"),
         col("nrm").as("n_h"))
@@ -662,7 +684,13 @@ object Similarity {
     // (3 candidate-set exchanges + 2 joins — at a candidate volume of
     // n·nProbe·targetCellSize/2 the 16-byte pair rows outweighed the
     // vectors they were saving: measured 7.5 MB of candidate exchanges
-    // vs 2 MB of vectors at sf0.1, and 3 fewer stages). A pair
+    // vs 2 MB of vectors at sf0.1, and 3 fewer stages). Crossover
+    // condition for retuning: this shape shuffles nProbe·vectorBytes
+    // per row vs the old shape's ~16·nProbe·targetCellSize/2 bytes of
+    // pair rows — vector-carrying wins while vectorBytes <
+    // 8·targetCellSize (dim ≲ 512 at target 256, float32); higher dims
+    // or a much smaller targetCellSize flip it back toward ids-only.
+    // A pair
     // co-occurring in up to nProbe cells now pays up to nProbe dot
     // products instead of a 1M-row distinct; survivors dedup at the
     // end, where the set is output-sized. The per-cell SMJ group

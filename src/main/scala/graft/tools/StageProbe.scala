@@ -16,7 +16,14 @@ import graft.queries.Registry
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length < 2) {
+      System.err.println(
+        "usage: StageProbe <sfDir> <query> — e.g. " +
+          "SPARK_GRAFT_CPUS=32 sbt \"runMain graft.tools.StageProbe " +
+          "/root/testdata/sf0.1 t11_dedup_jaccard_prefix\"")
+      sys.exit(2)
+    }
+    val dir = args(0)
     val name = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
